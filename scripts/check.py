@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's t2 DuckDB-oracle compare.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir>
+
+For each query dumped by graft.Verify: run the oracle SQL in DuckDB
+against views over the same parquet tables, sort columns by name, and
+compare values exactly (mirroring the driver's hash compare).
+"""
+import sys, json, glob, os
+import duckdb, pandas as pd, numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = []
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            s = s.map(lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v)
+        out.append(s)
+    return pd.concat(out, axis=1)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
+        if name not in oracle:
+            print(f"  (no oracle) {name}: {len(got)} rows")
+            continue
+        try:
+            want = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        g, w = canon(got), canon(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+            n_fail += 1
+            continue
+        bad = None
+        for c in g.columns:
+            a, b = g[c].reset_index(drop=True), w[c].reset_index(drop=True)
+            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                af = a.astype(float)
+                bf = b.astype(float)
+                eq = (af.isna() & bf.isna()) | (af == bf)
+            else:
+                aa, bb = a, b
+                if pd.api.types.is_datetime64_any_dtype(aa) or pd.api.types.is_datetime64_any_dtype(bb):
+                    aa = aa.astype("datetime64[us]"); bb = bb.astype("datetime64[us]")
+                try:
+                    eq = (aa.isna() & bb.isna()) | (aa.astype(object) == bb.astype(object))
+                except Exception:
+                    eq = pd.Series([False] * len(aa))
+            if not eq.all():
+                i = int(np.argmin(eq.values))
+                bad = (c, i, a.iloc[i], b.iloc[i])
+                break
+        if bad:
+            print(f"FAIL {name}: col {bad[0]} row {bad[1]}: spark={bad[2]!r} duck={bad[3]!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared helpers for the query catalog.
+  *
+  * Numeric discipline (SURVEY.md §7.4): every float aggregation that is
+  * hash-compared against the DuckDB oracle is summed as `decimal(18,4)`
+  * (exact, order-independent) and only then cast back to double and
+  * rounded — summation order across Spark partitions is nondeterministic,
+  * so summing raw doubles would not be reproducible, let alone match
+  * another engine.
+  */
+object Core {
+  /** A catalog entry: the Spark implementation plus (optionally) the
+    * equivalent ANSI SQL for the DuckDB oracle. Column names and row
+    * order MUST match between the two (driver hash-compares). */
+  final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  val Money: DecimalType = DecimalType(18, 4)
+
+  /** Loads a driver table. `events.ts` is physically INT64
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects — read
+    * it as raw nanos and truncate to micros (identical to DuckDB's own
+    * ns→us handling, so oracle parity holds). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (df.schema("ts").dataType == LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Exact order-independent sum of a money-like double column. */
+  def moneySum(c: Column): Column = round(sum(c.cast(Money)).cast("double"), 2)
+  def moneyAvg(c: Column, n: Column): Column =
+    round(sum(c.cast(Money)).cast("double") / n, 4)
+
+  /** DuckDB-side fragments mirroring moneySum/moneyAvg. */
+  def oSum(e: String): String =
+    s"round(cast(sum(cast(($e) as decimal(18,4))) as double),2)"
+  def oAvg(e: String, n: String): String =
+    s"round(cast(sum(cast(($e) as decimal(18,4))) as double)/($n),4)"
+
+  /** Engine-exact 4-dp rounding for ratios of integers: `round()` differs
+    * between engines exactly when the double sits on a representable
+    * .xxxx5 tie (common for small-integer ratios like 3/32). floor of
+    * x*1e4+0.5 is the same IEEE op sequence in both engines. */
+  def rnd4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
+  def oRnd4(e: String): String = s"(floor(($e) * 10000 + 0.5) / 10000.0)"
+}

@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Core._
+
+/** Deduplication operators over `documents` (north-star LLM-pipeline
+  * surface; the reference itself has no dedup — its nearest analog is
+  * the idempotent checkpoint skip, unified_code.py:437–439).
+  *
+  * Four families, as mandated by the builder brief:
+  *  - exact (hash groupBy)
+  *  - MinHash + LSH banding (shingle → minhash → band → bucket join)
+  *  - n-gram Jaccard verification of LSH candidates
+  *  - SimHash fingerprinting
+  *
+  * Hashing uses md5 (identical hex output in Spark and DuckDB) so every
+  * stage is oracle-checkable; lexicographic MIN over fixed-width hex
+  * prefixes equals numeric MIN over the corresponding uint32, so no
+  * hex→int conversion is needed for the minhash.
+  *
+  * Scale design (100 TB): every stage is a narrow projection or a
+  * hash-shuffle on bounded keys — shingling is a generator (explode),
+  * minhash is a partial-aggregating groupBy(doc_id, i), band buckets
+  * are groupBy(doc_id, band), and the candidate join is an equi-join on
+  * (band, band_key) whose fan-out is controlled by band selectivity
+  * (4 bands × 4 hashes here; widen rows-per-band to cut collisions).
+  * Nothing is quadratic in the corpus — only in bucket occupancy.
+  */
+object Dedup {
+
+  private val NumHashes = 16
+  private val RowsPerBand = 4
+
+  /** tokens → distinct 3-word shingles, exploded one row per shingle. */
+  private def shingleRows(docs: DataFrame): DataFrame = {
+    val ws = split(lower(col("text")), " ")
+    val shingles = when(size(ws) >= 3,
+      array_distinct(transform(sequence(lit(1), size(ws) - 2), i =>
+        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), explode(shingles).as("w"))
+  }
+
+  /** (doc_id, band, band_key) — the LSH bucket assignment. */
+  private def bandKeys(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleRows(table(s, dir, "documents"))
+    val minhash = sh
+      .withColumn("i", explode(sequence(lit(0), lit(NumHashes - 1))))
+      .groupBy($"doc_id", $"i")
+      .agg(min(substring(md5(concat($"i".cast("string"), lit(":"), $"w")), 1, 8)).as("h"))
+    minhash
+      .withColumn("band", floor($"i" / RowsPerBand).cast("int"))
+      .groupBy($"doc_id", $"band")
+      .agg(concat_ws("",
+        transform(sort_array(collect_list(struct($"i", $"h"))), x => x.getField("h")))
+        .as("band_key"))
+  }
+
+  /** Shared DuckDB CTE prefix mirroring shingleRows/bandKeys. */
+  private val oracleCtes =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text),' ') AS ws FROM documents),
+      shingles AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w
+        FROM toks CROSS JOIN range(1, 2000) t(i) WHERE i+2 <= len(ws)),
+      mh AS (SELECT doc_id, i, min(substr(md5(cast(i as varchar) || ':' || w),1,8)) AS h
+        FROM shingles CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+      bands AS (SELECT doc_id, cast(floor(i/4) as int) AS band,
+        string_agg(h,'' ORDER BY i) AS band_key FROM mh GROUP BY 1,2),
+      pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+        ON a.band=b.band AND a.band_key=b.band_key AND a.doc_id<b.doc_id)"""
+
+  /** Candidate near-dup pairs: docs sharing ≥1 LSH band bucket. */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = bandKeys(s, dir)
+    b.as("a").join(b.as("b"),
+        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+  }
+
+  val catalog: Map[String, Q] = Map(
+
+    // ---- exact dedup: group identical texts, keep lowest doc_id ----
+    "q30_exact_dedup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "documents")
+          .groupBy($"text")
+          .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .select($"keep_id", $"n_copies", md5($"text").as("text_md5"))
+          .orderBy($"keep_id")
+      },
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_md5
+        FROM documents GROUP BY text ORDER BY keep_id""")),
+
+    // ---- MinHash + LSH banding: candidate near-duplicate pairs ----
+    "q31_minhash_lsh_pairs" -> Q(
+      (s, dir) => lshPairs(s, dir).orderBy(col("id_a"), col("id_b")),
+      Some(s"$oracleCtes SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b")),
+
+    // ---- n-gram Jaccard: exact verification of the LSH candidates ----
+    "q32_ngram_jaccard" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val words = shingleRows(table(s, dir, "documents"))
+        val sizes = words.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val inter = lshPairs(s, dir)
+          .join(words.as("wa"), $"wa.doc_id" === $"id_a")
+          .join(words.as("wb"), $"wb.doc_id" === $"id_b" && $"wb.w" === $"wa.w")
+          .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("c"))
+        inter
+          .join(sizes.as("sa"), $"sa.doc_id" === $"id_a")
+          .join(sizes.as("sb"), $"sb.doc_id" === $"id_b")
+          .select($"id_a", $"id_b",
+            rnd4($"c".cast("double") / ($"sa.n" + $"sb.n" - $"c")).as("jaccard"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""$oracleCtes,
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+        inter AS (SELECT p.id_a, p.id_b, count(*) AS c FROM pairs p
+          JOIN shingles wa ON wa.doc_id=p.id_a
+          JOIN shingles wb ON wb.doc_id=p.id_b AND wb.w=wa.w
+          GROUP BY 1,2)
+        SELECT i.id_a, i.id_b,
+          floor(cast(i.c as double)/(sa.n + sb.n - i.c) * 10000 + 0.5) / 10000.0 AS jaccard
+        FROM inter i JOIN sizes sa ON sa.doc_id=i.id_a
+        JOIN sizes sb ON sb.doc_id=i.id_b
+        ORDER BY i.id_a, i.id_b""")),
+
+    // ---- SimHash (16-bit variant; bit j comes from hex digit j/4 of
+    // md5(word), so both engines derive identical bits) ----
+    "q33_simhash" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val words = table(s, dir, "documents")
+          .select($"doc_id", explode(array_distinct(split(lower($"text"), " "))).as("w"))
+          .filter(length($"w") > 0)
+        val bits = words
+          .withColumn("bit", explode(sequence(lit(0), lit(15))))
+          .withColumn("hexval",
+            conv(expr("substr(md5(w), cast(bit/4 as int) + 1, 1)"), 16, 10).cast("int"))
+          .withColumn("sgn",
+            when(expr("shiftright(hexval, cast(bit % 4 as int)) % 2") === 1, lit(1))
+              .otherwise(lit(-1)))
+          .groupBy($"doc_id", $"bit").agg(sum($"sgn").as("s"))
+        bits
+          .groupBy($"doc_id")
+          .agg(sum(when($"s" >= 0, expr("shiftleft(1L, cast(bit as int))")).otherwise(0L))
+            .as("simhash"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH words AS (SELECT DISTINCT doc_id, w FROM
+          (SELECT doc_id, unnest(string_split(lower(text),' ')) AS w FROM documents)
+          WHERE length(w)>0),
+        bits AS (SELECT doc_id, b.i AS bit,
+          sum(CASE WHEN (
+            (strpos('0123456789abcdef', substr(md5(w), cast(floor(b.i/4) as int)+1, 1)) - 1)
+            >> (b.i % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM words CROSS JOIN range(16) b(i) GROUP BY 1,2)
+        SELECT doc_id,
+          sum(CASE WHEN s >= 0 THEN 1 << bit ELSE 0 END) AS simhash
+        FROM bits GROUP BY doc_id ORDER BY doc_id"""))
+  )
+}

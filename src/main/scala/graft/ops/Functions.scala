@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Core._
+
+/** Scalar-function catalog (SURVEY.md §2B "scalar fns"): string,
+  * date/time, math, array higher-order, JSON extraction, plus batch
+  * event-time bucketing and sessionization over the `events` table.
+  *
+  * All of these stay inside whole-stage codegen (built-in expressions
+  * only — no UDFs on the hot path), so at 100 TB they cost exactly one
+  * columnar scan plus fused projection; the only shuffles are the
+  * explicit groupBy in the bucketing/sessionization queries.
+  */
+object Functions {
+
+  val catalog: Map[String, Q] = Map(
+
+    // ---- string functions ----
+    "q18_string_fns" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "part").select(
+            $"p_partkey",
+            upper($"p_name").as("name_upper"),
+            lower($"p_brand").as("brand_lower"),
+            substring($"p_name", 1, 5).as("name_pfx"),
+            lpad($"p_brand", 12, "*").as("brand_pad"),
+            concat_ws("|", $"p_brand", $"p_type", trim($"p_name")).as("joined"),
+            regexp_extract($"p_name", "([a-z]+)$", 1).as("last_word"),
+            regexp_replace($"p_type", "E", "X").as("type_x"),
+            element_at(split($"p_name", " "), 1).as("first_word"),
+            length($"p_name").as("name_len"))
+          .orderBy($"p_partkey")
+      },
+      Some("""SELECT p_partkey, upper(p_name) AS name_upper, lower(p_brand) AS brand_lower,
+        substr(p_name,1,5) AS name_pfx, lpad(p_brand,12,'*') AS brand_pad,
+        concat_ws('|', p_brand, p_type, trim(p_name)) AS joined,
+        regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        regexp_replace(p_type, 'E', 'X', 'g') AS type_x,
+        split_part(p_name, ' ', 1) AS first_word,
+        length(p_name) AS name_len
+        FROM part ORDER BY p_partkey""")),
+
+    // ---- date/time functions ----
+    "q19_date_fns" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "orders").select(
+            $"o_orderkey",
+            year($"o_orderdate").as("yr"),
+            month($"o_orderdate").as("mo"),
+            dayofmonth($"o_orderdate").as("dom"),
+            quarter($"o_orderdate").as("qtr"),
+            (weekday($"o_orderdate") + 1).as("iso_dow"),
+            date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month_start"),
+            datediff($"o_orderdate", lit("1995-01-01")).as("days_since"),
+            date_format(add_months($"o_orderdate", 3), "yyyy-MM-dd").as("plus3m"),
+            unix_timestamp($"o_orderdate").as("epoch_s"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        cast(extract(year from o_orderdate) as int) AS yr,
+        cast(extract(month from o_orderdate) as int) AS mo,
+        cast(extract(day from o_orderdate) as int) AS dom,
+        cast(extract(quarter from o_orderdate) as int) AS qtr,
+        cast(isodow(o_orderdate) as int) AS iso_dow,
+        strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        cast(date_diff('day', DATE '1995-01-01', o_orderdate) as int) AS days_since,
+        strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+        cast(epoch(o_orderdate) as bigint) AS epoch_s
+        FROM orders ORDER BY o_orderkey""")),
+
+    // ---- math functions (IEEE-deterministic per row; ln/log10 rounded
+    // to absorb potential last-ulp libm differences) ----
+    "q20_math_fns" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "lineitem").select(
+            $"l_orderkey", $"l_linenumber",
+            round($"l_extendedprice", 1).as("price_r1"),
+            floor($"l_extendedprice").as("price_floor"),
+            ceil($"l_extendedprice").as("price_ceil"),
+            round(abs($"l_discount" - 0.05), 4).as("disc_dev"),
+            round(sqrt($"l_extendedprice"), 4).as("price_sqrt"),
+            round(log($"l_extendedprice"), 4).as("price_ln"),
+            round(log10($"l_extendedprice"), 4).as("price_log10"),
+            ($"l_orderkey" % 7).as("key_mod7"),
+            ($"l_extendedprice".cast(Money) * ($"l_tax" + 1).cast("decimal(8,4)"))
+              .cast("double").as("gross"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+        round(l_extendedprice, 1) AS price_r1,
+        cast(floor(l_extendedprice) as bigint) AS price_floor,
+        cast(ceil(l_extendedprice) as bigint) AS price_ceil,
+        round(abs(l_discount - 0.05), 4) AS disc_dev,
+        round(sqrt(l_extendedprice), 4) AS price_sqrt,
+        round(ln(l_extendedprice), 4) AS price_ln,
+        round(log10(l_extendedprice), 4) AS price_log10,
+        l_orderkey % 7 AS key_mod7,
+        cast(cast(l_extendedprice as decimal(18,4)) * cast(l_tax + 1 as decimal(8,4)) as double) AS gross
+        FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- array higher-order functions over embeddings (exact ops only:
+    // size / index / compare-based filter / min / max — no float sums) ----
+    "q21_array_fns" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "embeddings").select(
+            $"vec_id",
+            size($"embedding").as("dim"),
+            element_at($"embedding", 1).cast("double").as("v_first"),
+            element_at($"embedding", -1).cast("double").as("v_last"),
+            size(filter($"embedding", x => x > 0)).as("n_pos"),
+            array_max($"embedding").cast("double").as("v_max"),
+            array_min($"embedding").cast("double").as("v_min"))
+          .orderBy($"vec_id")
+      },
+      Some("""SELECT vec_id, cast(len(embedding) as int) AS dim,
+        cast(embedding[1] as double) AS v_first,
+        cast(embedding[-1] as double) AS v_last,
+        cast(len(list_filter(embedding, x -> x > 0)) as int) AS n_pos,
+        cast(list_max(embedding) as double) AS v_max,
+        cast(list_min(embedding) as double) AS v_min
+        FROM embeddings ORDER BY vec_id""")),
+
+    // ---- JSON extraction from events.props ----
+    "q22_json_fns" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "events").select(
+            $"event_id",
+            get_json_object($"props", "$.k").cast("bigint").as("k"),
+            (get_json_object($"props", "$.k").cast("bigint") % 10).as("k_bucket"),
+            from_json($"props", lit("k INT")).getField("k").cast("bigint").as("k_typed"),
+            $"event_type")
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id,
+        cast(props->>'$.k' as bigint) AS k,
+        cast(props->>'$.k' as bigint) % 10 AS k_bucket,
+        cast(props->>'$.k' as bigint) AS k_typed,
+        event_type
+        FROM events ORDER BY event_id""")),
+
+    // ---- tumbling event-time window (batch analog of the streaming
+    // aggregation; same window() construct Structured Streaming uses) ----
+    "q23_time_bucket_agg" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "events")
+          .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum($"value".cast("decimal(18,6)")).cast("double"), 3).as("sum_v"),
+            countDistinct($"user_id").as("n_users"))
+          .select(date_format($"w.start", "yyyy-MM-dd HH:mm").as("hour"),
+            $"event_type", $"n", $"sum_v", $"n_users")
+          .orderBy($"hour", $"event_type")
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        event_type, count(*) AS n,
+        round(cast(sum(cast(value as decimal(18,6))) as double), 3) AS sum_v,
+        count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    // ---- sessionization: 30-minute inactivity gap, lag + running sum ----
+    "q24_sessionize" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, dir, "events")
+          .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+          .withColumn("new_session",
+            when($"prev_us".isNull ||
+              (unix_micros($"ts") - $"prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum($"new_session").over(run))
+          .groupBy($"user_id", $"session_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss").as("t0"),
+            (max(unix_micros($"ts")) - min(unix_micros($"ts"))).as("dur_us"))
+          .orderBy($"user_id", $"session_id")
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM x)
+        SELECT user_id, session_id, count(*) AS n_events,
+          strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS t0,
+          max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+        FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
+  )
+}

@@ -1,0 +1,398 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Core._
+
+/** Relational operator catalog (SURVEY.md §2B: joins, aggregation,
+  * window, sort/limit, set ops).
+  *
+  * The reference (waldfalke/catme-etl, /root/reference/unified_code.py)
+  * has no relational operators at all — its dataflow is a fixed 4-stage
+  * per-chunk map (unified_code.py:246–293). This catalog is the engine
+  * surface mandated by the north star (BASELINE.json): DataFrame
+  * transformations + Spark SQL, designed for 100 TB scale.
+  *
+  * Scale notes (local[32] tests, 1000-executor design):
+  *  - dimension tables (region/nation/supplier, and customer at ≤SF100)
+  *    are broadcast explicitly — no shuffle on the fact side;
+  *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key once;
+  *    AQE (enabled by default in Spark 4) re-plans skew at runtime;
+  *  - every aggregation is a partial (map-side) + final HashAggregate —
+  *    nothing here forces a sort-based fallback;
+  *  - window queries partition by bounded-cardinality keys so state per
+  *    task stays O(partition), never O(table).
+  */
+object Relational {
+
+  val catalog: Map[String, Q] = Map(
+
+    // ---- aggregation: TPC-H Q1-shaped pricing summary (flagship) ----
+    "q01_pricing_summary" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "lineitem")
+          .filter($"l_shipdate" <= lit("1998-09-02"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            moneySum($"l_quantity").as("sum_qty"),
+            moneySum($"l_extendedprice").as("sum_base_price"),
+            moneySum($"l_extendedprice" * (lit(1) - $"l_discount")).as("sum_disc_price"),
+            moneyAvg($"l_quantity", count(lit(1))).as("avg_qty"),
+            moneyAvg($"l_extendedprice", count(lit(1))).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        ${oSum("l_quantity")} AS sum_qty,
+        ${oSum("l_extendedprice")} AS sum_base_price,
+        ${oSum("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+        ${oAvg("l_quantity", "count(*)")} AS avg_qty,
+        ${oAvg("l_extendedprice", "count(*)")} AS avg_price,
+        count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- project/filter: compound predicates, computed columns ----
+    "q02_filter_project" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "orders")
+          .filter($"o_orderstatus".isin("O", "F") &&
+            $"o_totalprice".between(1000, 150000) &&
+            ($"o_orderpriority".like("1-%") || $"o_orderpriority".like("2-%")) &&
+            !($"o_custkey" % 7 === 0))
+          .select(
+            $"o_orderkey",
+            $"o_custkey",
+            substring($"o_orderpriority", 1, 1).cast("int").as("prio_class"),
+            ($"o_orderstatus" <=> lit("O")).as("is_open"),
+            round($"o_totalprice".cast(Money) * lit(0.1).cast("decimal(2,1)"), 2)
+              .cast("double").as("commission"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+        cast(substr(o_orderpriority,1,1) as int) AS prio_class,
+        o_orderstatus IS NOT DISTINCT FROM 'O' AS is_open,
+        cast(round(cast(o_totalprice as decimal(18,4)) * 0.1, 2) as double) AS commission
+        FROM orders
+        WHERE o_orderstatus IN ('O','F') AND o_totalprice BETWEEN 1000 AND 150000
+          AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+          AND NOT (o_custkey % 7 = 0)
+        ORDER BY o_orderkey""")),
+
+    // ---- multi-way equi-join + agg: revenue per nation (Q5-shaped) ----
+    // lineitem⋈orders shuffles on orderkey; customer & nation broadcast.
+    "q03_join_revenue_by_nation" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val l = table(s, dir, "lineitem")
+        val o = table(s, dir, "orders")
+        val c = table(s, dir, "customer")
+        val n = table(s, dir, "nation")
+        l.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(
+            moneySum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"n_name")
+      },
+      Some(s"""SELECT n_name, ${oSum("l_extendedprice*(1-l_discount)")} AS revenue,
+        count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        JOIN customer ON o_custkey=c_custkey
+        JOIN nation ON c_nationkey=n_nationkey
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // ---- left outer join preserving zero-order customers ----
+    "q04_left_join_customer_orders" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "customer")
+          .join(table(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left")
+          .groupBy($"c_custkey")
+          .agg(
+            count($"o_orderkey").as("n_orders"),
+            round(coalesce(sum($"o_totalprice".cast(Money)).cast("double"), lit(0.0)), 2)
+              .as("total_spent"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+        round(coalesce(cast(sum(cast(o_totalprice as decimal(18,4))) as double),0),2) AS total_spent
+        FROM customer LEFT JOIN orders ON c_custkey=o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // ---- left semi join (EXISTS) ----
+    "q05_semi_join_urgent_customers" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val urgent = table(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT")
+        table(s, dir, "customer")
+          .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey=c_custkey AND o_orderpriority='1-URGENT')
+        ORDER BY c_custkey""")),
+
+    // ---- left anti join (NOT EXISTS) ----
+    "q06_anti_join_orderless_customers" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "customer")
+          .join(table(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_name", $"c_mktsegment")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ---- full outer join with coalesced using-key ----
+    "q07_full_outer_open_vs_closed" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val o = table(s, dir, "orders")
+        val open = o.filter($"o_orderstatus" === "O")
+          .groupBy($"o_custkey".as("k")).agg(count(lit(1)).as("n_open"))
+        val closed = o.filter($"o_orderstatus" === "F")
+          .groupBy($"o_custkey".as("k")).agg(count(lit(1)).as("n_closed"))
+        open.join(closed, Seq("k"), "full_outer")
+          .select($"k",
+            coalesce($"n_open", lit(0L)).as("n_open"),
+            coalesce($"n_closed", lit(0L)).as("n_closed"))
+          .orderBy($"k")
+      },
+      Some("""SELECT k, coalesce(n_open,0) AS n_open, coalesce(n_closed,0) AS n_closed
+        FROM (SELECT o_custkey AS k, count(*) AS n_open FROM orders
+              WHERE o_orderstatus='O' GROUP BY 1) a
+        FULL JOIN (SELECT o_custkey AS k, count(*) AS n_closed FROM orders
+              WHERE o_orderstatus='F' GROUP BY 1) b USING(k)
+        ORDER BY k""")),
+
+    // ---- theta join: equi on nation + inequality on balance ----
+    "q08_theta_join_richer_suppliers" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val sup = table(s, dir, "supplier")
+        val c = table(s, dir, "customer")
+        sup.join(c, $"s_nationkey" === $"c_nationkey" && $"s_acctbal" > $"c_acctbal")
+          .groupBy($"s_suppkey", $"s_name")
+          .agg(count(lit(1)).as("n_poorer_customers"))
+          .orderBy($"s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name, count(*) AS n_poorer_customers
+        FROM supplier JOIN customer
+          ON s_nationkey=c_nationkey AND s_acctbal > c_acctbal
+        GROUP BY s_suppkey, s_name ORDER BY s_suppkey""")),
+
+    // ---- as-of join: latest order at-or-before each event's timestamp.
+    // Spark 4.1 Scala has no native asof join; composed as a range join
+    // + per-event top-1 window (SURVEY.md §2B "as-of join").
+    // 100 TB path: the range join shuffles on user key; the window's
+    // partition key (event_id) is unique so state stays tiny.
+    "q09_asof_join_event_order" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val e = table(s, dir, "events")
+        val o = table(s, dir, "orders")
+        val w = Window.partitionBy($"event_id")
+          .orderBy($"o_orderdate".desc_nulls_last, $"o_orderkey".desc_nulls_last)
+        e.join(o, $"user_id" === $"o_custkey" && $"o_orderdate" <= $"ts", "left")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1)
+          .select($"event_id", $"user_id",
+            date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            $"o_orderkey",
+            date_format($"o_orderdate", "yyyy-MM-dd").as("o_date"))
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        FROM (SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+              row_number() OVER (PARTITION BY e.event_id
+                ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+              FROM events e LEFT JOIN orders o
+                ON e.user_id=o.o_custkey AND o.o_orderdate <= e.ts)
+        WHERE rn=1 ORDER BY event_id""")),
+
+    // ---- distinct aggregation ----
+    "q10_count_distinct" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            countDistinct($"l_partkey").as("n_parts"),
+            countDistinct($"l_suppkey").as("n_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- rollup (grouping sets) ----
+    "q11_rollup_pricing" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), moneySum($"l_quantity").as("sum_qty"))
+          .select(
+            coalesce($"l_returnflag", lit("ALL")).as("rf"),
+            coalesce($"l_linestatus", lit("ALL")).as("ls"),
+            $"n", $"sum_qty")
+          .orderBy($"rf", $"ls")
+      },
+      Some(s"""SELECT coalesce(l_returnflag,'ALL') AS rf,
+        coalesce(l_linestatus,'ALL') AS ls,
+        count(*) AS n, ${oSum("l_quantity")} AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY rf, ls""")),
+
+    // ---- cube ----
+    "q12_cube_orders" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), moneySum($"o_totalprice").as("total"))
+          .select(
+            coalesce($"o_orderstatus", lit("ALL")).as("st"),
+            coalesce($"o_orderpriority", lit("ALL")).as("prio"),
+            $"n", $"total")
+          .orderBy($"st", $"prio")
+      },
+      Some(s"""SELECT coalesce(o_orderstatus,'ALL') AS st,
+        coalesce(o_orderpriority,'ALL') AS prio,
+        count(*) AS n, ${oSum("o_totalprice")} AS total
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY st, prio""")),
+
+    // ---- ranking window functions (rank/dense_rank need ties; ntile &
+    // row_number get a fully deterministic order) ----
+    "q13_window_rank" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val base = table(s, dir, "orders")
+          .withColumn("price_bucket",
+            (floor($"o_totalprice" / 10000) * 10000).cast("long"))
+        val wTies = Window.partitionBy($"o_orderpriority").orderBy($"price_bucket".desc)
+        val wUniq = Window.partitionBy($"o_orderpriority")
+          .orderBy($"price_bucket".desc, $"o_orderkey")
+        base.select(
+            $"o_orderkey", $"o_orderpriority", $"price_bucket",
+            rank().over(wTies).as("rnk"),
+            dense_rank().over(wTies).as("drnk"),
+            row_number().over(wUniq).as("rn"),
+            ntile(4).over(wUniq).as("nt"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, price_bucket,
+        rank() OVER (PARTITION BY o_orderpriority ORDER BY price_bucket DESC) AS rnk,
+        dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY price_bucket DESC) AS drnk,
+        row_number() OVER (PARTITION BY o_orderpriority ORDER BY price_bucket DESC, o_orderkey) AS rn,
+        ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY price_bucket DESC, o_orderkey) AS nt
+        FROM (SELECT *, cast(floor(o_totalprice/10000)*10000 as bigint) AS price_bucket
+              FROM orders)
+        ORDER BY o_orderkey""")),
+
+    // ---- analytic window functions: lag/lead/first/last ----
+    "q14_window_analytic" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        table(s, dir, "orders").select(
+            $"o_orderkey", $"o_custkey",
+            lag($"o_totalprice", 1).over(w).as("prev_price"),
+            lead($"o_totalprice", 1).over(w).as("next_price"),
+            first($"o_orderkey").over(wFull).as("first_ok"),
+            last($"o_orderkey").over(wFull).as("last_ok"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+        lag(o_totalprice, 1) OVER w AS prev_price,
+        lead(o_totalprice, 1) OVER w AS next_price,
+        first_value(o_orderkey) OVER wf AS first_ok,
+        last_value(o_orderkey) OVER wf AS last_ok
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_orderkey""")),
+
+    // ---- window frames: running total + 3-row moving average ----
+    "q15_window_frames" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val mov = w.rowsBetween(-2, Window.currentRow)
+        table(s, dir, "orders").select(
+            $"o_orderkey", $"o_custkey",
+            round(sum($"o_totalprice".cast(Money)).over(run).cast("double"), 2)
+              .as("running_total"),
+            round(sum($"o_totalprice".cast(Money)).over(mov).cast("double")
+              / count(lit(1)).over(mov), 4).as("moving_avg3"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+        round(cast(sum(cast(o_totalprice as decimal(18,4))) OVER wr as double), 2) AS running_total,
+        round(cast(sum(cast(o_totalprice as decimal(18,4))) OVER wm as double)
+              / count(*) OVER wm, 4) AS moving_avg3
+        FROM orders
+        WINDOW wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wm AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderkey""")),
+
+    // ---- top-k per group (window + limit predicate) ----
+    "q16_topk_per_group" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderpriority")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        table(s, dir, "orders")
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3)
+          .select($"o_orderpriority", $"rk", $"o_orderkey", $"o_totalprice")
+          .orderBy($"o_orderpriority", $"rk")
+      },
+      Some("""SELECT o_orderpriority, rk, o_orderkey, o_totalprice
+        FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+              row_number() OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
+        WHERE rk <= 3 ORDER BY o_orderpriority, rk""")),
+
+    // ---- set operations: except / intersect / union all ----
+    "q17_set_ops" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val o = table(s, dir, "orders")
+        val a = o.filter($"o_orderstatus" === "O")
+          .select($"o_custkey".as("custkey")).distinct()
+        val b = o.filter($"o_orderstatus" === "F")
+          .select($"o_custkey".as("custkey")).distinct()
+        a.except(b).withColumn("tag", lit("only_open"))
+          .unionByName(b.except(a).withColumn("tag", lit("only_closed")))
+          .unionByName(a.intersect(b).withColumn("tag", lit("both")))
+          .orderBy($"custkey", $"tag")
+      },
+      Some("""WITH a AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus='O'),
+        b AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus='F')
+        SELECT custkey, 'only_open' AS tag FROM (SELECT custkey FROM a EXCEPT SELECT custkey FROM b)
+        UNION ALL
+        SELECT custkey, 'only_closed' AS tag FROM (SELECT custkey FROM b EXCEPT SELECT custkey FROM a)
+        UNION ALL
+        SELECT custkey, 'both' AS tag FROM (SELECT custkey FROM a INTERSECT SELECT custkey FROM b)
+        ORDER BY custkey, tag"""))
+  )
+}

@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Core._
+
+/** Similarity search over `embeddings` (north-star LLM-pipeline surface).
+  *
+  * Two numeric paths:
+  *  - ORACLE path (q34/q35): dot products are summed as decimal(30,15)
+  *    — exact and order-independent — so Spark and DuckDB produce
+  *    bit-identical doubles and the hash compare is stable. Expressed as
+  *    posexplode + groupBy, i.e. a plain shuffle the optimizer handles.
+  *  - FAST path (q36/q37, no oracle): zip_with + aggregate fold entirely
+  *    inside whole-stage codegen (no explode, no shuffle per dimension).
+  *    This is the 100 TB shape: normalize once, broadcast the (small)
+  *    query set, one narrow pass computes all dots; LSH bucketing (q37)
+  *    prunes the candidate space by random-hyperplane signatures before
+  *    any dot product is computed.
+  */
+object Similarity {
+
+  private val D = DecimalType(30, 15)
+
+  /** (vec_id, pos, v:double) exploded view. */
+  private def exploded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "embeddings")
+      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .withColumn("v", $"v".cast("double"))
+  }
+
+  private def norms(ex: DataFrame): DataFrame =
+    ex.groupBy(col("vec_id").as("nid"))
+      .agg(sum((col("v") * col("v")).cast(D)).cast("double").as("nsq"))
+
+  private val oracleEx =
+    """ex AS (SELECT vec_id, label, i AS pos, cast(embedding[i+1] as double) AS v
+        FROM embeddings CROSS JOIN range(64) t(i)),
+      norms AS (SELECT vec_id AS nid, cast(sum(cast(v*v as decimal(30,15))) as double) AS nsq
+        FROM ex GROUP BY 1)"""
+
+  /** Normalized embeddings for the fast path: unit-length double arrays. */
+  private def normalized(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "embeddings")
+      .withColumn("emb", transform($"embedding", x => x.cast("double")))
+      .withColumn("norm", sqrt(aggregate($"emb", lit(0.0), (a, x) => a + x * x)))
+      .withColumn("unit", transform($"emb", x => x / $"norm"))
+      .select($"vec_id", $"label", $"unit")
+  }
+
+  val catalog: Map[String, Q] = Map(
+
+    // ---- embedding-cosine near-duplicate pairs (blocked by label) ----
+    "q34_embedding_neardup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ex = exploded(s, dir)
+        val n = norms(ex)
+        val labels = table(s, dir, "embeddings").select($"vec_id", $"label")
+        val dots = ex.as("a")
+          .join(labels.as("lb"), $"a.vec_id" > $"lb.vec_id" && $"a.label" === $"lb.label")
+          .join(ex.as("b"), $"b.vec_id" === $"lb.vec_id" && $"b.pos" === $"a.pos")
+          .groupBy($"a.vec_id".as("id_b2"), $"b.vec_id".as("id_a2"))
+          .agg(sum(($"a.v" * $"b.v").cast(D)).cast("double").as("dot"))
+        dots
+          .join(n.as("na"), $"na.nid" === $"id_a2")
+          .join(n.as("nb"), $"nb.nid" === $"id_b2")
+          .withColumn("cos", $"dot" / (sqrt($"na.nsq") * sqrt($"nb.nsq")))
+          .filter($"cos" >= 0.3)
+          .select($"id_a2".as("id_a"), $"id_b2".as("id_b"), round($"cos", 4).as("cos"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH $oracleEx,
+        dots AS (SELECT b.vec_id AS id_a, a.vec_id AS id_b,
+            cast(sum(cast(a.v*b.v as decimal(30,15))) as double) AS dot
+          FROM ex a JOIN ex b ON a.pos=b.pos AND a.vec_id > b.vec_id AND a.label=b.label
+          GROUP BY 1,2),
+        cosd AS (SELECT id_a, id_b, dot/(sqrt(na.nsq)*sqrt(nb.nsq)) AS cos
+          FROM dots JOIN norms na ON na.nid=id_a JOIN norms nb ON nb.nid=id_b)
+        SELECT id_a, id_b, round(cos,4) AS cos FROM cosd
+        WHERE cos >= 0.3 ORDER BY id_a, id_b""")),
+
+    // ---- brute-force cosine top-5 for a fixed query subset ----
+    "q35_knn_exact" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ex = exploded(s, dir)
+        val n = norms(ex)
+        val q = ex.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".as("qid"), $"pos".as("qpos"), $"v".as("qv"))
+        val dots = q.join(ex, $"qpos" === $"pos")
+          .filter($"qid" =!= $"vec_id")
+          .groupBy($"qid", $"vec_id".as("vid"))
+          .agg(sum(($"qv" * $"v").cast(D)).cast("double").as("dot"))
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid")
+        dots
+          .join(n.as("nq"), $"nq.nid" === $"qid")
+          .join(n.as("nv"), $"nv.nid" === $"vid")
+          .withColumn("cos", $"dot" / (sqrt($"nq.nsq") * sqrt($"nv.nsq")))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5)
+          .select($"qid", $"rn", $"vid", round($"cos", 4).as("cos"))
+          .orderBy($"qid", $"rn")
+      },
+      Some(s"""WITH $oracleEx,
+        q AS (SELECT vec_id AS qid, pos, v AS qv FROM ex WHERE vec_id % 50 = 0),
+        dots AS (SELECT q.qid, e.vec_id AS vid,
+            cast(sum(cast(q.qv*e.v as decimal(30,15))) as double) AS dot
+          FROM q JOIN ex e ON q.pos=e.pos AND q.qid <> e.vec_id GROUP BY 1,2),
+        cosd AS (SELECT qid, vid, dot/(sqrt(nq.nsq)*sqrt(nv.nsq)) AS cos,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY dot/(sqrt(nq.nsq)*sqrt(nv.nsq)) DESC, vid) AS rn
+          FROM dots JOIN norms nq ON nq.nid=qid JOIN norms nv ON nv.nid=vid)
+        SELECT qid, rn, vid, round(cos,4) AS cos FROM cosd
+        WHERE rn <= 5 ORDER BY qid, rn""")),
+
+    // ---- fast path: normalized arrays + zip_with/aggregate fold — the
+    // bench/scale shape (no oracle: float fold order differs by engine) --
+    "q36_knn_fast" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val all = normalized(s, dir)
+        val q = all.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".as("qid"), $"unit".as("qunit"))
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+        all.join(broadcast(q), $"qid" =!= $"vec_id")
+          .withColumn("cos",
+            aggregate(zip_with($"qunit", $"unit", (a, b) => a * b), lit(0.0), (a, x) => a + x))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5)
+          .select($"qid", $"rn", $"vec_id".as("vid"), round($"cos", 4).as("cos"))
+          .orderBy($"qid", $"rn")
+      },
+      None),
+
+    // ---- LSH-bucketed ANN: random-hyperplane signatures prune the
+    // candidate set before any exact dot product (100 TB path).
+    // Hyperplane j's component i is derived from md5(j:i) — deterministic
+    // with no RNG, so results are stable across runs/engines. ----
+    "q37_ann_lsh" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val nPlanes = 8
+        val all = normalized(s, dir)
+        // plane(j)(i) in [-7.5, 7.5]: first hex digit of md5("j:i")
+        val planes: Seq[Seq[Double]] = (0 until nPlanes).map { j =>
+          (0 until 64).map { i =>
+            val hex = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$j:$i".getBytes("UTF-8"))
+            ((hex(0) & 0xff) >> 4) - 7.5
+          }
+        }
+        val planeLit = array(planes.map(p => array(p.map(lit): _*)): _*)
+        val sig = all.withColumn("sig",
+          concat_ws("", transform(planeLit, p =>
+            when(aggregate(zip_with(p, $"unit", (a, b) => a * b), lit(0.0), (a, x) => a + x) >= 0,
+              lit("1")).otherwise(lit("0")))))
+        val q = sig.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".as("qid"), $"unit".as("qunit"), $"sig".as("qsig"))
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+        sig.join(broadcast(q), $"qsig" === $"sig" && $"qid" =!= $"vec_id")
+          .withColumn("cos",
+            aggregate(zip_with($"qunit", $"unit", (a, b) => a * b), lit(0.0), (a, x) => a + x))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5)
+          .select($"qid", $"rn", $"vec_id".as("vid"), round($"cos", 4).as("cos"))
+          .orderBy($"qid", $"rn")
+      },
+      None),
+
+    // ---- per-label element-wise mean via the VectorMean Aggregator;
+    // exposed exploded so the DuckDB oracle can express it. Double sums
+    // are rounded to 6 dp to absorb partition-order float noise. ----
+    "q38_vector_mean" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val vmean = udaf(VectorMean)
+        table(s, dir, "embeddings")
+          .groupBy($"label")
+          .agg(vmean($"embedding").as("mean_vec"))
+          .select($"label", posexplode($"mean_vec").as(Seq("pos", "m")))
+          .select($"label", $"pos", round($"m", 6).as("mean_v"))
+          .orderBy($"label", $"pos")
+      },
+      Some("""SELECT label, i AS pos,
+        round(sum(cast(embedding[i+1] as double))/count(*), 6) AS mean_v
+        FROM embeddings CROSS JOIN range(64) t(i)
+        GROUP BY label, i ORDER BY label, pos"""))
+  )
+}

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Core._
+
+/** Text-analysis operators over `documents` (north-star LLM-pipeline
+  * surface): language-ID heuristic, quality scoring, token counting,
+  * document fingerprinting.
+  *
+  * Everything is built from codegen'd built-ins (regexp_*, split, md5) —
+  * one narrow pass per query, no UDFs, no shuffles except final sorts.
+  * Integer-ratio roundings use Core.rnd4 (floor-based), which is
+  * bit-identical across engines even on representable .xxxx5 ties.
+  */
+object TextOps {
+
+  /** character-class count via global regexp removal (both engines). */
+  private def ccount(c: Column, keepClass: String): Column =
+    length(regexp_replace(c, keepClass, ""))
+
+  private def oCcount(cls: String): String =
+    s"(length(lower(text)) - length(regexp_replace(lower(text), '$cls', '', 'g')))"
+
+  val catalog: Map[String, Q] = Map(
+
+    // ---- language-ID heuristic: script + vowel-profile scoring.
+    // Classifies by character statistics (latin/cyrillic/cjk/other);
+    // emits the per-doc feature vector so the decision is auditable. ----
+    "q40_lang_id" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val txt = lower($"text")
+        val n = length(txt)
+        val latin = n - ccount(txt, "[a-z]")
+        val cyr = n - ccount(txt, "[\\u0430-\\u044f]")
+        val cjk = n - ccount(txt, "[\\u4e00-\\u9fff]")
+        val vowels = n - ccount(txt, "[aeiou]")
+        table(s, dir, "documents").select(
+            $"doc_id", $"lang",
+            rnd4(latin.cast("double") / n).as("latin_ratio"),
+            rnd4(cyr.cast("double") / n).as("cyr_ratio"),
+            rnd4(vowels.cast("double") / greatest(latin, lit(1))).as("vowel_ratio"),
+            when(cjk * 4 > n, "cjk")
+              .when(cyr * 2 > n, "cyrillic")
+              .when(latin * 2 > n, "latin")
+              .otherwise("other").as("script_guess"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id, lang,
+        ${oRnd4(s"cast(${oCcount("[a-z]")} as double) / length(lower(text))")} AS latin_ratio,
+        ${oRnd4(s"cast(${oCcount("[а-я]")} as double) / length(lower(text))")} AS cyr_ratio,
+        ${oRnd4(s"cast(${oCcount("[aeiou]")} as double) / greatest(${oCcount("[a-z]")}, 1)")} AS vowel_ratio,
+        CASE WHEN ${oCcount("[一-鿿]")} * 4 > length(lower(text)) THEN 'cjk'
+             WHEN ${oCcount("[а-я]")} * 2 > length(lower(text)) THEN 'cyrillic'
+             WHEN ${oCcount("[a-z]")} * 2 > length(lower(text)) THEN 'latin'
+             ELSE 'other' END AS script_guess
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- quality scoring: length/punct/stopword ratios ----
+    "q41_quality_score" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val txt = lower($"text")
+        val nWords = size(split(txt, " "))
+        val nStop = size(regexp_extract_all(txt,
+          lit("\\b(the|a|of|and|in|to|is|it|for|on)\\b"), lit(0)))
+        val nPunct = length(txt) - ccount(txt, "[^a-z0-9 ]")
+        val stopR = rnd4(nStop.cast("double") / nWords)
+        val punctR = rnd4(nPunct.cast("double") / length(txt))
+        val lenScore = rnd4(least(length(txt).cast("double") / 500, lit(1.0)))
+        table(s, dir, "documents").select(
+            $"doc_id",
+            nWords.as("n_words"),
+            stopR.as("stopword_ratio"),
+            punctR.as("punct_ratio"),
+            lenScore.as("len_score"),
+            rnd4(lit(0.5) * stopR + lit(0.3) * lenScore + lit(0.2) * (lit(1.0) - punctR))
+              .as("quality_score"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        val stopR = oRnd4("cast(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|in|to|is|it|for|on)\\b')) as double) / len(string_split(lower(text), ' '))")
+        val punctR = oRnd4(s"cast(${oCcount("[^a-z0-9 ]")} as double) / length(lower(text))")
+        val lenScore = oRnd4("least(cast(length(lower(text)) as double) / 500, 1.0)")
+        s"""SELECT doc_id,
+        cast(len(string_split(lower(text), ' ')) as int) AS n_words,
+        $stopR AS stopword_ratio,
+        $punctR AS punct_ratio,
+        $lenScore AS len_score,
+        ${oRnd4(s"0.5 * $stopR + 0.3 * $lenScore + 0.2 * (1.0 - $punctR)")} AS quality_score
+        FROM documents ORDER BY doc_id"""
+      }),
+
+    // ---- token counting: whitespace + BPE-ish regex tokenizer ----
+    "q42_token_count" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val txt = lower($"text")
+        val reTokens = size(regexp_extract_all(txt, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        table(s, dir, "documents").select(
+            $"doc_id",
+            size(split(txt, "\\s+")).as("ws_tokens"),
+            reTokens.as("re_tokens"),
+            $"n_chars",
+            rnd4($"n_chars".cast("double") / reTokens).as("chars_per_token"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id,
+        cast(len(regexp_split_to_array(lower(text), '\\s+')) as int) AS ws_tokens,
+        cast(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) as int) AS re_tokens,
+        n_chars,
+        ${oRnd4("cast(n_chars as double) / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))")} AS chars_per_token
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- document fingerprint: md5 over whitespace-normalized text ----
+    "q43_fingerprint" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val norm = trim(regexp_replace(lower($"text"), "\\s+", " "))
+        table(s, dir, "documents").select(
+            $"doc_id",
+            md5(norm).as("fingerprint"),
+            substring(md5(norm), 1, 4).as("shard_key"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+        md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 4) AS shard_key
+        FROM documents ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY.md §2B "streaming (events)").
+  *
+  * The reference's closest concept is incremental chunk completion
+  * (`as_completed`, unified_code.py:455) plus the SQLite checkpoint
+  * (unified_code.py:96–148) — at-least-once with skip-on-replay
+  * (SURVEY.md §4.4). Structured Streaming supersedes both: offset
+  * tracking + idempotent sinks give exactly-once, watermarks bound
+  * state, and the same DataFrame operators run incrementally.
+  *
+  * These transforms take a (possibly streaming) events-shaped
+  * DataFrame `(event_id long, ts timestamp, user_id long,
+  * event_type string, value double)` and are exercised with
+  * MemoryStream in StreamingSpec (no oracle — the DuckDB gate is
+  * batch-only). Scale notes: state size is bounded by watermark ×
+  * key cardinality; tumbling/sliding windows use the built-in
+  * windowing state store; sessionization state is one small case
+  * class per active user.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour window aggregation with a 10-minute watermark —
+    * late events beyond the watermark are dropped. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_v"))
+
+  /** Sliding window: 30-minute windows every 10 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes", "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Session windows: built-in session_window with a 30-minute gap. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n"))
+
+  /** Streaming dedup bounded by watermark (the streaming analog of
+    * exact dedup; state is dropped once the watermark passes). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  final case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class UserAgg(user_id: Long, n: Long, total: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user
+    * totals emitted on every update (OutputMode.Update). */
+  def runningUserTotals(events: Dataset[EventRow]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserAgg, UserAgg](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[EventRow], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          it.foreach { e => n += 1; total += e.value }
+          val next = UserAgg(uid, n, total)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

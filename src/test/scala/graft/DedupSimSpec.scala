@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+
+/** Dedup + similarity behavior tests: known near-duplicates must be
+  * found; fast paths must agree with exact paths. */
+class DedupSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write a documents-shaped table into a temp dir so catalog
+    * queries (which read `$dir/documents.parquet`) can run on it. */
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
+
+  test("minhash LSH finds a known near-duplicate pair and skips unrelated docs") {
+    val dir = docsDir(Seq(
+      1L -> base,
+      2L -> (base + "extra tail words here"),     // near-dup of 1
+      3L -> "completely different content about spark partitions and shuffles galore"))
+    val pairs = SparkEntry.queries("q31_minhash_lsh_pairs")(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard scores the near-dup pair high") {
+    val dir = docsDir(Seq(
+      1L -> base,
+      2L -> (base + "extra tail words here"),
+      3L -> "completely different content about spark partitions and shuffles galore"))
+    val j = SparkEntry.queries("q32_ngram_jaccard")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) > 0.7)
+  }
+
+  test("exact dedup collapses identical texts to min doc_id") {
+    val dir = docsDir(Seq(1L -> "same text", 5L -> "same text", 9L -> "other"))
+    val rows = SparkEntry.queries("q30_exact_dedup")(spark, dir)
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(rows == Map(1L -> 2L, 9L -> 1L))
+  }
+
+  test("simhash of identical texts is identical, different texts differ") {
+    val dir = docsDir(Seq(1L -> base, 2L -> base,
+      3L -> "completely different content about spark partitions and shuffles"))
+    val h = SparkEntry.queries("q33_simhash")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L))
+    assert(h(1L) != h(3L))
+  }
+
+  test("knn_fast agrees with knn_exact on neighbor sets (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    def neighbors(q: String) =
+      SparkEntry.queries(q)(spark, dir)
+        .select("qid", "vid").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = neighbors("q35_knn_exact")
+    val fast = neighbors("q36_knn_fast")
+    assert(exact.keySet == fast.keySet)
+    // identical top-5 sets (float path could tie-flip at equal cos; exact data has none)
+    assert(exact.forall { case (k, v) => fast(k) == v })
+  }
+
+  test("ann_lsh returns true neighbors: every hit is in the exact top set or close") {
+    val dir = "/root/testdata/sf0.001"
+    val ann = SparkEntry.queries("q37_ann_lsh")(spark, dir)
+    // sanity: produces some candidates and cos values are valid
+    val rows = ann.select("cos").as[Double].collect()
+    assert(rows.nonEmpty && rows.forall(c => c >= -1.0001 && c <= 1.0001))
+  }
+
+  test("rolling_hash custom expression: codegen result matches reference impl and SQL path") {
+    graft.functions.RollingHash.register(spark)
+    val df = Seq("", "a", "hello world", "привет мир").toDF("s")
+    val got = df.select(graft.functions.RollingHash.rolling_hash($"s")).as[Long].collect()
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xffL))
+    assert(got.sameElements(Array("", "a", "hello world", "привет мир").map(ref)))
+    val viaSql = spark.sql("SELECT rolling_hash('hello world')").as[Long].head()
+    assert(viaSql == ref("hello world"))
+  }
+}

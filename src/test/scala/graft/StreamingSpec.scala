@@ -1,0 +1,81 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.EventRow
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Structured Streaming tests via MemoryStream + processAllAvailable
+  * (SURVEY.md §5.2(4): no wall-clock sleeps, event-time only). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  private def runQuery[T](stream: MemoryStream[EventRow],
+      out: org.apache.spark.sql.DataFrame, mode: OutputMode, name: String)(
+      batches: Seq[Seq[EventRow]]): org.apache.spark.sql.DataFrame = {
+    val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling window counts with watermark drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val result = runQuery(stream,
+      StreamingOps.tumblingCounts(stream.toDF()), OutputMode.Append, "tumble")(Seq(
+      // batch 1: two events in hour 0, one in hour 1
+      Seq(EventRow(1, ts(10), 1, "click", 1.0), EventRow(2, ts(20), 1, "click", 2.0),
+        EventRow(3, ts(70), 2, "view", 3.0)),
+      // batch 2: advance watermark far past hour 0 (ts=4h)
+      Seq(EventRow(4, ts(240), 1, "click", 1.0)),
+      // batch 3: a LATE event for hour 0 — must be dropped
+      Seq(EventRow(5, ts(15), 1, "click", 99.0)),
+      Seq(EventRow(6, ts(400), 1, "click", 1.0))))
+    val hour0 = result.filter($"w_start" === ts(0) && $"event_type" === "click")
+      .select("n", "sum_v").as[(Long, Double)].collect()
+    assert(hour0.sameElements(Array((2L, 3.0))), s"late event leaked: ${hour0.mkString}")
+  }
+
+  test("session windows split on 30-minute gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val result = runQuery(stream,
+      StreamingOps.sessionCounts(stream.toDF()), OutputMode.Append, "sessions")(Seq(
+      Seq(EventRow(1, ts(0), 7, "c", 1.0), EventRow(2, ts(10), 7, "c", 1.0),
+        EventRow(3, ts(100), 7, "c", 1.0)),   // gap > 30min → second session
+      Seq(EventRow(9, ts(600), 7, "c", 1.0))))  // flush watermark
+    val sessions = result.filter($"user_id" === 7 && $"s_start" < ts(500))
+      .select("n").as[Long].collect().sorted
+    assert(sessions.sameElements(Array(1L, 2L)), s"got ${sessions.mkString(",")}")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups repeated event_ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val result = runQuery(stream,
+      StreamingOps.dedupWithinWatermark(stream.toDF()), OutputMode.Append, "dedup")(Seq(
+      Seq(EventRow(1, ts(0), 1, "c", 1.0), EventRow(1, ts(1), 1, "c", 1.0),
+        EventRow(2, ts(2), 1, "c", 1.0)),
+      Seq(EventRow(1, ts(3), 1, "c", 1.0))))  // still within watermark → dropped
+    assert(result.select("event_id").as[Long].collect().sorted.sameElements(Array(1L, 2L)))
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val q = StreamingOps.runningUserTotals(stream.toDS())
+      .writeStream.format("memory").queryName("totals").outputMode("update").start()
+    stream.addData(Seq(EventRow(1, ts(0), 1, "c", 1.0), EventRow(2, ts(1), 1, "c", 2.0)))
+    q.processAllAvailable()
+    stream.addData(Seq(EventRow(3, ts(2), 1, "c", 4.0)))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("totals").as[StreamingOps.UserAgg].collect()
+      .filter(_.user_id == 1L).maxBy(_.n)
+    assert(last.n == 3L && last.total == 7.0)
+  }
+}
