@@ -46,6 +46,14 @@ object Core {
   def oAvg(e: String, n: String): String =
     s"round(cast(sum(cast(($e) as decimal(18,4))) as double)/($n),4)"
 
+  /** Spread a small-file scan across the session's parallelism before a
+    * compute-heavy projection. At real scale a table is many splits and
+    * this is a no-op decision; at test scale a single parquet file is
+    * ONE partition, which would serialize an expensive stage onto one
+    * core. */
+  def fanOut(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   /** Engine-exact 4-dp rounding for ratios of integers: `round()` differs
     * between engines exactly when the double sits on a representable
     * .xxxx5 tie (common for small-integer ratios like 3/32). floor of

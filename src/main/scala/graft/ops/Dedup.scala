@@ -32,30 +32,38 @@ object Dedup {
   private val NumHashes = 16
   private val RowsPerBand = 4
 
-  /** tokens → distinct 3-word shingles, exploded one row per shingle. */
-  private def shingleRows(docs: DataFrame): DataFrame = {
-    val ws = split(lower(col("text")), " ")
-    val shingles = when(size(ws) >= 3,
-      array_distinct(transform(sequence(lit(1), size(ws) - 2), i =>
-        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), explode(shingles).as("w"))
+  /** tokens → distinct 3-word shingles, exploded one row per shingle
+    * (native WordShingles expression — see its scaladoc for why the
+    * transform/sequence composition was too slow). */
+  private def shingleRows(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.WordShingles.register(s)
+    fanOut(s, docs).select(col("doc_id"),
+      explode(graft.functions.WordShingles.word_shingles(lower(col("text")), 3)).as("w"))
   }
 
-  /** (doc_id, band, band_key) — the LSH bucket assignment. */
+  /** (doc_id, band, band_key) — the LSH bucket assignment.
+    *
+    * All 16 minhashes are computed as parallel min-aggregates in ONE
+    * groupBy(doc_id) — a single shuffle of one row per (doc, shingle),
+    * partial-aggregated map-side, instead of exploding 16× and
+    * shuffling per (doc, hash). Band keys are then a narrow explode of
+    * 4 structs. This is the shape that holds at 100 TB: shuffle volume
+    * is O(docs), not O(docs × hashes). */
   private def bandKeys(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingleRows(table(s, dir, "documents"))
-    val minhash = sh
-      .withColumn("i", explode(sequence(lit(0), lit(NumHashes - 1))))
-      .groupBy($"doc_id", $"i")
-      .agg(min(substring(md5(concat($"i".cast("string"), lit(":"), $"w")), 1, 8)).as("h"))
-    minhash
-      .withColumn("band", floor($"i" / RowsPerBand).cast("int"))
-      .groupBy($"doc_id", $"band")
-      .agg(concat_ws("",
-        transform(sort_array(collect_list(struct($"i", $"h"))), x => x.getField("h")))
-        .as("band_key"))
+    val sh = shingleRows(s, table(s, dir, "documents"))
+    val hashCols = (0 until NumHashes).map(i =>
+      min(substring(md5(concat(lit(i.toString), lit(":"), $"w")), 1, 8)).as(s"h$i"))
+    val sigs = sh.groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
+    val bandStructs = (0 until NumHashes / RowsPerBand).map { b =>
+      val parts = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), concat(parts: _*).as("band_key"))
+    }
+    // tiny (4 rows/doc); cached so the candidate self-join and the
+    // Jaccard verification don't re-run the minhash pipeline
+    sigs.select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.band_key".as("band_key"))
+      .cache()
   }
 
   /** Shared DuckDB CTE prefix mirroring shingleRows/bandKeys. */
@@ -102,21 +110,22 @@ object Dedup {
       (s, dir) => lshPairs(s, dir).orderBy(col("id_a"), col("id_b")),
       Some(s"$oracleCtes SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b")),
 
-    // ---- n-gram Jaccard: exact verification of the LSH candidates ----
+    // ---- n-gram Jaccard: exact verification of the LSH candidates.
+    // Shingle sets travel as arrays to the (small) candidate-pair set;
+    // the intersection is a codegen'd array op per pair — no shuffle
+    // proportional to shingle count. ----
     "q32_ngram_jaccard" -> Q(
       (s, dir) => {
         import s.implicits._
-        val words = shingleRows(table(s, dir, "documents"))
-        val sizes = words.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val sets = shingleRows(s, table(s, dir, "documents"))
+          .groupBy($"doc_id").agg(collect_set($"w").as("ws"))
         val inter = lshPairs(s, dir)
-          .join(words.as("wa"), $"wa.doc_id" === $"id_a")
-          .join(words.as("wb"), $"wb.doc_id" === $"id_b" && $"wb.w" === $"wa.w")
-          .groupBy($"id_a", $"id_b").agg(count(lit(1)).as("c"))
+          .join(sets.select($"doc_id".as("id_a"), $"ws".as("wsa")), Seq("id_a"))
+          .join(sets.select($"doc_id".as("id_b"), $"ws".as("wsb")), Seq("id_b"))
+          .withColumn("c", size(array_intersect($"wsa", $"wsb")))
         inter
-          .join(sizes.as("sa"), $"sa.doc_id" === $"id_a")
-          .join(sizes.as("sb"), $"sb.doc_id" === $"id_b")
           .select($"id_a", $"id_b",
-            rnd4($"c".cast("double") / ($"sa.n" + $"sb.n" - $"c")).as("jaccard"))
+            rnd4($"c".cast("double") / (size($"wsa") + size($"wsb") - $"c")).as("jaccard"))
           .orderBy($"id_a", $"id_b")
       },
       Some(s"""$oracleCtes,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -24,17 +24,29 @@ object Similarity {
 
   private val D = DecimalType(30, 15)
 
-  /** (vec_id, pos, v:double) exploded view. */
-  private def exploded(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    table(s, dir, "embeddings")
-      .select($"vec_id", $"label", posexplode($"embedding").as(Seq("pos", "v")))
-      .withColumn("v", $"v".cast("double"))
-  }
+  /** Exact order-independent dot product of two double arrays — the
+    * native codegen DotProductExact expression: per-pair products in
+    * double (deterministic IEEE), rounded to scale 15 like a decimal
+    * cast, summed exactly. Same value as the oracle's posexplode +
+    * decimal-sum formulation (decimal addition is exact regardless of
+    * order or algorithm), but a tight generated loop instead of an
+    * interpreted higher-order-function fold. */
+  private def dotExact(a: Column, b: Column): Column =
+    graft.functions.DotProductExact.dot_exact(a, b)
 
-  private def norms(ex: DataFrame): DataFrame =
-    ex.groupBy(col("vec_id").as("nid"))
-      .agg(sum((col("v") * col("v")).cast(D)).cast("double").as("nsq"))
+  /** embeddings with doubled arrays + exact squared norm. */
+  private def withNorm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.DotProductExact.register(s)
+    // small (corpus rows × dim doubles); cached so near-dup and kNN
+    // reuse one normalization pass; fanned out so the pairwise dot
+    // stage parallelizes even when the scan is a single file split
+    fanOut(s, table(s, dir, "embeddings"))
+      .withColumn("embd", transform($"embedding", x => x.cast("double")))
+      .withColumn("nsq", dotExact($"embd", $"embd"))
+      .select($"vec_id", $"label", $"embd", $"nsq")
+      .cache()
+  }
 
   private val oracleEx =
     """ex AS (SELECT vec_id, label, i AS pos, cast(embedding[i+1] as double) AS v
@@ -45,7 +57,7 @@ object Similarity {
   /** Normalized embeddings for the fast path: unit-length double arrays. */
   private def normalized(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    table(s, dir, "embeddings")
+    fanOut(s, table(s, dir, "embeddings"))
       .withColumn("emb", transform($"embedding", x => x.cast("double")))
       .withColumn("norm", sqrt(aggregate($"emb", lit(0.0), (a, x) => a + x * x)))
       .withColumn("unit", transform($"emb", x => x / $"norm"))
@@ -54,24 +66,20 @@ object Similarity {
 
   val catalog: Map[String, Q] = Map(
 
-    // ---- embedding-cosine near-duplicate pairs (blocked by label) ----
+    // ---- embedding-cosine near-duplicate pairs (blocked by label).
+    // The label block bounds the pair fan-out (the 100 TB pattern:
+    // block, then pairwise only within block); each pair costs one
+    // codegen'd 64-element fold, no per-dimension shuffle. ----
     "q34_embedding_neardup" -> Q(
       (s, dir) => {
         import s.implicits._
-        val ex = exploded(s, dir)
-        val n = norms(ex)
-        val labels = table(s, dir, "embeddings").select($"vec_id", $"label")
-        val dots = ex.as("a")
-          .join(labels.as("lb"), $"a.vec_id" > $"lb.vec_id" && $"a.label" === $"lb.label")
-          .join(ex.as("b"), $"b.vec_id" === $"lb.vec_id" && $"b.pos" === $"a.pos")
-          .groupBy($"a.vec_id".as("id_b2"), $"b.vec_id".as("id_a2"))
-          .agg(sum(($"a.v" * $"b.v").cast(D)).cast("double").as("dot"))
-        dots
-          .join(n.as("na"), $"na.nid" === $"id_a2")
-          .join(n.as("nb"), $"nb.nid" === $"id_b2")
-          .withColumn("cos", $"dot" / (sqrt($"na.nsq") * sqrt($"nb.nsq")))
+        val e = withNorm(s, dir)
+        val a = e.select($"vec_id".as("aid"), $"label".as("albl"), $"embd".as("aembd"), $"nsq".as("ansq"))
+        val b = e.select($"vec_id".as("bid"), $"label".as("blbl"), $"embd".as("bembd"), $"nsq".as("bnsq"))
+        a.join(b, $"albl" === $"blbl" && $"aid" < $"bid")
+          .withColumn("cos", dotExact($"aembd", $"bembd") / (sqrt($"ansq") * sqrt($"bnsq")))
           .filter($"cos" >= 0.3)
-          .select($"id_a2".as("id_a"), $"id_b2".as("id_b"), round($"cos", 4).as("cos"))
+          .select($"aid".as("id_a"), $"bid".as("id_b"), round($"cos", 4).as("cos"))
           .orderBy($"id_a", $"id_b")
       },
       Some(s"""WITH $oracleEx,
@@ -84,23 +92,19 @@ object Similarity {
         SELECT id_a, id_b, round(cos,4) AS cos FROM cosd
         WHERE cos >= 0.3 ORDER BY id_a, id_b""")),
 
-    // ---- brute-force cosine top-5 for a fixed query subset ----
+    // ---- brute-force cosine top-5 for a fixed query subset: the
+    // (small) query side is broadcast, the corpus side streams — one
+    // narrow pass over the corpus per batch of queries. ----
     "q35_knn_exact" -> Q(
       (s, dir) => {
         import s.implicits._
-        val ex = exploded(s, dir)
-        val n = norms(ex)
-        val q = ex.filter($"vec_id" % 50 === 0)
-          .select($"vec_id".as("qid"), $"pos".as("qpos"), $"v".as("qv"))
-        val dots = q.join(ex, $"qpos" === $"pos")
-          .filter($"qid" =!= $"vec_id")
-          .groupBy($"qid", $"vec_id".as("vid"))
-          .agg(sum(($"qv" * $"v").cast(D)).cast("double").as("dot"))
+        val e = withNorm(s, dir)
+        val q = e.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".as("qid"), $"embd".as("qembd"), $"nsq".as("qnsq"))
         val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid")
-        dots
-          .join(n.as("nq"), $"nq.nid" === $"qid")
-          .join(n.as("nv"), $"nv.nid" === $"vid")
-          .withColumn("cos", $"dot" / (sqrt($"nq.nsq") * sqrt($"nv.nsq")))
+        e.join(broadcast(q), $"qid" =!= $"vec_id")
+          .withColumn("cos", dotExact($"qembd", $"embd") / (sqrt($"qnsq") * sqrt($"nsq")))
+          .withColumn("vid", $"vec_id")
           .withColumn("rn", row_number().over(w))
           .filter($"rn" <= 5)
           .select($"qid", $"rn", $"vid", round($"cos", 4).as("cos"))
