@@ -127,15 +127,19 @@ object Functions {
         cast(list_min(embedding) as double) AS v_min
         FROM embeddings ORDER BY vec_id""")),
 
-    // ---- JSON extraction from events.props ----
+    // ---- JSON + map functions over events.props ----
     "q22_json_fns" -> Q(
       (s, dir) => {
         import s.implicits._
+        val asMap = from_json($"props", lit("map<string,bigint>"))
         table(s, dir, "events").select(
             $"event_id",
             get_json_object($"props", "$.k").cast("bigint").as("k"),
             (get_json_object($"props", "$.k").cast("bigint") % 10).as("k_bucket"),
             from_json($"props", lit("k INT")).getField("k").cast("bigint").as("k_typed"),
+            array_join(map_keys(asMap), ",").as("keys_csv"),
+            element_at(map_values(asMap), 1).as("first_val"),
+            to_json(struct($"event_type".as("t"))).as("tagged"),
             $"event_type")
           .orderBy($"event_id")
       },
@@ -143,6 +147,9 @@ object Functions {
         cast(props->>'$.k' as bigint) AS k,
         cast(props->>'$.k' as bigint) % 10 AS k_bucket,
         cast(props->>'$.k' as bigint) AS k_typed,
+        array_to_string(json_keys(props), ',') AS keys_csv,
+        cast(props->>'$.k' as bigint) AS first_val,
+        '{"t":"' || event_type || '"}' AS tagged,
         event_type
         FROM events ORDER BY event_id""")),
 

@@ -275,6 +275,39 @@ object Relational {
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         ORDER BY st, prio""")),
 
+    // ---- GROUPING SETS via the SQL entry point (spark.sql) ----
+    "q25_grouping_sets" -> Q(
+      (s, dir) => {
+        table(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+        s.sql(s"""SELECT coalesce(l_returnflag,'ALL') AS rf,
+          coalesce(l_linestatus,'ALL') AS ls,
+          count(1) AS n, ${oSum("l_quantity")} AS sum_qty
+          FROM lineitem_gs
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY rf, ls""")
+      },
+      Some(s"""SELECT coalesce(l_returnflag,'ALL') AS rf,
+        coalesce(l_linestatus,'ALL') AS ls,
+        count(*) AS n, ${oSum("l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY rf, ls""")),
+
+    // ---- approximate distinct (HLL sketch). No oracle: HLL estimates
+    // are engine-specific; ApproxDistinctSpec bounds the relative error
+    // against the exact count instead. ----
+    "q26_approx_distinct" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(
+            approx_count_distinct($"l_partkey").as("approx_parts"),
+            approx_count_distinct($"l_suppkey", rsd = 0.01).as("approx_supps_1pct"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+
     // ---- ranking window functions (rank/dense_rank need ties; ntile &
     // row_number get a fully deterministic order) ----
     "q13_window_rank" -> Q(

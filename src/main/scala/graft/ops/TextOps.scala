@@ -113,6 +113,24 @@ object TextOps {
         ${oRnd4("cast(n_chars as double) / len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))")} AS chars_per_token
         FROM documents ORDER BY doc_id""")),
 
+    // ---- rolling-hash fingerprint via the custom codegen expressions
+    // (RollingHash + WordShingles). No oracle: the 64-bit polynomial
+    // hash isn't expressible in DuckDB SQL; DedupSimSpec pins the
+    // values against a reference implementation instead. ----
+    "q44_rolling_fingerprint" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.RollingHash.register(s)
+        graft.functions.WordShingles.register(s)
+        table(s, dir, "documents").select(
+            $"doc_id",
+            graft.functions.RollingHash.rolling_hash(lower($"text")).as("doc_hash"),
+            size(graft.functions.WordShingles.word_shingles(lower($"text"), 3))
+              .as("n_shingles"))
+          .orderBy($"doc_id")
+      },
+      None),
+
     // ---- document fingerprint: md5 over whitespace-normalized text ----
     "q43_fingerprint" -> Q(
       (s, dir) => {

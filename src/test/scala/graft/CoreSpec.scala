@@ -25,6 +25,34 @@ class CoreSpec extends SparkSpec {
     assert(Set("rgb8", "gray8").contains(r.getAs[String]("pixfmt")))
   }
 
+  test("approx_count_distinct stays within HLL error bounds of exact counts") {
+    val dir = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("q26_approx_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = SparkEntry.queries("q10_count_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (flag, (parts, supps)) =>
+      val (aParts, aSupps) = approx(flag)
+      assert(math.abs(aParts - parts).toDouble / parts < 0.1,
+        s"$flag parts: approx $aParts vs exact $parts")
+      assert(math.abs(aSupps - supps).toDouble / supps < 0.05,
+        s"$flag supps: approx $aSupps vs exact $supps")
+    }
+  }
+
+  test("scalar UDF surface: registered Scala udf matches the builtin path") {
+    val norm = org.apache.spark.sql.functions.udf((s: String) =>
+      if (s == null) null else s.trim.toLowerCase)
+    spark.udf.register("norm_text", norm)
+    val df = Seq("  MiXeD Case ", "plain").toDF("s")
+    val viaUdf = df.select(norm($"s")).as[String].collect()
+    val viaBuiltin = df.select(
+      org.apache.spark.sql.functions.lower(
+        org.apache.spark.sql.functions.trim($"s"))).as[String].collect()
+    assert(viaUdf.sameElements(viaBuiltin))
+    assert(spark.sql("SELECT norm_text('  A b ')").as[String].head() == "a b")
+  }
+
   test("VectorMean aggregator: direct use over a literal dataset") {
     val vmean = org.apache.spark.sql.functions.udaf(ops.VectorMean)
     val df = Seq(
