@@ -34,13 +34,18 @@ object Sinks {
   /** R13/R28 "chunks" mode: JSON Lines part files, overwrite like the
     * reference's WIP cleanup (R25, unified_code.py:28–36). */
   def jsonChunks(df: DataFrame, dir: String): Unit =
-    df.write.mode(SaveMode.Overwrite).json(dir)
+    // keep null fields: python json.dump writes explicit nulls
+    // (the injected `id = None`, unified_code.py:267), Spark drops
+    // them by default
+    df.write.mode(SaveMode.Overwrite)
+      .option("ignoreNullFields", "false").json(dir)
 
   /** R14 "merge" mode as a single JSON-Lines file: explicit sort key
     * (fixing §4.3(2)), coalesce(1) only at this final small sink. */
   def jsonMerged(df: DataFrame, dir: String, sortKeys: Seq[String]): Unit =
     df.orderBy(sortKeys.map(col): _*).coalesce(1)
-      .write.mode(SaveMode.Overwrite).json(dir)
+      .write.mode(SaveMode.Overwrite)
+      .option("ignoreNullFields", "false").json(dir)
 
   /** R14+R15 byte-parity sink: a single JSON *array* file, pretty
     * (indent=4, like json.dump(..., indent=4), unified_code.py:349)
@@ -50,7 +55,8 @@ object Sinks {
   def jsonArrayFile(df: DataFrame, path: String, sortKeys: Seq[String],
       indent: Boolean = false): Unit = {
     val rows = df.orderBy(sortKeys.map(col): _*)
-      .select(to_json(struct(df.columns.map(col): _*)).as("j"))
+      .select(to_json(struct(df.columns.map(col): _*),
+        Map("ignoreNullFields" -> "false")).as("j"))
       .collect().map(_.getString(0))
     val body =
       if (!indent) rows.mkString("[", ",", "]")

@@ -1,0 +1,70 @@
+package graft
+
+import graft.etl.Converter
+import graft.ops.{AsOf, Skew}
+import java.nio.file.Files
+
+/** Converter lifecycle + reusable operator helpers (as-of, salted join). */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Converter end-to-end: CSV → pipeline → merged minified JSON array + stats") {
+    val in = Files.createTempDirectory("conv-in").toString
+    val out = Files.createTempDirectory("conv-out").toString
+    Files.write(java.nio.file.Paths.get(s"$in/data.csv"),
+      "name;amount\nalpha;1.5\nbeta;2.5\n".getBytes("UTF-8"))
+    val stats = Converter.convert(spark, s"$in/data.csv", out,
+      Converter.Config(csvSeparator = ";", sortKeys = Seq("name")))
+    assert(stats.rows == 2 && stats.files == 1 && stats.bytes > 0)
+    val body = new String(Files.readAllBytes(java.nio.file.Paths.get(s"$out/output.json")), "UTF-8")
+    assert(body.startsWith("[{") && body.endsWith("}]"))
+    assert(body.contains("\"prepared\":true") && body.contains("\"finalized\":true"))
+    assert(body.contains("\"id\":null") || body.contains("\"id\": null"))
+  }
+
+  test("Converter chunks mode + test-mode row budget") {
+    val in = Files.createTempDirectory("conv-in2").toString
+    val out = Files.createTempDirectory("conv-out2").toString
+    val rows = (1 to 5000).map(i => s"r$i,${i * 1.5}").mkString("\n")
+    Files.write(java.nio.file.Paths.get(s"$in/big.csv"), s"name,amount\n$rows\n".getBytes)
+    val stats = Converter.convert(spark, s"$in/big.csv", out,
+      Converter.Config(outputMode = "chunks", testMode = true, chunkSize = 500))
+    assert(stats.rows == 1500, s"test mode should cap at 3×500 rows, got ${stats.rows}")
+    val back = spark.read.json(out)
+    assert(back.count() == 1500)
+  }
+
+  test("Converter rejects invalid input and unknown modes") {
+    intercept[IllegalArgumentException] {
+      Converter.convert(spark, "/nonexistent/x.csv", "/tmp/unused")
+    }
+  }
+
+  test("AsOf.joinAsOf matches the q09 window composition") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Core.table(spark, dir, "events")
+    val o = Core.table(spark, dir, "orders")
+    val got = AsOf.joinAsOf(e, o, Seq("user_id" -> "o_custkey"),
+        leftId = "event_id", leftTime = "ts", rightTime = "o_orderdate",
+        tieBreak = "o_orderkey")
+      .select($"event_id", $"o_orderkey")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val oracle = SparkEntry.queries("q09_asof_join_event_order")(spark, dir)
+      .select($"event_id", $"o_orderkey")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == oracle)
+  }
+
+  test("Skew.saltedJoin returns exactly the plain join's result") {
+    val dir = "/root/testdata/sf0.001"
+    val l = Core.table(spark, dir, "lineitem").select($"l_orderkey", $"l_quantity")
+    val o = Core.table(spark, dir, "orders").select($"o_orderkey", $"o_totalprice")
+    val plain = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy($"l_orderkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedJoin(l, o, "l_orderkey", "o_orderkey", nSalts = 8)
+      .groupBy($"l_orderkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+}
