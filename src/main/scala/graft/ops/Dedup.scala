@@ -41,6 +41,17 @@ object Dedup {
       explode(graft.functions.WordShingles.word_shingles(lower(col("text")), 3)).as("w"))
   }
 
+  /** Universal-hash-family minhash: one base hash per shingle (md5
+    * prefix as uint32), then hash i is the linear permutation
+    * `(a_i·h + b_i) mod P` with P prime > 2^32 — the standard
+    * construction, 16× cheaper than hashing each shingle 16 times.
+    * Constants are fixed literals shared verbatim with the oracle SQL;
+    * a_i < 2^31 and h < 2^32 keep a_i·h + b_i < 2^63 (no overflow),
+    * so both engines compute exact identical int64s. */
+  private val P = 4294967311L
+  private def permA(i: Int): Long = (1103515245L * (i + 1) + 12345L) % 2147483647L
+  private def permB(i: Int): Long = (69069L * (i + 1) + 7L) % 2147483647L
+
   /** (doc_id, band, band_key) — the LSH bucket assignment.
     *
     * All 16 minhashes are computed as parallel min-aggregates in ONE
@@ -52,12 +63,13 @@ object Dedup {
   private def bandKeys(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = shingleRows(s, table(s, dir, "documents"))
+      .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
     val hashCols = (0 until NumHashes).map(i =>
-      min(substring(md5(concat(lit(i.toString), lit(":"), $"w")), 1, 8)).as(s"h$i"))
+      min((lit(permA(i)) * $"h" + lit(permB(i))) % lit(P)).as(s"h$i"))
     val sigs = sh.groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
     val bandStructs = (0 until NumHashes / RowsPerBand).map { b =>
-      val parts = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), concat(parts: _*).as("band_key"))
+      val parts = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), concat_ws(",", parts: _*).as("band_key"))
     }
     // tiny (4 rows/doc); cached so the candidate self-join and the
     // Jaccard verification don't re-run the minhash pipeline
@@ -66,18 +78,23 @@ object Dedup {
       .cache()
   }
 
-  /** Shared DuckDB CTE prefix mirroring shingleRows/bandKeys. */
-  private val oracleCtes =
-    """WITH toks AS (SELECT doc_id, string_split(lower(text),' ') AS ws FROM documents),
+  /** Shared DuckDB CTE prefix mirroring shingleRows/bandKeys (same
+    * permutation constants as permA/permB/P above). */
+  private val oracleCtes = {
+    val aExpr = "((1103515245 * (i+1) + 12345) % 2147483647)"
+    val bExpr = "((69069 * (i+1) + 7) % 2147483647)"
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text),' ') AS ws FROM documents),
       shingles AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w
         FROM toks CROSS JOIN range(1, 2000) t(i) WHERE i+2 <= len(ws)),
-      mh AS (SELECT doc_id, i, min(substr(md5(cast(i as varchar) || ':' || w),1,8)) AS h
-        FROM shingles CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
+      hh AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,8) AS BIGINT) AS h FROM shingles),
+      mh AS (SELECT doc_id, i, min(($aExpr * h + $bExpr) % $P) AS hmin
+        FROM hh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
       bands AS (SELECT doc_id, cast(floor(i/4) as int) AS band,
-        string_agg(h,'' ORDER BY i) AS band_key FROM mh GROUP BY 1,2),
+        string_agg(cast(hmin as varchar),',' ORDER BY i) AS band_key FROM mh GROUP BY 1,2),
       pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
         ON a.band=b.band AND a.band_key=b.band_key AND a.doc_id<b.doc_id)"""
+  }
 
   /** Candidate near-dup pairs: docs sharing ≥1 LSH band bucket. */
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {

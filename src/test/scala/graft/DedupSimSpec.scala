@@ -24,7 +24,7 @@ class DedupSimSpec extends SparkSpec {
   test("minhash LSH finds a known near-duplicate pair and skips unrelated docs") {
     val dir = docsDir(Seq(
       1L -> base,
-      2L -> (base + "extra tail words here"),     // near-dup of 1
+      2L -> (base + "banana"),                    // near-dup of 1 (jaccard ≈ 0.87)
       3L -> "completely different content about spark partitions and shuffles galore"))
     val pairs = SparkEntry.queries("q31_minhash_lsh_pairs")(spark, dir)
       .as[(Long, Long)].collect().toSet
@@ -35,7 +35,7 @@ class DedupSimSpec extends SparkSpec {
   test("ngram jaccard scores the near-dup pair high") {
     val dir = docsDir(Seq(
       1L -> base,
-      2L -> (base + "extra tail words here"),
+      2L -> (base + "banana"),
       3L -> "completely different content about spark partitions and shuffles galore"))
     val j = SparkEntry.queries("q32_ngram_jaccard")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
