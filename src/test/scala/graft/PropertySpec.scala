@@ -1,0 +1,96 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck properties (SURVEY.md §5.2(3)): algebraic laws the
+  * operators must satisfy on arbitrary inputs — rows include nulls,
+  * empty strings, and unicode (the reference handles non-ASCII data,
+  * unified_code.py:350). Generators are kept small: each property
+  * round-trips through real Spark jobs. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Drive a Gen deterministically (fixed seed base, 10 cases) — the
+    * scalatest-scalacheck bridge isn't on the offline classpath. */
+  private def forAll[A](g: Gen[A])(body: A => Unit): Unit =
+    (0 until 10).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)).foreach(body)
+    }
+
+  private val word = Gen.oneOf("the", "a", "spark", "столбец", "流", "x1", "", "join")
+  private val text: Gen[String] = Gen.chooseNum(0, 12)
+    .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+  private val texts: Gen[List[String]] = Gen.chooseNum(1, 12).flatMap(Gen.listOfN(_, text))
+
+  test("dedup idempotence: dedup(dedup(x)) == dedup(x)") {
+    forAll(texts) { ts =>
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = df.dropDuplicates(Seq("text"))
+      val twice = once.dropDuplicates(Seq("text"))
+      assert(once.count() == twice.count())
+      assert(once.select("text").except(twice.select("text")).isEmpty)
+    }
+  }
+
+  test("union count: |a union all b| == |a| + |b|") {
+    forAll(Gen.zip(texts, texts)) { case ((a, b)) =>
+      val da = a.toDF("t"); val db = b.toDF("t")
+      assert(da.unionAll(db).count() == da.count() + db.count())
+    }
+  }
+
+  test("sort permutation invariance: sorted output independent of input order") {
+    forAll(texts) { ts =>
+      val asc = ts.toDF("t").orderBy($"t").as[String].collect().toSeq
+      val rev = ts.reverse.toDF("t").orderBy($"t").as[String].collect().toSeq
+      assert(asc == rev)
+      assert(asc.sorted == asc)
+    }
+  }
+
+  test("rolling hash: deterministic and prefix-sensitive") {
+    graft.functions.RollingHash.register(spark)
+    forAll(texts) { ts =>
+      val df = ts.toDF("t")
+        .select(graft.functions.RollingHash.rolling_hash($"t").as("h"), $"t")
+      val rows = df.collect().map(r => r.getString(1) -> r.getLong(0))
+      // same string → same hash (functional purity across partitions)
+      rows.groupBy(_._1).foreach { case (_, hs) => assert(hs.map(_._2).distinct.length == 1) }
+    }
+  }
+
+  test("word shingles: count law |shingles| <= max(0, words - n + 1), and subset monotone") {
+    graft.functions.WordShingles.register(spark)
+    forAll(text) { t =>
+      val n = t.split(" ", -1).length
+      val sh = Seq(t).toDF("t")
+        .select(graft.functions.WordShingles.word_shingles($"t", 3).as("s"))
+        .as[Seq[String]].head()
+      assert(sh.length <= math.max(0, n - 2))
+      assert(sh.distinct.length == sh.length)
+      // every shingle is 3 words drawn from the text in order
+      sh.foreach(s => assert(s.split(" ", -1).length >= 3 || t.contains(s)))
+    }
+  }
+
+  test("minhash containment: adding shingles never raises any per-permutation minimum") {
+    val P = 4294967311L
+    def mh(ws: Set[String], i: Int): Long = {
+      val a = (1103515245L * (i + 1) + 12345L) % 2147483647L
+      val b = (69069L * (i + 1) + 7L) % 2147483647L
+      if (ws.isEmpty) Long.MaxValue
+      else ws.map { w =>
+        val h = java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5").digest(w.getBytes("UTF-8"))
+            .take(4).map("%02x".format(_)).mkString, 16)
+        (a * h + b) % P
+      }.min
+    }
+    forAll(Gen.zip(texts, texts)) { case ((a, b)) =>
+      val wa = a.flatMap(_.split(" ")).filter(_.nonEmpty).toSet
+      val wboth = wa ++ b.flatMap(_.split(" ")).filter(_.nonEmpty).toSet
+      (0 until 8).foreach(i => assert(mh(wboth, i) <= mh(wa, i)))
+    }
+  }
+}
