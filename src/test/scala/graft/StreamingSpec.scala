@@ -64,6 +64,29 @@ class StreamingSpec extends SparkSpec {
     assert(result.select("event_id").as[Long].collect().sorted.sameElements(Array(1L, 2L)))
   }
 
+  test("file-stream checkpoint: restart resumes offsets without reprocessing (R17/R18)") {
+    // the streaming successor to the reference's SQLite checkpoint
+    // skip-on-replay (unified_code.py:437–439, SURVEY.md §4.4) — and
+    // unlike the reference's CLI path, resume actually works
+    val root = java.nio.file.Files.createTempDirectory("chk").toString
+    val in = s"$root/in"; val out = s"$root/out"; val chk = s"$root/chk"
+    spark.range(0, 10).toDF("id").write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in)
+        .writeStream.format("json")
+        .option("path", out).option("checkpointLocation", chk)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    spark.range(10, 25).toDF("id").write.mode("append").parquet(in)
+    run()   // restart from the same checkpoint
+    val ids = spark.read.json(out).select("id").as[Long].collect().sorted
+    assert(ids.length == 25, s"batch replayed or lost: ${ids.length} rows")
+    assert(ids.sameElements(0L until 25L))
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[EventRow]
