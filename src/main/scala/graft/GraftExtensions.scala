@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions injection point (SURVEY.md §7.6): installs
+  * the engine's native expressions into every session built with
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *   // or: spark.sql.extensions=graft.GraftExtensions
+  *
+  * so SQL users get `rolling_hash`, `dot_exact`, `word_shingles`
+  * without any per-session registration call — the same mechanism a
+  * deployment would use to ship the whole library cluster-wide via
+  * one config line.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(str) - 64-bit polynomial rolling hash"),
+      (exprs: Seq[Expression]) => functions.RollingHash(exprs.head)))
+    e.injectFunction((FunctionIdentifier("dot_exact"),
+      info("dot_exact", "dot_exact(a, b) - exact decimal-semantics dot product"),
+      (exprs: Seq[Expression]) => functions.DotProductExact(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(str, n) - distinct word n-gram shingles"),
+      (exprs: Seq[Expression]) => functions.WordShingles(exprs.head,
+        exprs(1).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"word_shingles: n must be an integer literal, got $other")
+        })))
+  }
+}

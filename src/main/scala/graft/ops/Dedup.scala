@@ -107,6 +107,43 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over the near-dup pair graph by iterative
+    * min-label propagation — turns candidate pairs into dedup
+    * *clusters* with a canonical (min-id) representative, the step a
+    * real dedup pipeline needs after LSH.
+    *
+    * Scale: each iteration is one join + one partial-aggregated
+    * groupBy; iterations ≈ graph diameter (near-dup components are
+    * shallow). The classic large-star/small-star optimization drops in
+    * here if a corpus ever produces deep chains. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val s = nodes.sparkSession
+    import s.implicits._
+    val sym = edges.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionByName(edges.select($"id_b".as("src"), $"id_a".as("dst")))
+      .cache()
+    var labels = nodes.select($"doc_id", $"doc_id".as("cluster_id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val msgs = sym.join(labels, $"doc_id" === $"src")
+        .select($"dst".as("doc_id"), $"cluster_id")
+      val updated = labels.unionByName(msgs)
+        .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
+        .cache()
+      val changed = updated
+        .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter($"cluster_id" =!= $"old").count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   val catalog: Map[String, Q] = Map(
 
     // ---- exact dedup: group identical texts, keep lowest doc_id ----
@@ -156,6 +193,25 @@ object Dedup {
         FROM inter i JOIN sizes sa ON sa.doc_id=i.id_a
         JOIN sizes sb ON sb.doc_id=i.id_b
         ORDER BY i.id_a, i.id_b""")),
+
+    // ---- dedup clusters: connected components over LSH pairs, each
+    // doc labeled with its component's canonical (min) doc_id. Oracle
+    // = transitive closure via recursive CTE. ----
+    "q45_dedup_clusters" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents").select($"doc_id")
+        connectedComponents(docs, lshPairs(s, dir)).orderBy($"doc_id")
+      },
+      Some(oracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT node AS doc_id, min(lbl) AS cluster_id
+        FROM reach GROUP BY node ORDER BY doc_id""")),
 
     // ---- SimHash (16-bit variant; bit j comes from hex digit j/4 of
     // md5(word), so both engines derive identical bits) ----

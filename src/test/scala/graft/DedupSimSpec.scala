@@ -79,6 +79,29 @@ class DedupSimSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(c => c >= -1.0001 && c <= 1.0001))
   }
 
+  test("connectedComponents labels each doc with its component's min id") {
+    import org.apache.spark.sql.functions.lit
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("doc_id")
+    // components: {1,2,3,4} (chain), {5,6}, {9} singleton
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = ops.Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+    assert(lit(1) != null) // keep import used
+  }
+
+  test("GraftExtensions injects SQL functions at session build (no manual register)") {
+    // the suite session is built with .withExtensions(new GraftExtensions)
+    // — these resolve through the injected builders
+    val r = spark.sql(
+      """SELECT rolling_hash('ab') AS h,
+         dot_exact(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+         size(word_shingles('a b c d', 3)) AS n""").head()
+    assert(r.getLong(0) == 'a'.toLong * 31 + 'b'.toLong)
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getInt(2) == 2)
+  }
+
   test("rolling_hash custom expression: codegen result matches reference impl and SQL path") {
     graft.functions.RollingHash.register(spark)
     val df = Seq("", "a", "hello world", "привет мир").toDF("s")
