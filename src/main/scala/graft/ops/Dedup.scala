@@ -129,8 +129,13 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val msgs = sym.join(labels, $"doc_id" === $"src")
         .select($"dst".as("doc_id"), $"cluster_id")
-      val updated = labels.unionByName(msgs)
+      val mins = labels.unionByName(msgs)
         .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
+      // path halving: L(x) := L(L(x)) — every label IS a doc_id, so the
+      // self-join is total; turns O(diameter) rounds into O(log d)
+      val updated = mins.as("x").join(mins.as("y"),
+          col("x.cluster_id") === col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id"), col("y.cluster_id").as("cluster_id"))
         .cache()
       val changed = updated
         .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
