@@ -176,6 +176,66 @@ object Similarity {
       },
       None),
 
+    // ---- IVF (inverted-file) ANN: k-means cells via Lloyd iterations
+    // in pure DataFrame ops, then search only the nprobe nearest cells.
+    // The second scale path besides LSH (q37): centroids are a tiny
+    // broadcastable table, the corpus is scanned once per build and
+    // once per query batch; at 100 TB train centroids on a sample.
+    // No oracle (k-means not SQL-expressible); IvfSpec bounds recall
+    // against exact kNN. ----
+    "q39_ann_ivf" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val k = 16
+        val nprobe = 4
+        val all = normalized(s, dir).cache()
+        // deterministic init: every (n/k)-th vector by id order
+        val n = all.count()
+        val step = math.max(1L, n / k)
+        var centroids = all.filter($"vec_id" % step === 0).limit(k)
+          .select($"vec_id".as("cid"), $"unit".as("cvec"))
+        // 3 Lloyd iterations: assign → mean → renormalize
+        for (_ <- 0 until 3) {
+          val assigned = all.join(broadcast(centroids))
+            .withColumn("sim",
+              aggregate(zip_with($"unit", $"cvec", (a, b) => a * b), lit(0.0), (a, x) => a + x))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid")))
+            .filter($"rn" === 1)
+          val means = assigned
+            .select($"cid", posexplode($"unit").as(Seq("pos", "v")))
+            .groupBy($"cid", $"pos").agg(avg($"v").as("m"))
+            .groupBy($"cid").agg(array_sort(collect_list(struct($"pos", $"m"))).as("ps"))
+            .select($"cid", transform($"ps", x => x.getField("m")).as("raw"))
+          centroids = means
+            .withColumn("nrm", sqrt(aggregate($"raw", lit(0.0), (a, x) => a + x * x)))
+            .select($"cid", transform($"raw", x => x / $"nrm").as("cvec"))
+        }
+        val cb = broadcast(centroids.cache())
+        def assign(df: DataFrame, keep: Int): DataFrame = df.join(cb)
+          .withColumn("sim",
+            aggregate(zip_with($"unit", $"cvec", (a, b) => a * b), lit(0.0), (a, x) => a + x))
+          .withColumn("crn", row_number().over(
+            Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid")))
+          .filter($"crn" <= keep)
+        val corpus = assign(all, 1)
+          .select($"vec_id", $"unit", $"cid")
+        val queries = assign(all.filter($"vec_id" % 50 === 0), nprobe)
+          .select($"vec_id".as("qid"), $"unit".as("qunit"), $"cid")
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid")
+        queries.join(corpus, Seq("cid"))
+          .filter($"qid" =!= $"vec_id")
+          .withColumn("cos",
+            aggregate(zip_with($"qunit", $"unit", (a, b) => a * b), lit(0.0), (a, x) => a + x))
+          .select($"qid", $"vec_id".as("vid"), $"cos")
+          .distinct()
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5)
+          .select($"qid", $"rn", $"vid", round($"cos", 4).as("cos"))
+          .orderBy($"qid", $"rn")
+      },
+      None),
+
     // ---- per-label element-wise mean via the VectorMean Aggregator;
     // exposed exploded so the DuckDB oracle can express it. Double sums
     // are rounded to 6 dp to absorb partition-order float noise. ----

@@ -71,6 +71,22 @@ class DedupSimSpec extends SparkSpec {
     assert(exact.forall { case (k, v) => fast(k) == v })
   }
 
+  test("ann_ivf: recall@5 against exact kNN is usable, cos values valid") {
+    val dir = "/root/testdata/sf0.001"
+    def sets(q: String) = SparkEntry.queries(q)(spark, dir)
+      .select("qid", "vid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = sets("q35_knn_exact")
+    val ivf = sets("q39_ann_ivf")
+    assert(ivf.nonEmpty)
+    val recalls = exact.keys.toSeq.map { q =>
+      val hit = ivf.getOrElse(q, Set.empty)
+      (exact(q) & hit).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean recall@5 too low: $mean")
+  }
+
   test("ann_lsh returns true neighbors: every hit is in the exact top set or close") {
     val dir = "/root/testdata/sf0.001"
     val ann = SparkEntry.queries("q37_ann_lsh")(spark, dir)
