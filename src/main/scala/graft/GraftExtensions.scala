@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => functions.EliminateRedundantDistinct)
     e.injectFunction((FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(str) - 64-bit polynomial rolling hash"),
       (exprs: Seq[Expression]) => functions.RollingHash(exprs.head)))

@@ -118,6 +118,17 @@ class DedupSimSpec extends SparkSpec {
     assert(r.getInt(2) == 2)
   }
 
+  test("EliminateRedundantDistinct removes array_distinct over word_shingles") {
+    val df = spark.sql(
+      "SELECT array_distinct(word_shingles('a b c d a b c d', 3)) AS s")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("array_distinct"),
+      s"redundant distinct survived optimization:\n$optimized")
+    // semantics preserved: still distinct
+    val s = df.as[Seq[String]].head()
+    assert(s.distinct == s && s.contains("a b c"))
+  }
+
   test("rolling_hash custom expression: codegen result matches reference impl and SQL path") {
     graft.functions.RollingHash.register(spark)
     val df = Seq("", "a", "hello world", "привет мир").toDF("s")

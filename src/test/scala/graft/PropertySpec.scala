@@ -74,6 +74,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components agree with a union-find reference on random graphs") {
+    val graphGen = for {
+      n <- Gen.chooseNum(1, 15)
+      m <- Gen.chooseNum(0, 12)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(0, n - 1), Gen.chooseNum(0, n - 1)))
+    } yield (n, edges.filter { case (a, b) => a != b })
+    forAll(graphGen) { case ((n, edges)) =>
+      // union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> {
+        // canonical label = min of component = root under min-union
+        find(i).toLong
+      }).toMap
+      val nodes = (0 until n).map(_.toLong).toDF("doc_id")
+      val es = if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        else edges.map { case (a, b) => (a.toLong, b.toLong) }.toDF("id_a", "id_b")
+      val got = ops.Dedup.connectedComponents(nodes, es)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"n=$n edges=$edges")
+    }
+  }
+
   test("minhash containment: adding shingles never raises any per-permutation minimum") {
     val P = 4294967311L
     def mh(ws: Set[String], i: Int): Long = {
