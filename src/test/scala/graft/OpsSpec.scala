@@ -40,6 +40,16 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Metrics.collectWriteStats reports rows/files/bytes of a sink job") {
+    val out = Files.createTempDirectory("metrics-out").toString
+    val df = spark.range(100).toDF("id")
+    val (_, stats) = etl.Metrics.collectWriteStats(spark) {
+      etl.Sinks.jsonChunks(df, out)
+    }
+    assert(stats.rows == 100, s"got $stats")
+    assert(stats.files > 0 && stats.bytes > 0, s"got $stats")
+  }
+
   test("AsOf.joinAsOf matches the q09 window composition") {
     val dir = "/root/testdata/sf0.001"
     val e = Core.table(spark, dir, "events")
