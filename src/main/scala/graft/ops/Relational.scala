@@ -275,6 +275,50 @@ object Relational {
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         ORDER BY st, prio""")),
 
+    // ---- range join: equi key + time-band predicate (ship within 90
+    // days of the order date). The equi part drives the shuffle; the
+    // band is a post-match filter — never a cartesian. ----
+    "q27_range_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val l = table(s, dir, "lineitem")
+        val o = table(s, dir, "orders")
+        l.join(o, $"l_orderkey" === $"o_orderkey" &&
+            $"l_shipdate" >= $"o_orderdate" &&
+            $"l_shipdate" < $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+          .groupBy(date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM").as("mo"))
+          .agg(count(lit(1)).as("n_shipped_90d"),
+            moneySum($"l_extendedprice").as("value_90d"))
+          .orderBy($"mo")
+      },
+      Some(s"""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mo,
+        count(*) AS n_shipped_90d, ${oSum("l_extendedprice")} AS value_90d
+        FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+          AND l_shipdate >= o_orderdate
+          AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+        GROUP BY 1 ORDER BY mo""")),
+
+    // ---- RANGE window frame: value-based 30-day trailing sum (vs the
+    // row-based frames of q15) ----
+    "q28_window_range_frame" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val base = table(s, dir, "orders")
+          .withColumn("epoch_s", unix_timestamp($"o_orderdate"))
+        val w = Window.partitionBy($"o_custkey").orderBy($"epoch_s")
+          .rangeBetween(-30L * 86400, Window.currentRow)
+        base.select(
+            $"o_orderkey", $"o_custkey",
+            round(sum($"o_totalprice".cast(Money)).over(w).cast("double"), 2)
+              .as("trailing_30d"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+        round(cast(sum(cast(o_totalprice as decimal(18,4))) OVER
+          (PARTITION BY o_custkey ORDER BY cast(epoch(o_orderdate) as bigint)
+           RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) as double), 2) AS trailing_30d
+        FROM orders ORDER BY o_orderkey""")),
+
     // ---- GROUPING SETS via the SQL entry point (spark.sql) ----
     "q25_grouping_sets" -> Q(
       (s, dir) => {
