@@ -319,6 +319,44 @@ object Relational {
            RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) as double), 2) AS trailing_30d
         FROM orders ORDER BY o_orderkey""")),
 
+    // ---- pivot: status columns out of rows (explicit value list, so
+    // no extra distinct-discovery job) ----
+    "q29_pivot" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select($"o_orderpriority",
+            coalesce($"F", lit(0L)).as("n_f"),
+            coalesce($"O", lit(0L)).as("n_o"),
+            coalesce($"P", lit(0L)).as("n_p"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+        count(*) FILTER (WHERE o_orderstatus='F') AS n_f,
+        count(*) FILTER (WHERE o_orderstatus='O') AS n_o,
+        count(*) FILTER (WHERE o_orderstatus='P') AS n_p
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- unpivot/melt: wide metrics back to long form ----
+    "q46_unpivot" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "orders")
+          .select($"o_orderkey",
+            $"o_totalprice".cast("double").as("totalprice"),
+            $"o_custkey".cast("double").as("custkey"))
+          .unpivot(Array($"o_orderkey"), Array($"totalprice", $"custkey"),
+            "metric", "value")
+          .orderBy($"o_orderkey", $"metric")
+      },
+      Some("""SELECT o_orderkey, 'custkey' AS metric, cast(o_custkey as double) AS value FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'totalprice' AS metric, cast(o_totalprice as double) AS value FROM orders
+        ORDER BY o_orderkey, metric""")),
+
     // ---- GROUPING SETS via the SQL entry point (spark.sql) ----
     "q25_grouping_sets" -> Q(
       (s, dir) => {

@@ -57,9 +57,10 @@ object Similarity {
   /** Normalized embeddings for the fast path: unit-length double arrays. */
   private def normalized(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.DotProduct.register(s)
     fanOut(s, table(s, dir, "embeddings"))
       .withColumn("emb", transform($"embedding", x => x.cast("double")))
-      .withColumn("norm", sqrt(aggregate($"emb", lit(0.0), (a, x) => a + x * x)))
+      .withColumn("norm", sqrt(graft.functions.DotProduct.dot_fast($"emb", $"emb")))
       .withColumn("unit", transform($"emb", x => x / $"norm"))
       .select($"vec_id", $"label", $"unit")
   }
@@ -132,8 +133,7 @@ object Similarity {
           .select($"vec_id".as("qid"), $"unit".as("qunit"))
         val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
         all.join(broadcast(q), $"qid" =!= $"vec_id")
-          .withColumn("cos",
-            aggregate(zip_with($"qunit", $"unit", (a, b) => a * b), lit(0.0), (a, x) => a + x))
+          .withColumn("cos", graft.functions.DotProduct.dot_fast($"qunit", $"unit"))
           .withColumn("rn", row_number().over(w))
           .filter($"rn" <= 5)
           .select($"qid", $"rn", $"vec_id".as("vid"), round($"cos", 4).as("cos"))
@@ -161,14 +161,13 @@ object Similarity {
         val planeLit = array(planes.map(p => array(p.map(lit): _*)): _*)
         val sig = all.withColumn("sig",
           concat_ws("", transform(planeLit, p =>
-            when(aggregate(zip_with(p, $"unit", (a, b) => a * b), lit(0.0), (a, x) => a + x) >= 0,
+            when(graft.functions.DotProduct.dot_fast(p, $"unit") >= 0,
               lit("1")).otherwise(lit("0")))))
         val q = sig.filter($"vec_id" % 50 === 0)
           .select($"vec_id".as("qid"), $"unit".as("qunit"), $"sig".as("qsig"))
         val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
         sig.join(broadcast(q), $"qsig" === $"sig" && $"qid" =!= $"vec_id")
-          .withColumn("cos",
-            aggregate(zip_with($"qunit", $"unit", (a, b) => a * b), lit(0.0), (a, x) => a + x))
+          .withColumn("cos", graft.functions.DotProduct.dot_fast($"qunit", $"unit"))
           .withColumn("rn", row_number().over(w))
           .filter($"rn" <= 5)
           .select($"qid", $"rn", $"vec_id".as("vid"), round($"cos", 4).as("cos"))
@@ -197,8 +196,7 @@ object Similarity {
         // 3 Lloyd iterations: assign → mean → renormalize
         for (_ <- 0 until 3) {
           val assigned = all.join(broadcast(centroids))
-            .withColumn("sim",
-              aggregate(zip_with($"unit", $"cvec", (a, b) => a * b), lit(0.0), (a, x) => a + x))
+            .withColumn("sim", graft.functions.DotProduct.dot_fast($"unit", $"cvec"))
             .withColumn("rn", row_number().over(
               Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid")))
             .filter($"rn" === 1)
@@ -208,13 +206,12 @@ object Similarity {
             .groupBy($"cid").agg(array_sort(collect_list(struct($"pos", $"m"))).as("ps"))
             .select($"cid", transform($"ps", x => x.getField("m")).as("raw"))
           centroids = means
-            .withColumn("nrm", sqrt(aggregate($"raw", lit(0.0), (a, x) => a + x * x)))
+            .withColumn("nrm", sqrt(graft.functions.DotProduct.dot_fast($"raw", $"raw")))
             .select($"cid", transform($"raw", x => x / $"nrm").as("cvec"))
         }
         val cb = broadcast(centroids.cache())
         def assign(df: DataFrame, keep: Int): DataFrame = df.join(cb)
-          .withColumn("sim",
-            aggregate(zip_with($"unit", $"cvec", (a, b) => a * b), lit(0.0), (a, x) => a + x))
+          .withColumn("sim", graft.functions.DotProduct.dot_fast($"unit", $"cvec"))
           .withColumn("crn", row_number().over(
             Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid")))
           .filter($"crn" <= keep)
@@ -225,8 +222,7 @@ object Similarity {
         val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid")
         queries.join(corpus, Seq("cid"))
           .filter($"qid" =!= $"vec_id")
-          .withColumn("cos",
-            aggregate(zip_with($"qunit", $"unit", (a, b) => a * b), lit(0.0), (a, x) => a + x))
+          .withColumn("cos", graft.functions.DotProduct.dot_fast($"qunit", $"unit"))
           .select($"qid", $"vec_id".as("vid"), $"cos")
           .distinct()
           .withColumn("rn", row_number().over(w))
