@@ -24,6 +24,7 @@ object SparkEntry {
     ops.Relational.catalog ++
       ops.Functions.catalog ++
       ops.Dedup.catalog ++
+      ops.Corpus.catalog ++
       ops.Similarity.catalog ++
       ops.TextOps.catalog ++
       ops.Multimodal.catalog ++

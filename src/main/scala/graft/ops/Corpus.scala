@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.Core._
+
+/** The end-to-end training-data curation pipeline (the north star's
+  * point: these operators exist to curate corpora at 100 TB). One
+  * composition over `documents`:
+  *
+  *   score quality → find near-dup candidates (MinHash LSH) →
+  *   cluster candidates (connected components) → keep only each
+  *   cluster's canonical doc → filter by quality → emit the curated
+  *   set with its audit columns.
+  *
+  * Every stage is the already-verified operator (q41, q31, q45); the
+  * composition itself is oracle-checked end-to-end as q47 — the whole
+  * pipeline, quality formula through recursive-CTE clustering, must
+  * hash-match DuckDB.
+  *
+  * Scale: quality is a narrow pass; LSH + clustering shuffle O(docs);
+  * the final join is doc_id-keyed. Nothing quadratic, nothing
+  * collected to the driver.
+  */
+object Corpus {
+
+  val catalog: Map[String, Q] = Map(
+
+    "q47_corpus_curation" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val scored = docs.select(
+          $"doc_id",
+          TextOps.qualityScore(lower($"text")).as("quality_score"),
+          size(regexp_extract_all(lower($"text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_tokens"))
+        val clusters = Dedup.connectedComponents(
+          docs.select($"doc_id"), Dedup.lshPairs(s, dir))
+        scored.join(clusters, Seq("doc_id"))
+          .filter($"doc_id" === $"cluster_id" && $"quality_score" >= 0.35)
+          .select($"doc_id", $"cluster_id", $"quality_score", $"n_tokens")
+          .orderBy($"doc_id")
+      },
+      Some(Dedup.oracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        clusters AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+          FROM reach GROUP BY node),
+        scored AS (SELECT doc_id,
+          ${TextOps.oQualityScore} AS quality_score,
+          cast(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) as int) AS n_tokens
+          FROM documents)
+        SELECT s.doc_id, c.cluster_id, s.quality_score, s.n_tokens
+        FROM scored s JOIN clusters c USING(doc_id)
+        WHERE s.doc_id = c.cluster_id AND s.quality_score >= 0.35
+        ORDER BY s.doc_id"""))
+  )
+}

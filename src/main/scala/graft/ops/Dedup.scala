@@ -80,7 +80,7 @@ object Dedup {
 
   /** Shared DuckDB CTE prefix mirroring shingleRows/bandKeys (same
     * permutation constants as permA/permB/P above). */
-  private val oracleCtes = {
+  private[ops] val oracleCtes = {
     val aExpr = "((1103515245 * (i+1) + 12345) % 2147483647)"
     val bExpr = "((69069 * (i+1) + 7) % 2147483647)"
     s"""WITH toks AS (SELECT doc_id, string_split(lower(text),' ') AS ws FROM documents),
@@ -97,7 +97,7 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs: docs sharing ≥1 LSH band bucket. */
-  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def lshPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val b = bandKeys(s, dir)
     b.as("a").join(b.as("b"),

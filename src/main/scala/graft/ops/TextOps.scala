@@ -22,6 +22,27 @@ object TextOps {
   private def oCcount(cls: String): String =
     s"(length(lower(text)) - length(regexp_replace(lower(text), '$cls', '', 'g')))"
 
+  /** Composite quality score over a lower(text) column — shared by
+    * q41 and the corpus-curation pipeline (q47). */
+  private[ops] def qualityScore(txt: Column): Column = {
+    val nWords = size(split(txt, " "))
+    val nStop = size(regexp_extract_all(txt,
+      lit("\\b(the|a|of|and|in|to|is|it|for|on)\\b"), lit(0)))
+    val nPunct = length(txt) - ccount(txt, "[^a-z0-9 ]")
+    val stopR = rnd4(nStop.cast("double") / nWords)
+    val punctR = rnd4(nPunct.cast("double") / length(txt))
+    val lenScore = rnd4(least(length(txt).cast("double") / 500, lit(1.0)))
+    rnd4(lit(0.5) * stopR + lit(0.3) * lenScore + lit(0.2) * (lit(1.0) - punctR))
+  }
+
+  /** DuckDB fragment mirroring qualityScore over lower(text). */
+  private[ops] val oQualityScore: String = {
+    val stopR = oRnd4("cast(len(regexp_extract_all(lower(text), '\\b(the|a|of|and|in|to|is|it|for|on)\\b')) as double) / len(string_split(lower(text), ' '))")
+    val punctR = oRnd4(s"cast(${oCcount("[^a-z0-9 ]")} as double) / length(lower(text))")
+    val lenScore = oRnd4("least(cast(length(lower(text)) as double) / 500, 1.0)")
+    oRnd4(s"0.5 * $stopR + 0.3 * $lenScore + 0.2 * (1.0 - $punctR)")
+  }
+
   val catalog: Map[String, Q] = Map(
 
     // ---- language-ID heuristic: script + vowel-profile scoring.
@@ -75,8 +96,7 @@ object TextOps {
             stopR.as("stopword_ratio"),
             punctR.as("punct_ratio"),
             lenScore.as("len_score"),
-            rnd4(lit(0.5) * stopR + lit(0.3) * lenScore + lit(0.2) * (lit(1.0) - punctR))
-              .as("quality_score"))
+            qualityScore(txt).as("quality_score"))
           .orderBy($"doc_id")
       },
       Some {
@@ -88,7 +108,7 @@ object TextOps {
         $stopR AS stopword_ratio,
         $punctR AS punct_ratio,
         $lenScore AS len_score,
-        ${oRnd4(s"0.5 * $stopR + 0.3 * $lenScore + 0.2 * (1.0 - $punctR)")} AS quality_score
+        $oQualityScore AS quality_score
         FROM documents ORDER BY doc_id"""
       }),
 

@@ -58,6 +58,32 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Stream-static enrichment: the static side is broadcast per
+    * micro-batch (no state), the classic dimension-join shape. */
+  def enrichWithStatic(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream self-join: pair each 'click' with a 'purchase' by
+    * the same user within 30 minutes after it. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * state is provably droppable — the two requirements Structured
+    * Streaming imposes on stream-stream joins. */
+  def clickToPurchase(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
+  }
+
   final case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class UserAgg(user_id: Long, n: Long, total: Double)

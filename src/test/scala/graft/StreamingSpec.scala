@@ -64,6 +64,34 @@ class StreamingSpec extends SparkSpec {
     assert(result.select("event_id").as[Long].collect().sorted.sameElements(Array(1L, 2L)))
   }
 
+  test("stream-static join enriches each micro-batch against a broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val stream = MemoryStream[EventRow]
+    val result = runQuery(stream,
+      StreamingOps.enrichWithStatic(stream.toDF(), dim, "user_id"),
+      OutputMode.Append, "enriched")(Seq(
+      Seq(EventRow(1, ts(0), 1, "c", 1.0), EventRow(2, ts(1), 3, "c", 1.0))))
+    val tiers = result.select($"event_id", $"tier").as[(Long, Option[String])]
+      .collect().toMap
+    assert(tiers == Map(1L -> Some("gold"), 2L -> None))
+  }
+
+  test("stream-stream join pairs clicks with purchases within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val result = runQuery(stream,
+      StreamingOps.clickToPurchase(stream.toDF()), OutputMode.Append, "cp")(Seq(
+      Seq(
+        EventRow(1, ts(0), 7, "click", 1.0),
+        EventRow(2, ts(10), 7, "purchase", 5.0),   // within 30 min → pair
+        EventRow(3, ts(100), 7, "purchase", 5.0),  // 100 min later → no pair
+        EventRow(4, ts(5), 8, "purchase", 5.0)),   // other user → no pair
+      Seq(EventRow(9, ts(600), 1, "click", 1.0)))) // advance watermark
+    val pairs = result.select($"click_id", $"purchase_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("file-stream checkpoint: restart resumes offsets without reprocessing (R17/R18)") {
     // the streaming successor to the reference's SQLite checkpoint
     // skip-on-replay (unified_code.py:437–439, SURVEY.md §4.4) — and
