@@ -47,6 +47,47 @@ object Multimodal {
       .toDF()
   }
 
+  /** STUB resize: a real impl would decode, scale, re-encode; the stub
+    * is a deterministic byte transform preserving the batch shape
+    * (binary in → binary out, executor-side only). */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, (w * h) / 64)
+    Array.tabulate(math.min(target, payload.length))(i =>
+      payload(i * payload.length / math.min(target, payload.length)))
+  }
+
+  final case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+      payload: Array[Byte])
+
+  /** Resize pipeline: binary → binary with typed size metadata. */
+  def resize(s: SparkSession, dir: String, w: Int, h: Int): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => ResizedMedia(id, w, h, resizeStub(p, w, h)) })
+      .toDF()
+  }
+
+  final case class Frame(doc_id: Long, frame_no: Int, frame: Array[Byte])
+
+  /** STUB frame sampling: treats the payload as a "video" and emits k
+    * evenly spaced byte windows as frames — a generator (1 row in,
+    * k rows out), the mapPartitions analog of a frame extractor. */
+  def frameSample(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        val step = math.max(1, p.length / k)
+        (0 until math.min(k, p.length)).iterator.map { f =>
+          Frame(id, f, p.slice(f * step, math.min(f * step + step, p.length)))
+        }
+      })
+      .toDF()
+  }
+
   val catalog: Map[String, Q] = Map(
 
     // ---- binary payload + metadata extraction (oracle-checkable: the
@@ -70,6 +111,28 @@ object Multimodal {
         cast(320 + n_chars % 320 as int) AS width,
         cast(240 + n_chars % 240 as int) AS height,
         CASE WHEN n_chars % 2 = 0 THEN 'rgb8' ELSE 'gray8' END AS pixfmt
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- feature extraction from binary payloads: 8 deterministic
+    // float features derived from the payload digest — the stub for a
+    // real embedding model, with the exact column/batch shape one would
+    // have, and fully oracle-checkable since both engines share md5 ----
+    "q51_multimodal_features" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val digest = md5($"text".cast("binary"))
+        val feats = (0 until 8).map(i =>
+          (conv(substring(digest, i * 2 + 1, 2), 16, 10).cast("double") / 255.0)
+            .as(s"f$i"))
+        table(s, dir, "documents")
+          .select(($"doc_id" +: feats): _*)
+          .orderBy($"doc_id")
+      },
+      Some {
+        val fs = (0 until 8).map(i =>
+          s"(CAST(CAST('0x' || substr(md5(text), ${i * 2 + 1}, 2) AS BIGINT) AS DOUBLE) / CAST(255.0 AS DOUBLE)) AS f$i")
+          .mkString(", ")
+        s"SELECT doc_id, $fs FROM documents ORDER BY doc_id"
+      })
   )
 }

@@ -53,6 +53,24 @@ class CoreSpec extends SparkSpec {
     assert(spark.sql("SELECT norm_text('  A b ')").as[String].head() == "a b")
   }
 
+  test("multimodal resize + frame-sample plumbing: shapes, determinism, generator fan-out") {
+    val dir = "/root/testdata/sf0.001"
+    val resized = ops.Multimodal.resize(spark, dir, 64, 64)
+    assert(resized.columns.sameElements(Array("doc_id", "width", "height", "payload")))
+    val r1 = resized.orderBy("doc_id").first()
+    val r2 = ops.Multimodal.resize(spark, dir, 64, 64).orderBy("doc_id").first()
+    assert(java.util.Arrays.equals(
+      r1.getAs[Array[Byte]]("payload"), r2.getAs[Array[Byte]]("payload")),
+      "resize stub must be deterministic")
+    assert(r1.getAs[Array[Byte]]("payload").length <= 64 * 64 / 64)
+
+    val frames = ops.Multimodal.frameSample(spark, dir, 4)
+    assert(frames.columns.sameElements(Array("doc_id", "frame_no", "frame")))
+    val perDoc = frames.groupBy("doc_id").count()
+      .select("count").distinct().collect().map(_.getLong(0)).toSet
+    assert(perDoc == Set(4L), s"expected 4 frames per doc, got $perDoc")
+  }
+
   test("VectorMean aggregator: direct use over a literal dataset") {
     val vmean = org.apache.spark.sql.functions.udaf(ops.VectorMean)
     val df = Seq(
