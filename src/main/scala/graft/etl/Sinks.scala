@@ -55,7 +55,7 @@ object Sinks {
   def jsonArrayFile(df: DataFrame, path: String, sortKeys: Seq[String],
       indent: Boolean = false): Unit = {
     val rows = df.orderBy(sortKeys.map(col): _*)
-      .select(to_json(struct(df.columns.map(col): _*),
+      .select(to_json(struct(df.columns.toIndexedSeq.map(col): _*),
         Map("ignoreNullFields" -> "false")).as("j"))
       .collect().map(_.getString(0))
     val body =
