@@ -57,6 +57,24 @@ object Corpus {
         SELECT s.doc_id, c.cluster_id, s.quality_score, s.n_tokens
         FROM scored s JOIN clusters c USING(doc_id)
         WHERE s.doc_id = c.cluster_id AND s.quality_score >= 0.35
-        ORDER BY s.doc_id"""))
+        ORDER BY s.doc_id""")),
+
+    // ---- deterministic ~10% sample: hash-gate on the key, so the
+    // same subset falls out on every engine, every run, any cluster
+    // size — reproducible corpus subsetting (df.sample() is
+    // seed+partitioning dependent and can't be oracle-checked) ----
+    "q48_hash_sample" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val gate = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("long")
+        table(s, dir, "documents")
+          .filter(gate < 6554)   // 6554/65536 ≈ 10%
+          .select($"doc_id", $"lang", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+        WHERE CAST('0x' || substr(md5(cast(doc_id as varchar)), 1, 4) AS BIGINT) < 6554
+        ORDER BY doc_id"""))
   )
 }

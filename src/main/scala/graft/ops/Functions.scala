@@ -174,6 +174,35 @@ object Functions {
         count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
+    // ---- data profiling: per-column null/distinct/min/max in one pass
+    // (the dbt/deequ-style quality report an ETL pipeline runs on every
+    // ingest; one aggregate job regardless of column count) ----
+    "q49_data_profile" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "orders").agg(
+            count(lit(1)).as("n_rows"),
+            sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("null_custkey"),
+            countDistinct($"o_orderstatus").as("distinct_status"),
+            countDistinct($"o_orderpriority").as("distinct_priority"),
+            min($"o_orderkey").as("min_key"),
+            max($"o_orderkey").as("max_key"),
+            round(min($"o_totalprice"), 2).as("min_price"),
+            round(max($"o_totalprice"), 2).as("max_price"),
+            date_format(min($"o_orderdate"), "yyyy-MM-dd").as("min_date"),
+            date_format(max($"o_orderdate"), "yyyy-MM-dd").as("max_date"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+        count(DISTINCT o_orderstatus) AS distinct_status,
+        count(DISTINCT o_orderpriority) AS distinct_priority,
+        min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        round(min(o_totalprice), 2) AS min_price,
+        round(max(o_totalprice), 2) AS max_price,
+        strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+        strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+        FROM orders""")),
+
     // ---- sessionization: 30-minute inactivity gap, lag + running sum ----
     "q24_sessionize" -> Q(
       (s, dir) => {
