@@ -174,6 +174,30 @@ object Functions {
         count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
+    // ---- statistical aggregates: exact percentiles (sort-based, so
+    // cross-engine identical before rounding), variance/stddev and
+    // correlation (rounded to absorb update-formula float noise) ----
+    "q52_stats_agg" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "orders")
+          .groupBy($"o_orderstatus")
+          .agg(
+            round(median($"o_totalprice"), 4).as("median_price"),
+            round(percentile($"o_totalprice", lit(0.9)), 4).as("p90_price"),
+            round(stddev_samp($"o_totalprice"), 4).as("stddev_price"),
+            round(var_samp($"o_totalprice"), 2).as("var_price"),
+            round(corr($"o_totalprice", $"o_custkey"), 6).as("corr_price_cust"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+        round(median(o_totalprice), 4) AS median_price,
+        round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+        round(stddev_samp(o_totalprice), 4) AS stddev_price,
+        round(var_samp(o_totalprice), 2) AS var_price,
+        round(corr(o_totalprice, o_custkey), 6) AS corr_price_cust
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // ---- data profiling: per-column null/distinct/min/max in one pass
     // (the dbt/deequ-style quality report an ETL pipeline runs on every
     // ingest; one aggregate job regardless of column count) ----
