@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => functions.EliminateRedundantDistinct)
+    e.injectPlannerStrategy(_ => plans.TopKStrategy)
     e.injectFunction((FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(str) - 64-bit polynomial rolling hash"),
       (exprs: Seq[Expression]) => functions.RollingHash(exprs.head)))

@@ -1,0 +1,25 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, GraftPlanBridge}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+import graft.plans.TopKPerGroup
+
+/** User-facing entry for the custom top-k-per-group operator (see
+  * graft.plans.TopKPerGroup for the physical design). Column
+  * references go in unresolved — the analyzer resolves them against
+  * the child like any built-in operator; requires the TopKStrategy
+  * planner strategy (installed by GraftExtensions). */
+object TopK {
+
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      k: Int, desc: Boolean = true): DataFrame = {
+    val dir = if (desc) Descending else Ascending
+    val plan = TopKPerGroup(
+      groupCols.map(UnresolvedAttribute(_)),
+      SortOrder(UnresolvedAttribute(orderCol), dir),
+      k,
+      df.queryExecution.logical)
+    GraftPlanBridge.ofRows(df.sparkSession, plan)
+  }
+}

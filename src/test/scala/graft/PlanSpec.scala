@@ -75,6 +75,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("posexplode"), "minhash must not explode per hash index")
   }
 
+  test("custom TopKPerGroup operator: heap exec planned via strategy, equals window top-k") {
+    import spark.implicits._
+    val orders = Core.table(spark, dir, "orders")
+    val custom = ops.TopK.topKPerGroup(orders, Seq("o_orderpriority"), "o_totalprice", 3)
+    // SparkPlan display strips the "Exec" suffix from node names
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup ["), s"strategy did not plan the custom exec:\n$plan")
+    // EnsureRequirements must have planted the group-key shuffle
+    assert(plan.contains("hashpartitioning(o_orderpriority"), s"missing clustering:\n$plan")
+    val got = custom.select($"o_orderpriority", $"o_orderkey").as[(String, Long)]
+      .collect().toSet
+    val viaWindow = SparkEntry.queries("q16_topk_per_group")(spark, dir)
+      .select($"o_orderpriority", $"o_orderkey").as[(String, Long)].collect().toSet
+    assert(got == viaWindow, "heap-based top-k disagrees with window top-k")
+  }
+
   test("custom expressions are compiled into generated code, not fallback") {
     graft.functions.DotProductExact.register(spark)
     import spark.implicits._
