@@ -487,6 +487,28 @@ object Relational {
                 ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
         WHERE rk <= 3 ORDER BY o_orderpriority, rk""")),
 
+    // ---- top-k per group via the CUSTOM physical operator (bounded
+    // heaps, no per-group sort — graft.plans.TopKPerGroup); strategy
+    // installed at runtime via experimental.extraStrategies so any
+    // session can run it. Oracle: the window formulation. ----
+    "q53_topk_custom_operator" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        if (!s.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+          s.experimental.extraStrategies =
+            s.experimental.extraStrategies :+ graft.plans.TopKStrategy
+        TopK.topKPerGroup(table(s, dir, "orders"), Seq("o_orderpriority"),
+            Seq("o_totalprice" -> true, "o_orderkey" -> false), 3)
+          .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+          .orderBy($"o_orderpriority", $"o_totalprice".desc, $"o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice
+        FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+              row_number() OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        WHERE rn <= 3
+        ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""")),
+
     // ---- set operations: except / intersect / union all ----
     "q17_set_ops" -> Q(
       (s, dir) => {

@@ -12,12 +12,15 @@ import graft.plans.TopKPerGroup
   * planner strategy (installed by GraftExtensions). */
 object TopK {
 
-  def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
-      k: Int, desc: Boolean = true): DataFrame = {
-    val dir = if (desc) Descending else Ascending
+  /** @param orderCols (column, descending?) pairs — include a unique
+    *                   tie-break column for deterministic results */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
     val plan = TopKPerGroup(
       groupCols.map(UnresolvedAttribute(_)),
-      SortOrder(UnresolvedAttribute(orderCol), dir),
+      orderCols.map { case (c, desc) =>
+        SortOrder(UnresolvedAttribute(c), if (desc) Descending else Ascending)
+      },
       k,
       df.queryExecution.logical)
     GraftPlanBridge.ofRows(df.sparkSession, plan)

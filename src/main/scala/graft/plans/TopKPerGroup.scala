@@ -26,7 +26,7 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   */
 case class TopKPerGroup(
     groupExprs: Seq[Expression],
-    order: SortOrder,
+    order: Seq[SortOrder],
     k: Int,
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
@@ -36,7 +36,7 @@ case class TopKPerGroup(
 
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
-    order: SortOrder,
+    order: Seq[SortOrder],
     k: Int,
     child: SparkPlan) extends UnaryExecNode {
 
@@ -52,7 +52,7 @@ case class TopKPerGroupExec(
     val kk = k
     child.execute().mapPartitions { it =>
       val groupProj = UnsafeProjection.create(gExprs, schema)
-      val ordering = GenerateOrdering.generate(Seq(so), schema)
+      val ordering = GenerateOrdering.generate(so, schema)
       // "top" = first k under the requested sort order; heap keeps the
       // current worst at its head so replacement is O(log k)
       val worstFirst = ordering.reverse

@@ -78,7 +78,8 @@ class PlanSpec extends SparkSpec {
   test("custom TopKPerGroup operator: heap exec planned via strategy, equals window top-k") {
     import spark.implicits._
     val orders = Core.table(spark, dir, "orders")
-    val custom = ops.TopK.topKPerGroup(orders, Seq("o_orderpriority"), "o_totalprice", 3)
+    val custom = ops.TopK.topKPerGroup(orders, Seq("o_orderpriority"),
+      Seq("o_totalprice" -> true, "o_orderkey" -> false), 3)
     // SparkPlan display strips the "Exec" suffix from node names
     val plan = custom.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerGroup ["), s"strategy did not plan the custom exec:\n$plan")
