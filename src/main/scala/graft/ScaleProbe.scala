@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale probe: synthesizes an sf≈1 dataset from sf0.1 (key-offset
+  * copies; documents get per-copy tail perturbations so they are
+  * NEAR-duplicates — the worst realistic case for the dedup pipeline:
+  * every doc suddenly has 9 near-twins) and times the heavy queries.
+  * Spark-only smoke (no DuckDB compare) — the question is whether the
+  * plans survive a 10× scale-up and a 1000× candidate-pair explosion,
+  * per the SCALE.md claims. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val dst = "/tmp/sf1probe"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    val copies = 10
+    def replicate(name: String, keyCols: Seq[String], textPerturb: Boolean = false): Unit = {
+      val base = Core.table(spark, src, name)
+      val out = (0 until copies).map { i =>
+        val off = i.toLong * 10000000L
+        var df = keyCols.foldLeft(base)((d, k) => d.withColumn(k, col(k) + off))
+        if (textPerturb && i > 0)
+          df = df.withColumn("text", concat(col("text"), lit(s" probe tail $i")))
+        df
+      }.reduce(_ unionByName _)
+      out.write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
+    }
+    val regen = !new java.io.File(s"$dst/lineitem.parquet").exists()
+    def replicateIf(name: String, keyCols: Seq[String], textPerturb: Boolean = false): Unit =
+      if (regen) replicate(name, keyCols, textPerturb)
+    replicateIf("lineitem", Seq("l_orderkey"))
+    replicateIf("orders", Seq("o_orderkey", "o_custkey"))
+    replicateIf("customer", Seq("c_custkey"))
+    replicateIf("nation", Seq())
+    replicateIf("supplier", Seq("s_suppkey"))
+    replicateIf("documents", Seq("doc_id"), textPerturb = true)
+    replicateIf("embeddings", Seq("vec_id"))
+    replicateIf("events", Seq("event_id", "user_id"))
+    println("DATA READY")
+
+    def time(q: String): Unit = {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, dst).count()
+      println(f"PROBE $q%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
+    }
+    // q34/q35 (exact-pairwise oracle paths, documented O(n²)) are
+    // deliberately excluded — the scale paths are q36/q37/q39
+    Seq("q01_pricing_summary", "q03_join_revenue_by_nation", "q09_asof_join_event_order",
+      "q31_minhash_lsh_pairs", "q32_ngram_jaccard", "q45_dedup_clusters",
+      "q47_corpus_curation", "q36_knn_fast", "q37_ann_lsh",
+      "q53_topk_custom_operator").foreach(time)
+    spark.stop()
+  }
+}

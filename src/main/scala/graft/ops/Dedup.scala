@@ -123,7 +123,8 @@ object Dedup {
     val sym = edges.select($"id_a".as("src"), $"id_b".as("dst"))
       .unionByName(edges.select($"id_b".as("src"), $"id_a".as("dst")))
       .cache()
-    var labels = nodes.select($"doc_id", $"doc_id".as("cluster_id")).cache()
+    var labels = nodes.select($"doc_id", $"doc_id".as("cluster_id"))
+    var labelsRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -133,14 +134,20 @@ object Dedup {
         .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
       // path halving: L(x) := L(L(x)) — every label IS a doc_id, so the
       // self-join is total; turns O(diameter) rounds into O(log d)
-      val updated = mins.as("x").join(mins.as("y"),
+      val halved = mins.as("x").join(mins.as("y"),
           col("x.cluster_id") === col("y.doc_id"))
         .select(col("x.doc_id").as("doc_id"), col("y.cluster_id").as("cluster_id"))
-        .cache()
+      // truncate the logical lineage each round via an RDD round-trip:
+      // the self-join doubles plan size per iteration, and an uncut
+      // plan OOMs the driver on plan stringification long before the
+      // data is a problem (found by the 10× ScaleProbe)
+      val newRdd = halved.rdd.cache()
+      val updated = s.createDataFrame(newRdd, halved.schema)
       val changed = updated
         .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter($"cluster_id" =!= $"old").count()
-      labels.unpersist()
+      if (labelsRdd != null) labelsRdd.unpersist()
+      labelsRdd = newRdd
       labels = updated
       converged = changed == 0
       iter += 1

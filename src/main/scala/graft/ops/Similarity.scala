@@ -208,6 +208,7 @@ object Similarity {
           centroids = means
             .withColumn("nrm", sqrt(graft.functions.DotProduct.dot_fast($"raw", $"raw")))
             .select($"cid", transform($"raw", x => x / $"nrm").as("cvec"))
+            .localCheckpoint()   // truncate per-iteration lineage growth
         }
         val cb = broadcast(centroids.cache())
         def assign(df: DataFrame, keep: Int): DataFrame = df.join(cb)
