@@ -225,6 +225,27 @@ object Dedup {
         SELECT node AS doc_id, min(lbl) AS cluster_id
         FROM reach GROUP BY node ORDER BY doc_id""")),
 
+    // ---- edit-distance verification of LSH candidates: levenshtein
+    // over a bounded prefix (the full-text DP is O(len²) per pair —
+    // bound the window, or use it only on high-jaccard survivors) ----
+    "q54_edit_distance" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents").select($"doc_id", substring(lower($"text"), 1, 64).as("pfx"))
+        lshPairs(s, dir)
+          .join(docs.select($"doc_id".as("id_a"), $"pfx".as("pfx_a")), Seq("id_a"))
+          .join(docs.select($"doc_id".as("id_b"), $"pfx".as("pfx_b")), Seq("id_b"))
+          .select($"id_a", $"id_b", levenshtein($"pfx_a", $"pfx_b").as("prefix_edit_dist"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""$oracleCtes
+        SELECT p.id_a, p.id_b,
+          levenshtein(substr(lower(da.text),1,64), substr(lower(db.text),1,64)) AS prefix_edit_dist
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.id_a
+        JOIN documents db ON db.doc_id = p.id_b
+        ORDER BY p.id_a, p.id_b""")),
+
     // ---- SimHash (16-bit variant; bit j comes from hex digit j/4 of
     // md5(word), so both engines derive identical bits) ----
     "q33_simhash" -> Q(

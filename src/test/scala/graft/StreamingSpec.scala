@@ -115,6 +115,26 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sameElements(0L until 25L))
   }
 
+  test("foreachBatch composes streaming with the batch JSON sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("fb-out").toString
+    val stream = MemoryStream[EventRow]
+    val q = stream.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.etl.Sinks.jsonChunks(batch.withColumn("batch_id",
+          org.apache.spark.sql.functions.lit(id)), s"$out/b$id")
+      }
+      .start()
+    stream.addData(Seq(EventRow(1, ts(0), 1, "c", 1.0), EventRow(2, ts(1), 2, "c", 2.0)))
+    q.processAllAvailable()
+    stream.addData(Seq(EventRow(3, ts(2), 1, "c", 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.json(s"$out/*")
+    assert(back.count() == 3)
+    assert(back.select("batch_id").distinct().count() >= 2)
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[EventRow]
