@@ -22,7 +22,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // sbt wraps stdout in [info] prefixes the driver can't parse — also
+    // write the line to a file (optional first arg, default ./bench.json)
+    val outPath = if (args.nonEmpty) args(0) else "bench.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    Core.clearCaches(spark)
     spark.stop()
   }
 }

@@ -60,4 +60,23 @@ object Core {
     * x*1e4+0.5 is the same IEEE op sequence in both engines. */
   def rnd4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
   def oRnd4(e: String): String = s"(floor(($e) * 10000 + 0.5) / 10000.0)"
+
+  private val memos =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Build-once cached DataFrame shared across catalog queries within a
+    * session (e.g. the LSH band keys five dedup queries reuse, or the
+    * normalized embeddings three ANN queries reuse). One `.cache()` per
+    * key per session — no "already cached" re-cache churn — and every
+    * registration is released together via [[clearCaches]]. */
+  def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    memos.getOrElseUpdate((s, key), build.cache())
+
+  /** Unpersist and forget every memoized DataFrame of this session —
+    * called by the Verify/Bench harnesses when the catalog run ends so a
+    * long session doesn't accumulate executor storage. */
+  def clearCaches(s: SparkSession): Unit =
+    memos.keys.filter(_._1 eq s).foreach { k =>
+      memos.remove(k).foreach(_.unpersist(blocking = false))
+    }
 }

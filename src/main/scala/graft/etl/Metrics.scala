@@ -1,6 +1,6 @@
 package graft.etl
 
-import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, TimeUnit}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
@@ -22,17 +22,28 @@ object Metrics {
 
   final case class WriteStats(rows: Long, files: Long, bytes: Long)
 
+  /** Output column name of the barrier query — see [[collectWriteStats]]. */
+  private val BarrierCol = "graft_metrics_barrier"
+
   private class Collector extends QueryExecutionListener {
     val seen = new ConcurrentLinkedQueue[WriteStats]()
+    val barrier = new CountDownLatch(1)
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-      val ms = qe.executedPlan.collect {
-        case p if p.metrics.keySet.exists(_.startsWith("numOutput")) => p.metrics
-      }
-      ms.foreach { m =>
-        val rows = m.get("numOutputRows").map(_.value).getOrElse(0L)
-        val files = m.get("numFiles").map(_.value).getOrElse(0L)
-        val bytes = m.get("numOutputBytes").map(_.value).getOrElse(0L)
-        if (files > 0 || bytes > 0) seen.add(WriteStats(rows, files, bytes))
+      if (qe.analyzed.output.exists(_.name == BarrierCol)) barrier.countDown()
+      else {
+        // only genuine write/commit nodes carry BOTH numFiles and
+        // numOutputBytes (FileFormatWriter / V2 commit metrics).
+        // Matching on that pair — not on any numOutput* metric, which
+        // numOutputRows puts on nearly every operator — yields exactly
+        // one stats row per sink, never a double count from
+        // intermediate operators in the same executed plan.
+        qe.executedPlan.foreach { p =>
+          if (p.metrics.contains("numFiles") && p.metrics.contains("numOutputBytes"))
+            seen.add(WriteStats(
+              p.metrics.get("numOutputRows").map(_.value).getOrElse(0L),
+              p.metrics("numFiles").value,
+              p.metrics("numOutputBytes").value))
+        }
       }
     }
     override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
@@ -45,18 +56,13 @@ object Metrics {
     spark.listenerManager.register(c)
     try {
       val result = body
-      // the listener bus delivers asynchronously; wait until the queue
-      // stops growing (bounded)
-      var last = -1
-      var stable = 0
-      var waited = 0
-      while (stable < 2 && waited < 5000) {
-        val n = c.seen.size()
-        if (n == last && n > 0) stable += 1 else stable = 0
-        last = n
-        Thread.sleep(100)
-        waited += 100
-      }
+      // The listener bus delivers asynchronously but in order, so run a
+      // recognizable no-op query as a barrier: when ITS event arrives,
+      // every write event from `body` has already been delivered. No
+      // fixed-interval polling, and a write-free body costs one tiny
+      // query instead of a 5 s timeout.
+      spark.sql(s"SELECT 1 AS $BarrierCol").collect()
+      c.barrier.await(10, TimeUnit.SECONDS)
       val all = c.seen.iterator().asScala.toSeq
       (result, WriteStats(all.map(_.rows).sum, all.map(_.files).sum, all.map(_.bytes).sum))
     } finally spark.listenerManager.unregister(c)

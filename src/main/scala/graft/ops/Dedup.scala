@@ -60,23 +60,24 @@ object Dedup {
     * shuffling per (doc, hash). Band keys are then a narrow explode of
     * 4 structs. This is the shape that holds at 100 TB: shuffle volume
     * is O(docs), not O(docs × hashes). */
-  private def bandKeys(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sh = shingleRows(s, table(s, dir, "documents"))
-      .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
-    val hashCols = (0 until NumHashes).map(i =>
-      min((lit(permA(i)) * $"h" + lit(permB(i))) % lit(P)).as(s"h$i"))
-    val sigs = sh.groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
-    val bandStructs = (0 until NumHashes / RowsPerBand).map { b =>
-      val parts = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}").cast("string"))
-      struct(lit(b).as("band"), concat_ws(",", parts: _*).as("band_key"))
+  private def bandKeys(s: SparkSession, dir: String): DataFrame =
+    // tiny (4 rows/doc); memoized+cached ONCE per session so the five
+    // LSH-derived queries (q31/q32/q45/q47/q54) share one minhash
+    // pipeline instead of each re-caching their own copy
+    memo(s, s"dedup.bandKeys:$dir") {
+      import s.implicits._
+      val sh = shingleRows(s, table(s, dir, "documents"))
+        .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
+      val hashCols = (0 until NumHashes).map(i =>
+        min((lit(permA(i)) * $"h" + lit(permB(i))) % lit(P)).as(s"h$i"))
+      val sigs = sh.groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
+      val bandStructs = (0 until NumHashes / RowsPerBand).map { b =>
+        val parts = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}").cast("string"))
+        struct(lit(b).as("band"), concat_ws(",", parts: _*).as("band_key"))
+      }
+      sigs.select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
+        .select($"doc_id", $"bk.band".as("band"), $"bk.band_key".as("band_key"))
     }
-    // tiny (4 rows/doc); cached so the candidate self-join and the
-    // Jaccard verification don't re-run the minhash pipeline
-    sigs.select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
-      .select($"doc_id", $"bk.band".as("band"), $"bk.band_key".as("band_key"))
-      .cache()
-  }
 
   /** Shared DuckDB CTE prefix mirroring shingleRows/bandKeys (same
     * permutation constants as permA/permB/P above). */
@@ -85,7 +86,7 @@ object Dedup {
     val bExpr = "((69069 * (i+1) + 7) % 2147483647)"
     s"""WITH toks AS (SELECT doc_id, string_split(lower(text),' ') AS ws FROM documents),
       shingles AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w
-        FROM toks CROSS JOIN range(1, 2000) t(i) WHERE i+2 <= len(ws)),
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM toks)),
       hh AS (SELECT doc_id, CAST('0x' || substr(md5(w),1,8) AS BIGINT) AS h FROM shingles),
       mh AS (SELECT doc_id, i, min(($aExpr * h + $bExpr) % $P) AS hmin
         FROM hh CROSS JOIN range(16) t(i) GROUP BY doc_id, i),
@@ -124,7 +125,6 @@ object Dedup {
       .unionByName(edges.select($"id_b".as("src"), $"id_a".as("dst")))
       .cache()
     var labels = nodes.select($"doc_id", $"doc_id".as("cluster_id"))
-    var labelsRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -137,22 +137,27 @@ object Dedup {
       val halved = mins.as("x").join(mins.as("y"),
           col("x.cluster_id") === col("y.doc_id"))
         .select(col("x.doc_id").as("doc_id"), col("y.cluster_id").as("cluster_id"))
-      // truncate the logical lineage each round via an RDD round-trip:
-      // the self-join doubles plan size per iteration, and an uncut
-      // plan OOMs the driver on plan stringification long before the
-      // data is a problem (found by the 10× ScaleProbe)
-      val newRdd = halved.rdd.cache()
-      val updated = s.createDataFrame(newRdd, halved.schema)
+      // truncate the logical lineage each round with an eager
+      // localCheckpoint: the self-join doubles plan size per iteration,
+      // and an uncut plan OOMs the driver on plan stringification long
+      // before the data is a problem (found by the 10× ScaleProbe).
+      // Unlike the previous RDD round-trip this keeps Tungsten rows (no
+      // Row object deserialization); superseded per-round checkpoints
+      // are dropped by the ContextCleaner once unreferenced.
+      // the fresh aliases re-key the checkpoint's output attributes —
+      // without them the LogicalRDD's carried-over constraints reference
+      // pre-checkpoint exprIds and the next round's union fails its
+      // constraint rewrite
+      val updated = halved.localCheckpoint()
+        .select(col("doc_id").as("doc_id"), col("cluster_id").as("cluster_id"))
       val changed = updated
         .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter($"cluster_id" =!= $"old").count()
-      if (labelsRdd != null) labelsRdd.unpersist()
-      labelsRdd = newRdd
       labels = updated
       converged = changed == 0
       iter += 1
     }
-    sym.unpersist()
+    sym.unpersist(blocking = false)
     labels
   }
 
@@ -277,7 +282,7 @@ object Dedup {
             >> (b.i % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
           FROM words CROSS JOIN range(16) b(i) GROUP BY 1,2)
         SELECT doc_id,
-          sum(CASE WHEN s >= 0 THEN 1 << bit ELSE 0 END) AS simhash
+          cast(sum(CASE WHEN s >= 0 THEN 1 << bit ELSE 0 END) as bigint) AS simhash
         FROM bits GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -217,7 +217,7 @@ object Functions {
             date_format(max($"o_orderdate"), "yyyy-MM-dd").as("max_date"))
       },
       Some("""SELECT count(*) AS n_rows,
-        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+        cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) as bigint) AS null_custkey,
         count(DISTINCT o_orderstatus) AS distinct_status,
         count(DISTINCT o_orderpriority) AS distinct_priority,
         min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
@@ -251,8 +251,8 @@ object Functions {
                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                THEN 1 ELSE 0 END AS new_session
           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        y AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM x)
+        y AS (SELECT *, cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id FROM x)
         SELECT user_id, session_id, count(*) AS n_events,
           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS t0,
           max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us

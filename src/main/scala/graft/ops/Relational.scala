@@ -530,6 +530,51 @@ object Relational {
         SELECT custkey, 'only_closed' AS tag FROM (SELECT custkey FROM b EXCEPT SELECT custkey FROM a)
         UNION ALL
         SELECT custkey, 'both' AS tag FROM (SELECT custkey FROM a INTERSECT SELECT custkey FROM b)
-        ORDER BY custkey, tag"""))
+        ORDER BY custkey, tag""")),
+
+    // ---- right outer join: orders ⋈ customer preserving zero-order
+    // customers from the RIGHT side (mirror of q04 — closes the
+    // inner/left/right/full row of the SURVEY §2B join inventory).
+    // Same 100 TB shape as q04: one shuffle on the customer key. ----
+    "q55_right_join_orders_customer" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "orders")
+          .join(table(s, dir, "customer"), $"o_custkey" === $"c_custkey", "right")
+          .groupBy($"c_custkey", $"c_mktsegment")
+          .agg(
+            count($"o_orderkey").as("n_orders"),
+            round(coalesce(sum($"o_totalprice".cast(Money)).cast("double"), lit(0.0)), 2)
+              .as("total_spent"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+        round(coalesce(cast(sum(cast(o_totalprice as decimal(18,4))) as double),0),2) AS total_spent
+        FROM orders RIGHT JOIN customer ON o_custkey=c_custkey
+        GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""")),
+
+    // ---- duplicate-preserving set ops (the `all` variants; multiset
+    // accounting for corpus bookkeeping — how many order-instances per
+    // customer survive subtracting / intersecting the closed bag) ----
+    "q56_set_ops_all" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val o = table(s, dir, "orders")
+        val a = o.filter($"o_orderstatus" === "O").select($"o_custkey".as("custkey"))
+        val b = o.filter($"o_orderstatus" === "F").select($"o_custkey".as("custkey"))
+        a.exceptAll(b).withColumn("tag", lit("open_minus_closed"))
+          .unionByName(a.intersectAll(b).withColumn("tag", lit("open_and_closed")))
+          .groupBy($"custkey", $"tag").agg(count(lit(1)).as("n"))
+          .orderBy($"custkey", $"tag")
+      },
+      Some("""WITH a AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus='O'),
+        b AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus='F'),
+        u AS (SELECT custkey, 'open_minus_closed' AS tag
+                FROM (SELECT custkey FROM a EXCEPT ALL SELECT custkey FROM b)
+              UNION ALL
+              SELECT custkey, 'open_and_closed' AS tag
+                FROM (SELECT custkey FROM a INTERSECT ALL SELECT custkey FROM b))
+        SELECT custkey, tag, count(*) AS n FROM u
+        GROUP BY custkey, tag ORDER BY custkey, tag"""))
   )
 }

@@ -35,18 +35,18 @@ object Similarity {
     graft.functions.DotProductExact.dot_exact(a, b)
 
   /** embeddings with doubled arrays + exact squared norm. */
-  private def withNorm(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    graft.functions.DotProductExact.register(s)
-    // small (corpus rows × dim doubles); cached so near-dup and kNN
-    // reuse one normalization pass; fanned out so the pairwise dot
-    // stage parallelizes even when the scan is a single file split
-    fanOut(s, table(s, dir, "embeddings"))
-      .withColumn("embd", transform($"embedding", x => x.cast("double")))
-      .withColumn("nsq", dotExact($"embd", $"embd"))
-      .select($"vec_id", $"label", $"embd", $"nsq")
-      .cache()
-  }
+  private def withNorm(s: SparkSession, dir: String): DataFrame =
+    // memoized+cached once per session: near-dup and kNN share one
+    // normalization pass; fanned out so the pairwise dot stage
+    // parallelizes even when the scan is a single file split
+    memo(s, s"similarity.withNorm:$dir") {
+      import s.implicits._
+      graft.functions.DotProductExact.register(s)
+      fanOut(s, table(s, dir, "embeddings"))
+        .withColumn("embd", transform($"embedding", x => x.cast("double")))
+        .withColumn("nsq", dotExact($"embd", $"embd"))
+        .select($"vec_id", $"label", $"embd", $"nsq")
+    }
 
   private val oracleEx =
     """ex AS (SELECT vec_id, label, i AS pos, cast(embedding[i+1] as double) AS v
@@ -54,40 +54,90 @@ object Similarity {
       norms AS (SELECT vec_id AS nid, cast(sum(cast(v*v as decimal(30,15))) as double) AS nsq
         FROM ex GROUP BY 1)"""
 
-  /** Normalized embeddings for the fast path: unit-length double arrays. */
-  private def normalized(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    graft.functions.DotProduct.register(s)
-    fanOut(s, table(s, dir, "embeddings"))
-      .withColumn("emb", transform($"embedding", x => x.cast("double")))
-      .withColumn("norm", sqrt(graft.functions.DotProduct.dot_fast($"emb", $"emb")))
-      .withColumn("unit", transform($"emb", x => x / $"norm"))
-      .select($"vec_id", $"label", $"unit")
-  }
+  /** Normalized embeddings for the fast path: unit-length double arrays.
+    * Memoized+cached once per session — q36/q37/q39 share one pass. */
+  private def normalized(s: SparkSession, dir: String): DataFrame =
+    memo(s, s"similarity.normalized:$dir") {
+      import s.implicits._
+      graft.functions.DotProduct.register(s)
+      fanOut(s, table(s, dir, "embeddings"))
+        .withColumn("emb", transform($"embedding", x => x.cast("double")))
+        .withColumn("norm", sqrt(graft.functions.DotProduct.dot_fast($"emb", $"emb")))
+        .withColumn("unit", transform($"emb", x => x / $"norm"))
+        .select($"vec_id", $"label", $"unit")
+    }
 
   val catalog: Map[String, Q] = Map(
 
-    // ---- embedding-cosine near-duplicate pairs (blocked by label).
-    // The label block bounds the pair fan-out (the 100 TB pattern:
-    // block, then pairwise only within block); each pair costs one
-    // codegen'd 64-element fold, no per-dimension shuffle. ----
+    // ---- embedding-cosine near-duplicate pairs: hyperplane-signature
+    // LSH prune (4 bands × 6 bits, banded so a pair is a candidate iff
+    // SOME band matches), then exact cosine only on candidates. Round 1
+    // ran all-pairs within `label`, whose cardinality is FIXED (~10), so
+    // block size grew linearly with the corpus — O(n²) (VERDICT r1 #2).
+    // Now the bucket key is (label, band, 6 signature bits): occupancy
+    // per bucket is what bounds the pairwise work, and band width is the
+    // knob that keeps it flat as the corpus grows. Signature bits come
+    // from the EXACT decimal dot product (DotProductExact), so DuckDB
+    // derives bit-identical signatures and the oracle stays hash-exact. ----
     "q34_embedding_neardup" -> Q(
       (s, dir) => {
         import s.implicits._
+        val nBands = 4
+        val bandBits = 6
         val e = withNorm(s, dir)
-        val a = e.select($"vec_id".as("aid"), $"label".as("albl"), $"embd".as("aembd"), $"nsq".as("ansq"))
-        val b = e.select($"vec_id".as("bid"), $"label".as("blbl"), $"embd".as("bembd"), $"nsq".as("bnsq"))
-        a.join(b, $"albl" === $"blbl" && $"aid" < $"bid")
+        // plane(j)(i) in [-7.5, 7.5]: first hex digit of md5("j:i") —
+        // deterministic, RNG-free, same construction as q37
+        val planes: Seq[Seq[Double]] = (0 until nBands * bandBits).map { j =>
+          (0 until 64).map { i =>
+            val hex = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$j:$i".getBytes("UTF-8"))
+            ((hex(0) & 0xff) >> 4) - 7.5
+          }
+        }
+        def planeLit(j: Int) = array(planes(j).map(lit): _*)
+        val bandCols = (0 until nBands).map { b =>
+          concat((0 until bandBits).map { r =>
+            when(dotExact(planeLit(b * bandBits + r), $"embd") >= 0, lit("1"))
+              .otherwise(lit("0"))
+          }: _*).as(s"band$b")
+        }
+        val sig = e.select(($"vec_id" +: $"label" +: bandCols): _*)
+        val bands = sig.select($"vec_id", $"label",
+            explode(array((0 until nBands).map(b =>
+              struct(lit(b).as("band"), col(s"band$b").as("bkey"))): _*)).as("bk"))
+          .select($"vec_id", $"label", $"bk.band".as("band"), $"bk.bkey".as("bkey"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+              col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+          .distinct()
+        cand
+          .join(e.select($"vec_id".as("id_a"), $"embd".as("aembd"), $"nsq".as("ansq")), Seq("id_a"))
+          .join(e.select($"vec_id".as("id_b"), $"embd".as("bembd"), $"nsq".as("bnsq")), Seq("id_b"))
           .withColumn("cos", dotExact($"aembd", $"bembd") / (sqrt($"ansq") * sqrt($"bnsq")))
           .filter($"cos" >= 0.3)
-          .select($"aid".as("id_a"), $"bid".as("id_b"), round($"cos", 4).as("cos"))
+          .select($"id_a", $"id_b", round($"cos", 4).as("cos"))
           .orderBy($"id_a", $"id_b")
       },
       Some(s"""WITH $oracleEx,
-        dots AS (SELECT b.vec_id AS id_a, a.vec_id AS id_b,
-            cast(sum(cast(a.v*b.v as decimal(30,15))) as double) AS dot
-          FROM ex a JOIN ex b ON a.pos=b.pos AND a.vec_id > b.vec_id AND a.label=b.label
-          GROUP BY 1,2),
+        planes AS (SELECT j, i,
+            cast((strpos('0123456789abcdef', substr(md5(j || ':' || i), 1, 1)) - 1) - 7.5 as double) AS pv
+          FROM range(24) a(j) CROSS JOIN range(64) b(i)),
+        bits AS (SELECT e.vec_id, p.j,
+            CASE WHEN sum(cast(p.pv * e.v as decimal(30,15))) >= 0 THEN '1' ELSE '0' END AS bit
+          FROM ex e JOIN planes p ON p.i = e.pos GROUP BY 1, 2),
+        bands AS (SELECT vec_id, cast(floor(j/6) as int) AS band,
+            string_agg(bit, '' ORDER BY j) AS bkey
+          FROM bits GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+          FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+          JOIN embeddings la ON la.vec_id = x.vec_id
+          JOIN embeddings lb ON lb.vec_id = y.vec_id AND lb.label = la.label),
+        dots AS (SELECT c.id_a, c.id_b,
+            cast(sum(cast(a.v * b.v as decimal(30,15))) as double) AS dot
+          FROM cand c JOIN ex a ON a.vec_id = c.id_a
+          JOIN ex b ON b.vec_id = c.id_b AND b.pos = a.pos
+          GROUP BY 1, 2),
         cosd AS (SELECT id_a, id_b, dot/(sqrt(na.nsq)*sqrt(nb.nsq)) AS cos
           FROM dots JOIN norms na ON na.nid=id_a JOIN norms nb ON nb.nid=id_b)
         SELECT id_a, id_b, round(cos,4) AS cos FROM cosd
@@ -187,45 +237,53 @@ object Similarity {
         import s.implicits._
         val k = 16
         val nprobe = 4
-        val all = normalized(s, dir).cache()
+        val all = normalized(s, dir)
         // deterministic init: every (n/k)-th vector by id order
         val n = all.count()
         val step = math.max(1L, n / k)
         var centroids = all.filter($"vec_id" % step === 0).limit(k)
           .select($"vec_id".as("cid"), $"unit".as("cvec"))
-        // 3 Lloyd iterations: assign → mean → renormalize
+        // per-vector nearest centroid via partial-aggregated struct-max
+        // (sim desc, cid asc): one row per vector leaves each map task.
+        // The previous window/row_number argmin shuffled AND sorted
+        // corpus × k rows on every use — 4 full shuffles of 16× the
+        // corpus per run (VERDICT r1 "what's wrong" #3).
+        def nearest(df: DataFrame, cents: DataFrame): DataFrame = df
+          .join(broadcast(cents))
+          .withColumn("sim", graft.functions.DotProduct.dot_fast($"unit", $"cvec"))
+          .groupBy($"vec_id")
+          .agg(max(struct($"sim", (-$"cid").as("ncid"), $"cid", $"unit")).as("b"))
+          .select($"vec_id", $"b.cid".as("cid"), $"b.unit".as("unit"))
+        // 3 Lloyd iterations: assign → element-wise mean → renormalize.
+        // The mean is the fixed-width VectorMeanD partial aggregate
+        // (num_cells × 520-byte buffers), not a posexplode of
+        // corpus × dim rows.
+        val vmeanD = udaf(VectorMeanD)
         for (_ <- 0 until 3) {
-          val assigned = all.join(broadcast(centroids))
-            .withColumn("sim", graft.functions.DotProduct.dot_fast($"unit", $"cvec"))
-            .withColumn("rn", row_number().over(
-              Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid")))
-            .filter($"rn" === 1)
-          val means = assigned
-            .select($"cid", posexplode($"unit").as(Seq("pos", "v")))
-            .groupBy($"cid", $"pos").agg(avg($"v").as("m"))
-            .groupBy($"cid").agg(array_sort(collect_list(struct($"pos", $"m"))).as("ps"))
-            .select($"cid", transform($"ps", x => x.getField("m")).as("raw"))
+          val means = nearest(all, centroids)
+            .groupBy($"cid").agg(vmeanD($"unit").as("raw"))
           centroids = means
             .withColumn("nrm", sqrt(graft.functions.DotProduct.dot_fast($"raw", $"raw")))
             .select($"cid", transform($"raw", x => x / $"nrm").as("cvec"))
             .localCheckpoint()   // truncate per-iteration lineage growth
         }
-        val cb = broadcast(centroids.cache())
-        def assign(df: DataFrame, keep: Int): DataFrame = df.join(cb)
+        val corpus = nearest(all, centroids)
+        // query side is ~2% of the corpus — a window top-nprobe over
+        // queries × k rows is negligible there
+        val queries = all.filter($"vec_id" % 50 === 0)
+          .join(broadcast(centroids))
           .withColumn("sim", graft.functions.DotProduct.dot_fast($"unit", $"cvec"))
           .withColumn("crn", row_number().over(
             Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid")))
-          .filter($"crn" <= keep)
-        val corpus = assign(all, 1)
-          .select($"vec_id", $"unit", $"cid")
-        val queries = assign(all.filter($"vec_id" % 50 === 0), nprobe)
+          .filter($"crn" <= nprobe)
           .select($"vec_id".as("qid"), $"unit".as("qunit"), $"cid")
         val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid")
+        // each corpus vector lives in exactly one cell, so (qid, vid)
+        // join pairs are already unique — no distinct shuffle needed
         queries.join(corpus, Seq("cid"))
           .filter($"qid" =!= $"vec_id")
           .withColumn("cos", graft.functions.DotProduct.dot_fast($"qunit", $"unit"))
-          .select($"qid", $"vec_id".as("vid"), $"cos")
-          .distinct()
+          .withColumn("vid", $"vec_id")
           .withColumn("rn", row_number().over(w))
           .filter($"rn" <= 5)
           .select($"qid", $"rn", $"vid", round($"cos", 4).as("cos"))

@@ -46,3 +46,34 @@ object VectorMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doub
   override def outputEncoder: Encoder[Seq[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 }
+
+/** Double-input variant of [[VectorMean]], used by the IVF Lloyd step
+  * (q39) to average unit vectors per cell: same fixed-width partial
+  * aggregate, so each k-means iteration shuffles num_cells × 520-byte
+  * buffers instead of posexploding corpus × dim rows. */
+object VectorMeanD extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
+
+  override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+
+  override def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
+    if (v == null) b
+    else {
+      val acc = if (b._1.length == 0) new Array[Double](v.length) else b._1
+      var i = 0
+      while (i < v.length) { acc(i) += v(i); i += 1 }
+      (acc, b._2 + 1)
+    }
+  }
+
+  override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) =
+    VectorMean.merge(a, b)
+
+  override def finish(r: (Array[Double], Long)): Seq[Double] =
+    VectorMean.finish(r)
+
+  override def bufferEncoder: Encoder[(Array[Double], Long)] =
+    VectorMean.bufferEncoder
+
+  override def outputEncoder: Encoder[Seq[Double]] =
+    VectorMean.outputEncoder
+}

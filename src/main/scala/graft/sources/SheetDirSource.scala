@@ -62,9 +62,11 @@ object SheetDirSource {
 
   def sheets(d: Path): Seq[Path] = {
     require(Files.isDirectory(d), s"sheetdir: not a directory: $d")
-    Files.list(d).iterator().asScala
+    val listing = Files.list(d)
+    try listing.iterator().asScala
       .filter(f => f.getFileName.toString.endsWith(".csv"))
       .toSeq.sortBy(_.getFileName.toString)
+    finally listing.close()
   }
 
   def sep(options: CaseInsensitiveStringMap): String = options.getOrDefault("sep", ",")
@@ -72,7 +74,8 @@ object SheetDirSource {
   def infer(options: CaseInsensitiveStringMap): StructType = {
     val ss = sheets(dir(options))
     require(ss.nonEmpty, s"sheetdir: no .csv sheets in ${dir(options)}")
-    val header = Files.lines(ss.head).findFirst().orElse("")
+    val headStream = Files.lines(ss.head)
+    val header = try headStream.findFirst().orElse("") finally headStream.close()
     val cols = parseLine(header, sep(options).charAt(0))
     StructType(cols.map(c => StructField(c, StringType)) :+ StructField(SheetCol, StringType))
   }
@@ -152,7 +155,9 @@ class SheetReaderFactory(full: StructType, required: StructType, sep: String)
     }
     val sheetName = UTF8String.fromString(p.sheet)
     new PartitionReader[InternalRow] {
-      private val lines = Files.lines(Paths.get(p.file)).iterator()
+      // keep the stream handle so close() can release the file descriptor
+      private val stream = Files.lines(Paths.get(p.file))
+      private val lines = stream.iterator()
       if (lines.hasNext) lines.next() // header row (parsed once at infer time)
       private var current: InternalRow = _
 
@@ -169,7 +174,7 @@ class SheetReaderFactory(full: StructType, required: StructType, sep: String)
           true
         }
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      override def close(): Unit = stream.close()
     }
   }
 }

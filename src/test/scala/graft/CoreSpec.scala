@@ -71,6 +71,36 @@ class CoreSpec extends SparkSpec {
     assert(perDoc == Set(4L), s"expected 4 frames per doc, got $perDoc")
   }
 
+  test("sortWithinPartitions: local order with no global-sort exchange (SURVEY §2B)") {
+    import org.apache.spark.sql.functions._
+    val df = Core.table(spark, "/root/testdata/sf0.001", "orders")
+      .repartition(4, $"o_custkey")
+      .sortWithinPartitions($"o_totalprice")
+      .select($"o_totalprice")
+    val perPartSorted = df.rdd.mapPartitions { it =>
+      val v = it.map(_.getDouble(0)).toArray
+      Iterator.single(v.sameElements(v.sorted))
+    }.collect()
+    assert(perPartSorted.nonEmpty && perPartSorted.forall(identity))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("(?i)exchange".r.findAllIn(plan).size == 1,
+      s"expected only the repartition exchange:\n$plan")
+    assert(plan.contains("Sort ") && plan.contains("], false, 0"),
+      s"expected a non-global (within-partition) sort:\n$plan")
+  }
+
+  test("VectorMeanD aggregator: double-vector mean for the IVF Lloyd step") {
+    val vmean = org.apache.spark.sql.functions.udaf(ops.VectorMeanD)
+    val df = Seq(
+      (0, Seq(1.0, 2.0)),
+      (0, Seq(3.0, 4.0)),
+      (1, Seq(10.0, 20.0))).toDF("cid", "unit")
+    val got = df.groupBy($"cid").agg(vmean($"unit").as("m"))
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(got(0) == Seq(2.0, 3.0))
+    assert(got(1) == Seq(10.0, 20.0))
+  }
+
   test("VectorMean aggregator: direct use over a literal dataset") {
     val vmean = org.apache.spark.sql.functions.udaf(ops.VectorMean)
     val df = Seq(
