@@ -52,12 +52,14 @@ object ScaleProbe {
       val n = SparkEntry.queries(q)(spark, dst).count()
       println(f"PROBE $q%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
     }
-    // q34/q35 (exact-pairwise oracle paths, documented O(n²)) are
-    // deliberately excluded — the scale paths are q36/q37/q39
+    // q35 (exact-pairwise kNN oracle, documented O(n²/50)) is
+    // deliberately excluded — the scale paths are q34/q36/q37/q39
+    // (q34 joined the probe in round 2 once its all-pairs label block
+    // was replaced with banded signature buckets)
     Seq("q01_pricing_summary", "q03_join_revenue_by_nation", "q09_asof_join_event_order",
       "q31_minhash_lsh_pairs", "q32_ngram_jaccard", "q45_dedup_clusters",
-      "q47_corpus_curation", "q36_knn_fast", "q37_ann_lsh",
-      "q53_topk_custom_operator").foreach(time)
+      "q47_corpus_curation", "q34_embedding_neardup", "q36_knn_fast", "q37_ann_lsh",
+      "q39_ann_ivf", "q53_topk_custom_operator").foreach(time)
     spark.stop()
   }
 }

@@ -92,6 +92,33 @@ class PlanSpec extends SparkSpec {
     assert(got == viaWindow, "heap-based top-k disagrees with window top-k")
   }
 
+  test("q34 near-dup: candidates come from a signature-bucket equi-join, never a loop join") {
+    val p = planOf("q34_embedding_neardup")
+    assert(p.contains("bkey"), s"candidate join must key on the band signature:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "near-dup pair generation regressed to an all-pairs loop join")
+  }
+
+  test("q39 IVF: corpus-side nearest-centroid is a partial aggregate, not a window sort") {
+    // gate the reusable shape, not the full query (whose small query
+    // side legitimately uses a window): per-vector argmax over
+    // corpus × k must partial-aggregate, shuffling one row per vector
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.DotProduct.register(spark)
+    val all = Core.table(spark, dir, "embeddings")
+      .withColumn("unit", transform($"embedding", x => x.cast("double")))
+      .select($"vec_id", $"unit")
+    val cents = all.limit(4).select($"vec_id".as("cid"), $"unit".as("cvec"))
+    val nearest = all.join(broadcast(cents))
+      .withColumn("sim", graft.functions.DotProduct.dot_fast($"unit", $"cvec"))
+      .groupBy($"vec_id")
+      .agg(max(struct($"sim", (-$"cid").as("ncid"), $"cid")).as("b"))
+    val p = nearest.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Window"), s"argmin fell back to a window sort:\n${p.take(1500)}")
+    assert(p.toLowerCase.contains("aggregate"), s"expected partial aggregation:\n${p.take(1500)}")
+  }
+
   test("custom expressions are compiled into generated code, not fallback") {
     graft.functions.DotProductExact.register(spark)
     import spark.implicits._
