@@ -75,6 +75,31 @@ object Corpus {
       },
       Some("""SELECT doc_id, lang, n_chars FROM documents
         WHERE CAST('0x' || substr(md5(cast(doc_id as varchar)), 1, 4) AS BIGINT) < 6554
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---- stratified sample: a fixed per-language quota, ranked by the
+    // md5 of the key so the SAME docs fall out on every engine, run,
+    // and cluster size — the per-stratum version of q48. One shuffle
+    // on the stratum key; md5 hex compares identically in both
+    // engines. At scale with few strata this is exactly the bounded
+    // top-k-per-group shape, so the heap-based TopKPerGroup operator
+    // (q53) substitutes if a window over a hot stratum ever skews. ----
+    "q58_stratified_sample" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"lang")
+          .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+        table(s, dir, "documents")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 20)
+          .select($"lang", $"rn".cast("long").as("rn"), $"doc_id", $"n_chars")
+          .orderBy($"lang", $"rn")
+      },
+      Some("""SELECT lang, rn, doc_id, n_chars FROM (
+          SELECT lang, doc_id, n_chars,
+            row_number() OVER (PARTITION BY lang
+              ORDER BY md5(cast(doc_id as varchar)), doc_id) AS rn
+          FROM documents) WHERE rn <= 20 ORDER BY lang, rn"""))
   )
 }

@@ -151,6 +151,36 @@ object TextOps {
       },
       None),
 
+    // ---- vocabulary statistics: term frequency / document frequency /
+    // IDF over the whole corpus (the TF row of SURVEY §2B text
+    // analysis). Classic wordcount shape: generator explode → one
+    // partial-aggregated groupBy(term) — shuffle O(distinct terms);
+    // the corpus-size scalar joins in as a broadcast single row. ----
+    "q57_vocab_stats" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val total = docs.agg(count(lit(1)).as("n_docs"))
+        docs
+          .select($"doc_id",
+            explode(regexp_extract_all(lower($"text"), lit("[a-z]+"), lit(0))).as("term"))
+          .groupBy($"term")
+          .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("tf"))
+          .filter($"tf" >= 50)
+          .crossJoin(broadcast(total))
+          .select($"term", $"df", $"tf",
+            rnd4(log($"n_docs".cast("double") / $"df")).as("idf"))
+          .orderBy($"tf".desc, $"term")
+      },
+      Some(s"""WITH terms AS (SELECT doc_id,
+          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM documents),
+        stats AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+          FROM terms GROUP BY term),
+        tot AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT term, df, tf,
+          ${oRnd4("ln(cast(n_docs as double) / df)")} AS idf
+        FROM stats, tot WHERE tf >= 50 ORDER BY tf DESC, term""")),
+
     // ---- document fingerprint: md5 over whitespace-normalized text ----
     "q43_fingerprint" -> Q(
       (s, dir) => {
