@@ -3,26 +3,29 @@ package graft
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** 10× scale probe: synthesizes an sf≈1 dataset from sf0.1 (key-offset
-  * copies; documents get per-copy tail perturbations so they are
-  * NEAR-duplicates — the worst realistic case for the dedup pipeline:
-  * every doc suddenly has 9 near-twins) and times the heavy queries.
-  * Spark-only smoke (no DuckDB compare) — the question is whether the
-  * plans survive a 10× scale-up and a 1000× candidate-pair explosion,
-  * per the SCALE.md claims. */
+/** N× scale probe (default 10×, sf≈1): synthesizes a larger dataset
+  * from sf0.1 (key-offset copies; documents get per-copy tail
+  * perturbations so they are NEAR-duplicates — the worst realistic
+  * case for the dedup pipeline: every doc suddenly has N−1 near-twins)
+  * and times the heavy queries. Spark-only smoke (no DuckDB compare) —
+  * the question is whether the plans survive the scale-up and the
+  * quadratic candidate-pair explosion, per the SCALE.md claims.
+  * `SPARK_GRAFT_PROBE_COPIES=100` runs the 100× probe (sf≈10: 60M
+  * lineitem rows, 500k docs each with 99 near-twins); pair raising it
+  * with `SPARK_DRIVER_MEM` since the probe shares the forked JVM heap. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
-    val dst = "/tmp/sf1probe"
+    val copies = sys.env.getOrElse("SPARK_GRAFT_PROBE_COPIES", "10").toInt
+    val dst = s"/tmp/sfprobe_x$copies"
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.shuffle.partitions", if (copies > 10) "128" else "64")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     import spark.implicits._
     spark.sparkContext.setLogLevel("WARN")
 
-    val copies = 10
     def replicate(name: String, keyCols: Seq[String], textPerturb: Boolean = false): Unit = {
       val base = Core.table(spark, src, name)
       val out = (0 until copies).map { i =>
@@ -55,11 +58,17 @@ object ScaleProbe {
     // q35 (exact-pairwise kNN oracle, documented O(n²/50)) is
     // deliberately excluded — the scale paths are q34/q36/q37/q39
     // (q34 joined the probe in round 2 once its all-pairs label block
-    // was replaced with banded signature buckets)
-    Seq("q01_pricing_summary", "q03_join_revenue_by_nation", "q09_asof_join_event_order",
+    // was replaced with banded signature buckets). Above 10× the two
+    // output-/flop-bound baselines drop out too: q34's verified-pair
+    // OUTPUT is quadratic in duplicate multiplicity (~25M pairs at
+    // 100×) and q36 is the deliberate brute-force baseline (corpus ×
+    // query dots with no pruning); q37/q39 carry the ANN story there.
+    val baselines =
+      if (copies <= 10) Seq("q34_embedding_neardup", "q36_knn_fast") else Seq.empty
+    (Seq("q01_pricing_summary", "q03_join_revenue_by_nation", "q09_asof_join_event_order",
       "q31_minhash_lsh_pairs", "q32_ngram_jaccard", "q45_dedup_clusters",
-      "q47_corpus_curation", "q34_embedding_neardup", "q36_knn_fast", "q37_ann_lsh",
-      "q39_ann_ivf", "q53_topk_custom_operator").foreach(time)
+      "q47_corpus_curation") ++ baselines ++ Seq("q37_ann_lsh",
+      "q39_ann_ivf", "q53_topk_custom_operator")).foreach(time)
     spark.stop()
   }
 }

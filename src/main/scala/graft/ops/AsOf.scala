@@ -2,19 +2,22 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Reusable as-of join operator (SURVEY.md §2B "as-of join") — Spark
   * 4.1's Scala API has no native asof, so this composes a range join
-  * with a per-left-row top-1 window, the plan shape validated against
-  * a DuckDB oracle by q09_asof_join_event_order.
+  * with a per-left-row argmax, the semantics validated against a
+  * DuckDB oracle by q09_asof_join_event_order.
   *
-  * Scale: the range join shuffles both sides once on the equi keys;
-  * the window partitions by the left row id (unique), so per-task
-  * window state is a handful of rows. Skewed match fan-out (one user
-  * with millions of orders) is bounded by AQE skew-join splitting on
-  * the shuffle; for pathological cases pre-filter the right side to a
-  * time horizon.
+  * Scale: the range join shuffles both sides once on the equi keys.
+  * The per-left-row "latest right row" pick is a partial-aggregated
+  * `max_by` — each map task reduces its matches to one row per left
+  * id before the shuffle, so the aggregation moves O(left rows), not
+  * O(matched pairs), and nothing is sorted. (Round 1 used a window
+  * partitioned by the left id, which shuffled AND sorted every matched
+  * pair.) Skewed match fan-out (one user with millions of orders) is
+  * partial-aggregated away map-side for the pick itself; the join
+  * stays AQE-skew-splittable; for pathological cases pre-filter the
+  * right side to a time horizon.
   */
 object AsOf {
 
@@ -22,7 +25,7 @@ object AsOf {
     * `rightTime <= leftTime` among rows sharing `on` keys (backward
     * as-of, left-outer semantics: unmatched left rows keep nulls).
     *
-    * @param leftId    a unique left-row key (window partition)
+    * @param leftId    a unique left-row key (aggregation key)
     * @param tieBreak  deterministic tie-break among equal rightTime
     */
   def joinAsOf(left: DataFrame, right: DataFrame, on: Seq[(String, String)],
@@ -30,11 +33,19 @@ object AsOf {
       tieBreak: String): DataFrame = {
     val cond = on.map { case (l, r) => left(l) === right(r) }
       .reduce(_ && _) && right(rightTime) <= left(leftTime)
-    val w = Window.partitionBy(col(leftId))
-      .orderBy(col(rightTime).desc_nulls_last, col(tieBreak).desc_nulls_last)
+    val leftCols = left.columns.toSeq
+    val rightCols = right.columns.toSeq
+    // argmax over (rightTime, tieBreak): matched rows always have a
+    // non-null ordering struct; an unmatched left-outer row carries
+    // struct(null, null), which struct comparison orders below every
+    // real match — so nulls survive exactly when nothing matched
+    val aggs =
+      leftCols.filterNot(_ == leftId).map(c => first(col(c)).as(c)) :+
+        max_by(struct(rightCols.map(col): _*),
+          struct(col(rightTime), col(tieBreak))).as("__best")
     left.join(right, cond, "left")
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      .groupBy(col(leftId))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"__best.`$c`").as(c)): _*)
   }
 }

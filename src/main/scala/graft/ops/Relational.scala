@@ -192,20 +192,21 @@ object Relational {
         GROUP BY s_suppkey, s_name ORDER BY s_suppkey""")),
 
     // ---- as-of join: latest order at-or-before each event's timestamp.
-    // Spark 4.1 Scala has no native asof join; composed as a range join
-    // + per-event top-1 window (SURVEY.md §2B "as-of join").
-    // 100 TB path: the range join shuffles on user key; the window's
-    // partition key (event_id) is unique so state stays tiny.
+    // Spark 4.1 Scala has no native asof join; `ops.AsOf` composes a
+    // range join + per-event max_by argmax (SURVEY.md §2B "as-of join").
+    // 100 TB path: the range join shuffles on user key; the argmax is a
+    // partial aggregate, so each map task emits one row per event — the
+    // matched-pair fan-out never reaches a shuffle or a sort.
     "q09_asof_join_event_order" -> Q(
       (s, dir) => {
         import s.implicits._
-        val e = table(s, dir, "events")
-        val o = table(s, dir, "orders")
-        val w = Window.partitionBy($"event_id")
-          .orderBy($"o_orderdate".desc_nulls_last, $"o_orderkey".desc_nulls_last)
-        e.join(o, $"user_id" === $"o_custkey" && $"o_orderdate" <= $"ts", "left")
-          .withColumn("rn", row_number().over(w))
-          .filter($"rn" === 1)
+        // prune before the join: joinAsOf carries every left column
+        // through the aggregation
+        val e = table(s, dir, "events").select($"event_id", $"user_id", $"ts")
+        val o = table(s, dir, "orders").select($"o_orderkey", $"o_custkey", $"o_orderdate")
+        AsOf.joinAsOf(e, o, Seq("user_id" -> "o_custkey"),
+            leftId = "event_id", leftTime = "ts", rightTime = "o_orderdate",
+            tieBreak = "o_orderkey")
           .select($"event_id", $"user_id",
             date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts_s"),
             $"o_orderkey",

@@ -50,7 +50,9 @@ class OpsSpec extends SparkSpec {
     assert(stats.files > 0 && stats.bytes > 0, s"got $stats")
   }
 
-  test("AsOf.joinAsOf matches the q09 window composition") {
+  test("AsOf.joinAsOf (max_by argmax) matches an independent window composition") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
     val e = Core.table(spark, dir, "events")
     val o = Core.table(spark, dir, "orders")
@@ -59,10 +61,16 @@ class OpsSpec extends SparkSpec {
         tieBreak = "o_orderkey")
       .select($"event_id", $"o_orderkey")
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
-    val oracle = SparkEntry.queries("q09_asof_join_event_order")(spark, dir)
+    // q09 now uses joinAsOf itself, so cross-check against the window
+    // formulation built here from scratch
+    val w = Window.partitionBy($"event_id")
+      .orderBy($"o_orderdate".desc_nulls_last, $"o_orderkey".desc_nulls_last)
+    val viaWindow = e.join(o, $"user_id" === $"o_custkey" && $"o_orderdate" <= $"ts", "left")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
       .select($"event_id", $"o_orderkey")
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
-    assert(got == oracle)
+    assert(got == viaWindow)
   }
 
   test("Skew.saltedJoin returns exactly the plain join's result") {
