@@ -69,8 +69,12 @@ object Core {
     * normalized embeddings three ANN queries reuse). One `.cache()` per
     * key per session — no "already cached" re-cache churn — and every
     * registration is released together via [[clearCaches]]. */
-  def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+  def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    // drop entries of stopped sessions so a long-lived JVM (sbt test,
+    // repeated runMains) doesn't pin dead sessions and their plans
+    memos.keys.filter(_._1.sparkContext.isStopped).foreach(memos.remove)
     memos.getOrElseUpdate((s, key), build.cache())
+  }
 
   /** Unpersist and forget every memoized DataFrame of this session —
     * called by the Verify/Bench harnesses when the catalog run ends so a

@@ -37,7 +37,11 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
       out.write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
     }
-    val regen = !new java.io.File(s"$dst/lineitem.parquet").exists()
+    // the sentinel is a marker written AFTER the last table — keying
+    // regen off the first-written table would treat a run interrupted
+    // mid-replication as complete forever after
+    val marker = new java.io.File(s"$dst/_PROBE_DATA_READY")
+    val regen = !marker.exists()
     def replicateIf(name: String, keyCols: Seq[String], textPerturb: Boolean = false): Unit =
       if (regen) replicate(name, keyCols, textPerturb)
     replicateIf("lineitem", Seq("l_orderkey"))
@@ -48,6 +52,7 @@ object ScaleProbe {
     replicateIf("documents", Seq("doc_id"), textPerturb = true)
     replicateIf("embeddings", Seq("vec_id"))
     replicateIf("events", Seq("event_id", "user_id"))
+    if (regen) marker.createNewFile()
     println("DATA READY")
 
     def time(q: String): Unit = {

@@ -22,14 +22,15 @@ object Metrics {
 
   final case class WriteStats(rows: Long, files: Long, bytes: Long)
 
-  /** Output column name of the barrier query — see [[collectWriteStats]]. */
-  private val BarrierCol = "graft_metrics_barrier"
-
   private class Collector extends QueryExecutionListener {
     val seen = new ConcurrentLinkedQueue[WriteStats]()
     val barrier = new CountDownLatch(1)
+    // per-instance marker column: a shared name would let a nested or
+    // concurrent collectWriteStats fire THIS collector's one-shot latch
+    val barrierCol: String =
+      "graft_metrics_barrier_" + java.util.UUID.randomUUID().toString.replace("-", "")
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-      if (qe.analyzed.output.exists(_.name == BarrierCol)) barrier.countDown()
+      if (qe.analyzed.output.exists(_.name == barrierCol)) barrier.countDown()
       else {
         // only genuine write/commit nodes carry BOTH numFiles and
         // numOutputBytes (FileFormatWriter / V2 commit metrics).
@@ -61,7 +62,7 @@ object Metrics {
       // every write event from `body` has already been delivered. No
       // fixed-interval polling, and a write-free body costs one tiny
       // query instead of a 5 s timeout.
-      spark.sql(s"SELECT 1 AS $BarrierCol").collect()
+      spark.sql(s"SELECT 1 AS ${c.barrierCol}").collect()
       c.barrier.await(10, TimeUnit.SECONDS)
       val all = c.seen.iterator().asScala.toSeq
       (result, WriteStats(all.map(_.rows).sum, all.map(_.files).sum, all.map(_.bytes).sum))

@@ -31,10 +31,15 @@ object AsOf {
   def joinAsOf(left: DataFrame, right: DataFrame, on: Seq[(String, String)],
       leftId: String, leftTime: String, rightTime: String,
       tieBreak: String): DataFrame = {
-    val cond = on.map { case (l, r) => left(l) === right(r) }
-      .reduce(_ && _) && right(rightTime) <= left(leftTime)
     val leftCols = left.columns.toSeq
     val rightCols = right.columns.toSeq
+    // the post-join aggregation references columns by bare name, so the
+    // two sides must not share any — rename (or pre-prune) before calling
+    val shared = leftCols.toSet.intersect(rightCols.toSet)
+    require(shared.isEmpty,
+      s"joinAsOf: left and right must have disjoint column names, both have: ${shared.mkString(", ")}")
+    val cond = on.map { case (l, r) => left(l) === right(r) }
+      .reduce(_ && _) && right(rightTime) <= left(leftTime)
     // argmax over (rightTime, tieBreak): matched rows always have a
     // non-null ordering struct; an unmatched left-outer row carries
     // struct(null, null), which struct comparison orders below every

@@ -143,7 +143,14 @@ object Dedup {
       // before the data is a problem (found by the 10× ScaleProbe).
       // Unlike the previous RDD round-trip this keeps Tungsten rows (no
       // Row object deserialization); superseded per-round checkpoints
-      // are dropped by the ContextCleaner once unreferenced.
+      // (2 longs/doc — ~16 MB per round at 500k docs) are dropped by
+      // the ContextCleaner once the previous `labels` reference is
+      // reassigned. Cluster-mode caveat: localCheckpoint trades fault
+      // tolerance for speed — a lost executor mid-run fails the job
+      // instead of recomputing. On a real cluster set a checkpoint dir
+      // and swap in reliable .checkpoint() (same call shape) if the
+      // corpus is big enough that a restart hurts more than the
+      // per-round HDFS write.
       // the fresh aliases re-key the checkpoint's output attributes —
       // without them the LogicalRDD's carried-over constraints reference
       // pre-checkpoint exprIds and the next round's union fails its

@@ -15,8 +15,11 @@ import graft.Core._
   * transformations + Spark SQL, designed for 100 TB scale.
   *
   * Scale notes (local[32] tests, 1000-executor design):
-  *  - dimension tables (region/nation/supplier, and customer at ≤SF100)
-  *    are broadcast explicitly — no shuffle on the fact side;
+  *  - fixed-cardinality dimensions (region/nation) are broadcast
+  *    explicitly; SF-growing ones (customer, supplier) are left to
+  *    Catalyst/AQE, which auto-broadcasts them below the threshold and
+  *    shuffles beyond it — the 100× probe measured a forced customer
+  *    broadcast at 214 s vs 56 s planner-chosen (SCALE.md "Measured");
   *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key once;
   *    AQE (enabled by default in Spark 4) re-plans skew at runtime;
   *  - every aggregation is a partial (map-side) + final HashAggregate —
@@ -83,7 +86,12 @@ object Relational {
         ORDER BY o_orderkey""")),
 
     // ---- multi-way equi-join + agg: revenue per nation (Q5-shaped) ----
-    // lineitem⋈orders shuffles on orderkey; customer & nation broadcast.
+    // lineitem⋈orders shuffles on orderkey. Only nation is FORCE-
+    // broadcast: its cardinality is fixed (25 rows) at any SF. customer
+    // grows with SF, so its join strategy is left to Catalyst/AQE —
+    // auto-broadcast under the threshold at test scale, shuffle join
+    // beyond it (the 100× probe measured a forced customer broadcast at
+    // 214 s vs letting the planner decide; SCALE.md "Measured"). ----
     "q03_join_revenue_by_nation" -> Q(
       (s, dir) => {
         import s.implicits._
@@ -92,7 +100,7 @@ object Relational {
         val c = table(s, dir, "customer")
         val n = table(s, dir, "nation")
         l.join(o, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(c, $"o_custkey" === $"c_custkey")
           .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
           .groupBy($"n_name")
           .agg(

@@ -54,6 +54,18 @@ object Similarity {
       norms AS (SELECT vec_id AS nid, cast(sum(cast(v*v as decimal(30,15))) as double) AS nsq
         FROM ex GROUP BY 1)"""
 
+  /** Deterministic random hyperplanes, shared by q34 and q37:
+    * plane(j)(i) ∈ [-7.5, 7.5] is the first hex digit of md5("j:i") —
+    * no RNG, so signatures reproduce across runs AND engines (q34's
+    * DuckDB oracle derives bit-identical planes from the same md5). */
+  private def hyperplanes(n: Int): Seq[Seq[Double]] = (0 until n).map { j =>
+    (0 until 64).map { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes("UTF-8"))
+      ((hex(0) & 0xff) >> 4) - 7.5
+    }
+  }
+
   /** Normalized embeddings for the fast path: unit-length double arrays.
     * Memoized+cached once per session — q36/q37/q39 share one pass. */
   private def normalized(s: SparkSession, dir: String): DataFrame =
@@ -85,15 +97,7 @@ object Similarity {
         val nBands = 4
         val bandBits = 6
         val e = withNorm(s, dir)
-        // plane(j)(i) in [-7.5, 7.5]: first hex digit of md5("j:i") —
-        // deterministic, RNG-free, same construction as q37
-        val planes: Seq[Seq[Double]] = (0 until nBands * bandBits).map { j =>
-          (0 until 64).map { i =>
-            val hex = java.security.MessageDigest.getInstance("MD5")
-              .digest(s"$j:$i".getBytes("UTF-8"))
-            ((hex(0) & 0xff) >> 4) - 7.5
-          }
-        }
+        val planes = hyperplanes(nBands * bandBits)
         def planeLit(j: Int) = array(planes(j).map(lit): _*)
         val bandCols = (0 until nBands).map { b =>
           concat((0 until bandBits).map { r =>
@@ -200,15 +204,7 @@ object Similarity {
         import s.implicits._
         val nPlanes = 8
         val all = normalized(s, dir)
-        // plane(j)(i) in [-7.5, 7.5]: first hex digit of md5("j:i")
-        val planes: Seq[Seq[Double]] = (0 until nPlanes).map { j =>
-          (0 until 64).map { i =>
-            val hex = java.security.MessageDigest.getInstance("MD5")
-              .digest(s"$j:$i".getBytes("UTF-8"))
-            ((hex(0) & 0xff) >> 4) - 7.5
-          }
-        }
-        val planeLit = array(planes.map(p => array(p.map(lit): _*)): _*)
+        val planeLit = array(hyperplanes(nPlanes).map(p => array(p.map(lit): _*)): _*)
         val sig = all.withColumn("sig",
           concat_ws("", transform(planeLit, p =>
             when(graft.functions.DotProduct.dot_fast(p, $"unit") >= 0,
@@ -235,13 +231,21 @@ object Similarity {
     "q39_ann_ivf" -> Q(
       (s, dir) => {
         import s.implicits._
-        val k = 16
         val nprobe = 4
         val all = normalized(s, dir)
-        // deterministic init: every (n/k)-th vector by id order
         val n = all.count()
-        val step = math.max(1L, n / k)
-        var centroids = all.filter($"vec_id" % step === 0).limit(k)
+        // cell count grows ~√corpus (the standard IVF sizing): probe
+        // work per query is nprobe·n/k, so a FIXED k degrades linearly
+        // with corpus growth — the 100× probe measured exactly that
+        // (10 effective cells of 200k vectors → billions of joined
+        // rows; SCALE.md "Measured")
+        val k = math.max(16, math.sqrt(n.toDouble / 64).toInt)
+        // deterministic init: k hash-ranked vectors (mod-step picking
+        // collapses when ids repeat in offset blocks — TakeOrdered of
+        // the md5 ranking is stable under any id layout)
+        var centroids = all
+          .withColumn("h", md5($"vec_id".cast("string")))
+          .orderBy($"h", $"vec_id").limit(k)
           .select($"vec_id".as("cid"), $"unit".as("cvec"))
         // per-vector nearest centroid via partial-aggregated struct-max
         // (sim desc, cid asc): one row per vector leaves each map task.
@@ -279,11 +283,17 @@ object Similarity {
           .select($"vec_id".as("qid"), $"unit".as("qunit"), $"cid")
         val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid")
         // each corpus vector lives in exactly one cell, so (qid, vid)
-        // join pairs are already unique — no distinct shuffle needed
-        queries.join(corpus, Seq("cid"))
+        // join pairs are already unique — no distinct shuffle needed.
+        // The bounded query batch is broadcast explicitly (same policy
+        // as q35–q37) so the corpus streams map-side — leaving the
+        // strategy to estimated stats flipped to a 10-key sort-merge
+        // join on one 100× probe run. Rows are narrowed to (qid, vid,
+        // cos) BEFORE the top-k window so its shuffle never carries
+        // the embedding arrays.
+        broadcast(queries).join(corpus, Seq("cid"))
           .filter($"qid" =!= $"vec_id")
           .withColumn("cos", graft.functions.DotProduct.dot_fast($"qunit", $"unit"))
-          .withColumn("vid", $"vec_id")
+          .select($"qid", $"vec_id".as("vid"), $"cos")
           .withColumn("rn", row_number().over(w))
           .filter($"rn" <= 5)
           .select($"qid", $"rn", $"vid", round($"cos", 4).as("cos"))
