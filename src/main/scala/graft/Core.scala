@@ -73,7 +73,14 @@ object Core {
     // drop entries of stopped sessions so a long-lived JVM (sbt test,
     // repeated runMains) doesn't pin dead sessions and their plans
     memos.keys.filter(_._1.sparkContext.isStopped).foreach(memos.remove)
-    memos.getOrElseUpdate((s, key), build.cache())
+    // fast path lock-free; the build itself runs under a lock because
+    // TrieMap.getOrElseUpdate is atomic only for insertion, not for
+    // evaluating the by-name argument — two threads could otherwise
+    // both run build.cache(). The lock is cheap: `build` constructs a
+    // plan and marks it cacheable, it does not materialize anything.
+    memos.get((s, key)).getOrElse(memos.synchronized {
+      memos.getOrElseUpdate((s, key), build.cache())
+    })
   }
 
   /** Unpersist and forget every memoized DataFrame of this session —

@@ -63,7 +63,13 @@ object Metrics {
       // fixed-interval polling, and a write-free body costs one tiny
       // query instead of a 5 s timeout.
       spark.sql(s"SELECT 1 AS ${c.barrierCol}").collect()
-      c.barrier.await(10, TimeUnit.SECONDS)
+      // the bus delivers in order but its queue is bounded — if the
+      // barrier event was dropped under load, say so instead of
+      // silently returning possibly-incomplete stats
+      if (!c.barrier.await(10, TimeUnit.SECONDS))
+        System.err.println(
+          "[graft.Metrics] WARN: listener-bus barrier timed out after 10s; " +
+            "write stats may be incomplete (bus queue overflow?)")
       val all = c.seen.iterator().asScala.toSeq
       (result, WriteStats(all.map(_.rows).sum, all.map(_.files).sum, all.map(_.bytes).sum))
     } finally spark.listenerManager.unregister(c)

@@ -79,20 +79,29 @@ object Corpus {
 
     // ---- stratified sample: a fixed per-language quota, ranked by the
     // md5 of the key so the SAME docs fall out on every engine, run,
-    // and cluster size — the per-stratum version of q48. One shuffle
-    // on the stratum key; md5 hex compares identically in both
-    // engines. At scale with few strata this is exactly the bounded
-    // top-k-per-group shape, so the heap-based TopKPerGroup operator
-    // (q53) substitutes if a window over a hot stratum ever skews. ----
+    // and cluster size — the per-stratum version of q48. The quota is
+    // taken by the heap-based TopKPerGroup operator (q53's physical
+    // node): O(n log k) per stratum with a bounded k-element heap, so
+    // a handful of hot strata never becomes a handful of giant sort
+    // tasks the way a row_number window (which must fully sort each
+    // stratum) would at 100 TB. The rn column is then a window over
+    // the ALREADY-REDUCED ≤k rows per stratum — a bounded sort.
+    // PlanSpec gates that the window sits above the heap operator. ----
     "q58_stratified_sample" -> Q(
       (s, dir) => {
         import s.implicits._
+        if (!s.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+          s.experimental.extraStrategies =
+            s.experimental.extraStrategies :+ graft.plans.TopKStrategy
+        val keyed = table(s, dir, "documents")
+          .withColumn("smp_key", md5($"doc_id".cast("string")))
+        val quota = TopK.topKPerGroup(keyed, Seq("lang"),
+          Seq("smp_key" -> false, "doc_id" -> false), 20)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy($"lang")
-          .orderBy(md5($"doc_id".cast("string")), $"doc_id")
-        table(s, dir, "documents")
+          .orderBy($"smp_key", $"doc_id")
+        quota
           .withColumn("rn", row_number().over(w))
-          .filter($"rn" <= 20)
           .select($"lang", $"rn".cast("long").as("rn"), $"doc_id", $"n_chars")
           .orderBy($"lang", $"rn")
       },

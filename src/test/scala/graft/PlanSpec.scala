@@ -92,6 +92,19 @@ class PlanSpec extends SparkSpec {
     assert(got == viaWindow, "heap-based top-k disagrees with window top-k")
   }
 
+  test("q58 stratified sample: quota via heap TopKPerGroup; window only sees reduced rows") {
+    val df = SparkEntry.queries("q58_stratified_sample")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan display strips the "Exec" suffix from node names
+    assert(plan.contains("TopKPerGroup ["),
+      s"per-stratum quota must run through the heap operator:\n${plan.take(1500)}")
+    val wIdx = plan.indexOf("Window")
+    val tIdx = plan.indexOf("TopKPerGroup [")
+    assert(wIdx >= 0 && wIdx < tIdx,
+      s"rn window must sit ABOVE the heap operator (then it sorts only ≤k rows " +
+        s"per stratum, never the full stratum):\n${plan.take(1500)}")
+  }
+
   test("q34 near-dup: candidates come from a signature-bucket equi-join, never a loop join") {
     val p = planOf("q34_embedding_neardup")
     assert(p.contains("bkey"), s"candidate join must key on the band signature:\n${p.take(1500)}")
