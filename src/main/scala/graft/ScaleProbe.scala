@@ -70,10 +70,14 @@ object ScaleProbe {
     // query dots with no pruning); q37/q39 carry the ANN story there.
     val baselines =
       if (copies <= 10) Seq("q34_embedding_neardup", "q36_knn_fast") else Seq.empty
+    // SPARK_GRAFT_PROBE_ONLY=q45_dedup_clusters,q47_corpus_curation
+    // re-measures a subset while iterating on one operator
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").toSet)
     (Seq("q01_pricing_summary", "q03_join_revenue_by_nation", "q09_asof_join_event_order",
       "q31_minhash_lsh_pairs", "q32_ngram_jaccard", "q45_dedup_clusters",
       "q47_corpus_curation") ++ baselines ++ Seq("q37_ann_lsh",
-      "q39_ann_ivf", "q53_topk_custom_operator")).foreach(time)
+      "q39_ann_ivf", "q53_topk_custom_operator"))
+      .filter(q => only.forall(_.contains(q))).foreach(time)
     spark.stop()
   }
 }

@@ -128,14 +128,24 @@ object Dedup {
       maxIter: Int = 20): DataFrame = {
     val s = nodes.sparkSession
     import s.implicits._
+    // the edge table is joined on `src` EVERY round — repartition it on
+    // the join key BEFORE caching, so InMemoryTableScan's preserved
+    // outputPartitioning satisfies each round's join distribution and
+    // the (large) edge side never re-shuffles: only the (one-row-per-
+    // node) labels side moves per round. At the 100× probe this is the
+    // dominant per-round cost (54M directed edges × O(log d) rounds).
     val sym = edges.select($"id_a".as("src"), $"id_b".as("dst"))
       .unionByName(edges.select($"id_b".as("src"), $"id_a".as("dst")))
+      .repartition($"src")
       .cache()
     var labels = nodes.select($"doc_id", $"doc_id".as("cluster_id"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val msgs = sym.join(labels, $"doc_id" === $"src")
+      // shuffle-hash hint on the labels side: build the hash table from
+      // the one-row-per-node frame and STREAM the edges — a sort-merge
+      // join would re-sort all 54M cached edge rows every round
+      val msgs = sym.join(labels.hint("shuffle_hash"), $"doc_id" === $"src")
         .select($"dst".as("doc_id"), $"cluster_id")
       // `own` rides along so the round's OWN aggregation recovers each
       // doc's previous label (exactly one labels row per doc): the
