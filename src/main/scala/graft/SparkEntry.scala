@@ -25,6 +25,7 @@ object SparkEntry {
       ops.Functions.catalog ++
       ops.Dedup.catalog ++
       ops.Corpus.catalog ++
+      ops.Hygiene.catalog ++
       ops.Similarity.catalog ++
       ops.TextOps.catalog ++
       ops.Multimodal.catalog ++

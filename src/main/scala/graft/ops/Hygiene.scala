@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Core._
+
+/** Corpus-hygiene operators over `documents` — the filters a training
+  * pipeline runs between raw ingest and tokenization (north-star
+  * LLM-pipeline surface; no analog in the reference, which stops at
+  * format conversion — unified_code.py:246–293 is its whole transform).
+  *
+  *  - benchmark decontamination (q61): flag training docs sharing any
+  *    word 5-gram with a held-out benchmark set
+  *  - repetition / boilerplate scoring (q62): intra-doc duplicate
+  *    n-gram ratio
+  *  - PII scrubbing (q63): regex redaction of emails / phones / IPs
+  *    with per-doc redaction counts
+  *  - domain mixture report (q65): per-source shares + the reweighting
+  *    factor to reach a uniform target mix
+  *
+  * All stages are codegen'd built-ins + the WordShingles expression;
+  * shuffles are bounded (per-shingle hash keys for q61, per-source for
+  * q65, none for q62/q63 beyond the output sort).
+  */
+object Hygiene {
+
+  /** q48-style deterministic doc gate: md5 prefix as uint16. */
+  private def docGate(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
+
+  private val oDocGate = "CAST('0x' || substr(md5(cast(doc_id as varchar)), 1, 4) AS BIGINT)"
+
+  /** ~5% of docs are the held-out "benchmark" set. */
+  private val BenchGate = 3277L
+
+  val catalog: Map[String, Q] = Map(
+
+    // ---- benchmark decontamination: a deterministic ~5% hash-gated
+    // slice of the corpus stands in for the held-out eval set; any
+    // training doc sharing a word 5-gram with it is contaminated (the
+    // standard n-gram-overlap decontamination run before pretraining).
+    // Scale: shingles travel as 60-bit md5-derived longs, not strings —
+    // the join shuffles O(shingles) narrow rows keyed by shingle hash;
+    // the grouped output is O(contaminated docs). 5-grams (not 3) so a
+    // small vocab can't produce chance collisions — only true shared
+    // passages flag. ----
+    "q61_decontamination" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.WordShingles.register(s)
+        val docs = table(s, dir, "documents")
+        def shingled(d: DataFrame): DataFrame = fanOut(s, d)
+          .select($"doc_id",
+            explode(graft.functions.WordShingles.word_shingles(lower($"text"), 5)).as("w"))
+          .select($"doc_id",
+            conv(substring(md5($"w"), 1, 15), 16, 10).cast("long").as("sh"))
+        val bench = shingled(docs.filter(docGate($"doc_id") < BenchGate))
+          .select($"sh").distinct()
+        val train = shingled(docs.filter(docGate($"doc_id") >= BenchGate))
+        // WordShingles emits per-doc DISTINCT shingles, so count(*) per
+        // doc is already the distinct-shingle count
+        val tot = train.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+        val hits = train.join(bench, "sh")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+        hits.join(tot, Seq("doc_id"))
+          .select($"doc_id", $"n_shingles", $"n_hits",
+            rnd4($"n_hits".cast("double") / $"n_shingles").as("contamination"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        sh5 AS (SELECT DISTINCT doc_id,
+            CAST('0x' || substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]), 1, 15) AS BIGINT) AS sh
+          FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-4)) AS i FROM toks)),
+        bench AS (SELECT DISTINCT sh FROM sh5 WHERE $oDocGate < $BenchGate),
+        train AS (SELECT doc_id, sh FROM sh5 WHERE $oDocGate >= $BenchGate),
+        tot AS (SELECT doc_id, count(*) AS n_shingles FROM train GROUP BY 1),
+        hits AS (SELECT t.doc_id, count(*) AS n_hits
+          FROM train t JOIN bench b USING (sh) GROUP BY 1)
+        SELECT h.doc_id, t.n_shingles, h.n_hits,
+          ${oRnd4("cast(h.n_hits as double) / t.n_shingles")} AS contamination
+        FROM hits h JOIN tot t USING (doc_id) ORDER BY doc_id""")),
+
+    // ---- repetition / boilerplate score: duplicate-trigram fraction
+    // per doc (the Gopher-style repetition filter). One narrow codegen
+    // pass — total trigrams is arithmetic on the word count, distinct
+    // trigrams is the WordShingles array length; no shuffle except the
+    // output sort. ----
+    "q62_repetition" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.WordShingles.register(s)
+        val txt = lower($"text")
+        val nWords = size(split(txt, " "))
+        val nTri = greatest(nWords - 2, lit(0))
+        val nDist = size(graft.functions.WordShingles.word_shingles(txt, 3))
+        table(s, dir, "documents")
+          .select($"doc_id",
+            nWords.as("n_words"),
+            nTri.as("n_trigrams"),
+            nDist.as("n_distinct"),
+            rnd4(when(nTri > 0,
+              lit(1.0) - nDist.cast("double") / nTri).otherwise(lit(0.0))).as("dup_ratio"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        tri AS (SELECT doc_id, count(DISTINCT ws[i]||' '||ws[i+1]||' '||ws[i+2]) AS nd
+          FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i FROM toks)
+          GROUP BY 1)
+        SELECT t.doc_id,
+          cast(len(t.ws) as int) AS n_words,
+          cast(greatest(len(t.ws) - 2, 0) as int) AS n_trigrams,
+          cast(coalesce(tr.nd, 0) as int) AS n_distinct,
+          ${oRnd4("CASE WHEN len(t.ws) > 2 THEN 1.0 - cast(coalesce(tr.nd, 0) as double) / (len(t.ws) - 2) ELSE 0.0 END")} AS dup_ratio
+        FROM toks t LEFT JOIN tri tr USING (doc_id) ORDER BY doc_id""")),
+
+    // ---- PII scrubbing: regex redaction of emails, phone-like numbers
+    // and IPv4 addresses, with per-doc redaction counts and the md5 of
+    // the scrubbed text as a byte-exactness witness. The corpus itself
+    // is synthetic word-soup with no PII, so the PII surface is
+    // CONSTRUCTED deterministically from doc_id (both engines build the
+    // identical string) — the scrub logic is what's under test. The
+    // regexes stay within the syntax Java regex and RE2 share (classes,
+    // bounded repeats, \b), so both engines redact identically.
+    // Scale: narrow per-row pass, scan-bandwidth-bound, no shuffle. ----
+    "q63_pii_scrub" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val raw = concat(
+          substring(lower($"text"), 1, 40),
+          lit(" contact user"), $"doc_id".cast("string"),
+          lit("@mail"), ($"doc_id" % 7).cast("string"), lit(".example.com"),
+          lit(" tel 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+          lit(" host 10.0."), ($"doc_id" % 256).cast("string"),
+          lit("."), (($"doc_id" * 7) % 256).cast("string"))
+        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+        val phoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+        val scrubbed = regexp_replace(
+          regexp_replace(
+            regexp_replace(raw, emailRe, "[EMAIL]"),
+            ipRe, "[IP]"),
+          phoneRe, "[PHONE]")
+        table(s, dir, "documents")
+          .select($"doc_id",
+            size(regexp_extract_all(raw, lit(emailRe), lit(0))).as("n_emails"),
+            size(regexp_extract_all(raw, lit(ipRe), lit(0))).as("n_ips"),
+            size(regexp_extract_all(raw, lit(phoneRe), lit(0))).as("n_phones"),
+            md5(scrubbed).as("scrub_md5"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        val raw = """substr(lower(text), 1, 40) || ' contact user' || cast(doc_id as varchar)
+          || '@mail' || cast(doc_id % 7 as varchar) || '.example.com'
+          || ' tel 555-' || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+          || ' host 10.0.' || cast(doc_id % 256 as varchar)
+          || '.' || cast(doc_id * 7 % 256 as varchar)"""
+        val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+        val phoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+        s"""SELECT doc_id,
+          cast(len(regexp_extract_all($raw, '$emailRe')) as int) AS n_emails,
+          cast(len(regexp_extract_all($raw, '$ipRe')) as int) AS n_ips,
+          cast(len(regexp_extract_all($raw, '$phoneRe')) as int) AS n_phones,
+          md5(regexp_replace(regexp_replace(regexp_replace($raw,
+            '$emailRe', '[EMAIL]', 'g'), '$ipRe', '[IP]', 'g'), '$phoneRe', '[PHONE]', 'g')) AS scrub_md5
+        FROM documents ORDER BY doc_id"""
+      }),
+
+    // ---- domain mixture report: per-source doc/char shares and the
+    // multiplicative reweighting factor that would equalize the mix on
+    // characters (the knob a data-mixing stage turns). One partial-agg
+    // groupBy(source) + a broadcast single-row total — the q57 scalar
+    // pattern; shuffle is O(distinct sources). ----
+    "q65_domain_mix" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val bySrc = docs.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+        val tot = bySrc.agg(
+          sum($"n_docs").as("tot_docs"), sum($"n_chars").as("tot_chars"),
+          count(lit(1)).as("n_sources"))
+        bySrc.crossJoin(broadcast(tot))
+          .select($"source", $"n_docs", $"n_chars",
+            rnd4($"n_chars".cast("double") / $"tot_chars").as("char_share"),
+            rnd4($"tot_chars".cast("double") / ($"n_sources" * $"n_chars")).as("mix_weight"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH by_src AS (SELECT source, count(*) AS n_docs,
+          sum(n_chars) AS n_chars FROM documents GROUP BY 1),
+        tot AS (SELECT sum(n_docs) AS tot_docs, sum(n_chars) AS tot_chars,
+          count(*) AS n_sources FROM by_src)
+        SELECT source, n_docs, cast(n_chars as bigint) AS n_chars,
+          ${oRnd4("cast(n_chars as double) / tot_chars")} AS char_share,
+          ${oRnd4("cast(tot_chars as double) / (n_sources * n_chars)")} AS mix_weight
+        FROM by_src, tot ORDER BY source"""))
+  )
+}

@@ -385,7 +385,36 @@ object Similarity {
             CASE WHEN sum(cast(p.pv * e.v as decimal(30,15))) >= 0 THEN '1' ELSE '0' END AS bit
           FROM ex e JOIN planes p ON p.i = e.pos GROUP BY 1, 2)
         SELECT vec_id, string_agg(bit, '' ORDER BY j) AS sig
-        FROM bits GROUP BY vec_id ORDER BY vec_id"""))
+        FROM bits GROUP BY vec_id ORDER BY vec_id""")),
+
+    // ---- per-vector int8 scalar quantization: the storage-compression
+    // op for a 100 TB vector corpus (4× smaller than float32 before
+    // ANN indexing). code_i = floor((x_i - min) / (max - min) * 255),
+    // with per-vector min/max scaling — both engines evaluate the same
+    // left-to-right double-op sequence on exactly-representable float
+    // inputs, and floor is discrete, so the codes are oracle-exact
+    // (x = max lands on exactly 255.0). Scale: one narrow codegen pass,
+    // no shuffle except the output sort. ----
+    "q64_vector_quantize" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val mn = array_min($"embedding").cast("double")
+        val mx = array_max($"embedding").cast("double")
+        val codes = transform($"embedding",
+          x => floor((x.cast("double") - mn) / (mx - mn) * 255).cast("int").cast("string"))
+        table(s, dir, "embeddings")
+          .select($"vec_id", mn.as("mn"), mx.as("mx"),
+            array_join(codes, ",").as("codes"))
+          .orderBy($"vec_id")
+      },
+      Some("""SELECT vec_id,
+        cast(list_min(embedding) as double) AS mn,
+        cast(list_max(embedding) as double) AS mx,
+        array_to_string(list_transform(embedding, x ->
+          cast(floor((cast(x as double) - cast(list_min(embedding) as double))
+            / (cast(list_max(embedding) as double) - cast(list_min(embedding) as double))
+            * 255) as int)), ',') AS codes
+        FROM embeddings ORDER BY vec_id"""))
   )
 
   /** Force-materialize the session-shared memoized frames — Bench's

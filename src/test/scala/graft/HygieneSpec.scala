@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Hygiene, Similarity}
+
+/** Corpus-hygiene operators (q61–q65): decontamination, repetition,
+  * PII scrub, vector quantization, domain mixture. The oracle gate
+  * hash-checks values against DuckDB; these specs pin the SEMANTIC
+  * properties a hash can't express (e.g. "the scrubbed text contains
+  * no redactable pattern", "codes span exactly 0..255"). */
+class HygieneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q61 decontamination: flagged docs truly share a 5-gram with the benchmark slice") {
+    graft.functions.WordShingles.register(spark)
+    val got = Hygiene.catalog("q61_decontamination").fn(spark, dir)
+    // independent brute-force check on the raw strings (no hashing):
+    // docs flagged iff their 5-gram set intersects the benchmark's
+    val docs = Core.table(spark, dir, "documents")
+    val gate = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10).cast("long")
+    val sh = docs.select($"doc_id", gate.as("g"),
+      explode(graft.functions.WordShingles.word_shingles(lower($"text"), 5)).as("w"))
+    val bench = sh.filter($"g" < 3277).select($"w").distinct()
+    val expect = sh.filter($"g" >= 3277).join(bench, "w")
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    val flagged = got.select($"doc_id").as[Long].collect().toSet
+    assert(flagged == expect, s"flagged $flagged vs brute-force $expect")
+    // contamination is a ratio of per-doc distinct-shingle counts
+    val bad = got.filter($"contamination" <= 0 || $"contamination" > 1 ||
+      $"n_hits" > $"n_shingles").count()
+    assert(bad == 0)
+  }
+
+  test("q62 repetition: hand-computed duplicate-trigram ratio") {
+    val got = Hygiene.catalog("q62_repetition").fn(spark, dir)
+      .filter($"n_words" > 2)
+    // invariants: 1 <= n_distinct <= n_trigrams = n_words - 2
+    val bad = got.filter($"n_distinct" < 1 || $"n_distinct" > $"n_trigrams" ||
+      $"n_trigrams" =!= $"n_words" - 2 ||
+      $"dup_ratio" < 0 || $"dup_ratio" >= 1).count()
+    assert(bad == 0)
+    // a fully-repetitive synthetic doc: "a b a b a b" → 4 trigrams, 2 distinct
+    graft.functions.WordShingles.register(spark)
+    val r = spark.sql(
+      "SELECT size(word_shingles('a b a b a b', 3)) AS nd").head().getInt(0)
+    assert(r == 2)
+  }
+
+  test("q63 PII scrub: scrubbed text has zero redactable patterns left") {
+    val got = Hygiene.catalog("q63_pii_scrub").fn(spark, dir)
+    // every constructed doc has exactly one of each PII kind
+    val bad = got.filter($"n_emails" =!= 1 || $"n_ips" =!= 1 || $"n_phones" =!= 1).count()
+    assert(bad == 0, "constructed PII surface should have 1 email/ip/phone per doc")
+    // re-scrub idempotence: rebuilding the scrubbed string and counting
+    // patterns must give zero (the scrub actually removed them)
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val raw = concat(substring(lower($"text"), 1, 40),
+      lit(" contact user"), $"doc_id".cast("string"),
+      lit("@mail"), ($"doc_id" % 7).cast("string"), lit(".example.com"),
+      lit(" tel 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+      lit(" host 10.0."), ($"doc_id" % 256).cast("string"),
+      lit("."), (($"doc_id" * 7) % 256).cast("string"))
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(raw,
+      emailRe, "[EMAIL]"), ipRe, "[IP]"), "\\b[0-9]{3}-[0-9]{4}\\b", "[PHONE]")
+    val leftover = Core.table(spark, dir, "documents")
+      .select(
+        size(regexp_extract_all(scrubbed, lit(emailRe), lit(0))).as("e"),
+        size(regexp_extract_all(scrubbed, lit(ipRe), lit(0))).as("i"),
+        size(regexp_extract_all(scrubbed, lit("\\b[0-9]{3}-[0-9]{4}\\b"), lit(0))).as("p"))
+      .filter($"e" > 0 || $"i" > 0 || $"p" > 0).count()
+    assert(leftover == 0, "scrub left redactable patterns behind")
+  }
+
+  test("q64 vector quantize: codes span exactly 0..255 and reconstruct within one step") {
+    val got = Similarity.catalog("q64_vector_quantize").fn(spark, dir)
+    val codes = got.select($"vec_id", $"mn", $"mx",
+      transform(split($"codes", ","), c => c.cast("int")).as("cs"))
+    // min element quantizes to 0, max element to 255; all codes in range
+    val bad = codes.filter(
+      array_min($"cs") =!= 0 || array_max($"cs") =!= 255 ||
+        exists($"cs", c => c < 0 || c > 255)).count()
+    assert(bad == 0)
+    // dequantized values stay within one quantization step of the range
+    val step = ($"mx" - $"mn") / 255.0
+    val recon = codes.select($"mn", $"mx", step.as("st"),
+        transform($"cs", c => $"mn" + c.cast("double") * step).as("deq"))
+      .filter(exists($"deq", v => v < $"mn" - $"st" || v > $"mx" + $"st"))
+    assert(recon.count() == 0)
+  }
+
+  test("q65 domain mix: shares sum to 1, weights invert the shares") {
+    val got = Hygiene.catalog("q65_domain_mix").fn(spark, dir)
+    val tot = got.agg(sum($"char_share")).head().getDouble(0)
+    assert(math.abs(tot - 1.0) < 0.01, s"char shares sum to $tot")
+    // weight × share × n_sources ≈ 1 for every source (inverse mixing)
+    val k = got.count()
+    val bad = got.filter(
+      abs($"mix_weight" * $"char_share" * k - 1.0) > 0.01).count()
+    assert(bad == 0)
+  }
+}
