@@ -75,7 +75,7 @@ object ScaleProbe {
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").toSet)
     (Seq("q01_pricing_summary", "q03_join_revenue_by_nation", "q09_asof_join_event_order",
       "q31_minhash_lsh_pairs", "q32_ngram_jaccard", "q45_dedup_clusters",
-      "q47_corpus_curation") ++ baselines ++ Seq("q37_ann_lsh",
+      "q47_corpus_curation", "q61_decontamination") ++ baselines ++ Seq("q37_ann_lsh",
       "q39_ann_ivf", "q53_topk_custom_operator"))
       .filter(q => only.forall(_.contains(q))).foreach(time)
     spark.stop()

@@ -399,6 +399,28 @@ object Relational {
       },
       None),
 
+    // ---- approximate quantiles: the mergeable-sketch side of q52's
+    // exact percentiles. Exact percentile fully sorts each group's
+    // values; the GK summary is a bounded-size state that partial-
+    // aggregates map-side and merges associatively — at 100 TB the
+    // shuffle carries num_groups × sketch bytes instead of every row.
+    // No oracle (sketch internals are engine-specific); CoreSpec
+    // bounds the rank error against the exact values. ----
+    "q66_approx_quantiles" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val qs = array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))
+        table(s, dir, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            percentile_approx($"l_extendedprice", qs, lit(10000)).as("aq"))
+          .select($"l_returnflag", $"n",
+            $"aq"(0).as("p25"), $"aq"(1).as("p50"),
+            $"aq"(2).as("p75"), $"aq"(3).as("p95"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+
     // ---- ranking window functions (rank/dense_rank need ties; ntile &
     // row_number get a fully deterministic order) ----
     "q13_window_rank" -> Q(

@@ -40,6 +40,28 @@ class CoreSpec extends SparkSpec {
     }
   }
 
+  test("approx quantiles stay within GK rank-error bounds of the true ranks") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("q66_approx_quantiles")(spark, dir).collect()
+    val li = Core.table(spark, dir, "lineitem")
+    // rank check: the fraction of group values ≤ the approx quantile
+    // must sit within ε of the requested rank (accuracy 10000 → ε 1e-4;
+    // allow 10× slack for interpolation at repeated values)
+    got.foreach { r =>
+      val flag = r.getString(0)
+      val n = r.getLong(1).toDouble
+      Seq(0.25 -> r.getDouble(2), 0.5 -> r.getDouble(3),
+        0.75 -> r.getDouble(4), 0.95 -> r.getDouble(5)).foreach { case (p, v) =>
+        val below = li.filter($"l_returnflag" === flag && $"l_extendedprice" <= v)
+          .count().toDouble / n
+        assert(math.abs(below - p) < 0.01,
+          s"$flag p$p: approx value $v has true rank $below")
+      }
+    }
+  }
+
   test("scalar UDF surface: registered Scala udf matches the builtin path") {
     val norm = org.apache.spark.sql.functions.udf((s: String) =>
       if (s == null) null else s.trim.toLowerCase)

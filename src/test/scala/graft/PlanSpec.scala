@@ -112,6 +112,18 @@ class PlanSpec extends SparkSpec {
       "near-dup pair generation regressed to an all-pairs loop join")
   }
 
+  test("q61 decontamination: shingle-hash equi-join, partial-agg counts, no loop join") {
+    val p = planOf("q61_decontamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"benchmark-overlap check regressed to a loop join:\n${p.take(1500)}")
+    // the contamination join must key on the hashed shingle column
+    assert(p.contains("[sh") || p.contains("sh#") || p.contains("(sh"),
+      s"expected an equi-join keyed on the shingle hash:\n${p.take(1500)}")
+    // per-doc counts partial-aggregate map-side before any shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "expected partial+final aggregates for bench-distinct and per-doc counts")
+  }
+
   test("q39 IVF: corpus-side nearest-centroid is a partial aggregate, not a window sort") {
     // gate the reusable shape, not the full query (whose small query
     // side legitimately uses a window): per-vector argmax over
