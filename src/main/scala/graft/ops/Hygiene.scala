@@ -166,6 +166,38 @@ object Hygiene {
         FROM documents ORDER BY doc_id"""
       }),
 
+    // ---- corpus-wide repeated passages: word 8-grams appearing in ≥3
+    // distinct docs — the boilerplate miner (shared headers/footers/
+    // licence blocks) whose output feeds a strip pass before training.
+    // Scale: one explode + ONE groupBy keyed on the passage md5;
+    // countDistinct(doc_id) partial-aggregates map-side per (passage,
+    // doc) and the filtered output is only the passages that repeat.
+    // The 40-char prefix rides along (min over identical values) so
+    // the report is human-auditable without a join back to text. ----
+    "q67_repeated_passages" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.WordShingles.register(s)
+        fanOut(s, table(s, dir, "documents"))
+          .select($"doc_id",
+            explode(graft.functions.WordShingles.word_shingles(lower($"text"), 8)).as("w"))
+          .select($"doc_id", md5($"w").as("passage_md5"), substring($"w", 1, 40).as("pfx"))
+          .groupBy($"passage_md5")
+          .agg(countDistinct($"doc_id").as("n_docs"), min($"pfx").as("prefix"))
+          .filter($"n_docs" >= 3)
+          .select($"passage_md5", $"prefix", $"n_docs")
+          .orderBy($"n_docs".desc, $"passage_md5")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        sh8 AS (SELECT DISTINCT doc_id,
+            ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7] AS w
+          FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-7)) AS i FROM toks)),
+        rep AS (SELECT md5(w) AS passage_md5, min(substr(w, 1, 40)) AS prefix,
+            count(DISTINCT doc_id) AS n_docs
+          FROM sh8 GROUP BY 1)
+        SELECT passage_md5, prefix, n_docs FROM rep WHERE n_docs >= 3
+        ORDER BY n_docs DESC, passage_md5""")),
+
     // ---- domain mixture report: per-source doc/char shares and the
     // multiplicative reweighting factor that would equalize the mix on
     // characters (the knob a data-mixing stage turns). One partial-agg

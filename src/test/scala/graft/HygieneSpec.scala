@@ -91,6 +91,23 @@ class HygieneSpec extends SparkSpec {
     assert(recon.count() == 0)
   }
 
+  test("q67 repeated passages: agrees with an independent transform/sequence formulation") {
+    val got = Hygiene.catalog("q67_repeated_passages").fn(spark, dir)
+      .select($"passage_md5", $"n_docs").as[(String, Long)].collect().toMap
+    // independent implementation: built-in HOFs instead of WordShingles
+    val docs = Core.table(spark, dir, "documents")
+    val expect = docs.select($"doc_id",
+        explode(array_distinct(expr(
+          """transform(sequence(1, greatest(size(split(lower(text), ' ')) - 7, 0)),
+             i -> array_join(slice(split(lower(text), ' '), i, 8), ' '))"""))).as("w"))
+      .groupBy(md5($"w").as("passage_md5"))
+      .agg(countDistinct($"doc_id").as("n_docs"))
+      .filter($"n_docs" >= 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == expect, s"got ${got.size} passages, independent recompute ${expect.size}")
+    assert(got.values.forall(_ >= 3))
+  }
+
   test("q65 domain mix: shares sum to 1, weights invert the shares") {
     val got = Hygiene.catalog("q65_domain_mix").fn(spark, dir)
     val tot = got.agg(sum($"char_share")).head().getDouble(0)
