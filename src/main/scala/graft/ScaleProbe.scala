@@ -78,6 +78,14 @@ object ScaleProbe {
       "q47_corpus_curation", "q61_decontamination") ++ baselines ++ Seq("q37_ann_lsh",
       "q39_ann_ivf", "q53_topk_custom_operator"))
       .filter(q => only.forall(_.contains(q))).foreach(time)
+    // md5 (oracle-parity) vs xxhash64 (production) base hash for the
+    // LSH band keys — quantifies what the DuckDB oracle costs q31 at
+    // scale; both builds are cold (memoized per key, first use here)
+    if (only.forall(_.contains("lsh_fast"))) {
+      val t0 = System.nanoTime()
+      val n = ops.Dedup.lshPairsFast(spark, dst).count()
+      println(f"PROBE lsh_fast_xxhash64          ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
+    }
     spark.stop()
   }
 }

@@ -115,6 +115,47 @@ object Dedup {
       .distinct()
   }
 
+  /** PRODUCTION band keys: identical shingling, permutation family and
+    * banding to [[bandKeys]], but the per-shingle base hash is
+    * `xxhash64` — one codegen'd long op — instead of the
+    * md5→hex-substring→conv chain the DuckDB oracle forces on q31
+    * (md5 is the only hash both engines compute identically). The
+    * minhash guarantee only needs A uniform base hash, not md5
+    * specifically, so at 100 TB this is the path to run: shingling
+    * touches every byte of every document and the base hash sits in
+    * that innermost loop. Collision behavior is statistically
+    * identical; exact bucket contents differ by hash family, so this
+    * variant has no oracle — DedupSimSpec pins recall against the
+    * oracle-exact pairs, the probe measures the speedup. */
+  private def bandKeysFast(s: SparkSession, dir: String): DataFrame =
+    memo(s, s"dedup.bandKeysFast:$dir") {
+      import s.implicits._
+      // pmod keeps h in [0, 2^32) so a_i·h + b_i stays below 2^63
+      val sh = shingleRows(s, table(s, dir, "documents"))
+        .withColumn("h", pmod(xxhash64(col("w")), lit(4294967296L)))
+      val hashCols = (0 until NumHashes).map(i =>
+        min((lit(permA(i)) * $"h" + lit(permB(i))) % lit(P)).as(s"h$i"))
+      val sigs = sh.groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
+      val bandStructs = (0 until NumHashes / RowsPerBand).map { b =>
+        val parts = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}").cast("string"))
+        struct(lit(b).as("band"), concat_ws(",", parts: _*).as("band_key"))
+      }
+      sigs.select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
+        .select($"doc_id", $"bk.band".as("band"), $"bk.band_key".as("band_key"))
+    }
+
+  /** Candidate pairs over the xxhash64 production path — same contract
+    * as [[lshPairs]]. */
+  def lshPairsFast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = bandKeysFast(s, dir)
+    b.as("a").join(b.as("b"),
+        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+  }
+
   /** Connected components over the near-dup pair graph by iterative
     * min-label propagation — turns candidate pairs into dedup
     * *clusters* with a canonical (min-id) representative, the step a

@@ -32,6 +32,30 @@ class DedupSimSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("lshPairsFast (xxhash64 production path) recovers the oracle-exact pairs") {
+    // same banding, different base hash family — bucket contents may
+    // differ, but true near-dups share ~all shingles so their minhash
+    // signatures collide under ANY uniform hash. Pin recall against
+    // the md5 (oracle) pairs on the real corpus and check the
+    // candidate set doesn't explode.
+    val dir = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("q31_minhash_lsh_pairs")(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    val fast = ops.Dedup.lshPairsFast(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    val recall = exact.count(fast.contains).toDouble / exact.size.max(1)
+    assert(recall >= 0.8, s"fast path recovered $recall of ${exact.size} md5-LSH pairs")
+    assert(fast.size <= exact.size * 2 + 8,
+      s"fast candidate set exploded: ${fast.size} vs ${exact.size}")
+    // and the synthetic planted near-dup is found too
+    val sdir = docsDir(Seq(
+      1L -> base,
+      2L -> (base + "banana"),
+      3L -> "completely different content about spark partitions and shuffles galore"))
+    val planted = ops.Dedup.lshPairsFast(spark, sdir).as[(Long, Long)].collect().toSet
+    assert(planted.contains((1L, 2L)) && !planted.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("ngram jaccard scores the near-dup pair high") {
     val dir = docsDir(Seq(
       1L -> base,
