@@ -387,6 +387,41 @@ object Similarity {
         SELECT vec_id, string_agg(bit, '' ORDER BY j) AS sig
         FROM bits GROUP BY vec_id ORDER BY vec_id""")),
 
+    // ---- multi-probe LSH ANN: the recall-recovery knob SCALE.md
+    // promises for q37. Same 8 hyperplane sign bits, but packed into an
+    // INT signature, and each query probes its own bucket PLUS the 8
+    // buckets at Hamming distance 1 (one flipped bit) — near neighbors
+    // that land just across one hyperplane are recovered without
+    // adding planes or shrinking buckets. Scale: probing multiplies
+    // only the (bounded, broadcast) query side ×9; the corpus computes
+    // its signature in one narrow pass and streams map-side — exactly
+    // q37's profile with 9× the probe keys. DedupSimSpec asserts the
+    // recall strictly dominates single-probe q37. ----
+    "q68_ann_multiprobe" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val nPlanes = 8
+        val all = normalized(s, dir)
+        val planes = hyperplanes(nPlanes)
+        val sigInt = (0 until nPlanes).map { j =>
+          when(graft.functions.DotProduct.dot_fast(
+            array(planes(j).map(lit): _*), $"unit") >= 0, lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _)
+        val sigd = all.withColumn("sigi", sigInt)
+        val probeKeys = $"qsig" +: (0 until nPlanes).map(j => $"qsig".bitwiseXOR(lit(1 << j)))
+        val q = queryBatch(sigd)
+          .select($"vec_id".as("qid"), $"unit".as("qunit"), $"sigi".as("qsig"))
+          .withColumn("probe", explode(array(probeKeys: _*)))
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
+        sigd.join(broadcast(q), $"probe" === $"sigi" && $"qid" =!= $"vec_id")
+          .withColumn("cos", graft.functions.DotProduct.dot_fast($"qunit", $"unit"))
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 5)
+          .select($"qid", $"rn", $"vec_id".as("vid"), round($"cos", 4).as("cos"))
+          .orderBy($"qid", $"rn")
+      },
+      None),
+
     // ---- per-vector int8 scalar quantization: the storage-compression
     // op for a 100 TB vector corpus (4× smaller than float32 before
     // ANN indexing). code_i = floor((x_i - min) / (max - min) * 255),

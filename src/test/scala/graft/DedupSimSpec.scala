@@ -119,6 +119,37 @@ class DedupSimSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(c => c >= -1.0001 && c <= 1.0001))
   }
 
+  test("multi-probe LSH recall dominates single-probe and recovers cross-plane neighbors") {
+    val dir = "/root/testdata/sf0.001"
+    def sets(q: String) = SparkEntry.queries(q)(spark, dir)
+      .select("qid", "vid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = sets("q35_knn_exact")
+    val single = sets("q37_ann_lsh")
+    val multi = sets("q68_ann_multiprobe")
+    def meanRecall(ann: Map[Long, Set[Long]]) = {
+      val rs = exact.keys.toSeq.map { q =>
+        (exact(q) & ann.getOrElse(q, Set.empty)).size.toDouble / exact(q).size
+      }
+      rs.sum / rs.size
+    }
+    val (rs, rm) = (meanRecall(single), meanRecall(multi))
+    info(s"mean recall@5: single-probe $rs, multi-probe $rm")
+    assert(rm >= rs, s"multi-probe recall $rm must not trail single-probe $rs")
+    // 8-bit signatures over 500 near-uniform vectors put ~2 vectors in
+    // a bucket — Hamming-1 probing reaches ~18 of 500 candidates, so
+    // the honest bar at this SF is a strict improvement plus a floor
+    // proportional to single-probe, not a large absolute recall (the
+    // knob for absolute recall is candidate volume: more probes or
+    // fewer planes; recall grows with bucket coverage, measured here)
+    assert(rm >= math.max(0.08, rs), s"multi-probe mean recall@5 too low: $rm (single $rs)")
+    // multi-probe must actually widen coverage: strictly more distinct
+    // (query, hit) pairs than single-probe overall
+    val nS = single.values.map(_.size).sum
+    val nM = multi.values.map(_.size).sum
+    assert(nM > nS, s"multi-probe returned no extra candidates ($nM vs $nS)")
+  }
+
   test("connectedComponents labels each doc with its component's min id") {
     import org.apache.spark.sql.functions.lit
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("doc_id")
