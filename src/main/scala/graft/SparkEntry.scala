@@ -14,6 +14,7 @@ import graft.Core.Q
   *  - ops.Similarity — vector stats, brute-force & LSH-bucketed ANN
   *  - ops.TextOps — language-ID heuristic, quality scoring, token
   *    counting, document fingerprinting
+  *  - ops.Training — BPE pair stats, sequence chunk+pack, shard shuffle
   *  - ops.Multimodal — opaque binary payload plumbing + decode stub
   *  - etl.Pipeline — the reference's faithful 4-stage chunk pipeline
   *    (prepare/validate/transform/finalize, unified_code.py:246–293)
@@ -26,6 +27,7 @@ object SparkEntry {
       ops.Dedup.catalog ++
       ops.Corpus.catalog ++
       ops.Hygiene.catalog ++
+      ops.Training.catalog ++
       ops.Similarity.catalog ++
       ops.TextOps.catalog ++
       ops.Multimodal.catalog ++

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Core._
+
+/** Training-set assembly operators over `documents` — the stages that
+  * turn a cleaned corpus into model-ready shards (north-star
+  * LLM-pipeline surface; no analog in the reference, whose pipeline
+  * ends at format conversion — unified_code.py:246–293).
+  *
+  *  - BPE merge-candidate statistics (q69): corpus-wide adjacent
+  *    token-pair frequencies, the counting step a tokenizer-induction
+  *    loop runs once per merge
+  *  - sequence chunk + pack (q70): split docs into fixed-size chunks
+  *    and concatenate-then-split them into fixed-capacity training
+  *    sequences (GPT-style packing), deterministically
+  *  - corpus shard shuffle (q73): a deterministic global permutation
+  *    of the corpus into training shards with within-shard order —
+  *    "shuffle once, stream forever"
+  *
+  * Scale design (100 TB): q69 is one explode + ONE partial-aggregated
+  * groupBy (shuffle O(distinct pairs)) with a TakeOrdered top-k, never
+  * a global sort. q70/q73 do their ordering *within* hash buckets /
+  * shards: the only shuffle is the bucket hash-partitioning, and each
+  * in-bucket sort is a bounded, spillable partition sort — exactly the
+  * repartition + sortWithinPartitions write path a shard writer uses.
+  * Nothing here carries `text` through a shuffle except q70's chunk
+  * pass, which projects it away before the window.
+  */
+object Training {
+
+  /** q48-style deterministic doc gate: md5 prefix as uint16. */
+  private def docGate(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
+
+  val catalog: Map[String, Q] = Map(
+
+    // ---- BPE merge-candidate statistics: frequency of every adjacent
+    // token pair in the corpus, top 50. This is the inner counting step
+    // of byte-pair-encoding vocabulary induction (each merge round
+    // re-counts pairs over the updated token stream); one round is the
+    // representative, oracle-checkable unit — the loop around it is
+    // driver logic, not a new plan shape. Scale: pair generation is a
+    // narrow generator expression (no self-join on position), counts
+    // partial-aggregate map-side, and the top-50 is a TakeOrdered
+    // (per-partition heaps + driver merge), never a global sort. ----
+    "q69_bpe_pair_stats" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        fanOut(s, table(s, dir, "documents"))
+          .withColumn("ws", split(lower($"text"), " "))
+          .select(explode(expr(
+            "transform(slice(ws, 1, size(ws)-1), (x, i) -> concat(x, ' ', ws[i+1]))"))
+            .as("pair"))
+          .groupBy($"pair").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"pair")
+          .limit(50)
+      },
+      Some("""WITH toks AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+        prs AS (SELECT ws[i] || ' ' || ws[i+1] AS pair
+          FROM (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS i FROM toks))
+        SELECT pair, count(*) AS n FROM prs
+        GROUP BY 1 ORDER BY n DESC, pair LIMIT 50""")),
+
+    // ---- sequence chunk + pack: split each doc into 64-char chunks,
+    // then concatenate-and-split the chunk stream into 512-char
+    // training sequences (the standard packing that wastes no tokens on
+    // padding). Assignment is pure arithmetic on a running sum: chunk c
+    // starts at global offset cum(c), so it lands in sequence
+    // floor(cum/512) at offset cum%512 — deterministic, join-free, and
+    // restart-safe. Packing runs independently inside 8 hash buckets
+    // (at 100 TB: thousands), so the running-sum window sorts only one
+    // bucket's chunk METADATA (text is projected away first); waste is
+    // at most one partial sequence per bucket. ----
+    "q70_chunk_pack" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val C = 64
+        val Cap = 512L
+        val nch = greatest(ceil(length($"text") / lit(C.toDouble)).cast("long"), lit(1L))
+        val w = Window.partitionBy($"bucket").orderBy($"doc_id", $"chunk_idx")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cum = coalesce(sum($"clen").over(w), lit(0L))
+        table(s, dir, "documents")
+          .select($"doc_id", (docGate($"doc_id") % 8).as("bucket"),
+            explode(sequence(lit(0L), nch - 1)).as("chunk_idx"), $"text")
+          .withColumn("clen",
+            expr(s"length(substr(text, cast(chunk_idx*$C+1 as int), $C))"))
+          .select($"doc_id", $"chunk_idx", $"bucket", $"clen")
+          .withColumn("cb", cum)
+          .select($"doc_id", $"chunk_idx", $"bucket", $"clen",
+            floor($"cb" / lit(Cap.toDouble)).cast("long").as("seq_id"),
+            ($"cb" % Cap).as("seq_off"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH ch AS (SELECT doc_id,
+          CAST('0x' || substr(md5(cast(doc_id as varchar)), 1, 4) AS BIGINT) % 8 AS bucket,
+          unnest(generate_series(0, greatest(cast(ceil(length(text)/64.0) as bigint), 1) - 1)) AS chunk_idx,
+          text
+        FROM documents),
+        cl AS (SELECT doc_id, bucket, chunk_idx,
+            cast(length(substr(text, cast(chunk_idx*64+1 as int), 64)) as int) AS clen
+          FROM ch),
+        cum AS (SELECT doc_id, bucket, chunk_idx, clen,
+            cast(coalesce(sum(clen) OVER (PARTITION BY bucket ORDER BY doc_id, chunk_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) AS cb
+          FROM cl)
+        SELECT doc_id, chunk_idx, bucket, clen,
+          cast(floor(cb/512.0) as bigint) AS seq_id, cb % 512 AS seq_off
+        FROM cum ORDER BY doc_id, chunk_idx""")),
+
+    // ---- corpus shard shuffle: a deterministic global permutation into
+    // 8 training shards (at 100 TB: thousands) with a stable position
+    // inside each shard. Rank = md5(doc_id) — reshuffling is just a new
+    // salt in the hash, no RNG state to persist. The shard id is a hash
+    // residue (so the permutation IS the partitioning: one shuffle,
+    // then each shard's order is a bounded in-partition sort — the
+    // sortWithinPartitions write path), and no global sort ever runs
+    // over the corpus; the final orderBy here is only the driver-side
+    // presentation of the 500-row test output. ----
+    "q73_corpus_shard" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val rk = md5($"doc_id".cast("string"))
+        table(s, dir, "documents")
+          .select($"doc_id", rk.as("rk"), (docGate($"doc_id") % 8).as("shard"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy($"shard").orderBy($"rk", $"doc_id")))
+          .select($"doc_id", $"shard", $"pos")
+          .orderBy($"shard", $"pos")
+      },
+      Some("""WITH r AS (SELECT doc_id, md5(cast(doc_id as varchar)) AS rk,
+          CAST('0x' || substr(md5(cast(doc_id as varchar)), 1, 4) AS BIGINT) % 8 AS shard
+        FROM documents)
+        SELECT doc_id, shard,
+          cast(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) as int) AS pos
+        FROM r ORDER BY shard, pos"""))
+  )
+}

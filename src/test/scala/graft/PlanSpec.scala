@@ -144,6 +144,38 @@ class PlanSpec extends SparkSpec {
     assert(p.toLowerCase.contains("aggregate"), s"expected partial aggregation:\n${p.take(1500)}")
   }
 
+  test("q69 BPE pairs: partial+final agg, top-50 is TakeOrdered (no global sort)") {
+    val p = planOf("q69_bpe_pair_stats")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "pair counts must partial-aggregate map-side")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must be a TakeOrdered, not sort-then-limit:\n${p.take(1500)}")
+  }
+
+  test("q70 chunk+pack: running-sum window is partitioned by bucket; text never shuffles") {
+    val p = planOf("q70_chunk_pack")
+    assert(p.contains("hashpartitioning(bucket"),
+      s"packing window must partition by the hash bucket:\n${p.take(1500)}")
+    // the chunk pass projects text away before the window shuffle: no
+    // exchange in the plan may carry the text column
+    val carriesText = "Exchange [^\\n]*".r.findAllIn(p).exists(_.contains("text"))
+    assert(!carriesText, s"a shuffle carries the full text column:\n${p.take(2000)}")
+  }
+
+  test("q73 shard shuffle: one hash shuffle on shard, in-shard sort only") {
+    val p = planOf("q73_corpus_shard")
+    assert(p.contains("hashpartitioning(shard"),
+      s"shard assignment must be the partitioning:\n${p.take(1500)}")
+  }
+
+  test("q68 multi-probe: query side broadcast, corpus side never shuffles pre-join") {
+    val p = planOf("q68_ann_multiprobe")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe keys must broadcast against the corpus signatures:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "multi-probe join regressed to a shuffle/loop join")
+  }
+
   test("custom expressions are compiled into generated code, not fallback") {
     graft.functions.DotProductExact.register(spark)
     import spark.implicits._

@@ -1,0 +1,68 @@
+package graft
+
+/** Value-level invariants for the training-set assembly operators
+  * (ops.Training). The DuckDB oracle already pins exact outputs; these
+  * pin the *semantics* the numbers encode — packing conservation,
+  * shard permutation density — so a refactor can't satisfy the oracle
+  * by accident while breaking the contract. */
+class TrainingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q70 chunk+pack: chunks cover each doc exactly; offsets stay within capacity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q70_chunk_pack")(spark, dir)
+    val docs = Core.table(spark, dir, "documents")
+      .select($"doc_id", length($"text").as("len"))
+    // conservation: per-doc chunk lengths sum to the doc length
+    val bad = out.groupBy($"doc_id").agg(sum($"clen").as("covered"))
+      .join(docs, "doc_id").filter($"covered" =!= $"len").count()
+    assert(bad == 0, s"$bad docs not exactly covered by their chunks")
+    // every offset is a valid in-sequence position
+    assert(out.filter($"seq_off" < 0 || $"seq_off" >= 512).count() == 0)
+    // chunk size bound: every chunk is 1..64 chars
+    assert(out.filter($"clen" < 1 || $"clen" > 64).count() == 0)
+    // packing is gapless within a bucket: consecutive chunks' global
+    // offsets (seq_id*512 + seq_off) advance by exactly clen
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bucket").orderBy($"doc_id", $"chunk_idx")
+    val gaps = out
+      .withColumn("goff", $"seq_id" * 512 + $"seq_off")
+      .withColumn("nxt", lead($"goff", 1).over(w))
+      .filter($"nxt".isNotNull && $"nxt" =!= $"goff" + $"clen")
+      .count()
+    assert(gaps == 0, s"$gaps gaps/overlaps in the packed stream")
+  }
+
+  test("q73 shard shuffle: dense 1..n positions per shard, all docs exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q73_corpus_shard")(spark, dir)
+    val n = Core.table(spark, dir, "documents").count()
+    assert(out.count() == n && out.select($"doc_id").distinct().count() == n)
+    // positions within each shard are exactly 1..shard_size
+    val holes = out.groupBy($"shard")
+      .agg(count(lit(1)).as("sz"), min($"pos").as("mn"), max($"pos").as("mx"),
+        countDistinct($"pos").as("nd"))
+      .filter($"mn" =!= 1 || $"mx" =!= $"sz" || $"nd" =!= $"sz")
+      .count()
+    assert(holes == 0, "shard positions are not a dense permutation")
+  }
+
+  test("q69 BPE pair stats: counts match a per-doc recount on a sample") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q69_bpe_pair_stats")(spark, dir)
+      .as[(String, Long)].collect()
+    assert(out.length == 50 && out.sliding(2).forall(p => p(0)._2 >= p(1)._2))
+    // independent recount of the top pair via a substring scan
+    val (topPair, topN) = out.head
+    val df = Core.table(spark, dir, "documents")
+    val recount = df.select(split(lower($"text"), " ").as("ws"))
+      .as[Seq[String]].collect()
+      .map(ws => ws.sliding(2).count(p => p.length == 2 && s"${p(0)} ${p(1)}" == topPair))
+      .sum
+    assert(recount.toLong == topN, s"top pair '$topPair': catalog=$topN recount=$recount")
+  }
+}
