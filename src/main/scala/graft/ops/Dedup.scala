@@ -327,6 +327,63 @@ object Dedup {
         JOIN documents db ON db.doc_id = p.id_b
         ORDER BY p.id_a, p.id_b""")),
 
+    // ---- incremental dedup: screen an incoming batch (deterministic
+    // ~10% hash-gated slice stands in for "today's crawl") against the
+    // EXISTING corpus — exact text-hash matches and LSH band-bucket
+    // collisions — without ever comparing incoming docs to each other
+    // or re-deduplicating the existing side. This is the shape that
+    // matters at 100 TB: the full corpus is minhashed ONCE (here the
+    // memoized band keys; in production the stored signature index) and
+    // each day's batch joins against that index — work is O(batch), not
+    // O(corpus). Both screens are semi-joins, so band-bucket fan-out
+    // never materializes pairs. ----
+    "q71_incremental_dedup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val T = 58982L // uint16 gate ≈ 10% incoming
+        def gate(c: Column) = conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
+        val docs = table(s, dir, "documents")
+        val b = bandKeys(s, dir)
+        val nearHits = b.filter(gate($"doc_id") >= T).as("i")
+          .join(b.filter(gate($"doc_id") < T).as("e"),
+            $"i.band" === $"e.band" && $"i.band_key" === $"e.band_key", "left_semi")
+          .select($"doc_id").distinct()
+        val th = docs.select($"doc_id", md5($"text").as("t"))
+        val exactHits = th.filter(gate($"doc_id") >= T)
+          .join(th.filter(gate($"doc_id") < T).select($"t").distinct(),
+            Seq("t"), "left_semi")
+          .select($"doc_id")
+        docs.filter(gate($"doc_id") >= T).select($"doc_id")
+          .join(exactHits.withColumn("ex", lit(1)), Seq("doc_id"), "left")
+          .join(nearHits.withColumn("nr", lit(1)), Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"ex", lit(0)).as("exact_dup"),
+            coalesce($"nr", lit(0)).as("near_dup"),
+            when($"ex" === 1, "drop_exact").when($"nr" === 1, "drop_near")
+              .otherwise("keep").as("decision"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""$oracleCtes,
+        g AS (SELECT doc_id, CAST('0x' || substr(md5(cast(doc_id as varchar)), 1, 4) AS BIGINT) AS gv
+          FROM documents),
+        exb AS (SELECT b.* FROM bands b JOIN g USING (doc_id) WHERE g.gv < 58982),
+        incb AS (SELECT b.* FROM bands b JOIN g USING (doc_id) WHERE g.gv >= 58982),
+        near AS (SELECT DISTINCT i.doc_id FROM incb i
+          JOIN exb e ON i.band = e.band AND i.band_key = e.band_key),
+        tex AS (SELECT DISTINCT md5(text) AS t FROM documents d JOIN g USING (doc_id)
+          WHERE g.gv < 58982),
+        exct AS (SELECT DISTINCT d.doc_id FROM documents d JOIN g USING (doc_id)
+          JOIN tex ON md5(d.text) = tex.t WHERE g.gv >= 58982)
+        SELECT d.doc_id,
+          CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
+          CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup,
+          CASE WHEN ex.doc_id IS NOT NULL THEN 'drop_exact'
+               WHEN nr.doc_id IS NOT NULL THEN 'drop_near' ELSE 'keep' END AS decision
+        FROM documents d JOIN g USING (doc_id)
+        LEFT JOIN exct ex ON ex.doc_id = d.doc_id
+        LEFT JOIN near nr ON nr.doc_id = d.doc_id
+        WHERE g.gv >= 58982 ORDER BY d.doc_id""")),
+
     // ---- SimHash (16-bit variant; bit j comes from hex digit j/4 of
     // md5(word), so both engines derive identical bits) ----
     "q33_simhash" -> Q(

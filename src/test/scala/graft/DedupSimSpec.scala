@@ -150,6 +150,34 @@ class DedupSimSpec extends SparkSpec {
     assert(nM > nS, s"multi-probe returned no extra candidates ($nM vs $nS)")
   }
 
+  test("q71 incremental dedup agrees with the pairwise LSH and exact-hash views") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q71_incremental_dedup")(spark, dir)
+      .select("doc_id", "exact_dup", "near_dup").as[(Long, Int, Int)].collect()
+    val incoming = out.map(_._1).toSet
+    val nearFlag = out.filter(_._3 == 1).map(_._1).toSet
+    // independent near-dup view: q31's full pair list restricted to
+    // (incoming, existing) pairs must flag exactly the near_dup set
+    val pairs = SparkEntry.queries("q31_minhash_lsh_pairs")(spark, dir)
+      .as[(Long, Long)].collect()
+    val expectNear = pairs.flatMap { case (a, b) =>
+      (incoming.contains(a), incoming.contains(b)) match {
+        case (true, false) => Some(a)
+        case (false, true) => Some(b)
+        case _             => None
+      }
+    }.toSet
+    assert(nearFlag == expectNear,
+      s"near_dup mismatch: flagged ${nearFlag.size}, pairwise view ${expectNear.size}")
+    // independent exact view: md5(text) collisions against the existing side
+    val th = Core.table(spark, dir, "documents")
+      .select($"doc_id", md5($"text").as("t")).as[(Long, String)].collect()
+    val existingT = th.filterNot(r => incoming.contains(r._1)).map(_._2).toSet
+    val expectExact = th.filter(r => incoming.contains(r._1) && existingT(r._2)).map(_._1).toSet
+    assert(out.filter(_._2 == 1).map(_._1).toSet == expectExact)
+  }
+
   test("connectedComponents labels each doc with its component's min id") {
     import org.apache.spark.sql.functions.lit
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 9L).toDF("doc_id")

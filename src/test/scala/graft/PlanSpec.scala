@@ -168,6 +168,14 @@ class PlanSpec extends SparkSpec {
       s"shard assignment must be the partitioning:\n${p.take(1500)}")
   }
 
+  test("q71 incremental dedup: both screens are semi-joins — no pair materialization") {
+    val p = planOf("q71_incremental_dedup")
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      s"band and text screens must be semi-joins:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "incremental screen regressed to a loop join")
+  }
+
   test("q68 multi-probe: query side broadcast, corpus side never shuffles pre-join") {
     val p = planOf("q68_ann_multiprobe")
     assert(p.contains("BroadcastHashJoin"),
