@@ -150,6 +150,50 @@ class DedupSimSpec extends SparkSpec {
     assert(nM > nS, s"multi-probe returned no extra candidates ($nM vs $nS)")
   }
 
+  test("q72 semantic dedup: exact precision vs brute-force within-cell truth, bounded recall") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val Thresh = 0.3
+    val out = SparkEntry.queries("q72_semantic_dedup")(spark, dir)
+      .select("vec_id", "cid", "dup_of")
+      .as[(Long, Long, Option[Long])].collect()
+    // one row per corpus vector, each in exactly one cell
+    val n = Core.table(spark, dir, "embeddings").count()
+    assert(out.length == n && out.map(_._1).distinct.length == n)
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    // brute-force ground truth from raw parquet floats + the output's cells
+    val units = Core.table(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) =>
+        val d = e.map(_.toDouble).toArray
+        val nrm = math.sqrt(d.map(x => x * x).sum)
+        id -> d.map(_ / nrm)
+      }.toMap
+    def cos(a: Long, b: Long): Double = units(a).zip(units(b)).map(p => p._1 * p._2).sum
+    val ids = units.keys.toSeq.sorted
+    val truth = for {
+      i <- ids; j <- ids if i < j
+      if cellOf(i) == cellOf(j) && cos(i, j) >= Thresh
+    } yield (i, j)
+    val truthDups = truth.map(_._2).toSet
+    // precision is EXACT: every marked vector has a same-cell
+    // smaller-id partner above threshold (1e-6 guards float-fold order
+    // at the threshold boundary — none of the test pairs sit there)
+    out.collect { case (v, c, Some(keeper)) => (v, c, keeper) }.foreach { case (v, c, keeper) =>
+      assert(keeper < v && cellOf(keeper) == c, s"$v kept by $keeper outside its cell")
+      assert(cos(keeper, v) >= Thresh - 1e-6, s"pair ($keeper,$v) below threshold")
+      assert(truthDups.contains(v), s"$v marked dup but not in ground truth")
+    }
+    // recall: the banded prune may miss weak (cos≈0.3) pairs — the
+    // knob is band width; at this SF assert a nonzero floor
+    val marked = out.collect { case (v, _, Some(_)) => v }.toSet
+    assert(truthDups.isEmpty || marked.nonEmpty, "prune found nothing despite true dups")
+    val recall = if (truthDups.isEmpty) 1.0
+      else marked.count(truthDups).toDouble / truthDups.size
+    info(s"within-cell dup recall: $recall over ${truthDups.size} true dups")
+    assert(recall >= 0.05, s"recall collapsed: $recall")
+  }
+
   test("q71 incremental dedup agrees with the pairwise LSH and exact-hash views") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
