@@ -76,7 +76,15 @@ object ScaleProbe {
     (Seq("q01_pricing_summary", "q03_join_revenue_by_nation", "q09_asof_join_event_order",
       "q31_minhash_lsh_pairs", "q32_ngram_jaccard", "q45_dedup_clusters",
       "q47_corpus_curation", "q61_decontamination") ++ baselines ++ Seq("q37_ann_lsh",
-      "q39_ann_ivf", "q53_topk_custom_operator"))
+      "q39_ann_ivf", "q53_topk_custom_operator",
+      // round-3 training-set assembly + incremental/semantic dedup —
+      // q72's probe shape is adversarial: every vector has copies−1
+      // exact twins, so its verified OUTPUT grows with duplicate
+      // multiplicity like q34's (it stays in the list because the
+      // candidate stage, not the output, is what the cells+bands must
+      // keep bounded)
+      "q68_ann_multiprobe", "q69_bpe_pair_stats", "q70_chunk_pack",
+      "q71_incremental_dedup", "q72_semantic_dedup", "q73_corpus_shard"))
       .filter(q => only.forall(_.contains(q))).foreach(time)
     // md5 (oracle-parity) vs xxhash64 (production) base hash for the
     // LSH band keys — quantifies what the DuckDB oracle costs q31 at

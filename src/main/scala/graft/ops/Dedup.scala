@@ -52,31 +52,52 @@ object Dedup {
   private def permA(i: Int): Long = (1103515245L * (i + 1) + 12345L) % 2147483647L
   private def permB(i: Int): Long = (69069L * (i + 1) + 7L) % 2147483647L
 
-  /** (doc_id, band, band_key) — the LSH bucket assignment.
-    *
-    * All 16 minhashes are computed as parallel min-aggregates in ONE
-    * groupBy(doc_id) — a single shuffle of one row per (doc, shingle),
-    * partial-aggregated map-side, instead of exploding 16× and
-    * shuffling per (doc, hash). Band keys are then a narrow explode of
-    * 4 structs. This is the shape that holds at 100 TB: shuffle volume
-    * is O(docs), not O(docs × hashes). */
+  /** Minhash signature columns h0..h15 computed ROW-LOCALLY: the
+    * shingle set is already an array inside the row (WordShingles), so
+    * the 16 permuted minima come from the MinHashSigs codegen
+    * expression — ONE generated loop over the array, shingle hashed
+    * once, minima in registers, ZERO shuffle. Rounds 1–2 formulated
+    * this as explode + groupBy(doc_id), which shuffled every
+    * (doc, shingle) row; the aggregation was only ever reassembling
+    * what the row already had. (An `array_min(transform(...))` × 16
+    * formulation is shuffle-free too but measured 4× slower — Spark's
+    * higher-order functions don't join whole-stage codegen; see the
+    * MinHashSigs scaladoc.) At 100 TB the signature pass is now
+    * scan-bandwidth-bound like q40–q44. Docs with no shingle
+    * (<3 words) drop out, exactly as the groupBy produced no row. */
+  private def rowLocalSigs(s: SparkSession, docs: DataFrame, md5Base: Boolean): DataFrame = {
+    graft.functions.WordShingles.register(s)
+    graft.functions.MinHashSigs.register(s)
+    val sigs =
+      if (md5Base) graft.functions.MinHashSigs.minhash_sigs(col("shg"))
+      else graft.functions.MinHashSigs.minhash_sigs_fast(col("shg"))
+    fanOut(s, docs)
+      .withColumn("shg", graft.functions.WordShingles.word_shingles(lower(col("text")), 3))
+      .filter(size(col("shg")) > 0)
+      .withColumn("sigs", sigs)
+      .select((col("doc_id") +: (0 until NumHashes).map(i => col("sigs")(i).as(s"h$i"))): _*)
+  }
+
+  /** h0..h15 → (doc_id, band, band_key): a narrow explode of 4 structs. */
+  private def toBandRows(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until NumHashes / RowsPerBand).map { b =>
+      val parts = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), concat_ws(",", parts: _*).as("band_key"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** (doc_id, band, band_key) — the LSH bucket assignment, oracle-
+    * parity md5 base hash. The whole pipeline up to the band-bucket
+    * join is now shuffle-free (see [[rowLocalSigs]]); the join is the
+    * only exchange LSH dedup pays. */
   private def bandKeys(s: SparkSession, dir: String): DataFrame =
-    // tiny (4 rows/doc); memoized+cached ONCE per session so the five
-    // LSH-derived queries (q31/q32/q45/q47/q54) share one minhash
+    // tiny (4 rows/doc); memoized+cached ONCE per session so the six
+    // LSH-derived queries (q31/q32/q45/q47/q54/q71) share one minhash
     // pipeline instead of each re-caching their own copy
     memo(s, s"dedup.bandKeys:$dir") {
-      import s.implicits._
-      val sh = shingleRows(s, table(s, dir, "documents"))
-        .withColumn("h", conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long"))
-      val hashCols = (0 until NumHashes).map(i =>
-        min((lit(permA(i)) * $"h" + lit(permB(i))) % lit(P)).as(s"h$i"))
-      val sigs = sh.groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
-      val bandStructs = (0 until NumHashes / RowsPerBand).map { b =>
-        val parts = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}").cast("string"))
-        struct(lit(b).as("band"), concat_ws(",", parts: _*).as("band_key"))
-      }
-      sigs.select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
-        .select($"doc_id", $"bk.band".as("band"), $"bk.band_key".as("band_key"))
+      toBandRows(rowLocalSigs(s, table(s, dir, "documents"), md5Base = true))
     }
 
   /** Shared DuckDB CTE prefix mirroring shingleRows/bandKeys (same
@@ -129,19 +150,8 @@ object Dedup {
     * oracle-exact pairs, the probe measures the speedup. */
   private def bandKeysFast(s: SparkSession, dir: String): DataFrame =
     memo(s, s"dedup.bandKeysFast:$dir") {
-      import s.implicits._
-      // pmod keeps h in [0, 2^32) so a_i·h + b_i stays below 2^63
-      val sh = shingleRows(s, table(s, dir, "documents"))
-        .withColumn("h", pmod(xxhash64(col("w")), lit(4294967296L)))
-      val hashCols = (0 until NumHashes).map(i =>
-        min((lit(permA(i)) * $"h" + lit(permB(i))) % lit(P)).as(s"h$i"))
-      val sigs = sh.groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
-      val bandStructs = (0 until NumHashes / RowsPerBand).map { b =>
-        val parts = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}").cast("string"))
-        struct(lit(b).as("band"), concat_ws(",", parts: _*).as("band_key"))
-      }
-      sigs.select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
-        .select($"doc_id", $"bk.band".as("band"), $"bk.band_key".as("band_key"))
+      // xxhash64 mod 2^32 keeps h in [0, 2^32) so a_i·h + b_i < 2^63
+      toBandRows(rowLocalSigs(s, table(s, dir, "documents"), md5Base = false))
     }
 
   /** Candidate pairs over the xxhash64 production path — same contract

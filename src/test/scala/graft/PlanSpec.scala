@@ -69,10 +69,14 @@ class PlanSpec extends SparkSpec {
       s"query set should broadcast:\n${p.take(1500)}")
   }
 
-  test("q31 minhash: single aggregate over shingles (no per-hash explode), partial agg present") {
+  test("q31 minhash: signatures are row-local folds — no shuffle before the band join") {
     val p = planOf("q31_minhash_lsh_pairs")
-    assert("HashAggregate".r.findAllIn(p).size >= 2)
     assert(!p.contains("posexplode"), "minhash must not explode per hash index")
+    // the 16 minima fold inside the row (array_min ∘ transform); the
+    // old explode+groupBy(doc_id) shuffled every (doc, shingle) row
+    assert(!p.contains("hashpartitioning(doc_id"),
+      s"minhash regressed to a per-doc aggregation shuffle:\n${p.take(1500)}")
+    assert(p.contains("minhashsigs"), "expected the row-local MinHashSigs expression")
   }
 
   test("custom TopKPerGroup operator: heap exec planned via strategy, equals window top-k") {
@@ -196,5 +200,37 @@ class PlanSpec extends SparkSpec {
     val cg = withAqeOff(df.queryExecution.explainString(CodegenMode))
     assert(cg.contains("DotProductExact"), s"dot_exact missing from generated code:\n${cg.take(800)}")
     assert(df.agg(min($"d")).as[Double].head() >= 0.0)
+  }
+
+  test("MinHashSigs compiles into generated code and matches its interpreted eval") {
+    graft.functions.WordShingles.register(spark)
+    graft.functions.MinHashSigs.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Core.table(spark, dir, "documents")
+      .withColumn("shg", graft.functions.WordShingles.word_shingles(lower($"text"), 3))
+      .filter(size($"shg") > 0)
+      .select($"doc_id", graft.functions.MinHashSigs.minhash_sigs($"shg").as("sigs"))
+    val cg = withAqeOff(df.queryExecution.explainString(CodegenMode))
+    assert(cg.contains("minhashA") || cg.contains("MinHashSigs"),
+      s"minhash_sigs missing from generated code:\n${cg.take(800)}")
+    // codegen path (collect) vs interpreted path (expression eval via
+    // a literal-driven local eval) must agree — sample 5 docs
+    val rows = df.limit(5).as[(Long, Seq[Long])].collect()
+    val texts = Core.table(spark, dir, "documents")
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect().toMap
+    rows.foreach { case (id, sigs) =>
+      val words = texts(id).split(" ")
+      val shingles = words.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq.distinct
+      val expect = (0 until 16).map { i =>
+        shingles.map { w =>
+          val d = java.security.MessageDigest.getInstance("MD5").digest(w.getBytes("UTF-8"))
+          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          (graft.functions.MinHashSigs.A(i) * h + graft.functions.MinHashSigs.B(i)) %
+            graft.functions.MinHashSigs.P
+        }.min
+      }
+      assert(sigs == expect, s"doc $id minhash mismatch")
+    }
   }
 }
