@@ -125,6 +125,13 @@ object Dedup {
     ()
   }
 
+  /** The corpus's LSH band-key index as a public surface — the static
+    * side a streaming ingest screen (StreamingOps.screenIncoming) or an
+    * external incremental job joins against. Same memoized frame the
+    * batch queries share. */
+  def bandKeyIndex(s: SparkSession, dir: String, md5Base: Boolean = true): DataFrame =
+    if (md5Base) bandKeys(s, dir) else bandKeysFast(s, dir)
+
   /** Candidate near-dup pairs: docs sharing ≥1 LSH band bucket. */
   private[ops] def lshPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

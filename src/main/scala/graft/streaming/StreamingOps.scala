@@ -84,6 +84,51 @@ object StreamingOps {
       .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
   }
 
+  /** Streaming ingest dedup screen: drop incoming docs that are exact
+    * or near duplicates of the EXISTING corpus — the streaming face of
+    * batch q71. Enabled by the row-local MinHashSigs expression: band
+    * keys need no per-doc aggregation, so the whole screen is
+    * STATELESS (narrow projections + stream-static left joins in
+    * append mode — no watermark, no state store; each micro-batch
+    * joins against the static index and forgets). Scale: the index
+    * side is a normal shuffled/broadcast join per micro-batch; at
+    * 100 TB it is the stored signature index, and each batch's cost is
+    * O(batch), matching q71's incremental contract.
+    *
+    * `bandIndex` = (band, band_key) rows (Dedup.bandKeyIndex);
+    * `textIndex` = one `t` column of md5(text) hashes. Pass
+    * `md5Base = false` in production (xxhash64 path); true matches the
+    * oracle-checked batch q71 exactly (asserted in StreamingSpec). */
+  def screenIncoming(incoming: DataFrame, bandIndex: DataFrame,
+      textIndex: DataFrame, md5Base: Boolean = false): DataFrame = {
+    val s = incoming.sparkSession
+    graft.functions.WordShingles.register(s)
+    graft.functions.MinHashSigs.register(s)
+    val sigExpr =
+      if (md5Base) graft.functions.MinHashSigs.minhash_sigs(col("shg"))
+      else graft.functions.MinHashSigs.minhash_sigs_fast(col("shg"))
+    var df = incoming
+      .withColumn("shg", graft.functions.WordShingles.word_shingles(lower(col("text")), 3))
+      .withColumn("sigs", when(size(col("shg")) > 0, sigExpr))
+      .withColumn("thash", md5(col("text")))
+      .join(textIndex.select(col("t").as("xt")).distinct().withColumn("xhit", lit(1)),
+        col("thash") === col("xt"), "left")
+    // one stateless equi-join per band (an OR across bands would be a
+    // loop join; exploding bands would need a re-aggregation, which
+    // append-mode streaming forbids — per-band left joins keep it flat)
+    val nBands = graft.functions.MinHashSigs.NumHashes / 4
+    for (b <- 0 until nBands) {
+      val key = concat_ws(",", (0 until 4).map(r => col("sigs")(b * 4 + r).cast("string")): _*)
+      val idx = bandIndex.filter(col("band") === b)
+        .select(col("band_key").as(s"ik$b")).distinct()
+        .withColumn(s"bhit$b", lit(1))
+      df = df.withColumn(s"bk$b", key).join(idx, col(s"bk$b") === col(s"ik$b"), "left")
+    }
+    df.filter(col("xhit").isNull &&
+        (0 until nBands).map(b => col(s"bhit$b").isNull).reduce(_ && _))
+      .select(incoming.columns.map(col): _*)
+  }
+
   final case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class UserAgg(user_id: Long, n: Long, total: Double)

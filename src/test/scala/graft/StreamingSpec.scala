@@ -149,4 +149,37 @@ class StreamingSpec extends SparkSpec {
       .filter(_.user_id == 1L).maxBy(_.n)
     assert(last.n == 3L && last.total == 7.0)
   }
+
+  test("streaming ingest screen matches the batch incremental-dedup keep set") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // same deterministic split as batch q71: uint16 md5 gate at 58982
+    def gate(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
+    val docs = Core.table(spark, dir, "documents").select($"doc_id", $"text")
+    val existing = docs.filter(gate($"doc_id") < 58982L)
+    val incomingRows = docs.filter(gate($"doc_id") >= 58982L)
+      .as[(Long, String)].collect().toSeq
+    // static indexes over the EXISTING side only (bandKeyIndex covers
+    // the whole corpus — restrict it with the same gate)
+    val bandIdx = ops.Dedup.bandKeyIndex(spark, dir)
+      .filter(gate($"doc_id") < 58982L).select("band", "band_key")
+    val textIdx = existing.select(md5($"text").as("t"))
+    val stream = MemoryStream[(Long, String)]
+    val screened = StreamingOps.screenIncoming(
+      stream.toDF().toDF("doc_id", "text"), bandIdx, textIdx, md5Base = true)
+    val q = screened.writeStream.format("memory").queryName("screen")
+      .outputMode(OutputMode.Append).start()
+    // two micro-batches to prove batch-boundary independence
+    val (b1, b2) = incomingRows.splitAt(incomingRows.size / 2)
+    Seq(b1, b2).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val kept = spark.table("screen").select("doc_id").as[Long].collect().toSet
+    val batchKeep = SparkEntry.queries("q71_incremental_dedup")(spark, dir)
+      .filter($"decision" === "keep").select("doc_id").as[Long].collect().toSet
+    assert(kept == batchKeep,
+      s"stream kept ${kept.size}, batch kept ${batchKeep.size}; " +
+        s"diff=${(kept diff batchKeep) ++ (batchKeep diff kept)}")
+  }
 }
