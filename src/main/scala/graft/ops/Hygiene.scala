@@ -225,6 +225,45 @@ object Hygiene {
         SELECT source, n_docs, cast(n_chars as bigint) AS n_chars,
           ${oRnd4("cast(n_chars as double) / tot_chars")} AS char_share,
           ${oRnd4("cast(tot_chars as double) / (n_sources * n_chars)")} AS mix_weight
-        FROM by_src, tot ORDER BY source"""))
+        FROM by_src, tot ORDER BY source""")),
+
+    // ---- domain-balanced sampling: APPLY q65's reweighting — keep
+    // each doc with per-source probability base_rate × mix_weight via
+    // the deterministic md5 gate, so over-represented sources are
+    // down-sampled toward the uniform char mix in ONE pass with no
+    // RNG state. The acceptance threshold floor(65536·p) is integer
+    // arithmetic on an identically-derived double in both engines, so
+    // the sample is oracle-exact and reproducible (re-running on the
+    // grown corpus re-selects a consistent subset, shifting only with
+    // the weights). Scale: one partial-agg groupBy(source) for the
+    // weights (O(sources) rows, broadcast back), then a narrow
+    // filter — no per-doc shuffle at all. ----
+    "q74_domain_balanced_sample" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val BaseRate = 0.5
+        val docs = table(s, dir, "documents")
+        val bySrc = docs.groupBy($"source").agg(sum($"n_chars").as("src_chars"))
+        val tot = bySrc.agg(sum($"src_chars").as("tot_chars"),
+          count(lit(1)).as("n_sources"))
+        val weighted = bySrc.crossJoin(broadcast(tot))
+          .select($"source",
+            least(lit(1.0),
+              lit(BaseRate) * $"tot_chars" / ($"n_sources" * $"src_chars")).as("p"))
+        docs.join(broadcast(weighted), Seq("source"))
+          .filter(docGate($"doc_id") < floor($"p" * 65536).cast("long"))
+          .select($"doc_id", $"source")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH by_src AS (SELECT source, sum(n_chars) AS src_chars
+          FROM documents GROUP BY 1),
+        tot AS (SELECT sum(src_chars) AS tot_chars, count(*) AS n_sources FROM by_src),
+        w AS (SELECT source,
+            least(1.0, 0.5 * tot_chars / (n_sources * src_chars)) AS p
+          FROM by_src, tot)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN w USING (source)
+        WHERE $oDocGate < cast(floor(w.p * 65536) as bigint)
+        ORDER BY d.doc_id"""))
   )
 }

@@ -195,6 +195,36 @@ object TextOps {
       Some("""SELECT doc_id,
         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 4) AS shard_key
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---- heavy hitters: top-20 most frequent tokens via the
+    // approx_top_k frequent-items sketch (Spark 4's ApproxTopK
+    // aggregate). The sketch merges per-partition — shuffle is one
+    // sketch per partition, NEVER a per-token row — which is the 100 TB
+    // shape for "what are the dominant tokens" monitoring where q57's
+    // exact groupBy would shuffle O(distinct terms). The sketch is
+    // EXACT while distinct items fit its capacity (10k here vs a
+    // 31-token test vocabulary), so the query is oracle-checkable; at
+    // web-scale vocabularies counts above capacity become estimates
+    // with the sketch's documented error — the capacity argument is
+    // the knob. We pull every tracked item and apply our own
+    // deterministic (count desc, token asc) top-20, so boundary ties
+    // never depend on sketch-internal ordering. ----
+    "q75_heavy_hitters" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        fanOut(s, table(s, dir, "documents"))
+          .select(explode(split(lower($"text"), " ")).as("tok"))
+          .filter(length($"tok") > 0)
+          .agg(expr("approx_top_k(tok, 100, 10000)").as("tk"))
+          .select(explode($"tk").as("e"))
+          .select($"e.item".as("token"), $"e.count".as("est_n"))
+          .orderBy($"est_n".desc, $"token")
+          .limit(20)
+      },
+      Some("""SELECT w AS token, cast(count(*) as bigint) AS est_n
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        WHERE length(w) > 0
+        GROUP BY 1 ORDER BY est_n DESC, token LIMIT 20"""))
   )
 }

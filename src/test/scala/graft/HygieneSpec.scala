@@ -118,4 +118,43 @@ class HygieneSpec extends SparkSpec {
       abs($"mix_weight" * $"char_share" * k - 1.0) > 0.01).count()
     assert(bad == 0)
   }
+
+  test("q74 balanced sample: acceptance equalizes expected char mass; counts track p") {
+    // the test corpus is near-uniform by construction, so comparing
+    // realized spreads would only measure sampling noise — instead
+    // verify the MECHANISM: p_src ∝ 1/src_chars (capped at 1), which
+    // makes expected post-sample char mass p_src·src_chars identical
+    // across sources, and realized per-source keeps sit within
+    // binomial tolerance of p_src·n_src
+    val docs = graft.Core.table(spark, dir, "documents")
+    val stats = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("chars"))
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    val totChars = stats.map(_._3).sum.toDouble
+    val nSources = stats.length
+    val p = stats.map { case (src, _, c) =>
+      src -> math.min(1.0, 0.5 * totChars / (nSources * c))
+    }.toMap
+    // expected char mass per source is uniform wherever the cap is not
+    // binding: p_src · chars_src = 0.5 · totChars / nSources
+    val masses = stats.collect { case (src, _, c) if p(src) < 1.0 => p(src) * c }
+    assert(masses.nonEmpty &&
+      masses.forall(m => math.abs(m - masses.head) < 1e-6 * masses.head))
+    val kept = Hygiene.catalog("q74_domain_balanced_sample").fn(spark, dir)
+      .groupBy($"source").agg(count(lit(1)).as("k"))
+      .as[(String, Long)].collect().toMap
+    stats.foreach { case (src, n, _) =>
+      val expect = p(src) * n
+      val tol = 3 * math.sqrt(n * p(src) * (1 - p(src))) + 1
+      val got = kept.getOrElse(src, 0L).toDouble
+      assert(math.abs(got - expect) <= tol,
+        s"$src kept $got, expected $expect ± $tol")
+    }
+    // the sample is the deterministic gate rule, not an RNG draw
+    val a = Hygiene.catalog("q74_domain_balanced_sample").fn(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    val b = Hygiene.catalog("q74_domain_balanced_sample").fn(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
 }

@@ -172,6 +172,17 @@ class PlanSpec extends SparkSpec {
       s"shard assignment must be the partitioning:\n${p.take(1500)}")
   }
 
+  test("q75 heavy hitters: sketch merges partially — no per-token shuffle rows") {
+    val p = planOf("q75_heavy_hitters")
+    // partial + final sketch aggregation: the exchange carries one
+    // sketch per partition, never a row per token
+    assert("approx_top_k".r.findAllIn(p).size >= 2 ||
+      "ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final sketch aggregation:\n${p.take(1500)}")
+    assert(!p.contains("hashpartitioning(tok"),
+      s"heavy hitters regressed to an exact per-token shuffle:\n${p.take(1500)}")
+  }
+
   test("q71 incremental dedup: both screens are semi-joins — no pair materialization") {
     val p = planOf("q71_incremental_dedup")
     assert("LeftSemi".r.findAllIn(p).size >= 2,
