@@ -109,6 +109,101 @@ object Corpus {
           SELECT lang, doc_id, n_chars,
             row_number() OVER (PARTITION BY lang
               ORDER BY md5(cast(doc_id as varchar)), doc_id) AS rn
-          FROM documents) WHERE rn <= 20 ORDER BY lang, rn"""))
+          FROM documents) WHERE rn <= 20 ORDER BY lang, rn""")),
+
+    // ---- the WHOLE training-data pipeline, one oracle-checked
+    // composition: curate (quality gate + LSH→CC canonical dedup, q47
+    // semantics) → domain-balance the survivors (q74's hash-gate
+    // acceptance ∝ mix weight, weights recomputed over the CURATED
+    // set) → chunk + pack into fixed 512-char training sequences (q70
+    // semantics). The output is chunk-level: every kept doc's chunks
+    // with their (bucket, seq_id, offset) slot — i.e. the physical
+    // layout a trainer would read. Every stage is an already-verified
+    // operator; what this adds (and the oracle pins end-to-end, raw
+    // text through recursive-CTE clustering to packed offsets) is that
+    // the composition seams — weight recomputation on a filtered set,
+    // packing after two levels of filtering — introduce no drift.
+    // Scale: the stages compose by doc_id-keyed joins and broadcast
+    // scalars; no stage widens another's shuffle. ----
+    "q76_training_pipeline" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val BaseRate = 0.7
+        val C = 64
+        val Cap = 512L
+        def gate(c: org.apache.spark.sql.Column) =
+          conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
+        val docs = table(s, dir, "documents")
+        // stage 1: curate — canonical docs above the quality bar
+        val scored = docs.select($"doc_id",
+          TextOps.qualityScore(lower($"text")).as("q"))
+        val clusters = Dedup.connectedComponents(
+          docs.select($"doc_id"), Dedup.lshPairs(s, dir))
+        val curated = scored.join(clusters, Seq("doc_id"))
+          .filter($"doc_id" === $"cluster_id" && $"q" >= 0.35)
+          .select($"doc_id")
+        val cd = docs.join(curated, Seq("doc_id"))
+        // stage 2: balance the curated mix (weights over the survivors)
+        val bySrc = cd.groupBy($"source").agg(sum($"n_chars").as("src_chars"))
+        val tot = bySrc.agg(sum($"src_chars").as("tot_chars"),
+          count(lit(1)).as("n_sources"))
+        val weighted = bySrc.crossJoin(broadcast(tot))
+          .select($"source", least(lit(1.0),
+            lit(BaseRate) * $"tot_chars" / ($"n_sources" * $"src_chars")).as("p"))
+        val sampled = cd.join(broadcast(weighted), Seq("source"))
+          .filter(gate($"doc_id") < floor($"p" * 65536).cast("long"))
+        // stage 3: chunk + pack into training sequences
+        val nch = greatest(ceil(length($"text") / lit(C.toDouble)).cast("long"), lit(1L))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"bucket").orderBy($"doc_id", $"chunk_idx")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        sampled
+          .select($"doc_id", (gate($"doc_id") % 8).as("bucket"),
+            explode(sequence(lit(0L), nch - 1)).as("chunk_idx"), $"text")
+          .withColumn("clen",
+            expr(s"length(substr(text, cast(chunk_idx*$C+1 as int), $C))"))
+          .select($"doc_id", $"chunk_idx", $"bucket", $"clen")
+          .withColumn("cb", coalesce(sum($"clen").over(w), lit(0L)))
+          .select($"doc_id", $"chunk_idx", $"bucket", $"clen",
+            floor($"cb" / lit(Cap.toDouble)).cast("long").as("seq_id"),
+            ($"cb" % Cap).as("seq_off"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some(Dedup.oracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        clusters AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+          FROM reach GROUP BY node),
+        scored AS (SELECT doc_id, ${TextOps.oQualityScore} AS q FROM documents),
+        curated AS (SELECT s.doc_id FROM scored s JOIN clusters c USING (doc_id)
+          WHERE s.doc_id = c.cluster_id AND s.q >= 0.35),
+        cd AS (SELECT d.* FROM documents d JOIN curated USING (doc_id)),
+        by_src AS (SELECT source, sum(n_chars) AS src_chars FROM cd GROUP BY 1),
+        tots AS (SELECT sum(src_chars) AS tot_chars, count(*) AS n_sources FROM by_src),
+        w AS (SELECT source,
+            least(1.0, 0.7 * tot_chars / (n_sources * src_chars)) AS p
+          FROM by_src, tots),
+        samp AS (SELECT cd.* FROM cd JOIN w USING (source)
+          WHERE CAST('0x' || substr(md5(cast(doc_id as varchar)), 1, 4) AS BIGINT)
+            < cast(floor(w.p * 65536) as bigint)),
+        ch AS (SELECT doc_id,
+            CAST('0x' || substr(md5(cast(doc_id as varchar)), 1, 4) AS BIGINT) % 8 AS bucket,
+            unnest(generate_series(0, greatest(cast(ceil(length(text)/64.0) as bigint), 1) - 1)) AS chunk_idx,
+            text
+          FROM samp),
+        cl AS (SELECT doc_id, bucket, chunk_idx,
+            cast(length(substr(text, cast(chunk_idx*64+1 as int), 64)) as int) AS clen
+          FROM ch),
+        cum AS (SELECT doc_id, bucket, chunk_idx, clen,
+            cast(coalesce(sum(clen) OVER (PARTITION BY bucket ORDER BY doc_id, chunk_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint) AS cb
+          FROM cl)
+        SELECT doc_id, chunk_idx, bucket, clen,
+          cast(floor(cb/512.0) as bigint) AS seq_id, cb % 512 AS seq_off
+        FROM cum ORDER BY doc_id, chunk_idx"""))
   )
 }

@@ -183,6 +183,19 @@ class PlanSpec extends SparkSpec {
       s"heavy hitters regressed to an exact per-token shuffle:\n${p.take(1500)}")
   }
 
+  test("q72 semantic dedup: candidates from a (cell, band, signature) equi-join, no loop join") {
+    val p = planOf("q72_semantic_dedup")
+    assert(p.contains("bkey"), s"candidate join must key on the band signature:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      "semantic dedup regressed to within-cell all-pairs")
+    // the only BroadcastNestedLoopJoin allowed is the k-row centroid
+    // cross join inside nearestCell; the candidate self-join must not
+    // be one — it keys on (cid, band, bkey)
+    assert(p.contains("cid") && (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin")),
+      s"expected an equi-join keyed on cell+band:\n${p.take(1500)}")
+  }
+
   test("q71 incremental dedup: both screens are semi-joins — no pair materialization") {
     val p = planOf("q71_incremental_dedup")
     assert("LeftSemi".r.findAllIn(p).size >= 2,

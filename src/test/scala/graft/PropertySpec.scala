@@ -120,4 +120,35 @@ class PropertySpec extends SparkSpec {
       (0 until 8).foreach(i => assert(mh(wboth, i) <= mh(wa, i)))
     }
   }
+
+  test("MinHashSigs: codegen output equals brute-force on arbitrary unicode texts") {
+    import org.apache.spark.sql.functions._
+    graft.functions.WordShingles.register(spark)
+    graft.functions.MinHashSigs.register(spark)
+    val MH = graft.functions.MinHashSigs
+    def brute(text: String): Option[Seq[Long]] = {
+      // -1 keeps trailing empty tokens, matching Spark's split semantics
+      val ws = text.toLowerCase.split(" ", -1)
+      val sh = ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq.distinct
+      if (sh.isEmpty) None
+      else Some((0 until MH.NumHashes).map { i =>
+        sh.map { w =>
+          val d = java.security.MessageDigest.getInstance("MD5").digest(w.getBytes("UTF-8"))
+          val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          (MH.A(i) * h + MH.B(i)) % MH.P
+        }.min
+      })
+    }
+    forAll(texts) { ts =>
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .withColumn("shg", graft.functions.WordShingles.word_shingles(lower($"text"), 3))
+        .filter(size($"shg") > 0)
+        .select($"doc_id", MH.minhash_sigs($"shg").as("sigs"))
+      val got = df.as[(Long, Seq[Long])].collect().toMap
+      val expect = ts.zipWithIndex
+        .flatMap { case (t, i) => brute(t).map(i.toLong -> _) }.toMap
+      assert(got == expect, s"minhash mismatch on ${ts.take(3)}…")
+    }
+  }
 }
