@@ -225,6 +225,85 @@ object TextOps {
       Some("""SELECT w AS token, cast(count(*) as bigint) AS est_n
         FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
         WHERE length(w) > 0
-        GROUP BY 1 ORDER BY est_n DESC, token LIMIT 20"""))
+        GROUP BY 1 ORDER BY est_n DESC, token LIMIT 20""")),
+
+    // ---- statistical LM quality scoring: per-doc mean bigram
+    // log-probability under the corpus's OWN bigram model (the
+    // KenLM-style perplexity filter run before pretraining, with the
+    // corpus as its own training set). P(w2|w1) = c(w1 w2)/c(w1 ·),
+    // scored as avg ln P over the doc's adjacent pairs. Per-pair logs
+    // ride through a decimal cast so the mean is order-independent
+    // (ln parity with DuckDB has the q57-idf precedent). Scale: the
+    // count model is two partial-agg groupBys bounded by vocab and
+    // vocab² rows — broadcast back to the doc pairs — so scoring is a
+    // narrow pass + one groupBy(doc_id); at web vocab the model join
+    // falls back to a shuffle keyed by bigram, still O(doc tokens). ----
+    "q77_lm_quality" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val D = org.apache.spark.sql.types.DecimalType(28, 12)
+        val docs = fanOut(s, table(s, dir, "documents"))
+          .withColumn("ws", split(lower($"text"), " "))
+        val pairs = docs.select($"doc_id", explode(expr(
+            "transform(slice(ws, 1, size(ws)-1), (x, i) -> struct(x AS w1, concat(x, ' ', ws[i+1]) AS pr))"))
+            .as("p"))
+          .select($"doc_id", $"p.w1".as("w1"), $"p.pr".as("pr"))
+        val c2 = pairs.groupBy($"w1", $"pr").agg(count(lit(1)).as("c2"))
+        val c1 = pairs.groupBy($"w1").agg(count(lit(1)).as("c1"))
+        val model = c2.join(c1, Seq("w1"))
+          .select($"pr", ($"c2".cast("double") / $"c1").as("pcond"))
+        pairs.join(broadcast(model), Seq("pr"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            rnd4(sum(log($"pcond").cast(D)).cast("double") / count(lit(1))).as("mean_logp"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        prs AS (SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS pr
+          FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i FROM toks)),
+        c2 AS (SELECT w1, pr, count(*) AS c2 FROM prs GROUP BY 1, 2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM prs GROUP BY 1),
+        model AS (SELECT pr, cast(c2.c2 as double) / c1.c1 AS pcond
+          FROM c2 JOIN c1 USING (w1)),
+        scored AS (SELECT p.doc_id, count(*) AS n_pairs,
+            cast(sum(cast(ln(m.pcond) as decimal(28,12))) as double) / count(*) AS mlp
+          FROM prs p JOIN model m USING (pr) GROUP BY 1)
+        SELECT doc_id, n_pairs, ${oRnd4("mlp")} AS mean_logp
+        FROM scored ORDER BY doc_id""")),
+
+    // ---- vocabulary encoding: map every token to a deterministic
+    // integer id (frequency rank, ties broken lexically) — the
+    // tokenize-to-ids step that turns curated text into the integer
+    // sequences training actually consumes. The vocab is derived from
+    // the corpus itself in one partial-agg groupBy; ids come from a
+    // single window over the VOCAB (31 rows here; at web scale rank
+    // the vocab by count range-partitioned — never window the corpus),
+    // then broadcast-join back to the token stream. Positions keep
+    // their pre-filter index so empty tokens (double spaces) never
+    // shift alignment. Scale: encode is a narrow pass + broadcast
+    // join; shuffle is only the vocab groupBy, O(distinct tokens). ----
+    "q78_token_ids" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val toks = fanOut(s, table(s, dir, "documents"))
+          .select($"doc_id", posexplode(split(lower($"text"), " ")).as(Seq("pos", "tok")))
+          .filter(length($"tok") > 0)
+        val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("n"))
+          .withColumn("tid", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy($"n".desc, $"tok")))
+          .select($"tok", $"tid")
+        toks.join(broadcast(vocab), Seq("tok"))
+          .select($"doc_id", $"pos", $"tid")
+          .orderBy($"doc_id", $"pos")
+      },
+      Some("""WITH toks AS (SELECT doc_id, cast(i-1 as int) AS pos, ws[i] AS tok
+          FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents))
+          WHERE length(ws[i]) > 0),
+        vocab AS (SELECT tok,
+            cast(row_number() OVER (ORDER BY count(*) DESC, tok) as int) AS tid
+          FROM toks GROUP BY tok)
+        SELECT t.doc_id, t.pos, v.tid
+        FROM toks t JOIN vocab v USING (tok) ORDER BY doc_id, pos"""))
   )
 }
