@@ -20,6 +20,7 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     try ops.Dedup.warm(spark, sfDir) catch { case _: Throwable => }
     try ops.Similarity.warm(spark, sfDir) catch { case _: Throwable => }
+    try ops.TextOps.warm(spark, sfDir) catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

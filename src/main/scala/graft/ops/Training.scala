@@ -49,11 +49,9 @@ object Training {
     "q69_bpe_pair_stats" -> Q(
       (s, dir) => {
         import s.implicits._
-        fanOut(s, table(s, dir, "documents"))
-          .withColumn("ws", split(lower($"text"), " "))
-          .select(explode(expr(
-            "transform(slice(ws, 1, size(ws)-1), (x, i) -> concat(x, ' ', ws[i+1]))"))
-            .as("pair"))
+        // shares the session-memoized bigram frame with q77's LM model
+        TextOps.bigramRows(s, dir)
+          .select($"pr".as("pair"))
           .groupBy($"pair").agg(count(lit(1)).as("n"))
           .orderBy($"n".desc, $"pair")
           .limit(50)
