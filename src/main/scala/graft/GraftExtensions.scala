@@ -30,6 +30,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("dot_exact"),
       info("dot_exact", "dot_exact(a, b) - exact decimal-semantics dot product"),
       (exprs: Seq[Expression]) => functions.DotProductExact(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("bloom_agg"),
+      info("bloom_agg", "bloom_agg(keyHash[, estItems]) - Bloom membership sketch over xxhash64 keys"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+        case Seq(c, n) => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+        case other => throw new IllegalArgumentException(
+          s"bloom_agg(keyHash[, estItems]): got ${other.size} args")
+      }))
+    e.injectFunction((FunctionIdentifier("bloom_contains"),
+      info("bloom_contains", "bloom_contains(bloom, keyHash) - no-false-negative membership probe"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(str, n) - distinct word n-gram shingles"),
       (exprs: Seq[Expression]) => functions.WordShingles(exprs.head,

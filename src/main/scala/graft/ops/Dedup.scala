@@ -401,6 +401,51 @@ object Dedup {
         LEFT JOIN near nr ON nr.doc_id = d.doc_id
         WHERE g.gv >= 58982 ORDER BY d.doc_id""")),
 
+    // ---- bloom-screened incremental exact dedup: q71's "screen
+    // today's batch against the stored corpus" with the corpus side
+    // compressed into Spark's own runtime-filter Bloom sketch
+    // (BloomFilterAggregate, exposed as SQL `bloom_agg` /
+    // `bloom_contains` — see functions/BloomFuncs.scala). The sketch
+    // has NO false negatives, so it is a sound prefilter: batch docs
+    // whose fingerprint misses the bloom are definitely new and never
+    // enter a shuffle; only bloom HITS (true dups + the sketch's few
+    // false positives) reach the exact anti-join. Output is therefore
+    // EXACTLY the exact anti-join's output — oracle-checked, while the
+    // join shuffles O(hits), not O(batch). At 100 TB the sketch is
+    // built once from the stored fingerprint index, persisted, and
+    // broadcast to each day's screen (here the scalar subquery builds
+    // it in-query; ReuseSubquery collapses the two textual copies —
+    // and an UNDERSIZED sketch degrades only selectivity, never
+    // correctness). ----
+    "q81_bloom_screen" -> Q(
+      (s, dir) => {
+        graft.functions.BloomFuncs.register(s)
+        table(s, dir, "documents").createOrReplaceTempView("docs_q81")
+        s.sql("""
+          WITH g AS (SELECT doc_id, md5(text) AS fp,
+              CAST(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) AS BIGINT) AS gv
+            FROM docs_q81),
+          corpus AS (SELECT fp FROM g WHERE gv < 58982),
+          batch AS (SELECT doc_id, fp FROM g WHERE gv >= 58982),
+          flagged AS (SELECT doc_id, fp,
+              bloom_contains((SELECT bloom_agg(xxhash64(fp), 100000L) FROM corpus),
+                xxhash64(fp)) AS maybe
+            FROM batch)
+          SELECT doc_id, fp FROM flagged WHERE NOT maybe
+          UNION ALL
+          SELECT f.doc_id, f.fp
+          FROM (SELECT doc_id, fp FROM flagged WHERE maybe) f
+          LEFT ANTI JOIN corpus c ON f.fp = c.fp
+          ORDER BY doc_id""")
+      },
+      Some("""WITH g AS (SELECT doc_id, md5(text) AS fp,
+            CAST('0x' || substr(md5(cast(doc_id as varchar)), 1, 4) AS BIGINT) AS gv
+          FROM documents)
+        SELECT b.doc_id, b.fp FROM g b
+        WHERE b.gv >= 58982 AND NOT EXISTS (
+          SELECT 1 FROM g c WHERE c.gv < 58982 AND c.fp = b.fp)
+        ORDER BY b.doc_id""")),
+
     // ---- SimHash (16-bit variant; bit j comes from hex digit j/4 of
     // md5(word), so both engines derive identical bits) ----
     "q33_simhash" -> Q(

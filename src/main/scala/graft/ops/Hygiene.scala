@@ -264,6 +264,52 @@ object Hygiene {
         SELECT d.doc_id, d.source
         FROM documents d JOIN w USING (source)
         WHERE $oDocGate < cast(floor(w.p * 65536) as bigint)
+        ORDER BY d.doc_id""")),
+
+    // ---- temperature-weighted mixture sampling: the multilingual /
+    // multi-domain mixing rule q_s ∝ p_s^α (α = 0.5 here) — flatter
+    // than the natural mix, so rare sources are upsampled relative to
+    // dominant ones without going fully uniform (q74 is the α→0
+    // endpoint of this knob). Per-doc acceptance a_s ∝ q_s / p_s
+    // realizes the target mix in one deterministic md5-gated pass.
+    // sqrt is IEEE-correctly-rounded (identical in both engines) and
+    // the cross-source normalizer Σ√p rides a decimal cast so the
+    // handful-of-rows sum is order-independent — the sample is
+    // oracle-exact and reproducible. Scale: one partial-agg
+    // groupBy(source) + two broadcast scalars, then a narrow filter —
+    // no per-doc shuffle (q74's shape, one extra scalar pass). ----
+    "q80_temperature_mix_sample" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val D = org.apache.spark.sql.types.DecimalType(28, 12)
+        val BaseRate = 0.5
+        val docs = table(s, dir, "documents")
+        val bySrc = docs.groupBy($"source").agg(sum($"n_chars").as("src_chars"))
+        val tot = bySrc.agg(sum($"src_chars").as("tot_chars"))
+        val shares = bySrc.crossJoin(broadcast(tot))
+          .select($"source", ($"src_chars".cast("double") / $"tot_chars").as("p"))
+        val norm = shares.agg(sum(sqrt($"p").cast(D)).as("z"))
+        val weighted = shares.crossJoin(broadcast(norm))
+          .select($"source",
+            least(lit(1.0),
+              lit(BaseRate) * (sqrt($"p") / $"z".cast("double")) / $"p").as("a"))
+        docs.join(broadcast(weighted), Seq("source"))
+          .filter(docGate($"doc_id") < floor($"a" * 65536).cast("long"))
+          .select($"doc_id", $"source", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH by_src AS (SELECT source, sum(n_chars) AS src_chars
+          FROM documents GROUP BY 1),
+        tot AS (SELECT sum(src_chars) AS tot_chars FROM by_src),
+        shares AS (SELECT source, cast(src_chars as double) / tot_chars AS p
+          FROM by_src, tot),
+        norm AS (SELECT sum(cast(sqrt(p) as decimal(28,12))) AS z FROM shares),
+        w AS (SELECT source,
+            least(1.0, 0.5 * (sqrt(p) / cast(z as double)) / p) AS a
+          FROM shares, norm)
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d JOIN w USING (source)
+        WHERE $oDocGate < cast(floor(w.a * 65536) as bigint)
         ORDER BY d.doc_id"""))
   )
 }

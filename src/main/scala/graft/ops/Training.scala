@@ -134,6 +134,47 @@ object Training {
         FROM documents)
         SELECT doc_id, shard,
           cast(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) as int) AS pos
-        FROM r ORDER BY shard, pos"""))
+        FROM r ORDER BY shard, pos""")),
+
+    // ---- epoch upsampling: materialize per-source repeat factors as
+    // explicit (doc_id, epoch) rows — the "rare domains see more
+    // epochs" counterpart to down-sampling (q74/q80 gate docs OUT;
+    // this replays under-represented sources IN, capped at 4 epochs so
+    // no source over-memorizes). r_s = clamp(ceil(uniform-mix weight),
+    // 1, 4) — integer arithmetic on the q65 weight, so the blowup is
+    // bounded by the cap, not by the skew. The epoch column then
+    // feeds q73's shard shuffle so replicas land in different shards.
+    // Scale: one partial-agg groupBy(source) → broadcast O(sources)
+    // factors; the sequence explode is a narrow generator (no
+    // shuffle); output is ≤4× input rows of METADATA (doc_id, not
+    // text — a trainer resolves text by doc_id at read time). ----
+    "q82_epoch_upsample" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val MaxEpochs = 4L
+        val docs = table(s, dir, "documents")
+        val bySrc = docs.groupBy($"source").agg(sum($"n_chars").as("src_chars"))
+        val tot = bySrc.agg(sum($"src_chars").as("tot_chars"),
+          count(lit(1)).as("n_sources"))
+        val rep = bySrc.crossJoin(broadcast(tot))
+          .select($"source",
+            least(lit(MaxEpochs), greatest(lit(1L),
+              ceil($"tot_chars".cast("double") / ($"n_sources" * $"src_chars"))))
+              .as("r"))
+        docs.join(broadcast(rep), Seq("source"))
+          .select($"doc_id", $"source",
+            explode(sequence(lit(0L), $"r" - 1)).as("epoch"))
+          .orderBy($"doc_id", $"epoch")
+      },
+      Some("""WITH by_src AS (SELECT source, sum(n_chars) AS src_chars
+          FROM documents GROUP BY 1),
+        tot AS (SELECT sum(src_chars) AS tot_chars, count(*) AS n_sources FROM by_src),
+        rep AS (SELECT source,
+            least(4, greatest(1,
+              cast(ceil(cast(tot_chars as double) / (n_sources * src_chars)) as bigint))) AS r
+          FROM by_src, tot)
+        SELECT d.doc_id, d.source, unnest(generate_series(0, r - 1)) AS epoch
+        FROM documents d JOIN rep USING (source)
+        ORDER BY doc_id, epoch"""))
   )
 }

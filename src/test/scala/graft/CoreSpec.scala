@@ -40,6 +40,31 @@ class CoreSpec extends SparkSpec {
     }
   }
 
+  test("q79 zipf slope: matches Spark's builtin regr_slope, and is negative (freq falls with rank)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q79_zipf_slope")(spark, dir)
+      .select($"source", $"zipf_slope").as[(String, Double)].collect().toMap
+    assert(got.nonEmpty && got.values.forall(_ < 0.0),
+      s"frequency must fall with rank: $got")
+    // independent check: the decimal-sum regression equals the builtin
+    // least-squares aggregate (which our formulation re-derives for
+    // engine-exactness) to rounding precision
+    val toks = Core.table(spark, dir, "documents")
+      .select($"source", explode(split(lower($"text"), " ")).as("tok"))
+      .filter(length($"tok") > 0)
+    val ref = toks.groupBy($"source", $"tok").agg(count(lit(1)).as("n"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"n".desc, $"tok")))
+      .groupBy($"source").agg(expr("regr_slope(ln(n), ln(r))").as("s"))
+      .as[(String, Double)].collect().toMap
+    got.foreach { case (src, v) =>
+      assert(math.abs(v - ref(src)) < 1e-3, s"$src: catalog $v vs regr_slope ${ref(src)}")
+    }
+  }
+
   test("approx quantiles stay within GK rank-error bounds of the true ranks") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -245,6 +245,37 @@ class DedupSimSpec extends SparkSpec {
     assert(r.getInt(2) == 2)
   }
 
+  test("bloom_agg/bloom_contains: no false negatives; q81 equals the exact anti-join") {
+    // membership sketch over A probed with A: every probe MUST hit
+    // (the soundness q81's prefilter correctness rests on)
+    val misses = spark.sql(
+      """WITH a AS (SELECT cast(id * 7 as string) AS k FROM range(2000))
+         SELECT count(*) FROM a
+         WHERE NOT bloom_contains((SELECT bloom_agg(xxhash64(k), 2000L) FROM a),
+           xxhash64(k))""").head().getLong(0)
+    assert(misses == 0, s"bloom produced $misses false negatives")
+    // disjoint probe set: false-positive rate stays a prefilter, not a pass-through
+    val fp = spark.sql(
+      """WITH a AS (SELECT cast(id * 7 as string) AS k FROM range(2000)),
+              b AS (SELECT cast(id * 7 + 1 as string) AS k FROM range(2000))
+         SELECT count(*) FROM b
+         WHERE bloom_contains((SELECT bloom_agg(xxhash64(k), 2000L) FROM a),
+           xxhash64(k))""").head().getLong(0)
+    assert(fp < 400, s"bloom FP rate ${fp / 2000.0} too high to prune anything")
+    // q81's sketch-accelerated screen == the plain exact anti-join
+    import org.apache.spark.sql.functions.{conv, substring, md5}
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.ops.Dedup.catalog("q81_bloom_screen").fn(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    val docs = Core.table(spark, dir, "documents")
+    val gate = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10).cast("long")
+    val fps = docs.select($"doc_id", gate.as("g"), md5($"text").as("fp"))
+    val expect = fps.filter($"g" >= 58982)
+      .join(fps.filter($"g" < 58982).select($"fp"), Seq("fp"), "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == expect, s"bloom screen ${got.size} vs exact ${expect.size}")
+  }
+
   test("EliminateRedundantDistinct removes array_distinct over word_shingles") {
     val df = spark.sql(
       "SELECT array_distinct(word_shingles('a b c d a b c d', 3)) AS s")

@@ -157,4 +157,40 @@ class HygieneSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(a == b)
   }
+
+  test("q80 temperature mix: acceptance ∝ p^(α-1), monotone against share; subset of corpus") {
+    val docs = graft.Core.table(spark, dir, "documents")
+    val stats = docs.groupBy($"source").agg(sum($"n_chars").as("chars"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val totChars = stats.map(_._2).sum.toDouble
+    val z = stats.map(s => math.sqrt(s._2 / totChars)).sum
+    val accept = stats.map { case (src, c) =>
+      val p = c / totChars
+      src -> math.min(1.0, 0.5 * (math.sqrt(p) / z) / p)
+    }.toMap
+    // α = 0.5 < 1: a bigger char share must never get a HIGHER
+    // acceptance rate (the flattening direction of the temperature)
+    val byShare = stats.sortBy(_._2)
+    byShare.zip(byShare.tail).foreach { case ((lo, _), (hi, _)) =>
+      assert(accept(lo) >= accept(hi) - 1e-12,
+        s"acceptance not monotone: $lo=${accept(lo)} < $hi=${accept(hi)}")
+    }
+    // realized keeps per source within binomial tolerance of a_src·n
+    val n = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val kept = Hygiene.catalog("q80_temperature_mix_sample").fn(spark, dir)
+      .groupBy($"source").agg(count(lit(1)).as("k"))
+      .as[(String, Long)].collect().toMap
+    stats.foreach { case (src, _) =>
+      val expect = accept(src) * n(src)
+      val tol = 3 * math.sqrt(n(src) * accept(src) * (1 - accept(src))) + 1
+      val got = kept.getOrElse(src, 0L).toDouble
+      assert(math.abs(got - expect) <= tol, s"$src kept $got, expected $expect ± $tol")
+    }
+    // kept docs are a subset of the corpus (no fabricated rows)
+    val ids = Hygiene.catalog("q80_temperature_mix_sample").fn(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    val all = docs.select($"doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(all))
+  }
 }

@@ -65,4 +65,28 @@ class TrainingSpec extends SparkSpec {
       .sum
     assert(recount.toLong == topN, s"top pair '$topPair': catalog=$topN recount=$recount")
   }
+
+  test("q82 epoch upsample: dense 0..r-1 epochs per doc, r within [1,4], rare sources replay more") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q82_epoch_upsample")(spark, dir)
+    // per doc: epochs are exactly 0..r-1 (dense, no gaps or repeats)
+    val perDoc = out.groupBy($"doc_id")
+      .agg(count(lit(1)).as("r"), min($"epoch").as("lo"), max($"epoch").as("hi"),
+        countDistinct($"epoch").as("d"))
+    assert(perDoc.filter($"lo" =!= 0 || $"hi" =!= $"r" - 1 || $"d" =!= $"r").count() == 0)
+    assert(perDoc.filter($"r" < 1 || $"r" > 4).count() == 0)
+    // every doc appears; r is constant within a source
+    val docs = Core.table(spark, dir, "documents")
+    assert(perDoc.count() == docs.count())
+    val bySrc = out.groupBy($"source", $"doc_id").agg(count(lit(1)).as("r"))
+      .groupBy($"source").agg(countDistinct($"r").as("nr"), max($"r").as("r"))
+    assert(bySrc.filter($"nr" =!= 1).count() == 0, "repeat factor varies within a source")
+    // monotone: a source with FEWER chars never gets a SMALLER repeat factor
+    val rs = bySrc.join(docs.groupBy($"source").agg(sum($"n_chars").as("c")), "source")
+      .select($"c", $"r").as[(Long, Long)].collect().sortBy(_._1)
+    rs.zip(rs.tail).foreach { case ((_, rLo), (_, rHi)) =>
+      assert(rLo >= rHi, "rarer source got fewer epochs")
+    }
+  }
 }
