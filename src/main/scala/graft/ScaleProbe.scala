@@ -84,7 +84,14 @@ object ScaleProbe {
       // candidate stage, not the output, is what the cells+bands must
       // keep bounded)
       "q68_ann_multiprobe", "q69_bpe_pair_stats", "q70_chunk_pack",
-      "q71_incremental_dedup", "q72_semantic_dedup", "q73_corpus_shard"))
+      "q71_incremental_dedup", "q72_semantic_dedup", "q73_corpus_shard",
+      // round-3 wave 2: mixing/diagnostics/screen ops. q76 composes
+      // curation (its CC stage dominates, tracked by q45/q47); q81's
+      // bloom prunes before the anti-join shuffle; q79's window runs
+      // over the per-source vocab, never the corpus
+      "q74_domain_balanced_sample", "q75_heavy_hitters", "q76_training_pipeline",
+      "q77_lm_quality", "q78_token_ids", "q79_zipf_slope",
+      "q80_temperature_mix_sample", "q81_bloom_screen", "q82_epoch_upsample"))
       .filter(q => only.forall(_.contains(q))).foreach(time)
     // md5 (oracle-parity) vs xxhash64 (production) base hash for the
     // LSH band keys — quantifies what the DuckDB oracle costs q31 at

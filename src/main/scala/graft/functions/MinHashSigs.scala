@@ -78,9 +78,14 @@ case class MinHashSigs(child: Expression, md5Base: Boolean) extends UnaryExpress
           val md = ctx.addMutableState("java.security.MessageDigest", "minhashMd",
             vn => s"""try { $vn = java.security.MessageDigest.getInstance("MD5"); }
                      |catch (Exception e) { throw new RuntimeException(e); }""".stripMargin)
+          // NOTE: this block is re-interpolated into the outer template
+          // below, whose stripMargin would eat any continuation line
+          // starting with '|' (it deleted the OR operator here once —
+          // janino's "is not a type" cast-parse error — and the whole
+          // projection silently fell back to interpreted eval). Keep
+          // the bit-fold on ONE line.
           s"""byte[] ${h}d = $md.digest($w.getBytes());
-             |long $h = ((${h}d[0] & 0xffL) << 24) | ((${h}d[1] & 0xffL) << 16)
-             |  | ((${h}d[2] & 0xffL) << 8) | (${h}d[3] & 0xffL);""".stripMargin
+             |long $h = ((${h}d[0] & 0xffL) << 24) | ((${h}d[1] & 0xffL) << 16) | ((${h}d[2] & 0xffL) << 8) | (${h}d[3] & 0xffL);""".stripMargin
         } else {
           s"""long $h = org.apache.spark.sql.catalyst.expressions.XXH64
              |  .hashUTF8String($w, ${Seed}L);
