@@ -91,7 +91,8 @@ object ScaleProbe {
       // over the per-source vocab, never the corpus
       "q74_domain_balanced_sample", "q75_heavy_hitters", "q76_training_pipeline",
       "q77_lm_quality", "q78_token_ids", "q79_zipf_slope",
-      "q80_temperature_mix_sample", "q81_bloom_screen", "q82_epoch_upsample"))
+      "q80_temperature_mix_sample", "q81_bloom_screen", "q82_epoch_upsample",
+      "q83_token_windows"))
       .filter(q => only.forall(_.contains(q))).foreach(time)
     // md5 (oracle-parity) vs xxhash64 (production) base hash for the
     // LSH band keys — quantifies what the DuckDB oracle costs q31 at

@@ -175,6 +175,53 @@ object Training {
           FROM by_src, tot)
         SELECT d.doc_id, d.source, unnest(generate_series(0, r - 1)) AS epoch
         FROM documents d JOIN rep USING (source)
-        ORDER BY doc_id, epoch"""))
+        ORDER BY doc_id, epoch""")),
+
+    // ---- sliding token context windows: assign every encoded token
+    // to its overlapping attention windows (length 32, stride 16 — the
+    // stride-half overlap a trainer uses so no boundary context is
+    // lost). With W = 2·S each token belongs to at most two windows
+    // (⌊i/S⌋ and its predecessor), so membership is a ≤2-row narrow
+    // generator per token — NEVER a positions×windows join — followed
+    // by one partial-agg groupBy(doc, window). Per-window content is
+    // pinned by count + tid checksum + position span (the full token
+    // list is q78's output; a trainer slices it by this index). The
+    // dense in-doc index comes from a per-doc window — bounded by doc
+    // length, the q70 in-bucket sort shape, never a global sort. ----
+    "q83_token_windows" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val S = 16L // stride; window length = 2·S
+        val dense = TextOps.tokenIds(s, dir)
+          .withColumn("i", row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"pos")).cast("long") - 1)
+        dense
+          .select($"doc_id", $"i", $"tid",
+            explode(array(($"i" / S).cast("long"), ($"i" / S).cast("long") - 1)).as("win_id"))
+          .filter($"win_id" >= 0)
+          .groupBy($"doc_id", $"win_id")
+          .agg(count(lit(1)).as("n_tok"), sum($"tid").as("sum_tid"),
+            min($"i").as("first_i"), max($"i").as("last_i"))
+          .withColumn("full", ($"n_tok" === 2 * S).cast("int"))
+          .orderBy($"doc_id", $"win_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, cast(i-1 as int) AS pos, ws[i] AS tok
+          FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents))
+          WHERE length(ws[i]) > 0),
+        vocab AS (SELECT tok,
+            cast(row_number() OVER (ORDER BY count(*) DESC, tok) as int) AS tid
+          FROM toks GROUP BY tok),
+        dense AS (SELECT t.doc_id, v.tid,
+            cast(row_number() OVER (PARTITION BY t.doc_id ORDER BY t.pos) as bigint) - 1 AS i
+          FROM toks t JOIN vocab v USING (tok)),
+        member AS (SELECT doc_id, i, tid, unnest([i // 16, i // 16 - 1]) AS win_id
+          FROM dense)
+        SELECT doc_id, win_id, count(*) AS n_tok,
+          cast(sum(tid) as bigint) AS sum_tid,
+          min(i) AS first_i, max(i) AS last_i,
+          cast(CASE WHEN count(*) = 32 THEN 1 ELSE 0 END as int) AS "full"
+        FROM member WHERE win_id >= 0
+        GROUP BY doc_id, win_id ORDER BY doc_id, win_id"""))
   )
 }

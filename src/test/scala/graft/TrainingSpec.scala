@@ -89,4 +89,27 @@ class TrainingSpec extends SparkSpec {
       assert(rLo >= rHi, "rarer source got fewer epochs")
     }
   }
+
+  test("q83 token windows: spans inside bounds, overlap conservation, dense window ids") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q83_token_windows")(spark, dir).cache()
+    // every window's token span sits inside [16w, 16w+32); counts in 1..32
+    val bad = out.filter($"n_tok" < 1 || $"n_tok" > 32 ||
+      $"first_i" < $"win_id" * 16 || $"last_i" >= $"win_id" * 16 + 32 ||
+      ($"full" === 1) =!= ($"n_tok" === 32)).count()
+    assert(bad == 0)
+    // stride-overlap conservation: tokens 0..15 belong to one window,
+    // all others to exactly two — Σ n_tok = 2n − min(n, 16) per doc
+    val tokCounts = graft.ops.TextOps.catalog("q78_token_ids").fn(spark, dir)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val cons = out.groupBy($"doc_id").agg(sum($"n_tok").as("s"),
+        count(lit(1)).as("nwin"), max($"win_id").as("wmax"), min($"win_id").as("wmin"))
+      .join(tokCounts, "doc_id")
+      .filter($"s" =!= lit(2) * $"n" - least($"n", lit(16)) ||
+        $"wmin" =!= 0 || $"nwin" =!= $"wmax" + 1)
+      .count()
+    assert(cons == 0, "window membership lost or duplicated tokens")
+    out.unpersist()
+  }
 }
