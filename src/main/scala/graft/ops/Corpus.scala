@@ -34,8 +34,7 @@ object Corpus {
           TextOps.qualityScore(lower($"text")).as("quality_score"),
           size(regexp_extract_all(lower($"text"),
             lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_tokens"))
-        val clusters = Dedup.connectedComponents(
-          docs.select($"doc_id"), Dedup.lshPairs(s, dir))
+        val clusters = Dedup.clusterLabels(s, dir)
         scored.join(clusters, Seq("doc_id"))
           .filter($"doc_id" === $"cluster_id" && $"quality_score" >= 0.35)
           .select($"doc_id", $"cluster_id", $"quality_score", $"n_tokens")
@@ -137,8 +136,7 @@ object Corpus {
         // stage 1: curate — canonical docs above the quality bar
         val scored = docs.select($"doc_id",
           TextOps.qualityScore(lower($"text")).as("q"))
-        val clusters = Dedup.connectedComponents(
-          docs.select($"doc_id"), Dedup.lshPairs(s, dir))
+        val clusters = Dedup.clusterLabels(s, dir)
         val curated = scored.join(clusters, Seq("doc_id"))
           .filter($"doc_id" === $"cluster_id" && $"q" >= 0.35)
           .select($"doc_id")
