@@ -28,12 +28,10 @@ object Corpus {
     "q47_corpus_curation" -> Q(
       (s, dir) => {
         import s.implicits._
-        val docs = table(s, dir, "documents")
-        val scored = docs.select(
-          $"doc_id",
-          TextOps.qualityScore(lower($"text")).as("quality_score"),
-          size(regexp_extract_all(lower($"text"),
-            lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_tokens"))
+        // quality metrics and cluster labels both come from the
+        // session-memoized frames (shared with q41/q76 and q45/q76)
+        val scored = TextOps.scoredDocs(s, dir)
+          .select($"doc_id", $"quality_score", $"n_tokens")
         val clusters = Dedup.clusterLabels(s, dir)
         scored.join(clusters, Seq("doc_id"))
           .filter($"doc_id" === $"cluster_id" && $"quality_score" >= 0.35)
@@ -134,8 +132,8 @@ object Corpus {
           conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
         val docs = table(s, dir, "documents")
         // stage 1: curate — canonical docs above the quality bar
-        val scored = docs.select($"doc_id",
-          TextOps.qualityScore(lower($"text")).as("q"))
+        // (scoring and clustering ride the session-memoized frames)
+        val scored = TextOps.scoredDocs(s, dir).select($"doc_id", $"quality_score".as("q"))
         val clusters = Dedup.clusterLabels(s, dir)
         val curated = scored.join(clusters, Seq("doc_id"))
           .filter($"doc_id" === $"cluster_id" && $"q" >= 0.35)
