@@ -78,6 +78,17 @@ object Dedup {
       .select((col("doc_id") +: (0 until NumHashes).map(i => col("sigs")(i).as(s"h$i"))): _*)
   }
 
+  /** Band rows for an ARBITRARY (doc_id, text) frame — the index-build
+    * and batch-screen entry point (IndexStore). Same shingling,
+    * signature family and banding as the memoized corpus paths; the
+    * md5 base hash keeps stored indexes comparable with the
+    * oracle-checked queries (production snapshots would use the
+    * xxhash64 variant consistently on BOTH the index and every
+    * screen). */
+  private[ops] def toBandRowsPublic(s: SparkSession, docs: DataFrame,
+      md5Base: Boolean = true): DataFrame =
+    toBandRows(rowLocalSigs(s, docs, md5Base))
+
   /** h0..h15 → (doc_id, band, band_key): a narrow explode of 4 structs. */
   private def toBandRows(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until NumHashes / RowsPerBand).map { b =>

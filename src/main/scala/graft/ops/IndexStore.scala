@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Core._
+
+/** Persisted corpus-index artifacts — the piece that turns incremental
+  * dedup from a session optimization into an OPERATIONAL contract.
+  *
+  * Within one session the LSH band keys, fingerprints and cluster
+  * labels are `Core.memo`-shared; but the 100 TB deployment story
+  * (SCALE.md, q71/q81) is "index the corpus ONCE per snapshot, then
+  * screen each day's batch against the STORED index in O(batch)".
+  * This object is that store:
+  *
+  *  - `write` materializes the band-key index (partitioned by `band`,
+  *    so a screen's band-equi-join prunes to matching band partitions),
+  *    the exact-dup fingerprint set, and a Bloom sketch of the
+  *    fingerprints (Spark's own `BloomFilterAggregate` bits, one small
+  *    binary blob — the broadcastable prefilter of q81).
+  *  - `screenBatch` reproduces q71's keep/drop decisions for an
+  *    incoming batch using ONLY the stored artifacts — no access to
+  *    the original corpus, no recompute. The bloom prunes the exact
+  *    screen to sketch hits (no false negatives ⇒ decisions are
+  *    exact); the near screen is a semi-join against the stored band
+  *    index, shuffling O(batch) band rows.
+  *
+  * Artifacts are plain parquet + one binary file: readable by any
+  * engine, re-writable atomically per snapshot (SaveMode.Overwrite),
+  * and append-mergeable for rolling corpora (union the parquet dirs;
+  * rebuild the bloom from the merged fingerprints or OR the bit
+  * arrays offline).
+  */
+object IndexStore {
+
+  /** Rows a batch screen needs per incoming doc. */
+  private def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("fp"))
+
+  /** Persist the dedup index of `docs` under `out`. */
+  def write(s: SparkSession, docs: DataFrame, out: String): Unit = {
+    graft.functions.BloomFuncs.register(s)
+    Dedup.toBandRowsPublic(s, docs)
+      .write.mode(SaveMode.Overwrite).partitionBy("band")
+      .parquet(s"$out/band_keys")
+    val fps = fingerprints(docs)
+    fps.write.mode(SaveMode.Overwrite).parquet(s"$out/fingerprints")
+    // one small binary blob: the BloomFilterAggregate sketch over the
+    // fingerprint hashes (estItems from a cheap count — this runs once
+    // per snapshot, at index-build time, not per screen)
+    val n = math.max(1024L, fps.count())
+    val bits = fps.selectExpr(s"bloom_agg(xxhash64(fp), ${n}L) AS b")
+      .head().getAs[Array[Byte]]("b")
+    val p = new java.io.File(s"$out/bloom")
+    p.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/bloom/fingerprints.bloom"), bits)
+  }
+
+  private def loadBloom(out: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/bloom/fingerprints.bloom"))
+
+  /** q71's decisions for `batch`, from the stored index only:
+    * (doc_id, exact_dup, near_dup, decision). Decisions are exact —
+    * the bloom is a no-false-negative prefilter, so every true exact
+    * dup reaches the fingerprint semi-join and sketch false positives
+    * are eliminated there. */
+  def screenBatch(s: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
+    import s.implicits._
+    graft.functions.BloomFuncs.register(s)
+    val bloomLit = lit(loadBloom(indexDir))
+    val bandIdx = s.read.parquet(s"$indexDir/band_keys")
+    val fpIdx = s.read.parquet(s"$indexDir/fingerprints").select($"fp")
+    val bfp = fingerprints(batch)
+    // exact screen: bloom prefilter (narrow, broadcast bits) → exact
+    // semi-join only for sketch hits
+    val exactHits = bfp
+      .filter(call_function("bloom_contains", bloomLit, xxhash64($"fp")))
+      .join(fpIdx, Seq("fp"), "left_semi")
+      .select($"doc_id")
+    // near screen: incoming band rows semi-join the stored band index
+    val nearHits = Dedup.toBandRowsPublic(s, batch)
+      .join(bandIdx, Seq("band", "band_key"), "left_semi")
+      .select($"doc_id").distinct()
+    batch.select($"doc_id")
+      .join(exactHits.withColumn("ex", lit(1)), Seq("doc_id"), "left")
+      .join(nearHits.withColumn("nr", lit(1)), Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"ex", lit(0)).as("exact_dup"),
+        coalesce($"nr", lit(0)).as("near_dup"),
+        when($"ex" === 1, "drop_exact").when($"nr" === 1, "drop_near")
+          .otherwise("keep").as("decision"))
+      .orderBy($"doc_id")
+  }
+}

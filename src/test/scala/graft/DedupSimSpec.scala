@@ -276,6 +276,28 @@ class DedupSimSpec extends SparkSpec {
     assert(got == expect, s"bloom screen ${got.size} vs exact ${expect.size}")
   }
 
+  test("IndexStore: stored-index screen reproduces q71's decisions with no corpus access") {
+    import org.apache.spark.sql.functions.{conv, substring, md5}
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft-index").toString
+    val docs = Core.table(spark, dir, "documents")
+    val gate = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10).cast("long")
+    val existing = docs.filter(gate < 58982)
+    val incoming = docs.filter(gate >= 58982)
+    graft.ops.IndexStore.write(spark, existing, out)
+    // the screen reads ONLY the persisted artifacts
+    val got = graft.ops.IndexStore.screenBatch(spark, out, incoming)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val expect = graft.ops.Dedup.catalog("q71_incremental_dedup").fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(got.sameElements(expect),
+      s"stored-index decisions diverge: got ${got.take(5).toSeq} vs ${expect.take(5).toSeq}")
+    // the bloom artifact is small enough to broadcast (one literal)
+    val bloomLen = java.nio.file.Files.size(
+      java.nio.file.Paths.get(s"$out/bloom/fingerprints.bloom"))
+    assert(bloomLen > 0 && bloomLen < 10 * 1024 * 1024, s"bloom blob $bloomLen bytes")
+  }
+
   test("EliminateRedundantDistinct removes array_distinct over word_shingles") {
     val df = spark.sql(
       "SELECT array_distinct(word_shingles('a b c d a b c d', 3)) AS s")
