@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes through sbt's logger by default, which wraps
+// every line in "[info] " — the bench driver needs the raw JSON line
+// (BENCH_r03 "parsed": null). StdoutOutput passes the child's
+// stdout/stderr straight through.
+// (unscoped so both `run` and `runMain` inherit it)
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -11,25 +11,38 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: initialize scan/codegen/shuffle machinery once so
-    // per-query timings measure the queries, not JVM/session cold start;
-    // the memoized session-shared frames (LSH band keys, embedding
-    // norms) are force-built here too, so their one-time cost doesn't
-    // land on whichever query alphabetically consumes them first —
-    // per-query attribution is stable round over round
+    // untimed JVM/session warmup only: initialize scan/codegen/shuffle
+    // machinery once so timings measure the queries, not cold start
+    // (entry() is the tiny sf0.001 flagship — no catalog work at sfDir)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    try ops.Dedup.warm(spark, sfDir) catch { case _: Throwable => }
-    try ops.Similarity.warm(spark, sfDir) catch { case _: Throwable => }
-    try ops.TextOps.warm(spark, sfDir) catch { case _: Throwable => }
+    // warm phase: force-build the memoized session-shared frames (LSH
+    // band keys, cluster labels — a full CC run — norms, IVF centroids,
+    // bigrams, token ids, quality scores, the kNN query batch) so their
+    // one-time cost doesn't land on whichever query alphabetically
+    // consumes them first — per-query attribution is stable round over
+    // round. The phase is TIMED per frame and folded into `total`:
+    // the memo builds are real catalog work (they'd run inside queries
+    // if not shared), so excluding them would flatter the headline
+    // number (VERDICT r3 "what's wrong" #1).
+    def safeWarm(f: => Seq[(String, Double)]): Seq[(String, Double)] =
+      try f catch { case _: Throwable => Seq.empty }
+    val warmBreakdown =
+      safeWarm(ops.Dedup.warm(spark, sfDir)) ++
+        safeWarm(ops.Similarity.warm(spark, sfDir)) ++
+        safeWarm(ops.TextOps.warm(spark, sfDir))
+    val warmSec = warmBreakdown.map(_._2).sum
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    def jsonObj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jsonObj(results)
+    val wb = jsonObj(warmBreakdown)
+    val queriesSec = results.map(_._2).sum
+    val total = queriesSec + warmSec
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmSec,"queries_sec":$queriesSec,"queries":$qs,"warm_breakdown":$wb,"sf":"$sfDir"}"""
     println(json)
     // sbt wraps stdout in [info] prefixes the driver can't parse — also
     // write the line to a file (optional first arg, default ./bench.json)
@@ -38,8 +51,13 @@ object Bench {
     // the full line is ~3 KB and the driver's tail capture truncates its
     // head (BENCH_r02 "parsed": null) — emit a short total-only line
     // LAST so the driver always gets a parseable JSON line; per-query
-    // details stay in bench.json
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    // details stay in bench.json. BENCH_r03 showed even the short
+    // stdout line arrives as "[info] {...}" — print it to stderr too
+    // (sbt passes forked stderr through unprefixed) and pin
+    // `run / outputStrategy := StdoutOutput` in build.sbt.
+    val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmSec,"sf":"$sfDir"}"""
+    println(shortLine)
+    System.err.println(shortLine)
     Core.clearCaches(spark)
     spark.stop()
   }

@@ -83,6 +83,14 @@ object Core {
     })
   }
 
+  /** Time one warm-phase memo build — Bench folds these into its
+    * emitted total and per-frame `warm_breakdown`. */
+  def timedBuild(name: String)(body: => Unit): (String, Double) = {
+    val t0 = System.nanoTime()
+    body
+    name -> (System.nanoTime() - t0) / 1e9
+  }
+
   /** Unpersist and forget every memoized DataFrame of this session —
     * called by the Verify/Bench harnesses when the catalog run ends so a
     * long session doesn't accumulate executor storage. */

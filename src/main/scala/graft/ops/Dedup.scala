@@ -130,12 +130,11 @@ object Dedup {
   }
 
   /** Force-materialize the session-shared memoized band keys and
-    * cluster labels — Bench's untimed warm phase (see Similarity.warm). */
-  def warm(s: SparkSession, dir: String): Unit = {
-    bandKeys(s, dir).count()
-    clusterLabels(s, dir).count()
-    ()
-  }
+    * cluster labels — Bench's warm phase, timed per frame (see
+    * Similarity.warm). */
+  def warm(s: SparkSession, dir: String): Seq[(String, Double)] = Seq(
+    timedBuild("dedup.bandKeys") { bandKeys(s, dir).count(); () },
+    timedBuild("dedup.clusterLabels") { clusterLabels(s, dir).count(); () })
 
   /** Session-memoized cluster labels over the corpus's LSH pair graph.
     * q45 (clusters), q47 (curation) and q76 (training pipeline) all
@@ -200,85 +199,97 @@ object Dedup {
       .distinct()
   }
 
-  /** Connected components over the near-dup pair graph by iterative
-    * min-label propagation — turns candidate pairs into dedup
-    * *clusters* with a canonical (min-id) representative, the step a
-    * real dedup pipeline needs after LSH.
+  /** Connected components over the near-dup pair graph by alternating
+    * large-star/small-star edge contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — turns
+    * candidate pairs into dedup *clusters* with a canonical (min-id)
+    * representative, the step a real dedup pipeline needs after LSH.
     *
-    * Scale: each iteration is one join + one partial-aggregated
-    * groupBy; iterations ≈ graph diameter (near-dup components are
-    * shallow). The classic large-star/small-star optimization drops in
-    * here if a corpus ever produces deep chains. */
+    * Why this beats the rounds-of-label-propagation formulation this
+    * replaced (VERDICT r3 "next round" #3): label propagation joins
+    * the FULL edge set every round — at the 100× probe that was 54M
+    * directed edges × ~7 rounds, 101.6 s, the repo's one scale
+    * hotspot. Star contraction rewrites the edge set itself: each
+    * large-star hangs every node's larger neighbors off its local
+    * minimum, each small-star re-points the smaller neighbors, and
+    * near-dup cliques collapse to stars in the FIRST round — so round
+    * 2 onward touches ~|V| edges, not |E|. Convergence is provably
+    * O(log² n) rounds; on dedup graphs (dense shallow near-cliques)
+    * it is 2–3.
+    *
+    * Each round is two {aggregate + self-join + distinct} passes over
+    * a monotonically shrinking edge set, all equi-joins on node id
+    * (AQE-plannable, no driver-side state), with an eager
+    * localCheckpoint per round to cut the self-join lineage (an uncut
+    * plan OOMs the driver on stringification long before the data is
+    * a problem — found by the 10× probe of the old loop; on a real
+    * cluster swap reliable .checkpoint() in if executor loss matters
+    * more than per-round durable-write cost).
+    *
+    * At the star-forest fixed point every non-root node carries
+    * exactly one edge to its component minimum, so labels fall out of
+    * one groupBy; the fixed point is detected by an exact fingerprint
+    * (count + decimal sum of per-edge xxhash64 — order-independent and
+    * overflow-free; a false convergence needs a 64-bit hash-sum
+    * collision at equal cardinality). */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
     val s = nodes.sparkSession
     import s.implicits._
-    // the edge table is joined on `src` EVERY round — repartition it on
-    // the join key BEFORE caching, so InMemoryTableScan's preserved
-    // outputPartitioning satisfies each round's join distribution and
-    // the (large) edge side never re-shuffles: only the (one-row-per-
-    // node) labels side moves per round. At the 100× probe this is the
-    // dominant per-round cost (54M directed edges × O(log d) rounds).
-    val sym = edges.select($"id_a".as("src"), $"id_b".as("dst"))
-      .unionByName(edges.select($"id_b".as("src"), $"id_a".as("dst")))
-      .repartition($"src")
-      .cache()
-    var labels = nodes.select($"doc_id", $"doc_id".as("cluster_id"))
+    import org.apache.spark.sql.types.DecimalType
+    // canonical orientation u > v, deduplicated; checkpointed so each
+    // round starts from a flat LogicalRDD (fresh aliases re-key the
+    // checkpoint's output attributes — carried-over constraints would
+    // otherwise reference pre-checkpoint exprIds downstream)
+    def ckpt(df: DataFrame): DataFrame =
+      df.localCheckpoint().select(df.columns.map(c => col(c).as(c)): _*)
+    var e = ckpt(edges.filter($"id_a" =!= $"id_b")
+      .select(greatest($"id_a", $"id_b").as("u"), least($"id_a", $"id_b").as("v"))
+      .distinct())
+    var prevFp: Option[(Long, String)] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // shuffle-hash hint on the labels side: build the hash table from
-      // the one-row-per-node frame and STREAM the edges — a sort-merge
-      // join would re-sort all 54M cached edge rows every round
-      val msgs = sym.join(labels.hint("shuffle_hash"), $"doc_id" === $"src")
-        .select($"dst".as("doc_id"), $"cluster_id")
-      // `own` rides along so the round's OWN aggregation recovers each
-      // doc's previous label (exactly one labels row per doc): the
-      // convergence check below is then a filter over the round's
-      // already-materialized checkpoint instead of an extra
-      // join+shuffle against the previous labels (VERDICT r2 #5 — at
-      // the 100× probe that separate join was a measurable fraction
-      // of each round).
-      val idT = labels.schema("cluster_id").dataType
-      val mins = labels.withColumn("own", $"cluster_id")
-        .unionByName(msgs.withColumn("own", lit(null).cast(idT)))
-        .groupBy($"doc_id")
-        .agg(min($"cluster_id").as("cluster_id"), max($"own").as("old"))
-      // path halving: L(x) := L(L(x)) — every label IS a doc_id, so the
-      // self-join is total; turns O(diameter) rounds into O(log d)
-      val halved = mins.as("x").join(mins.as("y"),
-          col("x.cluster_id") === col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_id"), col("y.cluster_id").as("cluster_id"),
-          col("x.old").as("old"))
-      // truncate the logical lineage each round with an eager
-      // localCheckpoint: the self-join doubles plan size per iteration,
-      // and an uncut plan OOMs the driver on plan stringification long
-      // before the data is a problem (found by the 10× ScaleProbe).
-      // Unlike the previous RDD round-trip this keeps Tungsten rows (no
-      // Row object deserialization); superseded per-round checkpoints
-      // (2 longs/doc — ~16 MB per round at 500k docs) are dropped by
-      // the ContextCleaner once the previous `labels` reference is
-      // reassigned. Cluster-mode caveat: localCheckpoint trades fault
-      // tolerance for speed — a lost executor mid-run fails the job
-      // instead of recomputing. On a real cluster set a checkpoint dir
-      // and swap in reliable .checkpoint() (same call shape) if the
-      // corpus is big enough that a restart hurts more than the
-      // per-round HDFS write.
-      // the fresh aliases re-key the checkpoint's output attributes —
-      // without them the LogicalRDD's carried-over constraints reference
-      // pre-checkpoint exprIds and the next round's union fails its
-      // constraint rewrite
-      val updated = halved.localCheckpoint()
-        .select(col("doc_id").as("doc_id"), col("cluster_id").as("cluster_id"),
-          col("old").as("old"))
-      // cheap: scans the local checkpoint blocks (3 longs/doc), no join
-      val changed = updated.filter($"cluster_id" =!= $"old").count()
-      labels = updated.select($"doc_id", $"cluster_id")
-      converged = changed == 0
+      // LARGE-STAR: for each node u over the SYMMETRIC adjacency,
+      // m = min(N(u) ∪ {u}); emit (v, m) for every neighbor v > u.
+      // Output stays (bigger, smaller)-oriented: v > u ≥ m.
+      val sym = e.select($"u", $"v")
+        .unionByName(e.select($"v".as("u"), $"u".as("v")))
+      val lsMin = sym.groupBy($"u")
+        .agg(min($"v").as("mv"))
+        .select($"u", least($"mv", $"u").as("m"))
+      // shuffle-hash hint: the per-node min table is the small side;
+      // a sort-merge join would re-sort the full adjacency
+      val ls = sym.join(lsMin.hint("shuffle_hash"), Seq("u"))
+        .filter($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .distinct()
+      // SMALL-STAR: over the oriented edges (all v < u), m = min(v);
+      // re-point every smaller neighbor at m and keep (u, m).
+      val ssMin = ls.groupBy($"u").agg(min($"v").as("m"))
+      val ss = ls.join(ssMin.hint("shuffle_hash"), Seq("u"))
+        .filter($"v" =!= $"m")
+        .select($"v".as("u"), $"m".as("v"))
+        .unionByName(ssMin.select($"u", $"m".as("v")))
+        .distinct()
+      e = ckpt(ss)
+      // exact order-independent fingerprint of the materialized
+      // checkpoint: star-forest fixed points reproduce themselves, so
+      // equal consecutive fingerprints end the loop
+      val fpRow = e.agg(count(lit(1)),
+        sum(xxhash64($"u", $"v").cast(DecimalType(38, 0)))).head()
+      val fp = (fpRow.getLong(0),
+        Option(fpRow.getDecimal(1)).map(_.toBigInteger.toString).getOrElse("0"))
+      converged = prevFp.contains(fp) || fp._1 == 0L
+      prevFp = Some(fp)
       iter += 1
     }
-    sym.unpersist(blocking = false)
-    labels
+    // star forest: every non-root has exactly one (u → component-min)
+    // edge; roots and edge-free nodes label themselves
+    nodes.select($"doc_id")
+      .join(e.groupBy($"u").agg(min($"v").as("lbl"))
+        .select($"u".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
   }
 
   val catalog: Map[String, Q] = Map(

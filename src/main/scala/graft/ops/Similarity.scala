@@ -68,16 +68,30 @@ object Similarity {
 
   /** Deterministic kNN query batch: every 50th vec_id — BUT capped by
     * md5 rank, because the %-gate alone keeps 2% of the corpus, which
-    * grows linearly with it, while q35–q37/q39 broadcast this set (a
-    * linear broadcast would blow Spark's broadcast/driver limits long
-    * before 100 TB). TakeOrdered of the md5 ranking is a bounded
+    * grows linearly with it, while q35–q37/q39/q68 broadcast this set
+    * (a linear broadcast would blow Spark's broadcast/driver limits
+    * long before 100 TB). TakeOrdered of the md5 ranking is a bounded
     * global top-k, and at the test SFs the cap is not binding, so
-    * q35's oracle (which mirrors only the %-gate) is unchanged. */
+    * q35's oracle (which mirrors only the %-gate) is unchanged.
+    *
+    * The ID SET is memoized per (session, dir) — VERDICT r3 #4: the
+    * md5-rank TakeOrdered is deterministic, and re-running it inside
+    * every consumer put a full corpus pass back into each of the five
+    * kNN/ANN queries (q35 regressed 0.86→1.62 s). Consumers now
+    * broadcast-join the ≤[[MaxQueryBatch]]-row cached id set against
+    * their (already memoized) feature frame, so per-query work is one
+    * map-side semi-join, not a global sort. */
   private val MaxQueryBatch = 1024
-  private def queryBatch(df: DataFrame): DataFrame =
-    df.filter(col("vec_id") % 50 === 0)
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(MaxQueryBatch)
+  private def queryIds(s: SparkSession, dir: String): DataFrame =
+    memo(s, s"similarity.queryIds:$dir") {
+      table(s, dir, "embeddings")
+        .filter(col("vec_id") % 50 === 0)
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(MaxQueryBatch)
+        .select(col("vec_id"))
+    }
+  private def queryBatch(s: SparkSession, dir: String, df: DataFrame): DataFrame =
+    df.join(broadcast(queryIds(s, dir)), Seq("vec_id"))
 
   /** Normalized embeddings for the fast path: unit-length double arrays.
     * Memoized+cached once per session — q36/q37/q39 share one pass. */
@@ -241,7 +255,7 @@ object Similarity {
       (s, dir) => {
         import s.implicits._
         val e = withNorm(s, dir)
-        val q = queryBatch(e)
+        val q = queryBatch(s, dir, e)
           .select($"vec_id".as("qid"), $"embd".as("qembd"), $"nsq".as("qnsq"))
         val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid")
         e.join(broadcast(q), $"qid" =!= $"vec_id")
@@ -270,7 +284,7 @@ object Similarity {
       (s, dir) => {
         import s.implicits._
         val all = normalized(s, dir)
-        val q = queryBatch(all)
+        val q = queryBatch(s, dir, all)
           .select($"vec_id".as("qid"), $"unit".as("qunit"))
         val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
         all.join(broadcast(q), $"qid" =!= $"vec_id")
@@ -296,7 +310,7 @@ object Similarity {
           concat_ws("", transform(planeLit, p =>
             when(graft.functions.DotProduct.dot_fast(p, $"unit") >= 0,
               lit("1")).otherwise(lit("0")))))
-        val q = queryBatch(sig)
+        val q = queryBatch(s, dir, sig)
           .select($"vec_id".as("qid"), $"unit".as("qunit"), $"sig".as("qsig"))
         val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
         sig.join(broadcast(q), $"qsig" === $"sig" && $"qid" =!= $"vec_id")
@@ -327,7 +341,7 @@ object Similarity {
         val corpus = nearestCell(all, centroids)
         // query side is the capped batch (≤MaxQueryBatch) — a window
         // top-nprobe over queries × k rows is negligible there
-        val queries = queryBatch(all)
+        val queries = queryBatch(s, dir, all)
           .join(broadcast(centroids))
           .withColumn("sim", graft.functions.DotProduct.dot_fast($"unit", $"cvec"))
           .withColumn("crn", row_number().over(
@@ -405,6 +419,49 @@ object Similarity {
         SELECT vec_id, string_agg(bit, '' ORDER BY j) AS sig
         FROM bits GROUP BY vec_id ORDER BY vec_id""")),
 
+    // ---- the multi-probe key expansion itself, oracle-checked
+    // (VERDICT r3 "next round" #7, the q59 treatment applied to q68):
+    // the 8 hyperplane sign bits come from the EXACT decimal dot
+    // product (sign is normalization-invariant), packed into an INT
+    // signature, and each vector's probe set is enumerated — its own
+    // bucket (probe_idx 0) plus the 8 keys at Hamming distance 1
+    // (probe_idx j flips bit j-1 via XOR). Both the packing and the
+    // XOR enumeration are integer-exact in DuckDB, so the layer q68
+    // builds on hash-matches; q68's remaining no-oracle surface is
+    // only the float-fold cosine ranking. Scale: one narrow codegen
+    // pass over the corpus, ×9 rows only on output. ----
+    "q84_multiprobe_keys" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val nPlanes = 8
+        val planes = hyperplanes(nPlanes)
+        val sigInt = (0 until nPlanes).map { j =>
+          when(dotExact(array(planes(j).map(lit): _*), $"embd") >= 0, lit(1 << j))
+            .otherwise(lit(0))
+        }.reduce(_ + _)
+        withNorm(s, dir)
+          .select($"vec_id", sigInt.cast("long").as("sigi"))
+          .withColumn("probe_idx", explode(sequence(lit(0), lit(nPlanes))))
+          .select($"vec_id", $"probe_idx",
+            when($"probe_idx" === 0, $"sigi")
+              .otherwise($"sigi".bitwiseXOR(expr("shiftleft(1L, probe_idx - 1)")))
+              .as("probe_key"))
+          .orderBy($"vec_id", $"probe_idx")
+      },
+      Some(s"""WITH $oracleEx,
+        planes AS (SELECT j, i,
+            cast((strpos('0123456789abcdef', substr(md5(j || ':' || i), 1, 1)) - 1) - 7.5 as double) AS pv
+          FROM range(8) a(j) CROSS JOIN range(64) b(i)),
+        bits AS (SELECT e.vec_id, p.j,
+            CASE WHEN sum(cast(p.pv * e.v as decimal(30,15))) >= 0 THEN 1 ELSE 0 END AS bit
+          FROM ex e JOIN planes p ON p.i = e.pos GROUP BY 1, 2),
+        sig AS (SELECT vec_id, cast(sum(bit << j) as bigint) AS sigi FROM bits GROUP BY 1)
+        SELECT vec_id, cast(t.i as int) AS probe_idx,
+          cast(CASE WHEN t.i = 0 THEN sigi
+               ELSE xor(sigi, cast(1 << (t.i - 1) as bigint)) END as bigint) AS probe_key
+        FROM sig CROSS JOIN range(9) t(i)
+        ORDER BY vec_id, probe_idx""")),
+
     // ---- multi-probe LSH ANN: the recall-recovery knob SCALE.md
     // promises for q37. Same 8 hyperplane sign bits, but packed into an
     // INT signature, and each query probes its own bucket PLUS the 8
@@ -427,7 +484,7 @@ object Similarity {
         }.reduce(_ + _)
         val sigd = all.withColumn("sigi", sigInt)
         val probeKeys = $"qsig" +: (0 until nPlanes).map(j => $"qsig".bitwiseXOR(lit(1 << j)))
-        val q = queryBatch(sigd)
+        val q = queryBatch(s, dir, sigd)
           .select($"vec_id".as("qid"), $"unit".as("qunit"), $"sigi".as("qsig"))
           .withColumn("probe", explode(array(probeKeys: _*)))
         val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vec_id")
@@ -524,12 +581,12 @@ object Similarity {
   )
 
   /** Force-materialize the session-shared memoized frames — Bench's
-    * untimed warm phase, so per-query timings measure the queries, not
-    * whichever alphabetically-first consumer pays the memo build. */
-  def warm(s: SparkSession, dir: String): Unit = {
-    withNorm(s, dir).count()
-    normalized(s, dir).count()
-    ivfCentroids(s, dir).count()
-    ()
-  }
+    * warm phase (timed per frame and folded into the emitted total),
+    * so per-query timings measure the queries, not whichever
+    * alphabetically-first consumer pays the memo build. */
+  def warm(s: SparkSession, dir: String): Seq[(String, Double)] = Seq(
+    timedBuild("similarity.withNorm") { withNorm(s, dir).count(); () },
+    timedBuild("similarity.normalized") { normalized(s, dir).count(); () },
+    timedBuild("similarity.ivfCentroids") { ivfCentroids(s, dir).count(); () },
+    timedBuild("similarity.queryIds") { queryIds(s, dir).count(); () })
 }
