@@ -19,6 +19,7 @@ object ScaleProbe {
     val copies = sys.env.getOrElse("SPARK_GRAFT_PROBE_COPIES", "10").toInt
     val dst = s"/tmp/sfprobe_x$copies"
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.warehouse.dir", s"$dst/warehouse")
       .config("spark.sql.shuffle.partitions", if (copies > 10) "128" else "64")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -101,6 +102,74 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val n = ops.Dedup.lshPairsFast(spark, dst).count()
       println(f"PROBE lsh_fast_xxhash64          ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
+    }
+
+    def timeNamed(label: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"PROBE $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
+    }
+
+    // persisted IndexStore at probe scale (VERDICT r3 "next round" #5):
+    // q71 proves the incremental-dedup SHAPE against the in-session
+    // memo; this measures the operational contract — build the index
+    // from the probe corpus ONCE, then screen the incoming slice using
+    // ONLY the stored artifacts (parquet band index + fingerprints +
+    // bloom blob). Screen cost should track the batch, not the corpus.
+    if (only.forall(_.contains("index_store"))) {
+      val docs = Core.table(spark, dst, "documents")
+      def gate(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
+      val corpus = docs.filter(gate(col("doc_id")) < 58982L)
+      val batch = docs.filter(gate(col("doc_id")) >= 58982L)
+      val idxDir = s"$dst/index_store"
+      timeNamed("index_store_write") {
+        ops.IndexStore.write(spark, corpus, idxDir); corpus.count()
+      }
+      timeNamed("index_store_screen") {
+        ops.IndexStore.screenBatch(spark, idxDir, batch).count()
+      }
+    }
+
+    // q03 bucketed-layout A/B (VERDICT r3 "next round" #6): the 100×
+    // probe showed a 40–164 s AQE-variance band for the plain q03 —
+    // the lineitem⋈orders exchange is where the variance lives. B
+    // pre-buckets both facts on the join key (the layout LayoutSpec
+    // proves shuffle-free) and reruns the same query over the bucketed
+    // tables; both variants run twice in THIS session so the A/B is
+    // same-JVM, same-AQE-state. The one-time bucket build is timed
+    // too — it amortizes over every orderkey join on the snapshot.
+    if (only.forall(_.contains("q03_ab"))) {
+      import spark.implicits._
+      time("q03_join_revenue_by_nation")
+      time("q03_join_revenue_by_nation")
+      val nBuckets = 128
+      timeNamed("q03_bucket_build") {
+        Core.table(spark, dst, "lineitem")
+          .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("li_bucketed_probe")
+        Core.table(spark, dst, "orders")
+          .select($"o_orderkey", $"o_custkey")
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("o_bucketed_probe")
+        spark.table("li_bucketed_probe").count()
+      }
+      def q03Bucketed(): Long =
+        spark.table("li_bucketed_probe")
+          .join(spark.table("o_bucketed_probe"), $"l_orderkey" === $"o_orderkey")
+          .join(Core.table(spark, dst, "customer"), $"o_custkey" === $"c_custkey")
+          .join(broadcast(Core.table(spark, dst, "nation")),
+            $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(Core.moneySum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"n_name")
+          .count()
+      timeNamed("q03_bucketed")(q03Bucketed())
+      timeNamed("q03_bucketed")(q03Bucketed())
     }
     spark.stop()
   }

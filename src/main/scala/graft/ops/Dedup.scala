@@ -233,7 +233,7 @@ object Dedup {
     * overflow-free; a false convergence needs a 64-bit hash-sum
     * collision at equal cardinality). */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val s = nodes.sparkSession
     import s.implicits._
     import org.apache.spark.sql.types.DecimalType
@@ -284,6 +284,14 @@ object Dedup {
       prevFp = Some(fp)
       iter += 1
     }
+    // labels below are only meaningful at the star-forest fixed point —
+    // an unconverged edge set would SILENTLY mislabel (a node's min
+    // neighbor need not be its component min mid-run), so fail loudly
+    // instead, per the repo's fail-loud rule (SURVEY §4.3(4)). 50
+    // rounds is far above the O(log² n) bound for any realistic graph,
+    // and post-collapse rounds cost ~|V| rows each.
+    require(converged,
+      s"connectedComponents did not reach its star-forest fixed point in $maxIter rounds")
     // star forest: every non-root has exactly one (u → component-min)
     // edge; roots and edge-free nodes label themselves
     nodes.select($"doc_id")

@@ -233,6 +233,24 @@ class DedupSimSpec extends SparkSpec {
     assert(lit(1) != null) // keep import used
   }
 
+  test("connectedComponents converges on deep chains (star contraction's worst case)") {
+    // a 4096-node path is the adversarial shape for star contraction
+    // (near-dup graphs are shallow cliques; this guards the general
+    // contract): it must still reach the star-forest fixed point
+    // within the maxIter budget — the implementation fails loudly
+    // rather than mislabel if it doesn't. Descending ids exercise the
+    // orientation logic; interleaved ids break id-order locality.
+    val n = 4096
+    val nodes = (0 until n).map(i => (i * 7919L) % (n * 8)).toDF("doc_id")
+    val ids = (0 until n).map(i => (i * 7919L) % (n * 8))
+    val edges = ids.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("id_a", "id_b")
+    val got = ops.Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect()
+    val mn = ids.min
+    assert(got.length == n && got.forall(_._2 == mn),
+      s"all $n chain nodes must share cluster_id=$mn")
+  }
+
   test("GraftExtensions injects SQL functions at session build (no manual register)") {
     // the suite session is built with .withExtensions(new GraftExtensions)
     // — these resolve through the injected builders
