@@ -29,6 +29,7 @@ object SparkEntry {
       ops.Hygiene.catalog ++
       ops.Training.catalog ++
       ops.Similarity.catalog ++
+      ops.Formats.catalog ++
       ops.TextOps.catalog ++
       ops.Multimodal.catalog ++
       etl.Pipeline.catalog

@@ -315,6 +315,50 @@ object Dedup {
       Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_md5
         FROM documents GROUP BY text ORDER BY keep_id""")),
 
+    // ---- canonical-form dedup: normalize each doc (lowercase, strip
+    // stopwords, collapse whitespace) and dedup on the md5 of the
+    // canonical form — catches trivial near-dups ("the same text plus
+    // a few articles") that byte-exact q30 misses, without paying
+    // MinHash. Every doc emits one row carrying its canonical hash and
+    // a keep flag (is it the group's min doc_id?), so the output
+    // doubles as the drop-list. The normalizer is a codegen'd regex
+    // chain that both engines evaluate identically (q63's rule: stay
+    // within the syntax Java regex and RE2 share). Scale: one narrow
+    // pass + one window keyed on the canonical hash — state per task
+    // is one group's rows; no shuffle beyond that key. ----
+    "q88_canonical_dedup" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val stopRe = "\\b(the|a|of|and|in|to|is|it|for|on)\\b"
+        val canon = trim(regexp_replace(
+          regexp_replace(lower($"text"), stopRe, ""), "  *", " "))
+        val nKept = when(length(canon) === 0, lit(0))
+          .otherwise(size(split(canon, " ")))
+        table(s, dir, "documents")
+          .select($"doc_id",
+            md5(canon).as("canon_md5"),
+            size(split(lower($"text"), " ")).as("n_words"),
+            nKept.as("n_kept"))
+          .withColumn("keep",
+            ($"doc_id" === min($"doc_id").over(
+              org.apache.spark.sql.expressions.Window.partitionBy($"canon_md5")))
+              .cast("int"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        val canon = """trim(regexp_replace(regexp_replace(lower(text),
+          '\b(the|a|of|and|in|to|is|it|for|on)\b', '', 'g'), '  *', ' ', 'g'))"""
+        s"""WITH c AS (SELECT doc_id,
+            md5($canon) AS canon_md5,
+            cast(len(string_split(lower(text), ' ')) as int) AS n_words,
+            cast(CASE WHEN length($canon) = 0 THEN 0
+              ELSE len(string_split($canon, ' ')) END as int) AS n_kept
+          FROM documents)
+        SELECT doc_id, canon_md5, n_words, n_kept,
+          cast(doc_id = min(doc_id) OVER (PARTITION BY canon_md5) as int) AS keep
+        FROM c ORDER BY doc_id"""
+      }),
+
     // ---- MinHash + LSH banding: candidate near-duplicate pairs ----
     "q31_minhash_lsh_pairs" -> Q(
       (s, dir) => lshPairs(s, dir).orderBy(col("id_a"), col("id_b")),

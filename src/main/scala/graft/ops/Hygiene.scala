@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Core._
 
@@ -310,6 +311,131 @@ object Hygiene {
         SELECT d.doc_id, d.source, d.n_chars
         FROM documents d JOIN w USING (source)
         WHERE $oDocGate < cast(floor(w.a * 65536) as bigint)
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ---- cross-corpus n-gram novelty: per source, the fraction of its
+    // distinct word 5-grams absent from a reference corpus (source
+    // 'src0' stands in for "what the model already trained on") — the
+    // acquisition-time question "how much NEW content does this source
+    // add?". Scale: shingles travel as 60-bit longs (q61's shape);
+    // the per-source distinct is a partial-agg groupBy keyed on
+    // (source, sh); the reference side is one anti-join probe whose
+    // build side is O(reference distinct shingles). Output is
+    // O(sources). ----
+    "q86_ngram_novelty" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.WordShingles.register(s)
+        val sh = fanOut(s, table(s, dir, "documents"))
+          .select($"source",
+            explode(graft.functions.WordShingles.word_shingles(lower($"text"), 5)).as("w"))
+          .select($"source",
+            conv(substring(md5($"w"), 1, 15), 16, 10).cast("long").as("sh"))
+          .distinct()
+        val ref = sh.filter($"source" === "src0").select($"sh")
+        val tot = sh.groupBy($"source").agg(count(lit(1)).as("n_shingles"))
+        val nov = sh.join(ref, Seq("sh"), "left_anti")
+          .groupBy($"source").agg(count(lit(1)).as("n_novel"))
+        tot.join(nov, Seq("source"), "left")
+          .select($"source", $"n_shingles",
+            coalesce($"n_novel", lit(0L)).as("n_novel"),
+            rnd4(coalesce($"n_novel", lit(0L)).cast("double") / $"n_shingles").as("novelty"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents),
+        sh5 AS (SELECT DISTINCT source,
+            CAST('0x' || substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]), 1, 15) AS BIGINT) AS sh
+          FROM (SELECT source, ws, unnest(generate_series(1, len(ws)-4)) AS i FROM toks)),
+        ref AS (SELECT DISTINCT sh FROM sh5 WHERE source = 'src0'),
+        tot AS (SELECT source, count(*) AS n_shingles FROM sh5 GROUP BY 1),
+        nov AS (SELECT source, count(*) AS n_novel FROM sh5
+          WHERE sh NOT IN (SELECT sh FROM ref) GROUP BY 1)
+        SELECT t.source, t.n_shingles, coalesce(n.n_novel, 0) AS n_novel,
+          ${oRnd4("cast(coalesce(n.n_novel, 0) as double) / t.n_shingles")} AS novelty
+        FROM tot t LEFT JOIN nov n USING (source) ORDER BY t.source""")),
+
+    // ---- token-budget sampling: take docs per source in deterministic
+    // md5-rank order until a per-source token budget is filled — the
+    // "assemble exactly N tokens of domain X" primitive a mixture
+    // executor runs after q65/q80 decide the shares. The running sum is
+    // a ROWS-frame window per source, so each partition's state is one
+    // accumulator; the md5 rank makes the selection reproducible and
+    // engine-independent (no RNG, no partition-order dependence).
+    // Scale: one shuffle keyed on source; per-task state O(1). A
+    // pathologically dominant source → salt the window key into ranked
+    // sub-budgets, same as any skewed window. ----
+    "q87_token_budget_sample" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val Budget = 500L
+        val toks = table(s, dir, "documents")
+          .select($"doc_id", $"source",
+            size(split(lower($"text"), " ")).cast("long").as("n_tokens"),
+            md5($"doc_id".cast("string")).as("rk"))
+        val w = Window.partitionBy($"source").orderBy($"rk", $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        toks.withColumn("cum_tokens", sum($"n_tokens").over(w))
+          .filter($"cum_tokens" <= Budget)
+          .select($"doc_id", $"source", $"n_tokens", $"cum_tokens")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, source,
+          cast(len(string_split(lower(text), ' ')) as bigint) AS n_tokens,
+          md5(cast(doc_id as varchar)) AS rk FROM documents),
+        c AS (SELECT doc_id, source, n_tokens,
+            cast(sum(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+              ROWS UNBOUNDED PRECEDING) as bigint) AS cum_tokens
+          FROM toks)
+        SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        WHERE cum_tokens <= 500 ORDER BY doc_id""")),
+
+    // ---- domain KL divergence: per source, KL(source unigram dist ‖
+    // corpus unigram dist) — the mixture diagnostic that quantifies how
+    // far each domain's token distribution sits from the blend the
+    // model will actually see (high-KL sources shift the mix most per
+    // token; near-zero KL sources are redundant with the blend).
+    // Numeric discipline: every count is exact, each per-(source,word)
+    // term p·ln(p/q) is one deterministic IEEE expression, and the
+    // Σ over words rides a decimal(28,12) cast so partition order
+    // can't perturb the sum (q80's Σ√p pattern). Scale: two partial-agg
+    // groupBys — (source, word) is bounded by sources × vocab, word by
+    // vocab — and the join back is a broadcast of the vocab-sized
+    // side; the corpus text itself is scanned once. ----
+    "q89_domain_kl" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val D = org.apache.spark.sql.types.DecimalType(28, 12)
+        val words = table(s, dir, "documents")
+          .select($"source", explode(split(lower($"text"), " ")).as("word"))
+        val bySrcWord = words.groupBy($"source", $"word").agg(count(lit(1)).as("c_sw"))
+        val bySrc = bySrcWord.groupBy($"source").agg(sum($"c_sw").as("t_s"))
+        val byWord = bySrcWord.groupBy($"word").agg(sum($"c_sw").as("c_w"))
+        val tot = byWord.agg(sum($"c_w").as("t"))
+        val term = ($"c_sw".cast("double") / $"t_s") *
+          log(($"c_sw".cast("double") * $"t") / ($"t_s".cast("double") * $"c_w"))
+        bySrcWord
+          .join(bySrc, Seq("source"))
+          .join(broadcast(byWord), Seq("word"))
+          .crossJoin(broadcast(tot))
+          .select($"source", $"t_s", term.cast(D).as("term"))
+          .groupBy($"source", $"t_s")
+          .agg(rnd4(sum($"term").cast("double")).as("kl"))
+          .select($"source", $"t_s".as("n_tokens"), $"kl")
+          .orderBy($"source")
+      },
+      Some(s"""WITH words AS (SELECT source, unnest(string_split(lower(text), ' ')) AS word
+          FROM documents),
+        bsw AS (SELECT source, word, count(*) AS c_sw FROM words GROUP BY 1, 2),
+        bs AS (SELECT source, sum(c_sw) AS t_s FROM bsw GROUP BY 1),
+        bw AS (SELECT word, sum(c_sw) AS c_w FROM bsw GROUP BY 1),
+        tot AS (SELECT sum(c_w) AS t FROM bw),
+        terms AS (SELECT bsw.source, bs.t_s,
+            cast((cast(c_sw as double) / t_s) *
+              ln((cast(c_sw as double) * t) / (cast(t_s as double) * c_w))
+              as decimal(28,12)) AS term
+          FROM bsw JOIN bs USING (source) JOIN bw USING (word), tot)
+        SELECT source, cast(t_s as bigint) AS n_tokens,
+          ${oRnd4("cast(sum(term) as double)")} AS kl
+        FROM terms GROUP BY source, t_s ORDER BY source"""))
   )
 }

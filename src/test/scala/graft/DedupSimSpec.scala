@@ -337,4 +337,37 @@ class DedupSimSpec extends SparkSpec {
     val viaSql = spark.sql("SELECT rolling_hash('hello world')").as[Long].head()
     assert(viaSql == ref("hello world"))
   }
+
+  test("q88 canonical dedup: stopword-insensitive grouping, one keeper per group") {
+    import org.apache.spark.sql.functions._
+    // two docs identical up to stopwords + whitespace must share a
+    // canon group; a genuinely different doc must not
+    val dir = docsDir(Seq(
+      1L -> "the quick brown fox jumps",
+      2L -> "quick brown  fox the jumps",
+      3L -> "a quick brown fox jumps",
+      4L -> "slow green turtle walks on"))
+    val got = ops.Dedup.catalog("q88_canonical_dedup").fn(spark, dir)
+      .select($"doc_id", $"canon_md5", $"keep")
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    val byCanon = got.groupBy(_._2)
+    assert(got(0)._2 == got(1)._2 && got(1)._2 == got(2)._2,
+      "stopword/whitespace variants must share a canonical group")
+    assert(got(3)._2 != got(0)._2)
+    // exactly one keeper per canonical group, and it is the min doc_id
+    byCanon.values.foreach { g =>
+      assert(g.count(_._3 == 1) == 1)
+      assert(g.minBy(_._1)._3 == 1)
+    }
+    // on the real corpus: every doc appears once; exact-text dups
+    // (q30's groups) always land in the same canonical group
+    val real = "/root/testdata/sf0.001"
+    val rows = ops.Dedup.catalog("q88_canonical_dedup").fn(spark, real)
+    assert(rows.count() == Core.table(spark, real, "documents").count())
+    val coarser = Core.table(spark, real, "documents")
+      .join(rows.select($"doc_id", $"canon_md5"), "doc_id")
+      .groupBy($"text").agg(countDistinct($"canon_md5").as("k"))
+      .filter($"k" > 1).count()
+    assert(coarser == 0, "identical texts must share a canonical group")
+  }
 }

@@ -193,4 +193,72 @@ class HygieneSpec extends SparkSpec {
     val all = docs.select($"doc_id").as[Long].collect().toSet
     assert(ids.subsetOf(all))
   }
+
+  test("q86 novelty: src0 is 0 against itself; agrees with a raw-string recompute") {
+    val got = Hygiene.catalog("q86_ngram_novelty").fn(spark, dir)
+    val bad = got.filter($"novelty" < 0 || $"novelty" > 1 ||
+      $"n_novel" > $"n_shingles").count()
+    assert(bad == 0)
+    val src0 = got.filter($"source" === "src0")
+      .select($"n_novel").as[Long].collect()
+    assert(src0.sameElements(Array(0L)), "reference source must have zero novelty")
+    // brute-force on raw shingle strings (no hashing): per-source
+    // distinct 5-grams minus src0's
+    graft.functions.WordShingles.register(spark)
+    val sh = Core.table(spark, dir, "documents")
+      .select($"source",
+        explode(graft.functions.WordShingles.word_shingles(lower($"text"), 5)).as("w"))
+      .distinct()
+    val ref = sh.filter($"source" === "src0").select($"w").as[String].collect().toSet
+    val expect = sh.as[(String, String)].collect().groupBy(_._1).map { case (s, ws) =>
+      s -> ws.map(_._2).count(w => !ref.contains(w)).toLong
+    }
+    val gotMap = got.select($"source", $"n_novel").as[(String, Long)].collect().toMap
+    assert(gotMap == expect)
+  }
+
+  test("q87 token budget: per-source cum <= budget, selection is the md5-rank prefix") {
+    val got = Hygiene.catalog("q87_token_budget_sample").fn(spark, dir)
+    assert(got.filter($"cum_tokens" > 500).count() == 0)
+    assert(got.count() > 0)
+    // the kept set per source is exactly the prefix of the md5-rank
+    // order whose running token sum fits the budget
+    val docs = Core.table(spark, dir, "documents")
+      .select($"doc_id", $"source",
+        size(split(lower($"text"), " ")).cast("long").as("n"),
+        md5($"doc_id".cast("string")).as("rk"))
+      .as[(Long, String, Long, String)].collect()
+    val expect = docs.groupBy(_._2).values.flatMap { rows =>
+      var cum = 0L
+      rows.sortBy(r => (r._4, r._1)).takeWhile { r =>
+        cum += r._3; cum <= 500L
+      }.map(_._1)
+    }.toSet
+    val gotIds = got.select($"doc_id").as[Long].collect().toSet
+    assert(gotIds == expect)
+  }
+
+  test("q89 domain KL: non-negative, and matches an independent driver-side recompute") {
+    val got = Hygiene.catalog("q89_domain_kl").fn(spark, dir)
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(got.forall(_._3 >= 0.0), "KL divergence must be non-negative")
+    // independent recompute from raw word counts
+    val counts = Core.table(spark, dir, "documents")
+      .select($"source", explode(split(lower($"text"), " ")).as("w"))
+      .groupBy($"source", $"w").count()
+      .as[(String, String, Long)].collect()
+    val bySrc = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val byWord = counts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val t = byWord.values.sum.toDouble
+    val expect = counts.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.map { case (_, w, c) =>
+        val p = c.toDouble / bySrc(s)
+        p * math.log((c.toDouble * t) / (bySrc(s).toDouble * byWord(w)))
+      }.sum
+    }
+    got.foreach { case (s, n, kl) =>
+      assert(n == bySrc(s))
+      assert(math.abs(kl - expect(s)) < 1e-3, s"$s: got $kl expected ${expect(s)}")
+    }
+  }
 }
