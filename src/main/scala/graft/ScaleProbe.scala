@@ -93,8 +93,26 @@ object ScaleProbe {
       "q74_domain_balanced_sample", "q75_heavy_hitters", "q76_training_pipeline",
       "q77_lm_quality", "q78_token_ids", "q79_zipf_slope",
       "q80_temperature_mix_sample", "q81_bloom_screen", "q82_epoch_upsample",
-      "q83_token_windows"))
+      "q83_token_windows",
+      // round-4 wave 2: formats/novelty/budget/canonical/KL. q85 writes
+      // the probe lineitem as ORC and re-reads it (IO-bound both ways);
+      // q86 is q61's anti-join shape; q87/q89 are narrow passes +
+      // bounded windows/groupBys. q88 is measured separately below:
+      // count() alone would let the optimizer prune its whole
+      // projection+window (neither changes cardinality) and time a
+      // bare parquet count
+      "q85_orc_roundtrip", "q86_ngram_novelty", "q87_token_budget_sample",
+      "q89_domain_kl"))
       .filter(q => only.forall(_.contains(q))).foreach(time)
+    if (only.forall(_.contains("q88_canonical_dedup"))) {
+      val t0 = System.nanoTime()
+      // force the normalizer + keeper window: aggregate over BOTH
+      // computed columns so column pruning can't elide them
+      val r = SparkEntry.queries("q88_canonical_dedup")(spark, dst)
+        .agg(sum(col("keep")), count(col("canon_md5"))).head()
+      println(f"PROBE q88_canonical_dedup         ${(System.nanoTime() - t0) / 1e9}%8.2f s " +
+        s"rows=${r.getLong(1)} keepers=${r.getLong(0)}")
+    }
     // md5 (oracle-parity) vs xxhash64 (production) base hash for the
     // LSH band keys — quantifies what the DuckDB oracle costs q31 at
     // scale; both builds are cold (memoized per key, first use here)

@@ -48,6 +48,11 @@ object Converter {
         multiLine = cfg.multiLine)
       case "json" => Readers.json(spark, inputPath)
       case "parquet" => Readers.parquet(spark, inputPath)
+      // Excel-proper (reference R3/R27 dispatch, unified_code.py:193–202):
+      // the self-contained OOXML reader; multi-sheet workbooks surface
+      // every sheet with its sheet_name column, like the reference's
+      // per-sheet iteration
+      case "xlsx" => spark.read.format("xlsx").load(inputPath)
       case f => throw new IllegalArgumentException(s"unsupported format: $f")
     }
     val staged = Pipeline.run(raw)                       // R8–R11

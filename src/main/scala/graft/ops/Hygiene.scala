@@ -436,6 +436,39 @@ object Hygiene {
           FROM bsw JOIN bs USING (source) JOIN bw USING (word), tot)
         SELECT source, cast(t_s as bigint) AS n_tokens,
           ${oRnd4("cast(sum(term) as double)")} AS kl
-        FROM terms GROUP BY source, t_s ORDER BY source"""))
+        FROM terms GROUP BY source, t_s ORDER BY source""")),
+
+    // ---- deterministic train/val/test split: the 98/1/1 holdout
+    // assignment every training run needs, as a pure function of
+    // doc_id (the q48 md5-gate, thresholds on the 16-bit prefix) — no
+    // RNG, no state, reproducible across engines, runs and cluster
+    // sizes, and docs added later don't reshuffle existing
+    // assignments. Disjointness and totality hold by construction
+    // (the gate is a total function into three intervals). Output is
+    // the per-(split, source) audit report a pipeline logs; the
+    // assignment column itself is the narrow `split` expression.
+    // Scale: one narrow pass + a groupBy bounded by 3 × sources. ----
+    "q90_train_val_test" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        // 16-bit gate: 98% ≈ [0, 64225), 1% ≈ [64225, 64880), rest test
+        val g = docGate($"doc_id")
+        val split = when(g < 64225L, "train")
+          .when(g < 64880L, "val")
+          .otherwise("test")
+        table(s, dir, "documents")
+          .select(split.as("split"), $"source", $"n_chars")
+          .groupBy($"split", $"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+          .orderBy($"split", $"source")
+      },
+      Some(s"""WITH assigned AS (SELECT
+          CASE WHEN $oDocGate < 64225 THEN 'train'
+               WHEN $oDocGate < 64880 THEN 'val'
+               ELSE 'test' END AS split,
+          source, n_chars FROM documents)
+        SELECT split, source, count(*) AS n_docs,
+          cast(sum(n_chars) as bigint) AS n_chars
+        FROM assigned GROUP BY 1, 2 ORDER BY split, source"""))
   )
 }

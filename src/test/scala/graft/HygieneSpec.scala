@@ -238,6 +238,33 @@ class HygieneSpec extends SparkSpec {
     assert(gotIds == expect)
   }
 
+  test("q90 split: partitions the corpus, ratios near 98/1/1, exact vs driver recompute") {
+    val got = Hygiene.catalog("q90_train_val_test").fn(spark, dir)
+      .as[(String, String, Long, Long)].collect()
+    val docs = Core.table(spark, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars").as[(Long, String, Long)].collect()
+    // totality: every doc lands in exactly one split
+    assert(got.map(_._3).sum == docs.length)
+    // exact agreement with a driver-side recompute of the md5 gate
+    def gate(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16)
+    }
+    def split(id: Long): String = {
+      val g = gate(id)
+      if (g < 64225L) "train" else if (g < 64880L) "val" else "test"
+    }
+    val expect = docs.groupBy(r => (split(r._1), r._2))
+      .map { case (k, rs) => (k._1, k._2, rs.length.toLong, rs.map(_._3).sum) }
+      .toSet
+    assert(got.toSet == expect)
+    // the train share dominates (98% nominal; binomial tolerance on a
+    // small corpus)
+    val train = got.filter(_._1 == "train").map(_._3).sum.toDouble / docs.length
+    assert(train > 0.9, s"train share $train")
+  }
+
   test("q89 domain KL: non-negative, and matches an independent driver-side recompute") {
     val got = Hygiene.catalog("q89_domain_kl").fn(spark, dir)
       .as[(String, Long, Double)].collect().sortBy(_._1)

@@ -326,4 +326,41 @@ class PlanSpec extends SparkSpec {
       assert(sigs == expect, s"doc $id minhash mismatch")
     }
   }
+
+  test("q85 ORC round-trip: re-scan prunes to the four written columns, partial+final agg") {
+    val p = planOf("q85_orc_roundtrip")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val cols = read.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"),
+      s"ORC re-scan should read exactly the projected columns: $cols")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
+  }
+
+  test("q86 novelty: reference screen is an anti-join, never a loop join") {
+    val p = planOf("q86_ngram_novelty")
+    assert(p.contains("LeftAnti"), s"expected an anti-join probe:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), "novelty must not cross-join shingle sets")
+  }
+
+  test("q87 token budget: exactly one hash shuffle (the per-source window)") {
+    val p = planOf("q87_token_budget_sample")
+    assert(p.contains("hashpartitioning(source"),
+      s"running sum must partition by source:\n${p.take(1500)}")
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1,
+      s"budget sampling should shuffle once (plus the final range sort):\n${p.take(1500)}")
+  }
+
+  test("q88 canonical dedup: one hash shuffle (the keeper window on canon_md5)") {
+    val p = planOf("q88_canonical_dedup")
+    assert(p.contains("hashpartitioning(canon_md5"),
+      s"keeper window must partition by the canonical hash:\n${p.take(1500)}")
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1,
+      s"canonical dedup should shuffle once (plus the final range sort):\n${p.take(1500)}")
+  }
+
+  test("q89 domain KL: vocab-sized side broadcasts; corpus text never re-shuffles") {
+    val p = planOf("q89_domain_kl")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-word totals (vocab-bounded) should broadcast:\n${p.take(1500)}")
+  }
 }
