@@ -48,6 +48,33 @@ object Formats {
       Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
         ${oSum("l_quantity")} AS sum_qty,
         ${oSum("l_extendedprice")} AS sum_price
-        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- Excel round-trip parity: write the nation dimension as a
+    // real .xlsx workbook (the driver-side small-result writer — a
+    // dimension table is exactly its intended payload), read it back
+    // through the DSv2 xlsx source, cast the string cells to their
+    // types, and hash-match the original parquet row for row. This
+    // puts the reference's R3 Excel path under the SAME differential
+    // gate as every relational operator — the reader is checked
+    // against DuckDB, not just against its own writer's expectations.
+    // Scale: the workbook format is row-capped by spec; the engine-
+    // side story is the (file × sheet)-parallel READ path, exercised
+    // here end-to-end. ----
+    "q91_xlsx_roundtrip" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val tmp = s"${sys.props("java.io.tmpdir")}/graft_xlsx_${math.abs(dir.hashCode).toString}/nation.xlsx"
+        graft.sources.Xlsx.write(table(s, dir, "nation"), tmp, sheet = "nation")
+        s.read.format("xlsx").load(tmp)
+          .select(
+            $"n_nationkey".cast("int").as("n_nationkey"),
+            $"n_name",
+            $"n_regionkey".cast("int").as("n_regionkey"),
+            $"sheet_name")
+          .orderBy($"n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey, 'nation' AS sheet_name
+        FROM nation ORDER BY n_nationkey"""))
   )
 }

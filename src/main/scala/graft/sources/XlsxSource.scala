@@ -235,6 +235,70 @@ object Xlsx {
     try f(in) finally in.close()
   }
 
+  /** Minimal single-sheet `.xlsx` writer — the Excel-report analog of
+    * `etl.Sinks.jsonArrayFile`: a DRIVER-SIDE format-parity tool for
+    * small results (a dimension, a report, a sample), documented as
+    * such — a single workbook is row-capped by the format itself, so
+    * this is never a big-data write path. Header row from the schema;
+    * every value as an inline string (deterministic, reader-exact);
+    * nulls become absent cells. */
+  def write(df: org.apache.spark.sql.DataFrame, path: String,
+      sheet: String = "Sheet1"): Unit = {
+    def esc(s: String): String = {
+      val sb = new java.lang.StringBuilder
+      s.foreach {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+    def cell(v: String): String =
+      if (v == null) ""
+      else s"""<c t="inlineStr"><is><t xml:space="preserve">${esc(v)}</t></is></c>"""
+    val rows = Iterator(df.columns.map(c => cell(c)).mkString) ++
+      df.toLocalIterator().asScala.map { r =>
+        (0 until r.length).map(i =>
+          cell(if (r.isNullAt(i)) null else String.valueOf(r.get(i)))).mkString
+      }
+    val sheetXml = new java.lang.StringBuilder(
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    rows.foreach(r => sheetXml.append("<row>").append(r).append("</row>"))
+    sheetXml.append("</sheetData></worksheet>")
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(p))
+    def part(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes("UTF-8")); zos.closeEntry()
+    }
+    try {
+      part("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+          """<Default Extension="xml" ContentType="application/xml"/>""" +
+          """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+          """</Types>""")
+      part("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+          """</Relationships>""")
+      part("xl/workbook.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+          s"""<sheets><sheet name="${esc(sheet)}" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+      part("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+          """</Relationships>""")
+      part("xl/worksheets/sheet1.xml", sheetXml.toString)
+    } finally zos.close()
+  }
+
   /** Schema: first row of the first sheet of the first file (header
     * mode) or positional names sized from it, plus `sheet_name`. */
   def infer(options: CaseInsensitiveStringMap): StructType = {

@@ -128,6 +128,21 @@ class XlsxSourceSpec extends SparkSpec {
     assert(df.count() == 6) // header rows become data
   }
 
+  test("writer round-trip: reader returns exactly what was written, XML specials intact") {
+    val df = Seq(
+      (1L, "a&b<c>d", Option("x\"y'z")),
+      (2L, "  spaced  ", None)).toDF("id", "s", "t")
+    val p = Files.createTempDirectory("xlsxw").toString + "/out.xlsx"
+    sources.Xlsx.write(df, p, sheet = "S")
+    val back = spark.read.format("xlsx").load(p)
+    assert(back.columns.sameElements(Array("id", "s", "t", "sheet_name")))
+    val rows = back.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(rows == Set(
+      ("1", "a&b<c>d", "x\"y'z", "S"),
+      ("2", "  spaced  ", null, "S")))
+  }
+
   test("xlsx + Converter compose (reference R3/R27 dispatch, workbook → staged JSON)") {
     val out = Files.createTempDirectory("xlsx-out").toString
     val stats = etl.Converter.convert(spark, workbook(), out,
