@@ -29,6 +29,8 @@ object SparkEntry {
       ops.Hygiene.catalog ++
       ops.Training.catalog ++
       ops.Similarity.catalog ++
+      ops.Subquery.catalog ++
+      ops.Skew.catalog ++
       ops.Formats.catalog ++
       ops.TextOps.catalog ++
       ops.Multimodal.catalog ++

@@ -198,6 +198,36 @@ object Functions {
         round(corr(o_totalprice, o_custkey), 6) AS corr_price_cust
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ---- higher-moment statistics: skewness / excess kurtosis /
+    // covariance per group. Spark's skewness and kurtosis are the
+    // population moments g1 = m3/m2^1.5 and g2 = m4/m2^2 - 3 computed
+    // by a single-pass mergeable update (partial + final aggregate, the
+    // 100 TB shape); DuckDB's built-ins are the bias-CORRECTED sample
+    // versions, so the oracle states the population formulas explicitly
+    // (two-pass over the group mean) instead — same real number, and
+    // the 4-dp rounding absorbs the update-formula float noise. ----
+    "q95_moments" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "orders")
+          .groupBy($"o_orderstatus")
+          .agg(
+            round(skewness($"o_totalprice"), 4).as("skew_price"),
+            round(kurtosis($"o_totalprice"), 4).as("kurt_price"),
+            round(covar_samp($"o_totalprice", $"o_custkey".cast("double")), 0).as("covar_sd"),
+            round(covar_pop($"o_totalprice", $"o_custkey".cast("double")), 0).as("covar_pd"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""WITH mu AS (SELECT o_orderstatus AS st, avg(o_totalprice) AS m
+          FROM orders GROUP BY 1)
+        SELECT o_orderstatus,
+          round(avg(pow(o_totalprice - m, 3)) / pow(avg(pow(o_totalprice - m, 2)), 1.5), 4) AS skew_price,
+          round(avg(pow(o_totalprice - m, 4)) / pow(avg(pow(o_totalprice - m, 2)), 2) - 3, 4) AS kurt_price,
+          round(covar_samp(o_totalprice, o_custkey), 0) AS covar_sd,
+          round(covar_pop(o_totalprice, o_custkey), 0) AS covar_pd
+        FROM orders JOIN mu ON mu.st = orders.o_orderstatus
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // ---- data profiling: per-column null/distinct/min/max in one pass
     // (the dbt/deequ-style quality report an ETL pipeline runs on every
     // ingest; one aggregate job regardless of column count) ----

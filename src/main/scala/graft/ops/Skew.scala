@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Core._
 
 /** Skew-resistant equi-join via key salting (SURVEY.md §2B
   * "partitioning & shuffle": salting for skew).
@@ -36,4 +37,29 @@ object Skew {
       joinType)
     joined.drop("__salt")
   }
+
+  /** Catalog entry proving the salted join is semantics-preserving: the
+    * oracle is the PLAIN join + aggregate, so the hash gate fails if
+    * salting ever drops, duplicates, or misroutes a row. Here the probe
+    * is the big fact (lineitem) and the replicated build side is a
+    * 2-column projection of orders — at scale, keep the replicated side
+    * the narrow/smaller one, since its shuffle volume scales by
+    * nSalts. */
+  val catalog: Map[String, Q] = Map(
+    "q98_salted_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val li = table(s, dir, "lineitem")
+        val ord = table(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
+        saltedJoin(li, ord, "l_orderkey", "o_orderkey", nSalts = 8)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            moneySum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"))
+          .orderBy($"o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS n_items,
+          ${oSum("l_extendedprice*(1-l_discount)")} AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+  )
 }

@@ -363,4 +363,51 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"per-word totals (vocab-bounded) should broadcast:\n${p.take(1500)}")
   }
+
+  test("q92 EXISTS decorrelates to a semi join, never a per-row subquery") {
+    val p = planOf("q92_exists_subquery")
+    assert(p.contains("LeftSemi"), s"EXISTS should rewrite to a left-semi join:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the non-equi inner predicate must ride the equi-join as a residual condition")
+  }
+
+  test("q93 NOT EXISTS decorrelates to an anti join (the null-safe NOT IN spelling)") {
+    val p = planOf("q93_not_exists_anti")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS should rewrite to a left-anti join:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "NOT EXISTS must not fall back to a loop join")
+  }
+
+  test("q94 correlated scalar avg decorrelates into a grouped agg + equi-join") {
+    val p = planOf("q94_scalar_subquery")
+    // the correlated avg becomes its own partial+final aggregate over
+    // lineitem joined back on l_partkey — plus the outer group-by
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected decorrelated avg agg + outer agg, both partial+final:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "scalar subquery must not execute per outer row")
+  }
+
+  test("q96 TF-IDF: tf/df are partial+final aggs; documents scan prunes to id+text") {
+    val p = planOf("q96_tfidf")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val cols = read.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("doc_id", "text"), s"documents scan should prune to doc_id+text: $cols")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"tf and df should each be partial+final HashAggregates:\n${p.take(1500)}")
+  }
+
+  test("q97 histogram: scan prunes to n_chars only, 21-group partial+final agg") {
+    val p = planOf("q97_length_histogram")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val cols = read.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("n_chars"), s"histogram should read exactly n_chars: $cols")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final HashAggregate")
+  }
+
+  test("q98 salted join stays an equi hash/merge join (salt is an equi key)") {
+    val p = planOf("q98_salted_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"salted join must remain an equi join:\n${p.take(1500)}")
+  }
 }
