@@ -53,6 +53,17 @@ object ScaleProbe {
     replicateIf("documents", Seq("doc_id"), textPerturb = true)
     replicateIf("embeddings", Seq("vec_id"))
     replicateIf("events", Seq("event_id", "user_id"))
+    // part/region keys are NOT offset in the fact copies (lineitem
+    // keeps its original l_partkey), so these dims stay at 1× — each
+    // part simply gains copies−1 extra sets of lineitems, preserving
+    // referential integrity. Own existence check: they were added
+    // after the marker protocol, so an existing probe dir may lack them.
+    def copyOnceIf(name: String): Unit =
+      if (!new java.io.File(s"$dst/$name.parquet").exists())
+        Core.table(spark, src, name).write.mode(SaveMode.Overwrite)
+          .parquet(s"$dst/$name.parquet")
+    copyOnceIf("part")
+    copyOnceIf("region")
     if (regen) marker.createNewFile()
     println("DATA READY")
 
@@ -102,7 +113,19 @@ object ScaleProbe {
       // projection+window (neither changes cardinality) and time a
       // bare parquet count
       "q85_orc_roundtrip", "q86_ngram_novelty", "q87_token_budget_sample",
-      "q89_domain_kl"))
+      "q89_domain_kl",
+      // round-4 wave 3: subqueries decorrelate to the q05/q06 join
+      // shapes (semi/anti on the natural key); q94 adds a second
+      // aggregation pass over lineitem; q96's tf explode is the
+      // token-volume stressor (df stays vocab-sized); q97 is a narrow
+      // 21-group agg; q98 replicates the 2-column orders side 8×
+      "q92_exists_subquery", "q93_not_exists_anti", "q94_scalar_subquery",
+      "q95_moments", "q96_tfidf", "q97_length_histogram", "q98_salted_join",
+      // q99's groups are domain-bounded (≤5 priorities/customer);
+      // q101's grid stays 3.6k rows no matter the event volume.
+      // (q100 is measured separately below — count() alone lets the
+      // optimizer prune its windows, like q88's projection.)
+      "q99_string_agg", "q101_resample_ffill"))
       .filter(q => only.forall(_.contains(q))).foreach(time)
     if (only.forall(_.contains("q88_canonical_dedup"))) {
       val t0 = System.nanoTime()
@@ -112,6 +135,16 @@ object ScaleProbe {
         .agg(sum(col("keep")), count(col("canon_md5"))).head()
       println(f"PROBE q88_canonical_dedup         ${(System.nanoTime() - t0) / 1e9}%8.2f s " +
         s"rows=${r.getLong(1)} keepers=${r.getLong(0)}")
+    }
+    if (only.forall(_.contains("q100_rank_fractions"))) {
+      val t0 = System.nanoTime()
+      // aggregate over the window outputs so the per-priority sorts
+      // (the actual cost: 100× more rows per window task) can't be
+      // pruned away by a bare count()
+      val r = SparkEntry.queries("q100_rank_fractions")(spark, dst)
+        .agg(sum(col("pr")), count(col("second_key"))).head()
+      println(f"PROBE q100_rank_fractions         ${(System.nanoTime() - t0) / 1e9}%8.2f s " +
+        f"rows=${r.getLong(1)} sum_pr=${r.getDouble(0)}%.1f")
     }
     // md5 (oracle-parity) vs xxhash64 (production) base hash for the
     // LSH band keys — quantifies what the DuckDB oracle costs q31 at

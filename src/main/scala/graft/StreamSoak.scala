@@ -79,7 +79,7 @@ object StreamSoak {
     soak("sliding_counts", streaming.StreamingOps.slidingCounts, "update")
     soak("session_counts", streaming.StreamingOps.sessionCounts, "update")
     soak("dedup_watermark", streaming.StreamingOps.dedupWithinWatermark, "append")
-    soak("stream_stream_join", streaming.StreamingOps.clickToPurchase, "append")
+    soak("stream_stream_join", streaming.StreamingOps.clickToPurchase(_), "append")
     spark.stop()
   }
 }

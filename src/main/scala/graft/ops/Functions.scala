@@ -174,6 +174,52 @@ object Functions {
         count(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
 
+    // ---- time-series resample with gap fill + forward fill: project
+    // hourly per-type aggregates onto a dense hour grid, zero-fill the
+    // counts, carry the last observed sum forward across gaps (the
+    // standard shape for feeding regular-interval models from
+    // irregular event data). The grid is generated, not stored:
+    // types × hours is domain-bounded, so the cross join is a
+    // broadcast of a 1-row bounds agg and the ffill window sorts
+    // O(hours) rows per type — all independent of event volume; the
+    // only event-sized work is the partial-agged hourly rollup. ----
+    "q101_resample_ffill" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = table(s, dir, "events")
+        val hourly = ev
+          .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+          .agg(count(lit(1)).as("n"), moneySum($"value").as("sum_v"))
+        val bounds = ev.agg(
+          date_trunc("hour", min($"ts")).as("t0"),
+          date_trunc("hour", max($"ts")).as("t1"))
+        val grid = ev.select($"event_type").distinct()
+          .crossJoin(broadcast(bounds))
+          .select($"event_type",
+            explode(sequence($"t0", $"t1", expr("INTERVAL 1 HOUR"))).as("hour"))
+        val w = Window.partitionBy($"event_type").orderBy($"hour")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("event_type", "hour"), "left")
+          .withColumn("n", coalesce($"n", lit(0L)))
+          .withColumn("ffill_v", last($"sum_v", ignoreNulls = true).over(w))
+          .select($"event_type", date_format($"hour", "yyyy-MM-dd HH:mm").as("hour"),
+            $"n", $"ffill_v")
+          .orderBy($"event_type", $"hour")
+      },
+      Some(s"""WITH b AS (SELECT date_trunc('hour', min(ts)) AS t0,
+            date_trunc('hour', max(ts)) AS t1 FROM events),
+        grid AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour
+          FROM (SELECT DISTINCT event_type FROM events), b),
+        hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+            ${oSum("value")} AS sum_v
+          FROM events GROUP BY 1, 2)
+        SELECT g.event_type, strftime(g.hour, '%Y-%m-%d %H:%M') AS hour,
+          coalesce(h.n, 0) AS n,
+          last_value(h.sum_v IGNORE NULLS) OVER (PARTITION BY g.event_type ORDER BY g.hour
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_v
+        FROM grid g LEFT JOIN hourly h USING (event_type, hour)
+        ORDER BY event_type, hour""")),
+
     // ---- statistical aggregates: exact percentiles (sort-based, so
     // cross-engine identical before rounding), variance/stddev and
     // correlation (rounded to absorb update-formula float noise) ----

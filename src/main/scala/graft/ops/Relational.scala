@@ -606,6 +606,57 @@ object Relational {
               SELECT custkey, 'open_and_closed' AS tag
                 FROM (SELECT custkey FROM a INTERSECT ALL SELECT custkey FROM b))
         SELECT custkey, tag, count(*) AS n FROM u
-        GROUP BY custkey, tag ORDER BY custkey, tag"""))
+        GROUP BY custkey, tag ORDER BY custkey, tag""")),
+
+    // ---- ordered string aggregation (group-concat): the sorted
+    // distinct list of order priorities each customer has used. The
+    // collect_list runs over a pre-distinct'd frame and every group is
+    // bounded by the priority domain (5 values), so per-group state is
+    // O(domain) — the safe shape for list aggregation at 100 TB. The
+    // sort_array makes the concatenation order deterministic (Spark's
+    // collect_list order is partition-arrival, never relied on). ----
+    "q99_string_agg" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "orders")
+          .select($"o_custkey", $"o_orderpriority").distinct()
+          .groupBy($"o_custkey")
+          .agg(concat_ws(",", sort_array(collect_list($"o_orderpriority"))).as("priorities"),
+            count(lit(1)).as("n_distinct"))
+          .orderBy($"o_custkey")
+      },
+      Some("""WITH d AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+        SELECT o_custkey,
+          string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+          count(*) AS n_distinct
+        FROM d GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // ---- fractional-rank windows: percent_rank / cume_dist plus
+    // nth_value over an explicit whole-partition frame (both engines
+    // default nth_value to the running frame, so the frame is pinned).
+    // The order key is tie-broken by o_orderkey, making every rank —
+    // and therefore both fractions — engine-independent integers
+    // before the one shared division. ----
+    "q100_rank_fractions" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice", $"o_orderkey")
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        table(s, dir, "orders").select(
+            $"o_orderkey", $"o_orderpriority",
+            rnd4(percent_rank().over(w)).as("pr"),
+            rnd4(cume_dist().over(w)).as("cd"),
+            nth_value($"o_orderkey", 2).over(wFull).as("second_key"))
+          .orderBy($"o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_orderpriority,
+          ${oRnd4("percent_rank() OVER w")} AS pr,
+          ${oRnd4("cume_dist() OVER w")} AS cd,
+          nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey"""))
   )
 }

@@ -67,8 +67,14 @@ object StreamingOps {
     * the same user within 30 minutes after it. Both sides carry
     * watermarks and the join condition bounds event-time distance, so
     * state is provably droppable — the two requirements Structured
-    * Streaming imposes on stream-stream joins. */
-  def clickToPurchase(events: DataFrame): DataFrame = {
+    * Streaming imposes on stream-stream joins.
+    *
+    * `joinType = "left_outer"` additionally emits (click, null) for
+    * clicks that never converted: the engine holds each click until
+    * the watermark passes its 30-minute match window, so the null row
+    * is emitted exactly once and only when a match has become
+    * impossible — conversion-funnel semantics with bounded state. */
+  def clickToPurchase(events: DataFrame, joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
@@ -80,7 +86,8 @@ object StreamingOps {
     clicks.join(purchases,
       col("c_user") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+      joinType)
       .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
   }
 

@@ -92,6 +92,28 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("stream-stream LEFT OUTER join emits unconverted clicks once the window expires") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventRow]
+    val result = runQuery(stream,
+      StreamingOps.clickToPurchase(stream.toDF(), "left_outer"),
+      OutputMode.Append, "cp_outer")(Seq(
+      Seq(
+        EventRow(1, ts(0), 7, "click", 1.0),
+        EventRow(2, ts(10), 7, "purchase", 5.0),   // converts click 1
+        EventRow(3, ts(1), 8, "click", 1.0)),      // never converts
+      // advance the watermark far past click 3's 30-min match window —
+      // on BOTH inputs: the global watermark is the min over the two
+      // sides, so a click alone would leave the purchase side at 0 …
+      Seq(EventRow(9, ts(600), 1, "click", 1.0), EventRow(11, ts(600), 2, "purchase", 1.0)),
+      // … and run one more batch so the expired state is emitted
+      Seq(EventRow(10, ts(610), 1, "click", 1.0), EventRow(12, ts(610), 2, "purchase", 1.0))))
+    val pairs = result.select($"click_id", $"purchase_id")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(pairs.contains((1L, Some(2L))), s"matched pair missing: $pairs")
+    assert(pairs.contains((3L, None)), s"unconverted click not emitted: $pairs")
+  }
+
   test("file-stream checkpoint: restart resumes offsets without reprocessing (R17/R18)") {
     // the streaming successor to the reference's SQLite checkpoint
     // skip-on-replay (unified_code.py:437–439, SURVEY.md §4.4) — and
