@@ -567,6 +567,53 @@ object Dedup {
           FROM words CROSS JOIN range(16) b(i) GROUP BY 1,2)
         SELECT doc_id,
           cast(sum(CASE WHEN s >= 0 THEN 1 << bit ELSE 0 END) as bigint) AS simhash
-        FROM bits GROUP BY doc_id ORDER BY doc_id"""))
+        FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- leakage-safe train/val/test split: the gate hashes the dedup
+    // CLUSTER id, not the doc id, so near-duplicate documents can never
+    // straddle a split boundary — the classic way eval contamination
+    // sneaks past a q90-style per-doc split (a train doc's near-twin
+    // lands in test and the model "memorizes" the answer). Assignment
+    // is still a pure deterministic function (of the corpus snapshot's
+    // clustering), docs in the same cluster move together by
+    // construction, and the split column itself is one narrow
+    // expression over the memoized cluster labels — the labels are
+    // computed once per snapshot (q45's frame) and every downstream
+    // stage reuses them. 80/10/10 here (cluster-granularity holdouts
+    // need more mass than q90's 1% to be non-degenerate). Scale: one
+    // broadcast-sized gate expression over the label frame + a doc_id
+    // equi-join + a groupBy bounded by 3 × sources. ----
+    "q102_cluster_safe_split" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val gate = conv(substring(md5($"cluster_id".cast("string")), 1, 4), 16, 10).cast("long")
+        val split = when(gate < 52429L, "train").when(gate < 58982L, "val").otherwise("test")
+        clusterLabels(s, dir)
+          .select($"doc_id", $"cluster_id", split.as("split"))
+          .join(table(s, dir, "documents").select($"doc_id", $"source", $"n_chars"), Seq("doc_id"))
+          .groupBy($"split", $"source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"cluster_id").as("n_clusters"),
+            sum($"n_chars").as("n_chars"))
+          .orderBy($"split", $"source")
+      },
+      Some(oracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        labels AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+        assigned AS (SELECT doc_id, cluster_id,
+            CASE WHEN CAST('0x' || substr(md5(cast(cluster_id as varchar)), 1, 4) AS BIGINT) < 52429 THEN 'train'
+                 WHEN CAST('0x' || substr(md5(cast(cluster_id as varchar)), 1, 4) AS BIGINT) < 58982 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM labels)
+        SELECT a.split, d.source, count(*) AS n_docs,
+          count(DISTINCT a.cluster_id) AS n_clusters,
+          cast(sum(d.n_chars) as bigint) AS n_chars
+        FROM assigned a JOIN documents d ON d.doc_id = a.doc_id
+        GROUP BY 1, 2 ORDER BY split, source"""))
   )
 }

@@ -332,6 +332,151 @@ object Functions {
         SELECT user_id, session_id, count(*) AS n_events,
           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS t0,
           max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
-        FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
+        FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
+
+    // ---- conversion funnel: first 'view' per user → earliest
+    // 'purchase' within the following hour, reported per first-view
+    // day. Two bounded aggregations (per-user min over each type
+    // slice) + one equi-join on user_id with the time window as a
+    // residual predicate — never an events×events theta join, so the
+    // shuffle is O(users), not O(events²). Delay sums in exact integer
+    // micros (decimal) before the one shared division, so the average
+    // is order-independent and engine-exact. ----
+    "q103_event_funnel" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = table(s, dir, "events")
+        val firstView = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min(unix_micros($"ts")).as("v_us"))
+        val purchases = ev.filter($"event_type" === "purchase")
+          .select($"user_id", unix_micros($"ts").as("p_us"))
+        // the time window lives in the JOIN condition (not a post-join
+        // filter): a user whose purchases all fall outside the hour
+        // must still count as an unconverted first-viewer
+        val conv = firstView.as("v").join(purchases.as("p"),
+            $"p.user_id" === $"v.user_id" &&
+              $"p.p_us" > $"v.v_us" && $"p.p_us" <= $"v.v_us" + 3600L * 1000000L,
+            "left")
+          .groupBy($"v.user_id", $"v.v_us").agg(min($"p.p_us").as("conv_us"))
+        conv
+          .select(date_format(timestamp_micros($"v_us"), "yyyy-MM-dd").as("day"),
+            $"v_us", $"conv_us")
+          .groupBy($"day")
+          .agg(count(lit(1)).as("n_first_views"),
+            count($"conv_us").as("n_converted"),
+            rnd4(count($"conv_us").cast("double") / count(lit(1))).as("conv_rate"),
+            rnd4(sum(($"conv_us" - $"v_us").cast("decimal(18,0)")).cast("double") /
+              greatest(count($"conv_us"), lit(1L)) / 1000000.0).as("avg_delay_sec"))
+          .orderBy($"day")
+      },
+      Some(s"""WITH fv AS (SELECT user_id, min(epoch_us(ts)) AS v_us
+          FROM events WHERE event_type = 'view' GROUP BY user_id),
+        pur AS (SELECT user_id, epoch_us(ts) AS p_us
+          FROM events WHERE event_type = 'purchase'),
+        conv AS (SELECT fv.user_id, fv.v_us, min(p.p_us) AS conv_us
+          FROM fv LEFT JOIN pur p ON p.user_id = fv.user_id
+            AND p.p_us > fv.v_us AND p.p_us <= fv.v_us + 3600000000
+          GROUP BY fv.user_id, fv.v_us)
+        SELECT strftime(make_timestamp(v_us), '%Y-%m-%d') AS day,
+          count(*) AS n_first_views,
+          count(conv_us) AS n_converted,
+          ${oRnd4("cast(count(conv_us) as double) / count(*)")} AS conv_rate,
+          ${oRnd4("cast(sum(cast(conv_us - v_us as decimal(18,0))) as double) / greatest(count(conv_us), 1) / 1000000.0")} AS avg_delay_sec
+        FROM conv GROUP BY 1 ORDER BY day""")),
+
+    // ---- robust outlier detection (median/MAD): exact rank-based
+    // medians instead of approx_percentile so the answer is
+    // engine-independent — the median is the mean of the two middle
+    // ROWS of the sorted group (picking specific rows is deterministic
+    // over the value multiset even with ties; no float aggregation is
+    // involved until the final per-group arithmetic). MAD-based fences
+    // beat ±3σ on heavy-tailed money columns because the fence itself
+    // is immune to the outliers it hunts. Scale note: each median pass
+    // is a per-group sort window, and parallelism is bounded by the
+    // GROUP count (5 priorities here) — exact medians over few huge
+    // groups don't scale out. This is the oracle-checkable variant; at
+    // 100 TB run the same fences off `approx_percentile(0.5)` (q66's
+    // mergeable-sketch path, rank error bounded) or range-partitioned
+    // global ranks if exactness is non-negotiable. ----
+    "q105_mad_outliers" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        def medianOf(df: DataFrame, valueCol: String, grp: String): DataFrame = {
+          val w = Window.partitionBy(col(grp)).orderBy(col(valueCol))
+          df.select(col(grp), col(valueCol),
+              row_number().over(w).as("rn"),
+              count(lit(1)).over(Window.partitionBy(col(grp))).as("cnt"))
+            // `div`, not `/`: Spark's / on longs is double division
+            .filter($"rn" === expr("(cnt + 1) div 2") || $"rn" === expr("(cnt + 2) div 2"))
+            .groupBy(col(grp))
+            .agg((sum(col(valueCol)) / count(lit(1))).as(s"med_$valueCol"))
+        }
+        val orders = table(s, dir, "orders")
+          .select($"o_orderpriority".as("prio"), $"o_totalprice".as("price"))
+        val med = medianOf(orders, "price", "prio")
+        val dev = orders.join(med, Seq("prio"))
+          .withColumn("adev", abs($"price" - $"med_price"))
+        val mad = medianOf(dev.select($"prio", $"adev"), "adev", "prio")
+        orders.join(med, Seq("prio")).join(mad, Seq("prio"))
+          .groupBy($"prio")
+          .agg(count(lit(1)).as("n"),
+            round(min($"med_price"), 2).as("median_price"),
+            round(min($"med_adev"), 2).as("mad"),
+            sum(when(abs($"price" - $"med_price") > lit(3.0) * $"med_adev", 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .orderBy($"prio")
+      },
+      Some("""WITH o AS (SELECT o_orderpriority AS prio, o_totalprice AS price FROM orders),
+        r1 AS (SELECT prio, price,
+            row_number() OVER (PARTITION BY prio ORDER BY price) AS rn,
+            count(*) OVER (PARTITION BY prio) AS cnt FROM o),
+        med AS (SELECT prio, sum(price) / count(*) AS med_price FROM r1
+          WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY prio),
+        d AS (SELECT o.prio, abs(o.price - med.med_price) AS adev
+          FROM o JOIN med USING (prio)),
+        r2 AS (SELECT prio, adev,
+            row_number() OVER (PARTITION BY prio ORDER BY adev) AS rn,
+            count(*) OVER (PARTITION BY prio) AS cnt FROM d),
+        mad AS (SELECT prio, sum(adev) / count(*) AS med_adev FROM r2
+          WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2 GROUP BY prio)
+        SELECT o.prio, count(*) AS n,
+          round(min(med.med_price), 2) AS median_price,
+          round(min(mad.med_adev), 2) AS mad,
+          cast(sum(CASE WHEN abs(o.price - med.med_price) > 3.0 * mad.med_adev
+            THEN 1 ELSE 0 END) as bigint) AS n_outliers
+        FROM o JOIN med USING (prio) JOIN mad USING (prio)
+        GROUP BY o.prio ORDER BY prio""")),
+
+    // ---- event-sequence transition matrix (Markov chain stats): lag
+    // over each user's time-ordered stream → global (prev → next)
+    // counts and row-normalized probabilities. One hash shuffle (the
+    // per-user window) feeds a type²-bounded aggregate; ties in ts are
+    // broken by event_id so every transition — and therefore every
+    // count — is engine-independent. The same shape powers next-event
+    // prediction features and bot detection at 100 TB: the window
+    // partitions by user, so state never concentrates. ----
+    "q106_markov_transitions" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val trans = table(s, dir, "events")
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("prev_type", lag($"event_type", 1).over(w))
+          .filter($"prev_type".isNotNull)
+        trans.groupBy($"prev_type", $"event_type".as("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p",
+            rnd4($"n".cast("double") /
+              sum($"n").over(Window.partitionBy($"prev_type"))))
+          .orderBy($"prev_type", $"next_type")
+      },
+      Some(s"""WITH t AS (SELECT user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events),
+        c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+          FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        SELECT prev_type, next_type, n,
+          ${oRnd4("cast(n as double) / sum(n) OVER (PARTITION BY prev_type)")} AS p
+        FROM c ORDER BY prev_type, next_type"""))
   )
 }

@@ -657,6 +657,58 @@ object Relational {
             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
         FROM orders
         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // ---- SCD2 merge/upsert (MERGE INTO semantics as a join + union):
+    // apply a CDC batch (a deterministic slice of customers with
+    // changed balances) to a type-2 dimension — matched rows close
+    // their current version (valid_to = batch date) and emit a new
+    // open version; unmatched rows pass through untouched. Spelled as
+    // one left equi-join on the business key feeding three narrow
+    // projections unioned back together, which is exactly the plan a
+    // MERGE statement compiles to — no per-row lookups, one shuffle
+    // (or zero if the dim is bucketed by key), scales as a plain join.
+    // The batch here derives from the same table (custkey % 10 = 0,
+    // +100.00 balance) so the oracle can state it identically. ----
+    "q107_scd2_merge" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val dim = table(s, dir, "customer")
+          .select($"c_custkey", $"c_name", round($"c_acctbal", 2).as("acctbal"))
+        val batch = dim.filter($"c_custkey" % 10 === 0)
+          .select($"c_custkey", round($"acctbal" + 100.0, 2).as("new_bal"))
+        val joined = dim.join(batch, Seq("c_custkey"), "left")
+        val untouched = joined.filter($"new_bal".isNull)
+          .select($"c_custkey", $"c_name", $"acctbal",
+            lit("2020-01-01").as("valid_from"), lit("9999-12-31").as("valid_to"),
+            lit(1L).as("version"), lit(true).as("is_current"))
+        val closed = joined.filter($"new_bal".isNotNull)
+          .select($"c_custkey", $"c_name", $"acctbal",
+            lit("2020-01-01").as("valid_from"), lit("2026-08-01").as("valid_to"),
+            lit(1L).as("version"), lit(false).as("is_current"))
+        val opened = joined.filter($"new_bal".isNotNull)
+          .select($"c_custkey", $"c_name", $"new_bal".as("acctbal"),
+            lit("2026-08-01").as("valid_from"), lit("9999-12-31").as("valid_to"),
+            lit(2L).as("version"), lit(true).as("is_current"))
+        untouched.unionAll(closed).unionAll(opened)
+          .orderBy($"c_custkey", $"version")
+      },
+      Some("""WITH dim AS (SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+          FROM customer),
+        batch AS (SELECT c_custkey, round(acctbal + 100.0, 2) AS new_bal
+          FROM dim WHERE c_custkey % 10 = 0),
+        j AS (SELECT d.*, b.new_bal FROM dim d
+          LEFT JOIN batch b ON b.c_custkey = d.c_custkey)
+        SELECT c_custkey, c_name, acctbal,
+          '2020-01-01' AS valid_from, '9999-12-31' AS valid_to,
+          cast(1 as bigint) AS version, true AS is_current
+        FROM j WHERE new_bal IS NULL
+        UNION ALL
+        SELECT c_custkey, c_name, acctbal, '2020-01-01', '2026-08-01',
+          cast(1 as bigint), false FROM j WHERE new_bal IS NOT NULL
+        UNION ALL
+        SELECT c_custkey, c_name, new_bal, '2026-08-01', '9999-12-31',
+          cast(2 as bigint), true FROM j WHERE new_bal IS NOT NULL
+        ORDER BY c_custkey, version"""))
   )
 }

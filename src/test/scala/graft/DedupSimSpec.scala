@@ -370,4 +370,28 @@ class DedupSimSpec extends SparkSpec {
       .filter($"k" > 1).count()
     assert(coarser == 0, "identical texts must share a canonical group")
   }
+
+  test("q102 cluster-safe split: no dedup cluster ever straddles a split boundary") {
+    val real = "/root/testdata/sf0.001"
+    // recompute the per-doc assignment the q102 report aggregates: the
+    // gate must be a pure function of cluster_id, so every member of a
+    // cluster lands in the same split — THE leakage guarantee
+    val labels = SparkEntry.queries("q45_dedup_clusters")(spark, real)
+    import org.apache.spark.sql.functions._
+    val gate = conv(substring(md5($"cluster_id".cast("string")), 1, 4), 16, 10).cast("long")
+    val split = when(gate < 52429L, "train").when(gate < 58982L, "val").otherwise("test")
+    val straddlers = labels.select($"cluster_id", split.as("split"))
+      .groupBy($"cluster_id").agg(countDistinct($"split").as("k"))
+      .filter($"k" > 1).count()
+    assert(straddlers == 0, "cluster members must move between splits together")
+    // and the q90-style per-doc gate would NOT give that guarantee on a
+    // corpus with near-dup clusters — q102's reason to exist: some
+    // multi-doc cluster must exist in the fixture for the test to bite
+    val multi = labels.groupBy($"cluster_id").count().filter($"count" > 1).count()
+    assert(multi > 0, "fixture must contain at least one multi-doc cluster")
+    // the report itself is consistent: n_docs sums to the corpus size
+    val rep = SparkEntry.queries("q102_cluster_safe_split")(spark, real)
+    val total = rep.agg(sum($"n_docs")).as[Long].head()
+    assert(total == Core.table(spark, real, "documents").count())
+  }
 }

@@ -410,4 +410,52 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"salted join must remain an equi join:\n${p.take(1500)}")
   }
+
+  test("q103 funnel: time window rides the user_id equi-join, never a loop join") {
+    val p = planOf("q103_event_funnel")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the hour window must be a residual on the user_id equi-join:\n${p.take(1500)}")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val cols = read.split(",").map(_.split(":")(0).trim).toSet
+    assert(!cols.contains("props"), s"events scan must prune the wide props column: $cols")
+  }
+
+  test("q104 inverted index: text is projected away before any exchange") {
+    val p = planOf("q104_inverted_index")
+    // the posting rows that shuffle are (term, doc_id) — the document
+    // text must not survive into any exchange's input row
+    val exchangeInputs = """\(\d+\) Exchange[\s\S]*?Input \[\d+\]: (\[[^\]]*\])"""
+      .r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, s"expected shuffle details in:\n${p.take(800)}")
+    assert(exchangeInputs.forall(!_.contains("text#")),
+      s"raw text must not flow through a shuffle: $exchangeInputs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q105 MAD: both median passes share one per-group sort (no second shuffle of orders)") {
+    val p = planOf("q105_mad_outliers")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"median/MAD must stay window + equi-join shaped:\n${p.take(1500)}")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val cols = read.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("o_orderpriority", "o_totalprice"),
+      s"orders scan should prune to priority+price: $cols")
+  }
+
+  test("q106 transitions: one per-user window shuffle feeds a type²-bounded agg") {
+    val p = planOf("q106_markov_transitions")
+    assert(p.contains("Window"), "lag must plan as a window, not a self-join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val cols = read.split(",").map(_.split(":")(0).trim).toSet
+    assert(!cols.contains("props") && !cols.contains("value"),
+      s"events scan must prune to the sequence columns: $cols")
+  }
+
+  test("q107 SCD2 merge: one equi-join feeds all three merge branches") {
+    val p = planOf("q107_scd2_merge")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"MERGE must compile to an equi-join + union:\n${p.take(1500)}")
+    assert(p.contains("Union"), "expected the three merge branches unioned")
+  }
 }
