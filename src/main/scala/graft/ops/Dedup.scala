@@ -614,6 +614,124 @@ object Dedup {
           count(DISTINCT a.cluster_id) AS n_clusters,
           cast(sum(d.n_chars) as bigint) AS n_chars
         FROM assigned a JOIN documents d ON d.doc_id = a.doc_id
-        GROUP BY 1, 2 ORDER BY split, source"""))
+        GROUP BY 1, 2 ORDER BY split, source""")),
+
+    // ---- split-contamination audit: for every near-dup candidate
+    // pair, does the holdout assignment separate the twins? Scores the
+    // naive per-doc gate (q90's method, at q102's 80/10/10 thresholds)
+    // against the cluster gate (q102's method) on the SAME pair set —
+    // the doc gate leaks ~2·p·(1−p) of near-dup pairs across the
+    // boundary, the cluster gate provably zero. This is the audit a
+    // pipeline runs BEFORE training to certify its eval split; both
+    // counts are oracle-checked, so the "cluster_gate n_cross = 0"
+    // guarantee is pinned by the driver, not just a spec. Scale: two
+    // broadcast-shaped joins of the pair list against the label frame
+    // (both already materialized by the dedup stages). ----
+    "q108_split_contamination" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val gate = (c: Column) =>
+          conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
+        val splitOf = (g: Column) =>
+          when(g < 52429L, "train").when(g < 58982L, "val").otherwise("test")
+        val assign = clusterLabels(s, dir).select($"doc_id",
+          splitOf(gate($"doc_id")).as("doc_split"),
+          splitOf(gate($"cluster_id")).as("cl_split"))
+        val j = lshPairs(s, dir)
+          .join(assign.as("a"), $"id_a" === $"a.doc_id")
+          .join(assign.as("b"), $"id_b" === $"b.doc_id")
+        val byDoc = j.select(lit("doc_gate").as("method"),
+          ($"a.doc_split" =!= $"b.doc_split").cast("long").as("x"))
+        val byCl = j.select(lit("cluster_gate").as("method"),
+          ($"a.cl_split" =!= $"b.cl_split").cast("long").as("x"))
+        byDoc.unionAll(byCl)
+          .groupBy($"method")
+          .agg(count(lit(1)).as("n_pairs"), sum($"x").as("n_cross"))
+          .orderBy($"method")
+      },
+      Some(oracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        labels AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+        assign AS (SELECT doc_id,
+            CASE WHEN CAST('0x' || substr(md5(cast(doc_id as varchar)), 1, 4) AS BIGINT) < 52429 THEN 'train'
+                 WHEN CAST('0x' || substr(md5(cast(doc_id as varchar)), 1, 4) AS BIGINT) < 58982 THEN 'val'
+                 ELSE 'test' END AS doc_split,
+            CASE WHEN CAST('0x' || substr(md5(cast(cluster_id as varchar)), 1, 4) AS BIGINT) < 52429 THEN 'train'
+                 WHEN CAST('0x' || substr(md5(cast(cluster_id as varchar)), 1, 4) AS BIGINT) < 58982 THEN 'val'
+                 ELSE 'test' END AS cl_split
+          FROM labels)
+        SELECT method, count(*) AS n_pairs, cast(sum(x) as bigint) AS n_cross FROM (
+          SELECT 'doc_gate' AS method,
+            CASE WHEN a.doc_split <> b.doc_split THEN 1 ELSE 0 END AS x
+          FROM pairs p JOIN assign a ON a.doc_id = p.id_a
+            JOIN assign b ON b.doc_id = p.id_b
+          UNION ALL
+          SELECT 'cluster_gate',
+            CASE WHEN a.cl_split <> b.cl_split THEN 1 ELSE 0 END
+          FROM pairs p JOIN assign a ON a.doc_id = p.id_a
+            JOIN assign b ON b.doc_id = p.id_b)
+        GROUP BY method ORDER BY method""")),
+
+    // ---- sketch-quality audit: per candidate pair, the minhash
+    // ESTIMATE of Jaccard (fraction of the 16 signature slots that
+    // collide — the quantity LSH actually thresholds on) next to the
+    // EXACT shingle Jaccard and the absolute error. This is how you
+    // tune rows-per-band before a 100 TB run: if the error
+    // distribution is wide at the 0.8 operating point, you need more
+    // hashes, and you want to learn that from an audit query, not
+    // from a leaked near-dup. Signatures are REUSED from the memoized
+    // band-key frame (positions reconstructed as band*4 + slot), so
+    // the audit adds two joins on the pair list, not a re-shingle of
+    // the corpus. ----
+    "q109_sketch_quality" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val sig = bandKeys(s, dir)
+          .select($"doc_id", $"band", posexplode(split($"band_key", ",")))
+          .select($"doc_id", ($"band" * 4 + $"pos").as("i"), $"col".as("hmin"))
+        val est = lshPairs(s, dir)
+          .join(sig.as("sa"), $"id_a" === $"sa.doc_id")
+          .join(sig.as("sb"), $"id_b" === $"sb.doc_id" && $"sa.i" === $"sb.i")
+          .groupBy($"id_a", $"id_b")
+          .agg(rnd4(sum(when($"sa.hmin" === $"sb.hmin", 1L).otherwise(0L))
+            .cast("double") / 16.0).as("est_jaccard"))
+        val sets = shingleRows(s, table(s, dir, "documents"))
+          .groupBy($"doc_id").agg(collect_set($"w").as("ws"))
+        val exact = lshPairs(s, dir)
+          .join(sets.select($"doc_id".as("id_a"), $"ws".as("wsa")), Seq("id_a"))
+          .join(sets.select($"doc_id".as("id_b"), $"ws".as("wsb")), Seq("id_b"))
+          .withColumn("c", size(array_intersect($"wsa", $"wsb")))
+          .select($"id_a", $"id_b",
+            rnd4($"c".cast("double") / (size($"wsa") + size($"wsb") - $"c")).as("jaccard"))
+        est.join(exact, Seq("id_a", "id_b"))
+          .select($"id_a", $"id_b", $"est_jaccard", $"jaccard",
+            rnd4(abs($"est_jaccard" - $"jaccard")).as("abs_err"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""$oracleCtes,
+        est AS (SELECT p.id_a, p.id_b,
+            sum(CASE WHEN a.hmin = b.hmin THEN 1 ELSE 0 END) AS m
+          FROM pairs p JOIN mh a ON a.doc_id = p.id_a
+            JOIN mh b ON b.doc_id = p.id_b AND b.i = a.i
+          GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+        inter AS (SELECT p.id_a, p.id_b, count(*) AS c FROM pairs p
+          JOIN shingles wa ON wa.doc_id=p.id_a
+          JOIN shingles wb ON wb.doc_id=p.id_b AND wb.w=wa.w
+          GROUP BY 1,2),
+        cmp AS (SELECT e.id_a, e.id_b,
+            floor(cast(e.m as double) / 16.0 * 10000 + 0.5) / 10000.0 AS est_jaccard,
+            floor(cast(i.c as double) / (sa.n + sb.n - i.c) * 10000 + 0.5) / 10000.0 AS jaccard
+          FROM est e JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+          JOIN sizes sa ON sa.doc_id = e.id_a
+          JOIN sizes sb ON sb.doc_id = e.id_b)
+        SELECT id_a, id_b, est_jaccard, jaccard,
+          floor(abs(est_jaccard - jaccard) * 10000 + 0.5) / 10000.0 AS abs_err
+        FROM cmp ORDER BY id_a, id_b"""))
   )
 }

@@ -16,6 +16,97 @@ import graft.Core._
   */
 object Functions {
 
+  /** Exact per-group medians by distributed selection — the 100 TB
+    * path q105's window formulation can't take (a per-group sort
+    * window's parallelism is bounded by the GROUP count; 5 priority
+    * groups = 5 cores no matter the cluster size).
+    *
+    * One `repartitionByRange(group, value)` spreads each group's sorted
+    * order across MANY partitions; pass 1 counts rows per (partition,
+    * group) — driver state is P×groups longs, bounded at any data
+    * size; the driver turns counts into the two global target ranks
+    * per group plus per-partition prefix offsets; pass 2 walks each
+    * partition's sorted run and emits only the ≤2 target rows per
+    * group. Two narrow passes over one range shuffle, full-cluster
+    * parallel. mapPartitions (not a window) is the point: this is
+    * genuine per-partition imperative logic, the documented rare case
+    * for dropping below the DataFrame API. Returns the same values as
+    * the rank-window formulation (same sorted-multiset positions, same
+    * mean-of-two-middles arithmetic). */
+  private[ops] def groupMedians(s: SparkSession, df: DataFrame,
+      grp: String, v: String): Map[String, Double] = {
+    import s.implicits._
+    val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = df.select(col(grp).cast("string"), col(v).cast("double"))
+      .as[(String, Double)]
+      .repartitionByRange(p, col(grp), col(v))
+      .sortWithinPartitions(col(grp), col(v))
+      .cache()
+    try {
+      val counts: Array[(Int, Map[String, Long])] =
+        sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          it.foreach { case (g, _) => m.update(g, m.getOrElse(g, 0L) + 1L) }
+          Iterator((i, m.toMap))
+        }.collect()
+      val totals = counts.flatMap(_._2).groupBy(_._1).map { case (g, kv) =>
+        g -> kv.map(_._2).sum
+      }
+      // ranks of the two middle rows ((n+1)/2 and (n+2)/2 — equal when
+      // n is odd), and, per partition, how many of each group precede it
+      val targets: Map[String, Set[Long]] = totals.map { case (g, n) =>
+        g -> Set((n + 1) / 2, (n + 2) / 2)
+      }
+      val byPart = counts.sortBy(_._1)
+      val prefix: Map[Int, Map[String, Long]] = {
+        val acc = scala.collection.mutable.Map.empty[String, Long]
+        byPart.map { case (i, m) =>
+          val snap = acc.toMap
+          m.foreach { case (g, n) => acc.update(g, acc.getOrElse(g, 0L) + n) }
+          i -> snap
+        }.toMap
+      }
+      val picked = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+        val seen = scala.collection.mutable.Map.empty[String, Long] ++
+          prefix.getOrElse(i, Map.empty)
+        it.flatMap { case (g, x) =>
+          val r = seen.getOrElse(g, 0L) + 1L
+          seen.update(g, r)
+          if (targets.getOrElse(g, Set.empty).contains(r)) Some((g, x)) else None
+        }
+      }.collect()
+      picked.groupBy(_._1).map { case (g, rows) =>
+        g -> rows.map(_._2).sum / rows.length
+      }
+    } finally { sorted.unpersist(blocking = false); () }
+  }
+
+  /** q105's report computed through [[groupMedians]] — identical
+    * output (OpsSpec pins equality), scalable physical plan: the two
+    * medians cost two range shuffles at full parallelism instead of
+    * two 5-way sort windows, and the fence pass is one broadcast join
+    * + partial agg. The probe A/Bs this against the window plan. */
+  def madOutliersScalable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = table(s, dir, "orders")
+      .select($"o_orderpriority".as("prio"), $"o_totalprice".as("price"))
+    val med = groupMedians(s, orders, "prio", "price")
+    val medDf = med.toSeq.toDF("prio", "med_price")
+    val withMed = orders.join(broadcast(medDf), Seq("prio"))
+    val mad = groupMedians(s,
+      withMed.select($"prio", abs($"price" - $"med_price").as("adev")),
+      "prio", "adev")
+    val madDf = mad.toSeq.toDF("prio", "med_adev")
+    withMed.join(broadcast(madDf), Seq("prio"))
+      .groupBy($"prio")
+      .agg(count(lit(1)).as("n"),
+        round(min($"med_price"), 2).as("median_price"),
+        round(min($"med_adev"), 2).as("mad"),
+        sum(when(abs($"price" - $"med_price") > lit(3.0) * $"med_adev", 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy($"prio")
+  }
+
   val catalog: Map[String, Q] = Map(
 
     // ---- string functions ----
@@ -394,10 +485,12 @@ object Functions {
     // is immune to the outliers it hunts. Scale note: each median pass
     // is a per-group sort window, and parallelism is bounded by the
     // GROUP count (5 priorities here) — exact medians over few huge
-    // groups don't scale out. This is the oracle-checkable variant; at
-    // 100 TB run the same fences off `approx_percentile(0.5)` (q66's
-    // mergeable-sketch path, rank error bounded) or range-partitioned
-    // global ranks if exactness is non-negotiable. ----
+    // groups don't scale out (41 s at the 100× probe). This window
+    // formulation is the oracle anchor; [[madOutliersScalable]] is the
+    // 100 TB path — the same exact medians by range-partitioned
+    // distributed selection (OpsSpec pins output equality, the probe
+    // A/Bs the two), and `approx_percentile(0.5)` (q66's mergeable
+    // sketch) is the cheaper answer when rank error is tolerable. ----
     "q105_mad_outliers" -> Q(
       (s, dir) => {
         import s.implicits._

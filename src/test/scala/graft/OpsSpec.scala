@@ -85,4 +85,23 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(salted == plain)
   }
+
+  test("Functions.madOutliersScalable equals the q105 window formulation exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val window = SparkEntry.queries("q105_mad_outliers")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val selection = ops.Functions.madOutliersScalable(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(selection == window,
+      "range-partitioned selection must reproduce the rank-window medians bit-for-bit")
+    // and the medians really are exact: recompute one group driver-side
+    val prices = Core.table(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_totalprice").as[Double].collect().sorted
+    val n = prices.length
+    val expect = (prices((n - 1) / 2) + prices(n / 2)) / 2
+    val got = window.find(_.head == "1-URGENT").get(2).asInstanceOf[Double]
+    assert(math.abs(got - math.floor(expect * 100 + 0.5) / 100 * 1.0) < 0.011,
+      s"median mismatch: got $got vs driver-side $expect")
+  }
 }
