@@ -452,6 +452,14 @@ class PlanSpec extends SparkSpec {
       s"events scan must prune to the sequence columns: $cols")
   }
 
+  test("q108/q109 audits: pair-list joins stay equi joins, never loop joins") {
+    for (q <- Seq("q108_split_contamination", "q109_sketch_quality")) {
+      val p = planOf(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q must join the pair list on keys only:\n${p.take(1200)}")
+    }
+  }
+
   test("q107 SCD2 merge: one equi-join feeds all three merge branches") {
     val p = planOf("q107_scd2_merge")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
