@@ -135,8 +135,12 @@ object ScaleProbe {
       "q106_markov_transitions", "q107_scd2_merge",
       // q109 is pair-output-bound by design (it audits every candidate
       // pair, 27M at 100× — same class as q34/q72); its signature side
-      // rides the memoized band keys
-      "q109_sketch_quality"))
+      // rides the memoized band keys. q111's full-outer diff compares
+      // scan-side md5 fingerprints, O(corpus) on the doc_id join.
+      // q41 runs before q110 so the shared scoredDocs memo build (five
+      // regexp scans of every doc) lands on its own line and q110
+      // shows the incremental window+agg cost.
+      "q109_sketch_quality", "q111_corpus_diff", "q41_quality_score"))
       .filter(q => only.forall(_.contains(q))).foreach(time)
     // wave-3 queries whose cost lives in agg expressions / join sides
     // that a bare count() lets the optimizer elide: aggregate over the
@@ -156,6 +160,7 @@ object ScaleProbe {
     timeForced("q104_inverted_index", ("postings_head", "n_blocks"))
     timeForced("q105_mad_outliers", ("n_outliers", "mad"))
     timeForced("q108_split_contamination", ("n_pairs", "n_cross"))
+    timeForced("q110_adaptive_quality_gate", ("n_kept", "cut_score"))
     if (only.forall(_.contains("q88_canonical_dedup"))) {
       val t0 = System.nanoTime()
       // force the normalizer + keeper window: aggregate over BOTH

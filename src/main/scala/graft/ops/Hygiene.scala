@@ -36,6 +36,87 @@ object Hygiene {
 
   val catalog: Map[String, Q] = Map(
 
+    // ---- adaptive per-source quality gate: keep each source's top
+    // 30% by quality score instead of one global threshold — a global
+    // cut starves clean-but-different domains and over-admits the
+    // noisiest one; percentile gates are how real mixes hold their
+    // per-domain quality bar. Scores come from the memoized
+    // scoredDocs pass (one regexp sweep per session, shared with
+    // q41/q47/q76); the window ranks a narrow (doc_id, score) frame
+    // per source — text never enters the shuffle — and the tie-break
+    // on doc_id makes every percent_rank engine-exact. ----
+    "q110_adaptive_quality_gate" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val scored = TextOps.scoredDocs(s, dir).select($"doc_id", $"quality_score")
+          .join(table(s, dir, "documents").select($"doc_id", $"source"), Seq("doc_id"))
+        val w = Window.partitionBy($"source")
+          .orderBy($"quality_score".desc, $"doc_id")
+        scored.withColumn("pr", percent_rank().over(w))
+          .filter($"pr" <= 0.30)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_kept"),
+            min($"quality_score").as("cut_score"),
+            max($"quality_score").as("best_score"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH scored AS (SELECT doc_id, source,
+            ${TextOps.oQualityScore} AS quality_score FROM documents),
+        ranked AS (SELECT *, percent_rank() OVER (PARTITION BY source
+            ORDER BY quality_score DESC, doc_id) AS pr FROM scored)
+        SELECT source, count(*) AS n_kept,
+          min(quality_score) AS cut_score, max(quality_score) AS best_score
+        FROM ranked WHERE pr <= 0.30
+        GROUP BY source ORDER BY source""")),
+
+    // ---- corpus snapshot diff: the added / removed / changed /
+    // unchanged ledger between two corpus versions — the audit that
+    // runs before re-tokenizing an updated crawl (changed + added
+    // docs re-enter the pipeline, removed ones retire from the
+    // index). Versions are simulated deterministically from one
+    // table: v1 is the ~90% lower gate slice, v2 the ~90% upper
+    // slice, and a middle gate band carries a text revision — so all
+    // four statuses materialize. The diff itself is the operator: one
+    // full-outer equi-join on doc_id comparing md5 fingerprints,
+    // O(corpus) with no text shuffle (fingerprints computed at scan). ----
+    "q111_corpus_diff" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val g = docGate($"doc_id")
+        val v1 = docs.filter(g < 58982L)
+          .select($"doc_id", md5($"text").as("fp1"), $"source".as("src1"))
+        val v2 = docs.filter(g >= 6554L)
+          .select($"doc_id",
+            md5(when(g >= 30000L && g < 40000L, concat($"text", lit(" rev2")))
+              .otherwise($"text")).as("fp2"),
+            $"source".as("src2"))
+        v1.join(v2, Seq("doc_id"), "full")
+          .select(
+            when($"fp1".isNull, "added")
+              .when($"fp2".isNull, "removed")
+              .when($"fp1" =!= $"fp2", "changed")
+              .otherwise("unchanged").as("status"),
+            coalesce($"src1", $"src2").as("source"))
+          .groupBy($"status", $"source")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"status", $"source")
+      },
+      Some(s"""WITH v1 AS (SELECT doc_id, md5(text) AS fp1, source AS src1
+          FROM documents WHERE $oDocGate < 58982),
+        v2 AS (SELECT doc_id,
+            md5(CASE WHEN $oDocGate >= 30000 AND $oDocGate < 40000
+                THEN text || ' rev2' ELSE text END) AS fp2,
+            source AS src2
+          FROM documents WHERE $oDocGate >= 6554)
+        SELECT CASE WHEN fp1 IS NULL THEN 'added'
+            WHEN fp2 IS NULL THEN 'removed'
+            WHEN fp1 <> fp2 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+          coalesce(src1, src2) AS source, count(*) AS n
+        FROM v1 FULL JOIN v2 USING (doc_id)
+        GROUP BY 1, 2 ORDER BY status, source""")),
+
     // ---- benchmark decontamination: a deterministic ~5% hash-gated
     // slice of the corpus stands in for the held-out eval set; any
     // training doc sharing a word 5-gram with it is contaminated (the

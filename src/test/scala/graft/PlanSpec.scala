@@ -460,6 +460,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q110/q111: no hash shuffle carries raw text (scores/fingerprints computed first)") {
+    // the one text-bearing exchange allowed is Core.fanOut's RoundRobin
+    // spread inside the memoized scoring pass — a single-parquet-file
+    // test-scale affordance (Core.fanOut doc); the KEY-PARTITIONED
+    // shuffles (window ranking, joins, aggs) must carry narrow columns
+    for (q <- Seq("q110_adaptive_quality_gate", "q111_corpus_diff")) {
+      val p = planOf(q)
+      val hashExchanges =
+        """\(\d+\) Exchange\s*\nInput \[\d+\]: (\[[^\]]*\])\s*\nArguments: (hashpartitioning[^\n]*)"""
+          .r.findAllMatchIn(p).map(m => (m.group(2), m.group(1))).toSeq
+      assert(hashExchanges.nonEmpty, s"expected hash exchanges in:\n${p.take(800)}")
+      assert(hashExchanges.forall(!_._2.contains("text#")),
+        s"$q hash-shuffles raw text: $hashExchanges")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
   test("q107 SCD2 merge: one equi-join feeds all three merge branches") {
     val p = planOf("q107_scd2_merge")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
