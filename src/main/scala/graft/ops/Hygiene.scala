@@ -34,6 +34,26 @@ object Hygiene {
   /** ~5% of docs are the held-out "benchmark" set. */
   private val BenchGate = 3277L
 
+  /** Docs surviving the per-source top-30% quality cut (q110's keep
+    * set): narrow (doc_id, source, quality_score) rows ranked by the
+    * session-shared scoring pass. */
+  private def rankedQualityKeep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = TextOps.scoredDocs(s, dir).select($"doc_id", $"quality_score")
+      .join(table(s, dir, "documents").select($"doc_id", $"source"), Seq("doc_id"))
+    val w = Window.partitionBy($"source").orderBy($"quality_score".desc, $"doc_id")
+    scored.withColumn("pr", percent_rank().over(w)).filter($"pr" <= 0.30)
+  }
+
+  /** Per-source quality thresholds (q110's cut scores) as a static
+    * frame — the snapshot-frozen gate a streaming ingest
+    * broadcast-joins per micro-batch (StreamingOps.gateIncoming). */
+  def qualityThresholds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    rankedQualityKeep(s, dir)
+      .groupBy($"source").agg(min($"quality_score").as("cut_score"))
+  }
+
   val catalog: Map[String, Q] = Map(
 
     // ---- adaptive per-source quality gate: keep each source's top
@@ -48,12 +68,7 @@ object Hygiene {
     "q110_adaptive_quality_gate" -> Q(
       (s, dir) => {
         import s.implicits._
-        val scored = TextOps.scoredDocs(s, dir).select($"doc_id", $"quality_score")
-          .join(table(s, dir, "documents").select($"doc_id", $"source"), Seq("doc_id"))
-        val w = Window.partitionBy($"source")
-          .orderBy($"quality_score".desc, $"doc_id")
-        scored.withColumn("pr", percent_rank().over(w))
-          .filter($"pr" <= 0.30)
+        rankedQualityKeep(s, dir)
           .groupBy($"source")
           .agg(count(lit(1)).as("n_kept"),
             min($"quality_score").as("cut_score"),

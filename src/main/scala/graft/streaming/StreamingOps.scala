@@ -136,6 +136,25 @@ object StreamingOps {
       .select(incoming.columns.map(col): _*)
   }
 
+  /** Streaming ingest quality gate: apply the corpus snapshot's
+    * per-source quality thresholds (Hygiene.qualityThresholds — q110's
+    * cut scores) to incoming documents. STATELESS like screenIncoming:
+    * the score is a row-local codegen'd expression over the incoming
+    * text, the thresholds are a sources-sized static frame broadcast
+    * into each micro-batch, and the filter is narrow — append mode, no
+    * watermark, no state store. This is how production freezes a gate:
+    * thresholds come from the last corpus snapshot (recomputed
+    * per-snapshot by the batch job), and ingest applies them
+    * deterministically until the next snapshot — a stream can't rank
+    * "top 30%" over data it hasn't seen, so the snapshot percentile IS
+    * the gate. Emits the score so downstream sinks can audit. */
+  def gateIncoming(incoming: DataFrame, thresholds: DataFrame): DataFrame =
+    incoming
+      .withColumn("q_score", graft.ops.TextOps.qualityScore(lower(col("text"))))
+      .join(broadcast(thresholds), Seq("source"))
+      .filter(col("q_score") >= col("cut_score"))
+      .select(incoming.columns.map(col) :+ col("q_score"): _*)
+
   final case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class UserAgg(user_id: Long, n: Long, total: Double)

@@ -204,4 +204,36 @@ class StreamingSpec extends SparkSpec {
       s"stream kept ${kept.size}, batch kept ${batchKeep.size}; " +
         s"diff=${(kept diff batchKeep) ++ (batchKeep diff kept)}")
   }
+
+  test("streaming quality gate applies the snapshot thresholds exactly (≡ batch keep set)") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val thresholds = ops.Hygiene.qualityThresholds(spark, dir)
+    val docs = Core.table(spark, dir, "documents")
+      .select($"doc_id", $"text", $"source")
+    val rows = docs.as[(Long, String, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String, String)]
+    val gated = StreamingOps.gateIncoming(
+      stream.toDF().toDF("doc_id", "text", "source"), thresholds)
+    val q = gated.writeStream.format("memory").queryName("qgate")
+      .outputMode(OutputMode.Append).start()
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    Seq(b1, b2).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamKept = spark.table("qgate").select("doc_id").as[Long].collect().toSet
+    // batch reference: same thresholds applied to the same docs
+    val batchKept = docs
+      .withColumn("q", ops.TextOps.qualityScore(lower($"text")))
+      .join(thresholds, Seq("source"))
+      .filter($"q" >= $"cut_score")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamKept == batchKept && streamKept.nonEmpty,
+      s"stream kept ${streamKept.size}, batch kept ${batchKept.size}")
+    // and the keep set is exactly q110's per-source top-30% population
+    val n110 = SparkEntry.queries("q110_adaptive_quality_gate")(spark, dir)
+      .agg(sum($"n_kept")).as[Long].head()
+    assert(streamKept.size >= n110,
+      "gate must admit at least the snapshot's own keep population (ties included)")
+  }
 }
