@@ -140,7 +140,13 @@ object ScaleProbe {
       // q41 runs before q110 so the shared scoredDocs memo build (five
       // regexp scans of every doc) lands on its own line and q110
       // shows the incremental window+agg cost.
-      "q109_sketch_quality", "q111_corpus_diff", "q41_quality_score"))
+      "q109_sketch_quality", "q111_corpus_diff", "q41_quality_score",
+      // round-4 wave 5: exact duplicated-span dedup. The probe corpus
+      // is its adversarial case — every doc has copies−1 near-twins,
+      // so nearly EVERY gram position repeats and the span coverage is
+      // maximal; the gram-key window shuffle (O(corpus tokens), narrow
+      // longs) and per-doc islands must stay flat per token
+      "q112_duplicate_spans"))
       .filter(q => only.forall(_.contains(q))).foreach(time)
     // wave-3 queries whose cost lives in agg expressions / join sides
     // that a bare count() lets the optimizer elide: aggregate over the
@@ -161,6 +167,9 @@ object ScaleProbe {
     timeForced("q105_mad_outliers", ("n_outliers", "mad"))
     timeForced("q108_split_contamination", ("n_pairs", "n_cross"))
     timeForced("q110_adaptive_quality_gate", ("n_kept", "cut_score"))
+    // count(clean_md5) forces the per-doc ordered rejoin + md5 witness
+    // (the collect_list aggregate a bare count() would prune)
+    timeForced("q113_span_scrub", ("clean_md5", "n_removed"))
     if (only.forall(_.contains("q88_canonical_dedup"))) {
       val t0 = System.nanoTime()
       // force the normalizer + keeper window: aggregate over BOTH

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Core._
 
@@ -134,7 +135,8 @@ object Dedup {
     * Similarity.warm). */
   def warm(s: SparkSession, dir: String): Seq[(String, Double)] = Seq(
     timedBuild("dedup.bandKeys") { bandKeys(s, dir).count(); () },
-    timedBuild("dedup.clusterLabels") { clusterLabels(s, dir).count(); () })
+    timedBuild("dedup.clusterLabels") { clusterLabels(s, dir).count(); () },
+    timedBuild("dedup.dupSpanStarts") { dupSpanStarts(s, dir).count(); () })
 
   /** Session-memoized cluster labels over the corpus's LSH pair graph.
     * q45 (clusters), q47 (curation) and q76 (training pipeline) all
@@ -299,6 +301,84 @@ object Dedup {
         .select($"u".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
   }
+
+  /** Duplicated-span machinery (q112/q113): exact SEQUENCE-level dedup
+    * in the "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al., ACL'22) sense — find every run of ≥[[SpanK]] words
+    * that occurs at least twice anywhere in the corpus, then cut those
+    * runs out of each document. Doc-level dedup (q30–q34) drops whole
+    * near-twin documents; this catches the boilerplate SENTENCE pasted
+    * into thousands of otherwise-unique pages, which no doc-level
+    * filter sees.
+    *
+    * The paper builds a corpus-wide suffix array — inherently
+    * sequential and memory-resident, the wrong shape for Spark. The
+    * equivalent declarative formulation: hash every positional k-gram
+    * (one row-local GramHashes pass, ZERO shuffle), mark the start
+    * positions whose 60-bit hash occurs ≥2 times corpus-wide (one hash
+    * shuffle on the gram key — the same O(corpus tokens) exchange class
+    * as q96's tf explode; text itself never shuffles), then merge
+    * overlapping/adjacent duplicated windows into maximal spans with
+    * one per-doc gaps-and-islands window. A true duplicated run of
+    * length L ≥ k is covered exactly (all L−k+1 of its window starts
+    * repeat, and their union is the run); a false positive needs a
+    * 60-bit md5-prefix collision. Every stage is deterministic integer
+    * arithmetic on md5 prefixes, so unlike the MinHash family the whole
+    * operator is DuckDB-oracle-checkable end to end. */
+  private val SpanK = 8
+
+  /** (doc_id, pos) of every positional [[SpanK]]-gram whose hash
+    * repeats corpus-wide. The window count(*) over the gram key beats
+    * the groupBy-then-self-join spelling: one shuffle, no second scan
+    * of the gram pass (gram hashes are near-unique, so a partial agg
+    * would barely combine anyway). Memoized — q112 and q113 share it. */
+  private def dupSpanStarts(s: SparkSession, dir: String): DataFrame =
+    memo(s, s"dedup.dupSpanStarts:$dir") {
+      graft.functions.GramHashes.register(s)
+      fanOut(s, table(s, dir, "documents"))
+        .select(col("doc_id"), posexplode(
+          graft.functions.GramHashes.gram_hashes(lower(col("text")), SpanK))
+          .as(Seq("pos", "gh")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("gh"))))
+        .filter(col("n") >= 2)
+        .select(col("doc_id"), col("pos"))
+    }
+
+  /** Maximal duplicated spans per doc: [span_start, span_end] word
+    * ranges (0-based, inclusive). Two duplicated windows merge when
+    * their coverage overlaps or touches (start ≤ prev_end + 1, i.e.
+    * pos ≤ prev_max_pos + SpanK), so output ranges are disjoint and
+    * non-adjacent by construction. */
+  private def duplicateSpans(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupSpanStarts(s, dir)
+      .withColumn("pm",
+        max(col("pos")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("pm").isNull || col("pos") > col("pm") + SpanK, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("new_span")).over(w))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(SpanK - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** Shared oracle CTEs for the span queries: toks → positional gram
+    * hashes → duplicated starts → gaps-and-islands → spans. */
+  private val oSpanGram = (0 until SpanK).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+  private val spanCtes =
+    s"""WITH toks AS (SELECT doc_id, text, string_split(lower(text), ' ') AS ws FROM documents),
+      g AS (SELECT doc_id, i - 1 AS pos,
+          CAST('0x' || substr(md5($oSpanGram), 1, 15) AS BIGINT) AS gh
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${SpanK - 1})) AS i FROM toks)),
+      d AS (SELECT doc_id, pos FROM
+        (SELECT doc_id, pos, count(*) OVER (PARTITION BY gh) AS n FROM g) WHERE n >= 2),
+      m AS (SELECT doc_id, pos, max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM d),
+      isl AS (SELECT doc_id, pos, sum(CASE WHEN pm IS NULL OR pos > pm + $SpanK THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM m),
+      spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + ${SpanK - 1} AS span_end
+        FROM isl GROUP BY doc_id, span_id)"""
 
   val catalog: Map[String, Q] = Map(
 
@@ -732,6 +812,71 @@ object Dedup {
           JOIN sizes sb ON sb.doc_id = e.id_b)
         SELECT id_a, id_b, est_jaccard, jaccard,
           floor(abs(est_jaccard - jaccard) * 10000 + 0.5) / 10000.0 AS abs_err
-        FROM cmp ORDER BY id_a, id_b"""))
+        FROM cmp ORDER BY id_a, id_b""")),
+
+    // ---- duplicated spans: maximal ≥SpanK-word runs occurring ≥2×
+    // corpus-wide (exact sequence-level dedup — see the SpanK scaladoc
+    // for the plan shape and why this replaces the suffix array). ----
+    "q112_duplicate_spans" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        duplicateSpans(s, dir)
+          .select($"doc_id",
+            $"span_start".cast("long").as("span_start"),
+            $"span_end".cast("long").as("span_end"),
+            ($"span_end" - $"span_start" + 1).cast("long").as("span_words"))
+          .orderBy($"doc_id", $"span_start")
+      },
+      Some(s"""$spanCtes
+        SELECT doc_id, span_start, span_end,
+          span_end - span_start + 1 AS span_words
+        FROM spans ORDER BY doc_id, span_start""")),
+
+    // ---- span scrub: cut the duplicated spans out of each document
+    // and witness the result byte-exactly (md5 of the rejoined kept
+    // words). The only token-sized exchanges are the gram-key shuffle
+    // q112 already pays (shared memo) and one anti-join of (doc_id,
+    // pos) int pairs against the exploded span ranges — span coverage
+    // is output-bounded, and raw text never enters a shuffle: the
+    // rejoin groups (pos, word) pairs BY DOC KEY, so each task
+    // reassembles whole documents locally. ----
+    "q113_span_scrub" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val covered = duplicateSpans(s, dir)
+          .select($"doc_id", explode(sequence($"span_start", $"span_end")).as("pos"))
+        val toks = fanOut(s, table(s, dir, "documents"))
+          .select($"doc_id", posexplode(split(lower($"text"), " ")).as(Seq("pos", "w")))
+        val scrubbed = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            md5(concat_ws(" ",
+              transform(array_sort(collect_list(struct($"pos", $"w"))),
+                x => x.getField("w")))).as("clean_md5"))
+        table(s, dir, "documents")
+          .select($"doc_id", size(split(lower($"text"), " ")).as("n_words"))
+          .join(scrubbed, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_words",
+            coalesce($"n_kept", lit(0L)).as("n_kept"),
+            ($"n_words".cast("long") - coalesce($"n_kept", lit(0L))).as("n_removed"),
+            coalesce($"clean_md5", md5(lit(""))).as("clean_md5"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""$spanCtes,
+        cov AS (SELECT doc_id, unnest(generate_series(span_start, span_end)) AS pos FROM spans),
+        tk AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w
+          FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM toks)),
+        kept AS (SELECT t.doc_id, t.pos, t.w FROM tk t
+          LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+          WHERE c.doc_id IS NULL),
+        ag AS (SELECT doc_id, count(*) AS n_kept,
+            md5(string_agg(w, ' ' ORDER BY pos)) AS clean_md5
+          FROM kept GROUP BY 1)
+        SELECT d.doc_id,
+          cast(len(string_split(lower(d.text), ' ')) as int) AS n_words,
+          coalesce(a.n_kept, 0) AS n_kept,
+          cast(len(string_split(lower(d.text), ' ')) as bigint) - coalesce(a.n_kept, 0) AS n_removed,
+          coalesce(a.clean_md5, md5('')) AS clean_md5
+        FROM documents d LEFT JOIN ag a USING (doc_id) ORDER BY doc_id"""))
   )
 }

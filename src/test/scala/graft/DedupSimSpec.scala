@@ -394,4 +394,61 @@ class DedupSimSpec extends SparkSpec {
     val total = rep.agg(sum($"n_docs")).as[Long].head()
     assert(total == Core.table(spark, real, "documents").count())
   }
+
+  test("q112 duplicate spans: a shared passage yields exact maximal spans in both docs") {
+    // 10-word passage shared by docs 1 and 2; doc 3 is all-unique;
+    // doc 4 repeats an 8-gram WITHIN itself (self-duplication counts)
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val octet = "k1 k2 k3 k4 k5 k6 k7 k8"
+    val dir = docsDir(Seq(
+      1L -> s"u1 u2 u3 $shared v1 v2 v3",          // span = words 3..12
+      2L -> s"w1 $shared x1 x2 x3 x4",             // span = words 1..10
+      3L -> "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12",
+      4L -> s"$octet m1 m2 m3 m4 m5 m6 m7 m8 m9 $octet")) // spans 0..7 and 17..24
+    Core.clearCaches(spark)
+    val spans = SparkEntry.queries("q112_duplicate_spans")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set(
+      (1L, 3L, 12L, 10L), (2L, 1L, 10L, 10L),
+      (4L, 0L, 7L, 8L), (4L, 17L, 24L, 8L)))
+    Core.clearCaches(spark)
+  }
+
+  test("q113 span scrub: cutting the spans leaves exactly the non-duplicated words") {
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val dir = docsDir(Seq(
+      1L -> s"u1 u2 u3 $shared v1 v2 v3",
+      2L -> s"w1 $shared x1 x2 x3 x4",
+      3L -> "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12"))
+    Core.clearCaches(spark)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = SparkEntry.queries("q113_span_scrub")(spark, dir)
+      .as[(Long, Int, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 16, 6L, 10L, md5hex("u1 u2 u3 v1 v2 v3")),
+      (2L, 15, 5L, 10L, md5hex("w1 x1 x2 x3 x4")),
+      (3L, 12, 12L, 0L, md5hex("z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12"))))
+    Core.clearCaches(spark)
+  }
+
+  test("gram_hashes matches the SQL md5-prefix formulation position by position") {
+    graft.functions.GramHashes.register(spark)
+    import org.apache.spark.sql.functions._
+    val docs = Core.table(spark, "/root/testdata/sf0.001", "documents")
+      .filter(size(split(lower($"text"), " ")) >= 8).limit(20)
+    // SQL spelling of the same contract: 60-bit md5 prefix per window
+    // (sequence(1, n-7) is safe here: the ≥8-word filter keeps n-7 ≥ 1,
+    // and Spark's sequence would DESCEND on an empty range)
+    val sql = docs.select($"doc_id", posexplode(expr(
+      """transform(sequence(1, size(split(lower(text), ' ')) - 7),
+         i -> conv(substring(md5(concat_ws(' ', slice(split(lower(text), ' '), i, 8))), 1, 15), 16, 10))"""))
+      .as(Seq("pos", "want")))
+    val fast = docs.select($"doc_id", posexplode(
+      graft.functions.GramHashes.gram_hashes(lower($"text"), 8)).as(Seq("pos", "got")))
+    val joined = sql.join(fast, Seq("doc_id", "pos"), "full")
+    assert(joined.filter($"want".isNull || $"got".isNull ||
+      $"want" =!= $"got".cast("string")).count() == 0)
+  }
 }

@@ -265,7 +265,8 @@ class PlanSpec extends SparkSpec {
     // compiling the expression
     Core.clearCaches(spark)
     withCodegenOnly {
-      Seq("q31_minhash_lsh_pairs", "q44_rolling_fingerprint", "q34_embedding_neardup")
+      Seq("q31_minhash_lsh_pairs", "q44_rolling_fingerprint", "q34_embedding_neardup",
+          "q112_duplicate_spans")
         .foreach { q => assert(SparkEntry.queries(q)(spark, dir).count() > 0, q) }
       // the production (xxhash64) minhash path too
       graft.functions.WordShingles.register(spark)
@@ -474,6 +475,24 @@ class PlanSpec extends SparkSpec {
       assert(hashExchanges.forall(!_._2.contains("text#")),
         s"$q hash-shuffles raw text: $hashExchanges")
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
+  test("q112/q113 spans: raw text stays out of every hash shuffle; anti-join is equi") {
+    // the gram pass is row-local (GramHashes array inside the row), so
+    // the only token-sized exchanges carry (doc_id, pos, gh|w) — never
+    // the full text column; the scrub's span anti-join must stay an
+    // equi hash/merge join (a loop join would be pairs × positions)
+    for (q <- Seq("q112_duplicate_spans", "q113_span_scrub")) {
+      val p = planOf(q)
+      val hashExchanges =
+        """\(\d+\) Exchange\s*\nInput \[\d+\]: (\[[^\]]*\])\s*\nArguments: (hashpartitioning[^\n]*)"""
+          .r.findAllMatchIn(p).map(m => (m.group(2), m.group(1))).toSeq
+      assert(hashExchanges.nonEmpty, s"expected hash exchanges in:\n${p.take(800)}")
+      assert(hashExchanges.forall(!_._2.contains("text#")),
+        s"$q hash-shuffles raw text: $hashExchanges")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q fell back to a loop join")
     }
   }
 
