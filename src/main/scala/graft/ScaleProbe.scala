@@ -146,7 +146,12 @@ object ScaleProbe {
       // so nearly EVERY gram position repeats and the span coverage is
       // maximal; the gram-key window shuffle (O(corpus tokens), narrow
       // longs) and per-doc islands must stay flat per token
-      "q112_duplicate_spans"))
+      "q112_duplicate_spans",
+      // q114: the postings explode is q96's token-volume shuffle; the
+      // query side stays ≤|q| broadcast rows, the top-20 is a
+      // TakeOrdered over the doc-keyed score agg (count() can't prune
+      // the agg: the limit needs the ordered scores)
+      "q114_bm25"))
       .filter(q => only.forall(_.contains(q))).foreach(time)
     // wave-3 queries whose cost lives in agg expressions / join sides
     // that a bare count() lets the optimizer elide: aggregate over the

@@ -104,4 +104,38 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got - math.floor(expect * 100 + 0.5) / 100 * 1.0) < 0.011,
       s"median mismatch: got $got vs driver-side $expect")
   }
+
+  test("q114 BM25: engine top-20 matches an independent driver-side recompute") {
+    val dir = "/root/testdata/sf0.001"
+    Core.clearCaches(spark)
+    val top = SparkEntry.queries("q114_bm25")(spark, dir)
+      .select($"doc_id", $"score").as[(Long, Double)].collect()
+    assert(top.length == 20)
+    // emitted in rank order: scores non-increasing, all positive
+    assert(top.sliding(2).forall { case Array(a, b) => a._2 >= b._2 },
+      "scores must be non-increasing down the ranked list")
+    assert(top.forall(_._2 > 0.0))
+    // independent recompute with plain Scala collections (no Spark SQL
+    // machinery shared with the query): tokenize, tf/df/dl, BM25
+    // k1=1.2 b=0.75, Lucene idf, 4-dp floor rounding
+    val docs = Core.table(spark, dir, "documents")
+      .select($"doc_id", org.apache.spark.sql.functions.lower($"text"))
+      .as[(Long, String)].collect()
+    val toks: Map[Long, Seq[String]] =
+      docs.map { case (id, t) => id -> "[a-z]+".r.findAllIn(t).toSeq }.toMap
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum / n
+    val df = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    val q = toks(docs.map(_._1).min).distinct.toSet
+    val want = toks.toSeq.map { case (id, ts) =>
+      val dl = ts.size.toDouble
+      val s = ts.groupBy(identity).collect { case (t, occ) if q(t) =>
+        val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+        idf * ((occ.size * 2.2) / (occ.size + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+      }.sum
+      id -> math.floor(s * 10000 + 0.5) / 10000.0
+    }.filter(_._2 > 0).sortBy { case (id, s) => (-s, id) }.take(20)
+    assert(top.toSeq == want,
+      s"engine top-20 != driver recompute:\n got=${top.toSeq}\nwant=$want")
+  }
 }
