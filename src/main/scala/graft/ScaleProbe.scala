@@ -151,7 +151,11 @@ object ScaleProbe {
       // query side stays ≤|q| broadcast rows, the top-20 is a
       // TakeOrdered over the doc-keyed score agg (count() can't prune
       // the agg: the limit needs the ordered scores)
-      "q114_bm25"))
+      "q114_bm25",
+      // q115: both retrieval channels are bounded TakeOrdereds (the
+      // rank windows see only the retrieved 100 rows); the semantic
+      // side is one broadcast-1-vector dot pass over the corpus
+      "q115_hybrid_rrf"))
       .filter(q => only.forall(_.contains(q))).foreach(time)
     // wave-3 queries whose cost lives in agg expressions / join sides
     // that a bare count() lets the optimizer elide: aggregate over the

@@ -577,7 +577,81 @@ object Similarity {
           cast(floor((cast(x as double) - cast(list_min(embedding) as double))
             / (cast(list_max(embedding) as double) - cast(list_min(embedding) as double))
             * 255) as int)), ',') AS codes
-        FROM embeddings ORDER BY vec_id"""))
+        FROM embeddings ORDER BY vec_id""")),
+
+    // ---- hybrid retrieval with reciprocal-rank fusion: the lexical
+    // top-100 (BM25, q114's scorer) and the semantic top-100 (exact
+    // cosine vs the query doc's embedding — doc_id and vec_id are
+    // aligned ids in this corpus) fuse as
+    //   rrf = 1/(60 + lex_rank) + 1/(60 + sem_rank)
+    // (Cormack et al.'s k = 60), absent-modality rank contributing 0.
+    // The modern retrieval shape for decontamination and "more like
+    // this" curation: each modality retrieves independently, ranks
+    // fuse WITHOUT score calibration. Determinism: lexical ranks order
+    // by the rnd4'd BM25 score, semantic ranks by the exact-decimal
+    // cosine (q35's contract), both doc_id-tiebroken; rrf is a sum of
+    // two exact IEEE divisions, rnd4'd before the final cut. Scale:
+    // each modality is its own bounded retrieval (TakeOrdered 100 —
+    // the corpus is never globally sorted or windowed; the rank window
+    // sees only the 100 retrieved rows), fusion is a full-outer join
+    // of two ≤100-row frames. ----
+    "q115_hybrid_rrf" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val minDoc = table(s, dir, "documents").agg(min($"doc_id").as("qid"))
+        // lexical: BM25 scores (already rnd4'd), self excluded
+        val lexTop = TextOps.bm25Scores(s, dir)
+          .join(broadcast(minDoc), $"doc_id" =!= $"qid")
+          .orderBy($"score".desc, $"doc_id").limit(100)
+          .withColumn("lex_rank",
+            row_number().over(Window.orderBy($"score".desc, $"doc_id")))
+          .select($"doc_id", $"lex_rank")
+        // semantic: exact cosine vs the query doc's vector, self excluded
+        val e = withNorm(s, dir)
+        val qv = e.join(broadcast(minDoc), $"vec_id" === $"qid")
+          .select($"vec_id".as("qid2"), $"embd".as("qembd"), $"nsq".as("qnsq"))
+        val semTop = e.join(broadcast(qv), $"vec_id" =!= $"qid2")
+          .withColumn("cos", dotExact($"qembd", $"embd") / (sqrt($"qnsq") * sqrt($"nsq")))
+          .select($"vec_id".as("doc_id"), $"cos")
+          .orderBy($"cos".desc, $"doc_id").limit(100)
+          .withColumn("sem_rank",
+            row_number().over(Window.orderBy($"cos".desc, $"doc_id")))
+          .select($"doc_id", $"sem_rank")
+        lexTop.join(semTop, Seq("doc_id"), "full")
+          .select($"doc_id",
+            coalesce($"lex_rank", lit(0)).cast("long").as("lex_rank"),
+            coalesce($"sem_rank", lit(0)).cast("long").as("sem_rank"),
+            rnd4(coalesce(lit(1.0) / (lit(60) + $"lex_rank"), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + $"sem_rank"), lit(0.0))).as("rrf"))
+          .orderBy($"rrf".desc, $"doc_id")
+          .limit(20)
+      },
+      Some(s"""WITH $oracleEx,
+        ${TextOps.oBm25Ctes},
+        qid AS (SELECT min(doc_id) AS qid FROM documents),
+        lex_ranked AS (SELECT doc_id,
+            row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+          FROM bm25 WHERE doc_id <> (SELECT qid FROM qid)),
+        lex_top AS (SELECT doc_id, lex_rank FROM lex_ranked WHERE lex_rank <= 100),
+        dots AS (SELECT e.vec_id AS doc_id,
+            cast(sum(cast(qx.v * e.v as decimal(30,15))) as double) AS dot
+          FROM ex qx JOIN ex e ON qx.pos = e.pos AND e.vec_id <> qx.vec_id
+          WHERE qx.vec_id = (SELECT qid FROM qid) GROUP BY 1),
+        cosd AS (SELECT d.doc_id, d.dot / (sqrt(nq.nsq) * sqrt(nv.nsq)) AS cos
+          FROM dots d JOIN norms nq ON nq.nid = (SELECT qid FROM qid)
+          JOIN norms nv ON nv.nid = d.doc_id),
+        sem_ranked AS (SELECT doc_id,
+            row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank FROM cosd),
+        sem_top AS (SELECT doc_id, sem_rank FROM sem_ranked WHERE sem_rank <= 100),
+        fused AS (SELECT coalesce(l.doc_id, s2.doc_id) AS doc_id,
+            l.lex_rank, s2.sem_rank FROM lex_top l FULL JOIN sem_top s2
+            ON l.doc_id = s2.doc_id)
+        SELECT doc_id,
+          coalesce(lex_rank, 0) AS lex_rank,
+          coalesce(sem_rank, 0) AS sem_rank,
+          ${oRnd4("coalesce(cast(1.0 as double) / (60 + lex_rank), 0.0) + " +
+            "coalesce(cast(1.0 as double) / (60 + sem_rank), 0.0)")} AS rrf
+        FROM fused ORDER BY rrf DESC, doc_id LIMIT 20"""))
   )
 
   /** Force-materialize the session-shared memoized frames — Bench's

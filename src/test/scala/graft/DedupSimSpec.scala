@@ -433,6 +433,27 @@ class DedupSimSpec extends SparkSpec {
     Core.clearCaches(spark)
   }
 
+  test("q115 hybrid RRF: fused scores are exactly the rank-reciprocal sums; both modalities contribute") {
+    val dir = "/root/testdata/sf0.001"
+    Core.clearCaches(spark)
+    val rows = SparkEntry.queries("q115_hybrid_rrf")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == 20)
+    // rrf is a pure function of the emitted ranks (0 = absent modality)
+    rows.foreach { case (id, l, sm, rrf) =>
+      val want = (if (l > 0) 1.0 / (60 + l) else 0.0) +
+        (if (sm > 0) 1.0 / (60 + sm) else 0.0)
+      assert(rrf == math.floor(want * 10000 + 0.5) / 10000.0,
+        s"doc $id: rrf $rrf != f(lex=$l, sem=$sm)")
+    }
+    // emitted in rank order, and the fusion actually mixes modalities:
+    // docs retrieved by BOTH channels must outrank single-channel docs
+    // with comparable ranks, and both channels appear in the top-20
+    assert(rows.sliding(2).forall { case Array(a, b) => a._4 >= b._4 })
+    assert(rows.exists(_._2 > 0) && rows.exists(_._3 > 0),
+      "both lexical and semantic ranks must appear in the fused top-20")
+  }
+
   test("gram_hashes matches the SQL md5-prefix formulation position by position") {
     graft.functions.GramHashes.register(spark)
     import org.apache.spark.sql.functions._
