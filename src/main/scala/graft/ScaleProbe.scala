@@ -155,7 +155,13 @@ object ScaleProbe {
       // q115: both retrieval channels are bounded TakeOrdereds (the
       // rank windows see only the retrieved 100 rows); the semantic
       // side is one broadcast-1-vector dot pass over the corpus
-      "q115_hybrid_rrf"))
+      "q115_hybrid_rrf",
+      // q116: 10 fixed iterations over the checkpointed degree-joined
+      // edge list (partitioned by src once — only the small rank side
+      // reshuffles per round) + an O(edges) narrow-long contrib
+      // groupBy; same per-round shape as CC but with a FIXED round
+      // count, so cost is 10 × one edge aggregation
+      "q116_pagerank"))
       .filter(q => only.forall(_.contains(q))).foreach(time)
     // wave-3 queries whose cost lives in agg expressions / join sides
     // that a bare count() lets the optimizer elide: aggregate over the

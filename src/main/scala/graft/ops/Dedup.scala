@@ -380,7 +380,98 @@ object Dedup {
       spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + ${SpanK - 1} AS span_end
         FROM isl GROUP BY doc_id, span_id)"""
 
+  /** PageRank machinery (q116): damping 0.85, 10 fixed iterations,
+    * uniform teleport, dangling mass redistributed uniformly — over
+    * the near-dup pair graph, where a high rank marks the boilerplate
+    * HUBS (templates duplicated across many otherwise-unrelated pages)
+    * that per-pair dedup views can't surface.
+    *
+    * Engine-exactness: float PageRank is order-dependent (parallel
+    * double sums), so ranks are computed in INTEGER mass units
+    * (T = 1e9 per node) with truncating division — every op is exact
+    * 64-bit arithmetic both engines reproduce bit-for-bit, and the
+    * oracle UNROLLS the 10 iterations as generated CTEs (no recursive
+    * CTE, whose multiple self-references DuckDB restricts). Overflow
+    * headroom: worst-case per-node inflow is the total mass N·T
+    * (5e14 at sf10), ×85 stays < 2^63.
+    *
+    * Scale: the degree-joined edge list is checkpointed once and
+    * reused; each iteration is one equi-join (ranks are the small
+    * side) + partial-agged sum + two 1-row broadcasts, with a
+    * localCheckpoint lineage cut per round like connectedComponents. */
+  private val PrT = 1000000000L
+  private val PrIters = 10
+
+  private def pagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def ckpt(df: DataFrame): DataFrame =
+      df.localCheckpoint().select(df.columns.map(c => col(c).as(c)): _*)
+    val docs = table(s, dir, "documents").select($"doc_id")
+    val pairs = lshPairs(s, dir)
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+    val degs = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val edgeDeg = ckpt(edges.join(degs, Seq("src")))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    var r = docs.select($"doc_id", lit(PrT).as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = edgeDeg.join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select($"dst".as("doc_id"), expr("r div deg").as("c"))
+        .groupBy($"doc_id").agg(sum($"c").as("contrib"))
+      val dang = r.join(degs, r("doc_id") === degs("src"), "left_anti")
+        .agg(coalesce(sum($"r"), lit(0L)).as("dm"))
+      r = ckpt(docs.join(contrib, Seq("doc_id"), "left")
+        .crossJoin(broadcast(dang))
+        .crossJoin(broadcast(nDocs))
+        .select($"doc_id",
+          (lit(PrT * 15 / 100) +
+            expr("(85 * (coalesce(contrib, 0) + (dm div n))) div 100")).as("r")))
+    }
+    r
+  }
+
+  /** Oracle mirror of [[pagerank]]: the iterations unrolled as
+    * generated CTEs on top of the `pairs` chain. DuckDB's `//` is
+    * floor division and Spark's `div` truncates — identical on the
+    * non-negative values here; sums cast back to BIGINT (DuckDB
+    * widens sum() to HUGEINT). Every generated CTE is MATERIALIZED:
+    * each `r_i` is referenced twice (by `c_{i+1}` and `g_{i+1}`), so
+    * DuckDB's default inlining would expand the chain 2^iters times
+    * and the query never finishes; materialization makes it linear
+    * (measured 0.5 s at sf0.01). */
+  private def oPagerank(iters: Int): String = {
+    val teleport = PrT * 15 / 100
+    val sb = new StringBuilder(s""",
+      edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      degs AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+      nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+      r0 AS MATERIALIZED (SELECT doc_id, CAST($PrT AS BIGINT) AS r FROM documents)""")
+    for (i <- 1 to iters) sb.append(s""",
+      c$i AS MATERIALIZED (SELECT e.dst AS doc_id, cast(sum(p.r // d.deg) as bigint) AS contrib
+        FROM edges e JOIN r${i - 1} p ON p.doc_id = e.src
+        JOIN degs d ON d.src = e.src GROUP BY 1),
+      g$i AS MATERIALIZED (SELECT cast(coalesce(sum(r), 0) as bigint) AS dm FROM r${i - 1}
+        WHERE doc_id NOT IN (SELECT src FROM degs)),
+      r$i AS MATERIALIZED (SELECT n.doc_id, $teleport + (85 * (coalesce(c.contrib, 0) +
+          ((SELECT dm FROM g$i) // (SELECT n FROM nn)))) // 100 AS r
+        FROM documents n LEFT JOIN c$i c USING (doc_id))""")
+    sb.toString
+  }
+
   val catalog: Map[String, Q] = Map(
+
+    // ---- pagerank over the near-dup pair graph: boilerplate-hub
+    // centrality (see the pagerank scaladoc for the integer-mass
+    // contract). Output is every doc's final mass in units of 1e-9
+    // of a node's initial rank. ----
+    "q116_pagerank" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        pagerank(s, dir).orderBy($"doc_id")
+      },
+      Some(s"""$oracleCtes${oPagerank(PrIters)}
+        SELECT doc_id, r FROM r$PrIters ORDER BY doc_id""")),
 
     // ---- exact dedup: group identical texts, keep lowest doc_id ----
     "q30_exact_dedup" -> Q(

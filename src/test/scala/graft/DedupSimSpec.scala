@@ -454,6 +454,40 @@ class DedupSimSpec extends SparkSpec {
       "both lexical and semantic ranks must appear in the fused top-20")
   }
 
+  test("q116 pagerank: engine ranks equal an exact driver-side integer-mass reference") {
+    val dir = "/root/testdata/sf0.001"
+    Core.clearCaches(spark)
+    val pairs = SparkEntry.queries("q31_minhash_lsh_pairs")(spark, dir)
+      .as[(Long, Long)].collect()
+    val docs = Core.table(spark, dir, "documents")
+      .select($"doc_id").as[Long].collect().sorted
+    // reference: same integer-mass contract as the engine (T = 1e9,
+    // truncating division, dangling mass redistributed uniformly)
+    val T = 1000000000L
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val n = docs.length.toLong
+    var r = docs.map(_ -> T).toMap
+    for (_ <- 1 to 10) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum }
+      val dm = docs.filterNot(deg.contains).map(r).sum
+      r = docs.map(d => d ->
+        (T * 15 / 100 + 85 * (contrib.getOrElse(d, 0L) + dm / n) / 100)).toMap
+    }
+    val got = SparkEntry.queries("q116_pagerank")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == r, "engine pagerank must match the integer reference exactly")
+    // and the structure is meaningful: every duplicated doc outranks
+    // the isolated-doc rank floor (teleport + dangling share only)
+    val floor = got.view.filterKeys(d => !deg.contains(d)).values.toSet
+    assert(floor.size == 1, "all isolated docs share one rank")
+    val linked = got.view.filterKeys(deg.contains).values
+    assert(linked.nonEmpty && linked.min > floor.head,
+      "linked docs must outrank the isolated floor")
+    Core.clearCaches(spark)
+  }
+
   test("gram_hashes matches the SQL md5-prefix formulation position by position") {
     graft.functions.GramHashes.register(spark)
     import org.apache.spark.sql.functions._
