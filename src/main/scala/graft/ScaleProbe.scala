@@ -161,7 +161,28 @@ object ScaleProbe {
       // reshuffles per round) + an O(edges) narrow-long contrib
       // groupBy; same per-round shape as CC but with a FIXED round
       // count, so cost is 10 × one edge aggregation
-      "q116_pagerank"))
+      "q116_pagerank",
+      // q117: row-local gram codegen + per-doc sort window (q112's
+      // exchange class) + a (doc, wk) decimal equi-join back; output
+      // is the ~2/(W+1)-density fingerprint stream
+      "q117_winnow_fingerprints",
+      // q119: vocab/vocab²-bounded groupBys over the memoized bigram
+      // explode + one 1-row broadcast; the top-50 is a TakeOrdered
+      "q119_pmi_collocations",
+      // q120: one global range sort of (snk, doc_id) keys (text left
+      // behind), W−1 lead() candidates per row, shingle-set verify
+      // joins bounded by W·n candidate pairs
+      "q120_sorted_neighborhood",
+      // q121: rides the memoized lmScores frame; the ntile is the one
+      // global O(n log n) window over narrow (score, id) rows
+      "q121_lm_filter_buckets",
+      // q122: rides scoredDocs; one global ntile + per-stage windows,
+      // all over narrow (score, id) rows
+      "q122_curriculum_order",
+      // q123: q35's broadcast-anchor exact-dot shape with the label
+      // filter fused into the join — corpus streams once, anchors
+      // bounded at 1024
+      "q123_hard_negatives"))
       .filter(q => only.forall(_.contains(q))).foreach(time)
     // wave-3 queries whose cost lives in agg expressions / join sides
     // that a bare count() lets the optimizer elide: aggregate over the

@@ -380,6 +380,69 @@ object Dedup {
       spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + ${SpanK - 1} AS span_end
         FROM isl GROUP BY doc_id, span_id)"""
 
+  /** Winnowing fingerprints (q117): the robust winnowing selection of
+    * Schleimer/Wilkerson/Aiken (SIGMOD'03, the MOSS algorithm) — from
+    * every window of [[WinW]] consecutive [[WinK]]-gram hashes, keep
+    * the minimum (rightmost on ties). Guarantees: at least one
+    * fingerprint per window (any shared run of ≥ WinK+WinW−1 words is
+    * caught through fingerprints alone), density ~2/(WinW+1) — the
+    * standard way to cut positional-gram volume ~3× before a
+    * corpus-wide match join, sitting between q43's one-hash-per-doc
+    * and q112's every-position spectrum.
+    *
+    * The argmin-with-rightmost-ties is encoded ARITHMETICALLY so both
+    * engines agree bit-for-bit: wk = gh·10⁶ − pos (DECIMAL — gh is 60
+    * bits, the product overflows BIGINT) orders first by hash then by
+    * DESCENDING position, so min(wk) over the w-row frame IS the
+    * selection, and a (doc, wk) join-back recovers (pos, gh) without
+    * any division. Valid while docs stay under 10⁶ grams; a corpus
+    * with longer docs raises the factor with the same contract.
+    *
+    * Scale: the gram pass is row-local codegen (zero shuffle); the
+    * selection is one per-doc sort window (doc-bounded, like q112's
+    * islands); the join-back is an equi-join on (doc_id, wk) narrow
+    * decimals. Fingerprint volume — the thing downstream match joins
+    * shuffle — is ~2/(WinW+1) of gram volume by construction. */
+  private val WinK = 5
+  private val WinW = 4
+
+  private def winnow(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GramHashes.register(s)
+    val D = org.apache.spark.sql.types.DecimalType(28, 0)
+    val g = fanOut(s, table(s, dir, "documents"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.GramHashes.gram_hashes(lower(col("text")), WinK))
+        .as(Seq("pos", "gh")))
+      .withColumn("wk", col("gh").cast(D) * lit(1000000L) - col("pos"))
+    val fr = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, WinW - 1)
+    val sel = g
+      .withColumn("sel", min(col("wk")).over(fr))
+      .withColumn("cnt", count(lit(1)).over(fr))
+      .filter(col("cnt") === WinW)
+      .select(col("doc_id"), col("sel").as("wk")).distinct()
+    g.join(sel, Seq("doc_id", "wk"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("gh").as("fp"))
+  }
+
+  private val oWinGram = (0 until WinK).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+  private val winnowCtes =
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      g AS (SELECT doc_id, i - 1 AS pos,
+          CAST('0x' || substr(md5($oWinGram), 1, 15) AS BIGINT) AS gh
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${WinK - 1})) AS i FROM toks)),
+      k AS (SELECT doc_id, pos, gh,
+          CAST(gh AS DECIMAL(28,0)) * 1000000 - pos AS wk FROM g),
+      w AS (SELECT doc_id,
+          min(wk) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS sel,
+          count(*) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS cnt FROM k),
+      f AS (SELECT DISTINCT doc_id, sel FROM w WHERE cnt = ${WinW}),
+      fps AS (SELECT k.doc_id, k.pos, k.gh AS fp FROM k
+        JOIN f ON f.doc_id = k.doc_id AND f.sel = k.wk)"""
+
   /** PageRank machinery (q116): damping 0.85, 10 fixed iterations,
     * uniform teleport, dangling mass redistributed uniformly — over
     * the near-dup pair graph, where a high rank marks the boilerplate
@@ -412,13 +475,18 @@ object Dedup {
       .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
     val degs = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     val edgeDeg = ckpt(edges.join(degs, Seq("src")))
-    val nDocs = docs.agg(count(lit(1)).as("n"))
+    // loop invariants materialized ONCE: the dangling-doc id set and
+    // the 1-row corpus count (recomputing either inside the loop costs
+    // an extra anti-join / agg job per iteration)
+    val dangIds = ckpt(docs.join(
+      degs.select($"src".as("doc_id")), Seq("doc_id"), "left_anti"))
+    val nDocs = ckpt(docs.agg(count(lit(1)).as("n")))
     var r = docs.select($"doc_id", lit(PrT).as("r"))
     for (_ <- 1 to PrIters) {
       val contrib = edgeDeg.join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
         .select($"dst".as("doc_id"), expr("r div deg").as("c"))
         .groupBy($"doc_id").agg(sum($"c").as("contrib"))
-      val dang = r.join(degs, r("doc_id") === degs("src"), "left_anti")
+      val dang = r.join(dangIds, Seq("doc_id"), "left_semi")
         .agg(coalesce(sum($"r"), lit(0L)).as("dm"))
       r = ckpt(docs.join(contrib, Seq("doc_id"), "left")
         .crossJoin(broadcast(dang))
@@ -472,6 +540,76 @@ object Dedup {
       },
       Some(s"""$oracleCtes${oPagerank(PrIters)}
         SELECT doc_id, r FROM r$PrIters ORDER BY doc_id""")),
+
+    // ---- winnowing fingerprints: robust per-window argmin selection
+    // (see the winnow scaladoc for the arithmetic tie-break contract).
+    // Output is every selected (position, 60-bit gram hash) — the
+    // ~2/(w+1)-density fingerprint stream a corpus-wide match join
+    // would consume instead of the full positional spectrum. ----
+    "q117_winnow_fingerprints" -> Q(
+      (s, dir) => winnow(s, dir).orderBy(col("doc_id"), col("pos")),
+      Some(s"""$winnowCtes
+        SELECT doc_id, pos, fp FROM fps ORDER BY doc_id, pos""")),
+
+    // ---- sorted-neighborhood blocking (Hernández/Stolfo '95): the
+    // classic entity-resolution alternative to LSH banding — order the
+    // corpus by a cheap canonical key (normalized text prefix) and
+    // compare only records within a sliding window of the sort. One
+    // total sort + lead() candidates + exact token-Jaccard verify; no
+    // hashing, catches prefix-sharing near-dups LSH bands can miss at
+    // low shingle overlap. Scale: the sort is a range partition (the
+    // same exchange class as q73's shard sort); candidates are
+    // window-local (W−1 per row, text NOT carried — pairs are id/key
+    // rows joined back to word sets); the verify is bounded by W·n.
+    // The global window here mirrors production's range-partitioned
+    // sort: neighbors within a partition see each other, and at the
+    // boundaries a W-row overlap region (sortWithinPartitions +
+    // per-boundary duplicate strip) restores exactness. ----
+    "q120_sorted_neighborhood" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val SnW = 3 // compare each doc to its next 3 sort neighbors
+        val docs = table(s, dir, "documents").select($"doc_id",
+          substring(regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), 1, 24).as("snk"))
+        val ord = Window.orderBy($"snk", $"doc_id")
+        val cands = (1 to SnW).map(o => docs
+            .select($"doc_id".as("id_a"), lead($"doc_id", o).over(ord).as("id_b")))
+          .reduce(_ unionByName _)
+          .filter($"id_b".isNotNull)
+        val sets = shingleRows(s, table(s, dir, "documents"))
+          .groupBy($"doc_id").agg(collect_set($"w").as("ws"))
+        cands
+          .join(sets.select($"doc_id".as("id_a"), $"ws".as("wsa")), Seq("id_a"))
+          .join(sets.select($"doc_id".as("id_b"), $"ws".as("wsb")), Seq("id_b"))
+          .withColumn("c", size(array_intersect($"wsa", $"wsb")))
+          .select($"id_a", $"id_b",
+            rnd4($"c".cast("double") / (size($"wsa") + size($"wsb") - $"c")).as("jaccard"))
+          .filter($"jaccard" >= 0.5)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""$oracleCtes,
+        snd AS (SELECT doc_id,
+            substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 24) AS snk
+          FROM documents),
+        cands0 AS (SELECT doc_id AS id_a,
+            lead(doc_id, 1) OVER (ORDER BY snk, doc_id) AS b1,
+            lead(doc_id, 2) OVER (ORDER BY snk, doc_id) AS b2,
+            lead(doc_id, 3) OVER (ORDER BY snk, doc_id) AS b3
+          FROM snd),
+        cands AS (SELECT id_a, b1 AS id_b FROM cands0 WHERE b1 IS NOT NULL
+          UNION ALL SELECT id_a, b2 FROM cands0 WHERE b2 IS NOT NULL
+          UNION ALL SELECT id_a, b3 FROM cands0 WHERE b3 IS NOT NULL),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+        inter AS (SELECT p.id_a, p.id_b, count(*) AS c FROM cands p
+          JOIN shingles wa ON wa.doc_id=p.id_a
+          JOIN shingles wb ON wb.doc_id=p.id_b AND wb.w=wa.w
+          GROUP BY 1,2)
+        SELECT * FROM (
+          SELECT i.id_a, i.id_b,
+            floor(cast(i.c as double)/(sa.n + sb.n - i.c) * 10000 + 0.5) / 10000.0 AS jaccard
+          FROM inter i JOIN sizes sa ON sa.doc_id=i.id_a
+          JOIN sizes sb ON sb.doc_id=i.id_b)
+        WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")),
 
     // ---- exact dedup: group identical texts, keep lowest doc_id ----
     "q30_exact_dedup" -> Q(

@@ -56,6 +56,76 @@ object Hygiene {
 
   val catalog: Map[String, Q] = Map(
 
+    // ---- declarative constraint audit (Deequ-style data validation):
+    // named row-level rules evaluated as conditional aggregates in ONE
+    // scan per table (sum(case when violated)), plus referential
+    // integrity as anti-join counts — the "assert the batch before it
+    // enters the corpus" step of an ingest pipeline. Scale: each
+    // per-table rule block is a single partial-agged pass regardless
+    // of rule count; the FK checks shuffle only the key column, and
+    // the result is a fixed handful of rows. A failed rule here gates
+    // promotion; the audit itself never moves data. ----
+    "q118_constraint_audit" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val li = table(s, dir, "lineitem")
+        val ord = table(s, dir, "orders")
+        val liRules = Seq(
+          ("lineitem.discount_range", $"l_discount" < 0 || $"l_discount" > 1),
+          ("lineitem.price_nonneg", $"l_extendedprice" < 0),
+          ("lineitem.qty_positive", $"l_quantity" <= 0))
+        val ordRules = Seq(
+          ("orders.status_domain", !$"o_orderstatus".isin("O", "F", "P")),
+          ("orders.total_nonneg", $"o_totalprice" < 0))
+        // all of a table's rules fold into ONE partial-agged scan; the
+        // 1-row result fans back out to per-rule rows via stack()
+        def audit(df: DataFrame, rules: Seq[(String, org.apache.spark.sql.Column)]) = {
+          val aggs = count(lit(1)).as("checked") +: rules.zipWithIndex.map {
+            case ((_, bad), i) => sum(when(bad, 1L).otherwise(0L)).as(s"v$i") }
+          val one = df.agg(aggs.head, aggs.tail: _*)
+          val stackArgs = rules.zipWithIndex
+            .map { case ((n, _), i) => s"'$n', v$i" }.mkString(", ")
+          one.select(expr(s"stack(${rules.size}, $stackArgs) AS (rule, violations)"),
+            col("checked"))
+            .select(col("rule"), col("checked"), col("violations"))
+        }
+        val fkOrders = li.select($"l_orderkey")
+          .join(ord.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey", "left_anti")
+          .agg(lit("lineitem.fk_orders").as("rule"),
+            count(lit(1)).as("violations"))
+          .crossJoin(broadcast(li.agg(count(lit(1)).as("checked"))))
+          .select($"rule", $"checked", $"violations")
+        val fkCustomer = ord.select($"o_custkey")
+          .join(table(s, dir, "customer").select($"c_custkey"),
+            $"o_custkey" === $"c_custkey", "left_anti")
+          .agg(lit("orders.fk_customer").as("rule"),
+            count(lit(1)).as("violations"))
+          .crossJoin(broadcast(ord.agg(count(lit(1)).as("checked"))))
+          .select($"rule", $"checked", $"violations")
+        audit(li, liRules).unionByName(audit(ord, ordRules))
+          .unionByName(fkOrders).unionByName(fkCustomer)
+          .orderBy($"rule")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'lineitem.discount_range' AS rule, count(*) AS checked,
+            cast(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) as bigint) AS violations
+          FROM lineitem
+          UNION ALL SELECT 'lineitem.price_nonneg', count(*),
+            cast(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) as bigint) FROM lineitem
+          UNION ALL SELECT 'lineitem.qty_positive', count(*),
+            cast(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) as bigint) FROM lineitem
+          UNION ALL SELECT 'orders.status_domain', count(*),
+            cast(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) as bigint) FROM orders
+          UNION ALL SELECT 'orders.total_nonneg', count(*),
+            cast(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) as bigint) FROM orders
+          UNION ALL SELECT 'lineitem.fk_orders', (SELECT count(*) FROM lineitem),
+            (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+              ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+          UNION ALL SELECT 'orders.fk_customer', (SELECT count(*) FROM orders),
+            (SELECT count(*) FROM orders o LEFT JOIN customer c
+              ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+        ) ORDER BY rule""")),
+
     // ---- adaptive per-source quality gate: keep each source's top
     // 30% by quality score instead of one global threshold — a global
     // cut starves clean-but-different domains and over-admits the

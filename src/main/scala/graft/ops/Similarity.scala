@@ -278,6 +278,52 @@ object Similarity {
         SELECT qid, rn, vid, round(cos,4) AS cos FROM cosd
         WHERE rn <= 5 ORDER BY qid, rn""")),
 
+    // ---- hard-negative mining for contrastive training: for each
+    // anchor in the query batch, the top-3 highest-cosine vectors
+    // whose LABEL differs — the "confusable but wrong" examples a
+    // contrastive loss needs (in-batch negatives are mostly easy;
+    // mined hard negatives drive the gradient). Same exact-decimal
+    // dot path and broadcast-anchor shape as q35, with the label
+    // inequality pushed into the join condition so same-class pairs
+    // never materialize. The oracle's % 50 spelling matches the
+    // engine's capped batch at every oracle scale (cap 1024 binds
+    // only beyond sf1). At production scale the anchor side stays a
+    // bounded broadcast and the corpus side streams; swap the exact
+    // scan for the IVF route (q39) when the corpus outgrows it. ----
+    "q123_hard_negatives" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val e = withNorm(s, dir)
+        val q = queryBatch(s, dir, e)
+          .select($"vec_id".as("qid"), $"label".as("qlabel"),
+            $"embd".as("qembd"), $"nsq".as("qnsq"))
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid")
+        e.join(broadcast(q), $"qid" =!= $"vec_id" && $"label" =!= $"qlabel")
+          .withColumn("cos", dotExact($"qembd", $"embd") / (sqrt($"qnsq") * sqrt($"nsq")))
+          .withColumn("vid", $"vec_id")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .select($"qid", $"qlabel", $"rn", $"vid",
+            $"label".as("neg_label"), round($"cos", 4).as("cos"))
+          .orderBy($"qid", $"rn")
+      },
+      Some(s"""WITH $oracleEx,
+        lb AS (SELECT vec_id, label FROM embeddings),
+        q AS (SELECT vec_id AS qid, pos, v AS qv FROM ex WHERE vec_id % 50 = 0),
+        dots AS (SELECT q.qid, e.vec_id AS vid,
+            cast(sum(cast(q.qv*e.v as decimal(30,15))) as double) AS dot
+          FROM q JOIN ex e ON q.pos=e.pos AND q.qid <> e.vec_id GROUP BY 1,2),
+        flt AS (SELECT d.qid, d.vid, lq.label AS qlabel, lv.label AS neg_label, d.dot
+          FROM dots d JOIN lb lq ON lq.vec_id=d.qid JOIN lb lv ON lv.vec_id=d.vid
+          WHERE lq.label <> lv.label),
+        cosd AS (SELECT qid, qlabel, vid, neg_label,
+            dot/(sqrt(nq.nsq)*sqrt(nv.nsq)) AS cos,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY dot/(sqrt(nq.nsq)*sqrt(nv.nsq)) DESC, vid) AS rn
+          FROM flt JOIN norms nq ON nq.nid=qid JOIN norms nv ON nv.nid=vid)
+        SELECT qid, qlabel, rn, vid, neg_label, round(cos,4) AS cos FROM cosd
+        WHERE rn <= 3 ORDER BY qid, rn""")),
+
     // ---- fast path: normalized arrays + zip_with/aggregate fold — the
     // bench/scale shape (no oracle: float fold order differs by engine) --
     "q36_knn_fast" -> Q(

@@ -118,6 +118,38 @@ object Training {
     // sortWithinPartitions write path), and no global sort ever runs
     // over the corpus; the final orderBy here is only the driver-side
     // presentation of the 500-row test output. ----
+    // ---- curriculum ordering (Bengio et al. '09): stage the corpus
+    // easy→hard by quality tercile, then hash-shuffle WITHIN each
+    // stage (q73's md5-rank trick) so a trainer that streams stages in
+    // order sees decorrelated docs inside a stage. Rides the memoized
+    // scoredDocs pass; ranking uses the rnd4-rounded score with
+    // doc_id ties so the stage cut is engine-stable. Scale: the
+    // tercile ntile is one global window over narrow (score, id) rows
+    // — at web scale the cut comes from two broadcast approx-quantile
+    // thresholds (q66's sketch) instead; the within-stage position
+    // windows partition by stage. ----
+    "q122_curriculum_order" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val scored = TextOps.scoredDocs(s, dir).select($"doc_id", $"quality_score")
+        scored
+          .withColumn("stage", ntile(3).over(
+            Window.orderBy($"quality_score".desc, $"doc_id")))
+          .withColumn("rk", md5($"doc_id".cast("string")))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy($"stage").orderBy($"rk", $"doc_id")))
+          .select($"doc_id", $"stage", $"pos")
+          .orderBy($"stage", $"pos")
+      },
+      Some(s"""WITH q AS (SELECT doc_id, ${TextOps.oQualityScore} AS quality_score
+          FROM documents),
+        st AS (SELECT doc_id,
+            ntile(3) OVER (ORDER BY quality_score DESC, doc_id) AS stage,
+            md5(cast(doc_id as varchar)) AS rk FROM q)
+        SELECT doc_id, stage,
+          cast(row_number() OVER (PARTITION BY stage ORDER BY rk, doc_id) as int) AS pos
+        FROM st ORDER BY stage, pos""")),
+
     "q73_corpus_shard" -> Q(
       (s, dir) => {
         import s.implicits._

@@ -454,6 +454,76 @@ class DedupSimSpec extends SparkSpec {
       "both lexical and semantic ranks must appear in the fused top-20")
   }
 
+  test("q123 hard negatives: labels always differ, ranks dense, per-anchor order, full anchor set") {
+    val dir = "/root/testdata/sf0.001"
+    Core.clearCaches(spark)
+    val rows = SparkEntry.queries("q123_hard_negatives")(spark, dir)
+      .as[(Long, Int, Int, Long, Int, Double)].collect()
+    rows.foreach { case (qid, ql, _, vid, nl, _) =>
+      assert(ql != nl, s"anchor $qid got same-label negative $vid") }
+    val byQ = rows.groupBy(_._1)
+    // every % 50 anchor appears with exactly 3 dense, cosine-ordered ranks
+    val emb = Core.table(spark, dir, "embeddings")
+      .select($"vec_id").as[Long].collect()
+    assert(byQ.keySet == emb.filter(_ % 50 == 0).toSet)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_._3).sorted.toSeq == Seq(1, 2, 3))
+      val ordered = rs.sortBy(_._3).map(_._6)
+      assert(ordered.sliding(2).forall { case Array(a, b) => a >= b })
+    }
+    Core.clearCaches(spark)
+  }
+
+  test("q117 winnowing: engine fingerprints equal a brute-force robust-winnow reference") {
+    val dir = "/root/testdata/sf0.001"
+    Core.clearCaches(spark)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def gh(g: String): Long = java.lang.Long.parseLong(md5hex(g).substring(0, 15), 16)
+    val docs = Core.table(spark, dir, "documents")
+      .select($"doc_id", org.apache.spark.sql.functions.lower($"text"))
+      .as[(Long, String)].collect()
+    val want = docs.flatMap { case (id, txt) =>
+      val ws = txt.split(" ", -1) // keep empty tokens, like string_split
+      val grams = (0 to ws.length - 5).map(i => (i, gh(ws.slice(i, i + 5).mkString(" "))))
+      // robust winnow, W=4: per window keep min of gh*1e6-pos (BigInt —
+      // the product overflows Long), i.e. min hash with rightmost ties
+      (0 to grams.length - 4).map { s =>
+        grams.slice(s, s + 4).minBy { case (p, h) => BigInt(h) * 1000000 - p }
+      }.distinct.map { case (p, h) => (id, p.toLong, h) }
+    }.toSet
+    val got = SparkEntry.queries("q117_winnow_fingerprints")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want, "winnowing selection must match the reference exactly")
+    Core.clearCaches(spark)
+  }
+
+  test("q120 sorted neighborhood: prefix-sorted near-twins found with exact jaccard, others rejected") {
+    val dir = docsDir(Seq(
+      1L -> base,
+      2L -> (base + "banana"),   // same normalized 24-char prefix → adjacent in sort
+      3L -> "zebra zulu zigzag zephyr zodiac zoom zone zonal zest zinc zing zip",
+      4L -> "apple apricot avocado almond anise arugula asparagus artichoke azuki aubergine"))
+    Core.clearCaches(spark)
+    val got = SparkEntry.queries("q120_sorted_neighborhood")(spark, dir)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // driver-side truth for the (1,2) jaccard over distinct 3-shingles
+    def shingles(t: String): Set[String] = {
+      val ws = t.toLowerCase.split(" ", -1)
+      (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val (sa, sb) = (shingles(base), shingles(base + "banana"))
+    val inter = (sa & sb).size
+    val wantJ = math.floor(
+      inter.toDouble / (sa.size + sb.size - inter) * 10000 + 0.5) / 10000.0
+    assert(got.keySet == Set((1L, 2L)),
+      "only the near-twin pair passes the 0.5 jaccard gate")
+    assert(got((1L, 2L)) == wantJ)
+    Core.clearCaches(spark)
+  }
+
   test("q116 pagerank: engine ranks equal an exact driver-side integer-mass reference") {
     val dir = "/root/testdata/sf0.001"
     Core.clearCaches(spark)

@@ -13,6 +13,26 @@ class HygieneSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("q118 constraint audit: counts match direct recomputation, all rules present") {
+    Core.clearCaches(spark)
+    val rows = SparkEntry.queries("q118_constraint_audit")(spark, dir)
+      .as[(String, Long, Long)].collect()
+      .map { case (r, c, v) => r -> ((c, v)) }.toMap
+    assert(rows.keySet == Set(
+      "lineitem.discount_range", "lineitem.price_nonneg", "lineitem.qty_positive",
+      "orders.status_domain", "orders.total_nonneg",
+      "lineitem.fk_orders", "orders.fk_customer"))
+    val li = Core.table(spark, dir, "lineitem")
+    val ord = Core.table(spark, dir, "orders")
+    assert(rows("lineitem.qty_positive") ==
+      ((li.count(), li.filter($"l_quantity" <= 0).count())))
+    assert(rows("orders.status_domain") ==
+      ((ord.count(), ord.filter(!$"o_orderstatus".isin("O", "F", "P")).count())))
+    assert(rows("lineitem.fk_orders") == ((li.count(),
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"), "left_anti").count())))
+    Core.clearCaches(spark)
+  }
+
   test("q61 decontamination: flagged docs truly share a 5-gram with the benchmark slice") {
     graft.functions.WordShingles.register(spark)
     val got = Hygiene.catalog("q61_decontamination").fn(spark, dir)

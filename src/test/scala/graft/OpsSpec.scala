@@ -105,6 +105,47 @@ class OpsSpec extends SparkSpec {
       s"median mismatch: got $got vs driver-side $expect")
   }
 
+  test("q119 PMI: scores match a driver-side recompute from raw bigram counts") {
+    val dir = "/root/testdata/sf0.001"
+    Core.clearCaches(spark)
+    val top = SparkEntry.queries("q119_pmi_collocations")(spark, dir)
+      .as[(String, Long, Long)].collect()
+    assert(top.length == 50)
+    // driver-side marginals over the same pair stream
+    val pairs = Core.table(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.lower($"text")).as[String].collect()
+      .flatMap { t => val ws = t.split(" ", -1); ws.zip(ws.drop(1)) }
+    val (ca, cb) = (pairs.groupBy(_._1).view.mapValues(_.length).toMap,
+      pairs.groupBy(_._2).view.mapValues(_.length).toMap)
+    val cab = pairs.groupBy(identity).view.mapValues(_.length).toMap
+    val n = pairs.length
+    top.foreach { case (pr, gotAb, gotPmi) =>
+      val i = pr.indexOf(' ')
+      val (w1, w2) = (pr.substring(0, i), pr.substring(i + 1))
+      assert(gotAb == cab((w1, w2)) && gotAb >= 5)
+      val want = (BigInt(gotAb) * n * 1000000 / (BigInt(ca(w1)) * cb(w2))).toLong
+      assert(gotPmi == want, s"'$pr': $gotPmi != $want")
+    }
+    // emitted in rank order
+    assert(top.sliding(2).forall { case Array(a, b) => a._3 >= b._3 })
+    Core.clearCaches(spark)
+  }
+
+  test("q121 LM buckets: thirds within one, score ordering respected, keep = not tail") {
+    val dir = "/root/testdata/sf0.001"
+    Core.clearCaches(spark)
+    val rows = SparkEntry.queries("q121_lm_filter_buckets")(spark, dir)
+      .as[(Long, Double, String, Int)].collect()
+    val byB = rows.groupBy(_._3)
+    assert(byB.keySet == Set("head", "middle", "tail"))
+    val sizes = byB.view.mapValues(_.length).toMap
+    assert(sizes.values.max - sizes.values.min <= 1, s"uneven thirds: $sizes")
+    assert(byB("head").map(_._2).min >= byB("middle").map(_._2).max)
+    assert(byB("middle").map(_._2).min >= byB("tail").map(_._2).max)
+    assert(rows.forall { case (_, _, b, k) => (k == 1) == (b != "tail") })
+    Core.clearCaches(spark)
+  }
+
   test("q114 BM25: engine top-20 matches an independent driver-side recompute") {
     val dir = "/root/testdata/sf0.001"
     Core.clearCaches(spark)

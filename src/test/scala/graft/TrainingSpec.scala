@@ -35,6 +35,28 @@ class TrainingSpec extends SparkSpec {
     assert(gaps == 0, s"$gaps gaps/overlaps in the packed stream")
   }
 
+  test("q122 curriculum: stages are quality-ordered thirds, dense hash-shuffled positions within") {
+    import spark.implicits._
+    Core.clearCaches(spark)
+    val rows = SparkEntry.queries("q122_curriculum_order")(spark, dir)
+      .as[(Long, Int, Int)].collect()
+    val byStage = rows.groupBy(_._2)
+    assert(byStage.keySet == Set(1, 2, 3))
+    val sizes = byStage.view.mapValues(_.length).toMap
+    assert(sizes.values.max - sizes.values.min <= 1, s"uneven stages: $sizes")
+    // positions dense 1..n within each stage, every doc exactly once
+    byStage.foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length)) }
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // the stage cut respects the quality order: every stage-1 doc
+    // scores >= every stage-2 doc, etc. (ties may touch, never cross)
+    val score = SparkEntry.queries("q41_quality_score")(spark, dir)
+      .select($"doc_id", $"quality_score").as[(Long, Double)].collect().toMap
+    def scores(st: Int) = byStage(st).map(r => score(r._1))
+    assert(scores(1).min >= scores(2).max && scores(2).min >= scores(3).max)
+    Core.clearCaches(spark)
+  }
+
   test("q73 shard shuffle: dense 1..n positions per shard, all docs exactly once") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
