@@ -181,8 +181,15 @@ object ScaleProbe {
       "q122_curriculum_order",
       // q123: q35's broadcast-anchor exact-dot shape with the label
       // filter fused into the join — corpus streams once, anchors
-      // bounded at 1024
-      "q123_hard_negatives"))
+      // bounded at 1024. Like q35 it is the ORACLE-EXACT baseline
+      // (decimal dot over every anchor×corpus pair): cost is the
+      // documented exactness tax; the IVF route (q39) is the scale
+      // path when the corpus outgrows it
+      "q123_hard_negatives",
+      // q124: per round, one pair-count partial agg + 1-row broadcast
+      // + per-doc windows; the token stream shuffles once per round
+      // on doc_id (two ckpt materializations/round bound the plan)
+      "q124_bpe_merge_apply"))
       .filter(q => only.forall(_.contains(q))).foreach(time)
     // wave-3 queries whose cost lives in agg expressions / join sides
     // that a bare count() lets the optimizer elide: aggregate over the

@@ -425,6 +425,76 @@ object Functions {
           max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
         FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id""")),
 
+    // ---- behavioral sequence extraction: each ≥3-event session as an
+    // ordered event-type string — the "user history → training
+    // sequence" step of a behavioral/recommendation model pipeline,
+    // bridging the events surface to the training surface. Ordering
+    // inside the aggregate is pinned by sorting (ts_us, event_id,
+    // type) structs, so the emitted sequence is engine-exact. Scale:
+    // q24's per-user session windows + ONE groupBy(user, session)
+    // whose state is the session's own events (gap-bounded); text
+    // never enters — event types are enum-sized strings. ----
+    "q125_session_sequences" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        table(s, dir, "events")
+          .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+          .withColumn("new_session",
+            when($"prev_us".isNull ||
+              (unix_micros($"ts") - $"prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum($"new_session").over(run))
+          .groupBy($"user_id", $"session_id")
+          .agg(count(lit(1)).as("n_events"),
+            concat_ws(" ", transform(
+              array_sort(collect_list(struct(
+                unix_micros($"ts").as("us"), $"event_id", $"event_type"))),
+              x => x.getField("event_type"))).as("seq"))
+          .filter($"n_events" >= 3)
+          .orderBy($"user_id", $"session_id")
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, ts, event_type,
+          CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+               THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (SELECT *, cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id FROM x)
+        SELECT user_id, session_id, count(*) AS n_events,
+          string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
+        FROM y GROUP BY user_id, session_id HAVING count(*) >= 3
+        ORDER BY user_id, session_id""")),
+
+    // ---- retention cohorts: users bucketed by first-activity week,
+    // activity counted per (cohort, week offset) — the standard
+    // product-analytics triangle. Two aggregations, both partial-agg
+    // friendly: per-user first timestamp (O(users) shuffle), then a
+    // distinct-user count per (cohort_week, offset) over the events
+    // joined back to their cohort via a broadcast-able user frame.
+    // Week truncation is Monday-start in both engines. ----
+    "q126_retention_cohorts" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val ev = table(s, dir, "events")
+        val cohort = ev.groupBy($"user_id")
+          .agg(date_trunc("week", min($"ts")).as("cw"))
+        ev.select($"user_id", date_trunc("week", $"ts").as("ew"))
+          .join(cohort, Seq("user_id"))
+          .select($"user_id", $"cw", (datediff($"ew", $"cw") / 7).cast("long").as("week_offset"))
+          .groupBy(date_format($"cw", "yyyy-MM-dd").as("cohort_week"), $"week_offset")
+          .agg(countDistinct($"user_id").as("n_users"))
+          .orderBy($"cohort_week", $"week_offset")
+      },
+      Some("""WITH c AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+          FROM events GROUP BY 1),
+        a AS (SELECT e.user_id, c.cw,
+            cast(date_diff('day', c.cw, date_trunc('week', e.ts)) // 7 as bigint) AS week_offset
+          FROM events e JOIN c USING (user_id))
+        SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_offset,
+          count(DISTINCT user_id) AS n_users
+        FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")),
+
     // ---- conversion funnel: first 'view' per user → earliest
     // 'purchase' within the following hour, reported per first-view
     // day. Two bounded aggregations (per-user min over each type

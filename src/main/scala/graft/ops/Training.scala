@@ -35,7 +35,112 @@ object Training {
   private def docGate(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
 
+  /** BPE merge APPLICATION (q124): run [[BpeRounds]] actual merge
+    * rounds of byte-pair-encoding induction over the corpus token
+    * stream — q69 counts the candidates; this executes the merges.
+    * Each round: (1) count adjacent pairs, (2) pick the top pair
+    * (count desc, pair lexical — deterministic), (3) GREEDY LEFTMOST
+    * non-overlapping replacement, the sequential tokenizer semantics,
+    * expressed declaratively: marked positions that are consecutive
+    * form gaps-and-islands runs, and greedy-leftmost = the EVEN
+    * offsets within each run ("a a a" → [aa, a], never [a, aa]);
+    * (4) drop consumed positions and re-densify.
+    *
+    * Scale: per round, one pair-count partial agg (O(distinct pairs)
+    * shuffle), a 1-row top-pair broadcast, and per-doc windows — the
+    * token stream shuffles once per round on doc_id and never carries
+    * full text. The oracle unrolls the rounds as MATERIALIZED CTEs
+    * (q116's pattern: each round's stream is referenced twice). */
+  private val BpeRounds = 2
+
+  private def bpeMerged(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    // lineage cut per round (q116's ckpt): wn is read three times per
+    // round (pair counts, selection, rewrite) and the plan would
+    // otherwise double each round
+    def ckpt(df: org.apache.spark.sql.DataFrame) =
+      df.localCheckpoint().select(df.columns.map(c => col(c).as(c)): _*)
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    var toks = fanOut(s, table(s, dir, "documents"))
+      .select($"doc_id", posexplode(split(lower($"text"), " ")).as(Seq("p", "tok")))
+      .filter(length($"tok") > 0)
+      .withColumn("pos",
+        (row_number().over(Window.partitionBy($"doc_id").orderBy($"p")) - 1).cast("long"))
+      .select($"doc_id", $"pos", $"tok")
+    for (_ <- 1 to BpeRounds) {
+      val wn = ckpt(toks.withColumn("nxt", lead($"tok", 1).over(byDoc)))
+      val top = wn.filter($"nxt".isNotNull)
+        .groupBy($"tok", $"nxt").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"tok", $"nxt").limit(1)
+        .select($"tok".as("m1"), $"nxt".as("m2"))
+      val marked = wn.crossJoin(broadcast(top))
+      val sel = marked
+        .filter($"nxt".isNotNull && $"tok" === $"m1" && $"nxt" === $"m2")
+        .withColumn("rn", row_number().over(byDoc))
+        .withColumn("off",
+          $"rn" - min($"rn").over(Window.partitionBy($"doc_id", $"pos" - $"rn")))
+        .filter($"off" % 2 === 0)
+        .select($"doc_id", $"pos")
+      toks = marked
+        .join(sel.withColumn("m", lit(1)), Seq("doc_id", "pos"), "left")
+        .join(sel.select($"doc_id", ($"pos" + 1).as("pos"), lit(1).as("d")),
+          Seq("doc_id", "pos"), "left")
+        .filter($"d".isNull)
+        .select($"doc_id", $"pos",
+          when($"m" === 1, concat($"tok", $"nxt")).otherwise($"tok").as("tok"))
+        .withColumn("pos", (row_number().over(byDoc) - 1).cast("long"))
+        .select($"doc_id", $"pos", $"tok")
+    }
+    toks
+  }
+
+  /** Oracle mirror of [[bpeMerged]]: rounds unrolled as MATERIALIZED
+    * CTEs (each `t_r` is read by both the pair counter and the next
+    * rewrite, so default inlining would double per round). */
+  private def oBpe(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH t0 AS MATERIALIZED (SELECT doc_id,
+          cast(row_number() OVER (PARTITION BY doc_id ORDER BY i) as bigint) - 1 AS pos, tok
+        FROM (SELECT doc_id, i, ws[i] AS tok
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws,
+            unnest(generate_series(1, len(string_split(lower(text), ' ')))) AS i
+          FROM documents))
+        WHERE len(tok) > 0)""")
+    for (r <- 1 to rounds) sb.append(s""",
+      wn$r AS MATERIALIZED (SELECT doc_id, pos, tok,
+          lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM t${r - 1}),
+      tp$r AS MATERIALIZED (SELECT tok AS m1, nxt AS m2 FROM wn$r
+        WHERE nxt IS NOT NULL GROUP BY tok, nxt
+        ORDER BY count(*) DESC, m1, m2 LIMIT 1),
+      sel$r AS MATERIALIZED (SELECT doc_id, pos FROM (
+          SELECT doc_id, pos,
+            rn - min(rn) OVER (PARTITION BY doc_id, pos - rn) AS off
+          FROM (SELECT w.doc_id, w.pos,
+              row_number() OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS rn
+            FROM wn$r w JOIN tp$r ON w.tok = m1 AND w.nxt = m2))
+        WHERE off % 2 = 0),
+      t$r AS MATERIALIZED (SELECT doc_id,
+          cast(row_number() OVER (PARTITION BY doc_id ORDER BY pos) as bigint) - 1 AS pos, tok
+        FROM (SELECT w.doc_id, w.pos,
+            CASE WHEN s.pos IS NOT NULL THEN w.tok || w.nxt ELSE w.tok END AS tok
+          FROM wn$r w
+          LEFT JOIN sel$r s ON s.doc_id = w.doc_id AND s.pos = w.pos
+          LEFT JOIN sel$r d ON d.doc_id = w.doc_id AND d.pos = w.pos - 1
+          WHERE d.pos IS NULL))""")
+    sb.toString
+  }
+
   val catalog: Map[String, Q] = Map(
+
+    // ---- BPE merge application: the token stream after BpeRounds
+    // actual greedy merges (see bpeMerged scaladoc). ----
+    "q124_bpe_merge_apply" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        bpeMerged(s, dir).orderBy($"doc_id", $"pos")
+      },
+      Some(s"""${oBpe(BpeRounds)}
+        SELECT doc_id, pos, tok FROM t$BpeRounds ORDER BY doc_id, pos""")),
 
     // ---- BPE merge-candidate statistics: frequency of every adjacent
     // token pair in the corpus, top 50. This is the inner counting step

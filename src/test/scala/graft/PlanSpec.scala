@@ -496,6 +496,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("wave-6 ops: no loop joins, raw text out of every hash shuffle") {
+    // q117's join-back, q119's marginal joins, q120's candidate joins
+    // and q121/q122's score windows must all key on narrow columns;
+    // a CartesianProduct anywhere here is quadratic at corpus scale.
+    // q119's single allowed BroadcastNestedLoopJoin is the documented
+    // crossJoin-of-a-broadcast-1-row-aggregate (the N total).
+    for (q <- Seq("q117_winnow_fingerprints", "q119_pmi_collocations",
+        "q120_sorted_neighborhood", "q121_lm_filter_buckets",
+        "q122_curriculum_order", "q116_pagerank")) {
+      val p = planOf(q)
+      val bnlAllowed = if (q == "q119_pmi_collocations") 1 else 0
+      // count physical nodes via the formatted-details header — the
+      // tree rendering repeats each operator name
+      val bnlNodes = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
+      assert(!p.contains("CartesianProduct") && bnlNodes <= bnlAllowed,
+        s"$q fell back to a loop join ($bnlNodes nodes):\n${p.take(1200)}")
+      val hashExchanges =
+        """\(\d+\) Exchange\s*\nInput \[\d+\]: (\[[^\]]*\])\s*\nArguments: (hashpartitioning[^\n]*)"""
+          .r.findAllMatchIn(p).map(m => m.group(1)).toSeq
+      assert(hashExchanges.forall(!_.contains("text#")),
+        s"$q hash-shuffles raw text: $hashExchanges")
+    }
+  }
+
+  test("q123 hard negatives: anchor side is broadcast, corpus side streams") {
+    // like q35: the non-equi (id, label) inequality join is legal ONLY
+    // as a broadcast of the bounded anchor batch over the streaming
+    // corpus — never a shuffled Cartesian
+    val p = planOf("q123_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"q123 must broadcast the anchor batch:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"), "q123 must not shuffle a Cartesian")
+  }
+
   test("q107 SCD2 merge: one equi-join feeds all three merge branches") {
     val p = planOf("q107_scd2_merge")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -35,6 +35,26 @@ class TrainingSpec extends SparkSpec {
     assert(gaps == 0, s"$gaps gaps/overlaps in the packed stream")
   }
 
+  test("q124 BPE merges: top pair by count, greedy leftmost replacement, hand-traced") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{length => slen, lit}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    Seq(1L -> "a a a b c a a", 2L -> "a a b c b c").toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", slen($"text").cast("long"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$tmp/documents.parquet")
+    Core.clearCaches(spark)
+    // round 1: (a,a) wins 4 > (b,c) 3; greedy "a a a" → [aa, a]
+    // round 2: (b,c) wins 3; both doc-2 occurrences merge
+    val got = SparkEntry.queries("q124_bpe_merge_apply")(spark, tmp)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, "aa"), (1L, 1L, "a"), (1L, 2L, "bc"), (1L, 3L, "aa"),
+      (2L, 0L, "aa"), (2L, 1L, "bc"), (2L, 2L, "bc")))
+    Core.clearCaches(spark)
+  }
+
   test("q122 curriculum: stages are quality-ordered thirds, dense hash-shuffled positions within") {
     import spark.implicits._
     Core.clearCaches(spark)
