@@ -189,7 +189,14 @@ object ScaleProbe {
       // q124: per round, one pair-count partial agg + 1-row broadcast
       // + per-doc windows; the token stream shuffles once per round
       // on doc_id (two ckpt materializations/round bound the plan)
-      "q124_bpe_merge_apply"))
+      "q124_bpe_merge_apply",
+      // q125/q126: per-user session windows + bounded-state aggs over
+      // the 10M-event stream; retention is two partial aggs
+      "q125_session_sequences", "q126_retention_cohorts",
+      // q127: both blocking channels output-bounded, verify joins
+      // shuffle candidate ids + shingle sets, CC contraction, one
+      // survivorship window over narrow rows
+      "q127_entity_resolution"))
       .filter(q => only.forall(_.contains(q))).foreach(time)
     // wave-3 queries whose cost lives in agg expressions / join sides
     // that a bare count() lets the optimizer elide: aggregate over the

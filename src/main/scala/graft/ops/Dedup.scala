@@ -443,6 +443,35 @@ object Dedup {
       fps AS (SELECT k.doc_id, k.pos, k.gh AS fp FROM k
         JOIN f ON f.doc_id = k.doc_id AND f.sel = k.wk)"""
 
+  /** Sorted-neighborhood candidate pairs (q120/q127): each doc paired
+    * with its next [[SnW]] neighbors in the (normalized 24-char text
+    * prefix, doc_id) sort order. id_a precedes id_b in SORT order, not
+    * necessarily numerically. */
+  private val SnW = 3
+  private def snCandidates(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select(col("doc_id"),
+      substring(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), 1, 24).as("snk"))
+    val ord = Window.orderBy(col("snk"), col("doc_id"))
+    (1 to SnW).map(o => docs
+        .select(col("doc_id").as("id_a"), lead(col("doc_id"), o).over(ord).as("id_b")))
+      .reduce(_ unionByName _)
+      .filter(col("id_b").isNotNull)
+  }
+
+  /** Shared q120/q127 oracle CTEs: `snd` sort keys → `cands`. */
+  private val snCtes = s""",
+      snd AS (SELECT doc_id,
+          substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 24) AS snk
+        FROM documents),
+      cands0 AS (SELECT doc_id AS id_a,
+          lead(doc_id, 1) OVER (ORDER BY snk, doc_id) AS b1,
+          lead(doc_id, 2) OVER (ORDER BY snk, doc_id) AS b2,
+          lead(doc_id, 3) OVER (ORDER BY snk, doc_id) AS b3
+        FROM snd),
+      cands AS (SELECT id_a, b1 AS id_b FROM cands0 WHERE b1 IS NOT NULL
+        UNION ALL SELECT id_a, b2 FROM cands0 WHERE b2 IS NOT NULL
+        UNION ALL SELECT id_a, b3 FROM cands0 WHERE b3 IS NOT NULL)"""
+
   /** PageRank machinery (q116): damping 0.85, 10 fixed iterations,
     * uniform teleport, dangling mass redistributed uniformly — over
     * the near-dup pair graph, where a high rank marks the boilerplate
@@ -580,14 +609,7 @@ object Dedup {
     "q120_sorted_neighborhood" -> Q(
       (s, dir) => {
         import s.implicits._
-        val SnW = 3 // compare each doc to its next 3 sort neighbors
-        val docs = table(s, dir, "documents").select($"doc_id",
-          substring(regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), 1, 24).as("snk"))
-        val ord = Window.orderBy($"snk", $"doc_id")
-        val cands = (1 to SnW).map(o => docs
-            .select($"doc_id".as("id_a"), lead($"doc_id", o).over(ord).as("id_b")))
-          .reduce(_ unionByName _)
-          .filter($"id_b".isNotNull)
+        val cands = snCandidates(s, dir)
         val sets = shingleRows(s, table(s, dir, "documents"))
           .groupBy($"doc_id").agg(collect_set($"w").as("ws"))
         cands
@@ -599,18 +621,7 @@ object Dedup {
           .filter($"jaccard" >= 0.5)
           .orderBy($"id_a", $"id_b")
       },
-      Some(s"""$oracleCtes,
-        snd AS (SELECT doc_id,
-            substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 24) AS snk
-          FROM documents),
-        cands0 AS (SELECT doc_id AS id_a,
-            lead(doc_id, 1) OVER (ORDER BY snk, doc_id) AS b1,
-            lead(doc_id, 2) OVER (ORDER BY snk, doc_id) AS b2,
-            lead(doc_id, 3) OVER (ORDER BY snk, doc_id) AS b3
-          FROM snd),
-        cands AS (SELECT id_a, b1 AS id_b FROM cands0 WHERE b1 IS NOT NULL
-          UNION ALL SELECT id_a, b2 FROM cands0 WHERE b2 IS NOT NULL
-          UNION ALL SELECT id_a, b3 FROM cands0 WHERE b3 IS NOT NULL),
+      Some(s"""$oracleCtes$snCtes,
         sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
         inter AS (SELECT p.id_a, p.id_b, count(*) AS c FROM cands p
           JOIN shingles wa ON wa.doc_id=p.id_a
@@ -622,6 +633,75 @@ object Dedup {
           FROM inter i JOIN sizes sa ON sa.doc_id=i.id_a
           JOIN sizes sb ON sb.doc_id=i.id_b)
         WHERE jaccard >= 0.5 ORDER BY id_a, id_b""")),
+
+    // ---- end-to-end entity resolution: multi-channel blocking (LSH
+    // bands ∪ sorted-neighborhood windows — real ER stacks run several
+    // cheap blocking passes and union the candidates), exact
+    // token-Jaccard match decision at 0.5, transitive clustering, and
+    // SURVIVORSHIP: each cluster's surviving record is its longest
+    // member (n_chars desc, doc_id tie) — the "most complete record
+    // wins" rule. Per-doc output: who absorbed whom. Scale: both
+    // blocking channels are output-bounded candidate generators; the
+    // verify joins shuffle only candidate ids + shingle sets; CC is
+    // the large-star/small-star contraction; survivorship is one
+    // per-cluster window over narrow rows. ----
+    "q127_entity_resolution" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val allc = lshPairs(s, dir).select($"id_a", $"id_b")
+          .unionByName(snCandidates(s, dir))
+          .select(least($"id_a", $"id_b").as("id_a"),
+            greatest($"id_a", $"id_b").as("id_b"))
+          .distinct()
+        val sets = shingleRows(s, docs)
+          .groupBy($"doc_id").agg(collect_set($"w").as("ws"))
+        val edges = allc
+          .join(sets.select($"doc_id".as("id_a"), $"ws".as("wsa")), Seq("id_a"))
+          .join(sets.select($"doc_id".as("id_b"), $"ws".as("wsb")), Seq("id_b"))
+          .withColumn("c", size(array_intersect($"wsa", $"wsb")))
+          .filter($"c".cast("double") / (size($"wsa") + size($"wsb") - $"c") >= 0.5)
+          .select($"id_a", $"id_b")
+        val labels = connectedComponents(docs.select($"doc_id"), edges)
+        val wC = Window.partitionBy($"cluster_id")
+        val full = wC.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        labels.join(docs.select($"doc_id", $"n_chars"), Seq("doc_id"))
+          .withColumn("rep_doc", first($"doc_id")
+            .over(wC.orderBy($"n_chars".desc, $"doc_id")
+              .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("n_members", count(lit(1)).over(full))
+          .select($"doc_id", $"cluster_id", $"rep_doc", $"n_members")
+          .orderBy($"doc_id")
+      },
+      Some(oracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + snCtes + s""",
+        allc AS (SELECT DISTINCT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b
+          FROM (SELECT id_a, id_b FROM pairs UNION ALL SELECT id_a, id_b FROM cands)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+        inter AS (SELECT p.id_a, p.id_b, count(*) AS c FROM allc p
+          JOIN shingles wa ON wa.doc_id=p.id_a
+          JOIN shingles wb ON wb.doc_id=p.id_b AND wb.w=wa.w
+          GROUP BY 1,2),
+        e2 AS (SELECT i.id_a, i.id_b FROM inter i
+          JOIN sizes sa ON sa.doc_id=i.id_a JOIN sizes sb ON sb.doc_id=i.id_b
+          WHERE cast(i.c as double)/(sa.n + sb.n - i.c) >= 0.5),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM e2
+          UNION ALL SELECT id_b, id_a FROM e2),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        labels AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+          FROM reach GROUP BY node),
+        sized AS (SELECT l.doc_id, l.cluster_id, d.n_chars
+          FROM labels l JOIN documents d USING (doc_id)),
+        surv AS (SELECT doc_id, cluster_id,
+            first_value(doc_id) OVER (PARTITION BY cluster_id
+              ORDER BY n_chars DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS rep_doc,
+            count(*) OVER (PARTITION BY cluster_id) AS n_members
+          FROM sized)
+        SELECT doc_id, cluster_id, rep_doc, n_members
+        FROM surv ORDER BY doc_id""")),
 
     // ---- exact dedup: group identical texts, keep lowest doc_id ----
     "q30_exact_dedup" -> Q(

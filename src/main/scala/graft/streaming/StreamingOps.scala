@@ -159,6 +159,61 @@ object StreamingOps {
       event_type: String, value: Double)
   final case class UserAgg(user_id: Long, n: Long, total: Double)
 
+  final case class SessionSeq(user_id: Long, session_id: Long,
+      n_events: Long, seq: String)
+  final case class SessState(nextId: Long, lastUs: Long,
+      buf: List[(Long, Long, String)]) // (ts_us, event_id, event_type)
+
+  /** Streaming mirror of batch q125 (behavioral session sequences):
+    * per-user custom state sessionizer on a 30-minute event-time gap,
+    * emitting each CLOSED ≥3-event session as its ordered event-type
+    * string. A session closes when a later event of the same user
+    * arrives past the gap, or when the watermark passes lastTs+gap
+    * (EventTimeTimeout) — so results are append-mode final. Sessions
+    * are NUMBERED whether or not they emit (short ones are counted,
+    * not emitted), which keeps session_ids identical to the batch
+    * query's sequential numbering. Scale: state per user is the open
+    * session's events (gap-bounded), exactly the q24 state argument;
+    * timeout eviction caps idle-user state at one open session. */
+  def sessionSequences(events: Dataset[EventRow],
+      gapMin: Int = 30): Dataset[SessionSeq] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMin * 60L * 1000000L
+    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    def close(uid: Long, st: SessState): Option[SessionSeq] =
+      if (st.buf.size >= 3)
+        Some(SessionSeq(uid, st.nextId, st.buf.size.toLong,
+          st.buf.sortBy(e => (e._1, e._2)).map(_._3).mkString(" ")))
+      else None
+    events.withWatermark("ts", "1 hour").as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionSeq](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[EventRow], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.flatMap(close(uid, _))
+            state.remove()
+            out.iterator
+          } else {
+            val incoming = it.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var st = state.getOption.getOrElse(SessState(1L, Long.MinValue, Nil))
+            val out = Seq.newBuilder[SessionSeq]
+            incoming.foreach { e =>
+              val eus = us(e.ts)
+              if (st.buf.nonEmpty && eus - st.lastUs > gapUs) {
+                close(uid, st).foreach(out += _)
+                st = SessState(st.nextId + 1, Long.MinValue, Nil)
+              }
+              st = SessState(st.nextId, math.max(st.lastUs, eus),
+                st.buf :+ ((eus, e.event_id, e.event_type)))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastUs / 1000L + gapMin * 60L * 1000L)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Custom keyed state via flatMapGroupsWithState: running per-user
     * totals emitted on every update (OutputMode.Update). */
   def runningUserTotals(events: Dataset[EventRow]): Dataset[UserAgg] = {

@@ -454,6 +454,24 @@ class DedupSimSpec extends SparkSpec {
       "both lexical and semantic ranks must appear in the fused top-20")
   }
 
+  test("q127 entity resolution: near-twins cluster, longest record survives, singletons self-represent") {
+    val dir = docsDir(Seq(
+      1L -> base,
+      2L -> (base + "banana"),            // near-dup of 1, longer
+      3L -> (base + "banana split"),      // near-dup of both, longest
+      4L -> "totally unrelated content about catalyst partition pruning strategies"))
+    Core.clearCaches(spark)
+    val rows = SparkEntry.queries("q127_entity_resolution")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (d, c, r, n) => d -> ((c, r, n)) }.toMap
+    // docs 1-3 form one cluster labeled by its min member; the
+    // SURVIVING record is the longest (doc 3), not the label
+    assert(rows(1L) == ((1L, 3L, 3L)) && rows(2L) == ((1L, 3L, 3L))
+      && rows(3L) == ((1L, 3L, 3L)))
+    assert(rows(4L) == ((4L, 4L, 1L)), "singleton represents itself")
+    Core.clearCaches(spark)
+  }
+
   test("q123 hard negatives: labels always differ, ranks dense, per-anchor order, full anchor set") {
     val dir = "/root/testdata/sf0.001"
     Core.clearCaches(spark)

@@ -172,6 +172,34 @@ class StreamingSpec extends SparkSpec {
     assert(last.n == 3L && last.total == 7.0)
   }
 
+  test("streaming session sequences ≡ batch q125 on replay, flushed by watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    Core.clearCaches(spark)
+    val evs = Core.table(spark, dir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventRow].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    // two far-future sentinel events (excluded user): the first
+    // advances the watermark, the second triggers the timeout pass
+    // that flushes every user's trailing open session
+    val far1 = new Timestamp(evs.map(_.ts.getTime).max + 86400000L * 30)
+    val far2 = new Timestamp(far1.getTime + 86400000L)
+    val stream = MemoryStream[EventRow]
+    val got = runQuery(stream, StreamingOps.sessionSequences(stream.toDS()).toDF(),
+      OutputMode.Append, "sess_seq")(Seq(
+        evs.toSeq,
+        Seq(EventRow(900001L, far1, 999999L, "x", 0.0)),
+        Seq(EventRow(900002L, far2, 999999L, "x", 0.0))))
+      .as[StreamingOps.SessionSeq].collect()
+      .filter(_.user_id != 999999L)
+      .map(s => (s.user_id, s.session_id, s.n_events, s.seq)).toSet
+    val want = SparkEntry.queries("q125_session_sequences")(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == want, s"streaming sessions must equal batch q125 " +
+      s"(got ${got.size}, want ${want.size})")
+    Core.clearCaches(spark)
+  }
+
   test("streaming ingest screen matches the batch incremental-dedup keep set") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
