@@ -196,7 +196,11 @@ object ScaleProbe {
       // q127: both blocking channels output-bounded, verify joins
       // shuffle candidate ids + shingle sets, CC contraction, one
       // survivorship window over narrow rows
-      "q127_entity_resolution"))
+      "q127_entity_resolution",
+      // q128: fingerprint is two partial aggs over doc × 15 digit
+      // rows; block-join fan-out is Σ occupancy² over 4 × 2^15
+      // buckets; verify is one integer op per candidate
+      "q128_simhash_join"))
       .filter(q => only.forall(_.contains(q))).foreach(time)
     // wave-3 queries whose cost lives in agg expressions / join sides
     // that a bare count() lets the optimizer elide: aggregate over the

@@ -970,6 +970,93 @@ object Dedup {
           cast(sum(CASE WHEN s >= 0 THEN 1 << bit ELSE 0 END) as bigint) AS simhash
         FROM bits GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- SimHash near-duplicate JOIN (Manku/Jain/Das Sarma, WWW'07 —
+    // the Google web-crawl dedup): 60-bit per-doc fingerprint (15 md5
+    // hex digits × 4 bits, majority vote per bit over the doc's
+    // distinct words; 60 bits keeps every shift inside int64 in both
+    // engines), then the PIGEONHOLE block join — any pair within
+    // Hamming distance 3 must agree exactly on ≥1 of 4 disjoint
+    // 15-bit blocks — and an exact bit_count(xor) ≤ 3 verify on the
+    // candidates. Complements MinHash: simhash candidates share
+    // near-identical term DISTRIBUTIONS (weighted bits), not shingle
+    // sets. Scale: the fingerprint is two partial-agg groupBys (doc ×
+    // 15 digit rows, never full text); the block join's fan-out is
+    // Σ occupancy² over 4 × 2¹⁵ buckets — the bucket-width knob is
+    // block count/width exactly as in the paper; verify is one codegen
+    // integer op per candidate. ----
+    "q128_simhash_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val words = table(s, dir, "documents")
+          .select($"doc_id", explode(array_distinct(split(lower($"text"), " "))).as("w"))
+          .filter(length($"w") > 0)
+          .withColumn("h", md5($"w"))
+        val nib = words
+          .withColumn("d", explode(sequence(lit(0), lit(14))))
+          .withColumn("hv", conv(expr("substr(h, d + 1, 1)"), 16, 10).cast("int"))
+          .groupBy($"doc_id", $"d").agg(
+            count(lit(1)).as("cnt"),
+            sum(expr("hv & 1")).as("s0"), sum(expr("(hv >> 1) & 1")).as("s1"),
+            sum(expr("(hv >> 2) & 1")).as("s2"), sum(expr("(hv >> 3) & 1")).as("s3"))
+          .withColumn("nibble", expr("""
+            (CASE WHEN 2*s0 >= cnt THEN 1 ELSE 0 END) +
+            (CASE WHEN 2*s1 >= cnt THEN 2 ELSE 0 END) +
+            (CASE WHEN 2*s2 >= cnt THEN 4 ELSE 0 END) +
+            (CASE WHEN 2*s3 >= cnt THEN 8 ELSE 0 END)"""))
+        val sims = nib.groupBy($"doc_id")
+          .agg(sum(expr("shiftleft(cast(nibble as bigint), d * 4)")).as("sim"))
+        val blocks = sims
+          .withColumn("b", explode(sequence(lit(0), lit(3))))
+          .withColumn("bv", expr("(sim >> (b * 15)) & 32767"))
+        // FIRST-MATCH dedup instead of distinct(): a pair colliding in
+        // several blocks is emitted only from its lowest matching
+        // block — a per-row integer filter, versus a shuffle-distinct
+        // of every (candidate × matching-block) row. On the 100×
+        // probe's clique-heavy corpus that distinct was a ~1.8G-row
+        // exchange; the filter costs nothing and emits each pair
+        // exactly once (per block a pair appears at most once).
+        def blk(sim: String, i: Int) = s"(($sim >> ${i * 15}) & 32767)"
+        val firstMatch = (1 to 3).map { b =>
+          s"(b = $b AND ${(0 until b).map(i => s"${blk("sa", i)} <> ${blk("sb", i)}")
+            .mkString(" AND ")})"
+        }.mkString("(b = 0) OR ", " OR ", "")
+        blocks.as("x").join(blocks.as("y"),
+            $"x.b" === $"y.b" && $"x.bv" === $"y.bv" && $"x.doc_id" < $"y.doc_id")
+          .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"), $"x.b".as("b"),
+            $"x.sim".as("sa"), $"y.sim".as("sb"))
+          .filter(expr(firstMatch))
+          .withColumn("hamming", expr("cast(bit_count(sa ^ sb) as bigint)"))
+          .filter($"hamming" <= 3)
+          .select($"id_a", $"id_b", $"hamming")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH words AS (SELECT DISTINCT doc_id, w FROM
+          (SELECT doc_id, unnest(string_split(lower(text),' ')) AS w FROM documents)
+          WHERE length(w)>0),
+        nib AS (SELECT doc_id, d, count(*) AS cnt,
+            sum(hv & 1) AS s0, sum((hv >> 1) & 1) AS s1,
+            sum((hv >> 2) & 1) AS s2, sum((hv >> 3) & 1) AS s3
+          FROM (SELECT doc_id, b.i AS d,
+              strpos('0123456789abcdef', substr(md5(w), cast(b.i as int) + 1, 1)) - 1 AS hv
+            FROM words CROSS JOIN range(15) b(i))
+          GROUP BY 1, 2),
+        sims AS (SELECT doc_id, cast(sum(
+            cast(CASE WHEN 2*s0 >= cnt THEN 1 ELSE 0 END
+               + CASE WHEN 2*s1 >= cnt THEN 2 ELSE 0 END
+               + CASE WHEN 2*s2 >= cnt THEN 4 ELSE 0 END
+               + CASE WHEN 2*s3 >= cnt THEN 8 ELSE 0 END as bigint) << (d * 4))
+            as bigint) AS sim
+          FROM nib GROUP BY 1),
+        blocks AS (SELECT doc_id, sim, b.i AS b, (sim >> (b.i * 15)) & 32767 AS bv
+          FROM sims CROSS JOIN range(4) b(i)),
+        cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+            x.sim AS sa, y.sim AS sb
+          FROM blocks x JOIN blocks y
+            ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        SELECT id_a, id_b, cast(bit_count(xor(sa, sb)) as bigint) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        ORDER BY id_a, id_b""")),
+
     // ---- leakage-safe train/val/test split: the gate hashes the dedup
     // CLUSTER id, not the doc id, so near-duplicate documents can never
     // straddle a split boundary — the classic way eval contamination

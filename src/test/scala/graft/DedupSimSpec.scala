@@ -454,6 +454,37 @@ class DedupSimSpec extends SparkSpec {
       "both lexical and semantic ranks must appear in the fused top-20")
   }
 
+  test("q128 simhash join: pigeonhole candidates find EVERY Hamming≤3 pair (brute-force complete)") {
+    val dir = "/root/testdata/sf0.001"
+    Core.clearCaches(spark)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // driver-side 60-bit simhash, same contract as the query
+    val sims = Core.table(spark, dir, "documents")
+      .select($"doc_id", org.apache.spark.sql.functions.lower($"text"))
+      .as[(Long, String)].collect()
+      .map { case (id, txt) =>
+        val ws = txt.split(" ", -1).filter(_.nonEmpty).distinct
+        val hs = ws.map(md5hex)
+        var sim = 0L
+        for (d <- 0 until 15; b <- 0 until 4) {
+          val ones = hs.count(h => ((Integer.parseInt(h.substring(d, d + 1), 16) >> b) & 1) == 1)
+          if (2 * ones >= ws.length) sim |= 1L << (d * 4 + b)
+        }
+        id -> sim
+      }.sortBy(_._1)
+    val want = (for {
+      i <- sims.indices; j <- (i + 1) until sims.length
+      h = java.lang.Long.bitCount(sims(i)._2 ^ sims(j)._2) if h <= 3
+    } yield (sims(i)._1, sims(j)._1, h.toLong)).toSet
+    val got = SparkEntry.queries("q128_simhash_join")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"pigeonhole join must equal brute force (got ${got.size}, want ${want.size})")
+    Core.clearCaches(spark)
+  }
+
   test("q127 entity resolution: near-twins cluster, longest record survives, singletons self-represent") {
     val dir = docsDir(Seq(
       1L -> base,
