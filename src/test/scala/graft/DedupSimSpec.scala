@@ -548,6 +548,27 @@ class DedupSimSpec extends SparkSpec {
     Core.clearCaches(spark)
   }
 
+  test("q117 winnowing guarantee: docs sharing a k+w-1 word run share a fingerprint hash") {
+    // the Schleimer et al. match guarantee: any shared run of at least
+    // WinK+WinW-1 = 8 words produces at least one IDENTICAL selected
+    // (hash) fingerprint in both docs — the property that makes
+    // fingerprint-equality joins a sound dedup channel
+    val shared = "golf hotel india juliet kilo lima mike november"
+    val dir = docsDir(Seq(
+      1L -> s"a1 a2 a3 $shared z9",
+      2L -> s"b1 $shared c1 c2 c3 c4",
+      3L -> "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"))
+    Core.clearCaches(spark)
+    val fps = SparkEntry.queries("q117_winnow_fingerprints")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "docs sharing an 8-word run must share a winnowing fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "no shared fingerprints without shared content")
+    Core.clearCaches(spark)
+  }
+
   test("q120 sorted neighborhood: prefix-sorted near-twins found with exact jaccard, others rejected") {
     val dir = docsDir(Seq(
       1L -> base,
