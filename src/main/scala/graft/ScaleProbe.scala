@@ -200,7 +200,10 @@ object ScaleProbe {
       // q128: fingerprint is two partial aggs over doc × 15 digit
       // rows; block-join fan-out is Σ occupancy² over 4 × 2^15
       // buckets; verify is one integer op per candidate
-      "q128_simhash_join"))
+      "q128_simhash_join",
+      // q129 rides the memoized cluster labels (first consumer pays
+      // CC); q130 joins the bounded pair list to (doc, source)
+      "q129_dedup_report", "q130_cross_source_dups"))
       .filter(q => only.forall(_.contains(q))).foreach(time)
     // wave-3 queries whose cost lives in agg expressions / join sides
     // that a bare count() lets the optimizer elide: aggregate over the

@@ -813,6 +813,71 @@ object Dedup {
         SELECT node AS doc_id, min(lbl) AS cluster_id
         FROM reach GROUP BY node ORDER BY doc_id""")),
 
+    // ---- dedup report: the governance numbers a curation run ships —
+    // cluster-SIZE histogram (how much of the corpus sits in 1-, 2-,
+    // k-member near-dup clusters) plus the corpus duplication factor
+    // (docs per surviving canonical). Rides the memoized cluster
+    // labels; everything after is two partial aggs over O(clusters)
+    // rows + a 1-row broadcast ratio. ----
+    "q129_dedup_report" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val sizes = clusterLabels(s, dir)
+          .groupBy($"cluster_id").agg(count(lit(1)).as("k"))
+        val totals = sizes.agg(
+          sum($"k").as("n_docs"), count(lit(1)).as("n_clusters"))
+        sizes.groupBy($"k").agg(count(lit(1)).as("n_clusters_of_k"))
+          .crossJoin(broadcast(totals))
+          .select($"k", $"n_clusters_of_k",
+            ($"k" * $"n_clusters_of_k").as("docs_covered"),
+            rnd4($"n_docs".cast("double") / $"n_clusters").as("dup_factor"))
+          .orderBy($"k")
+      },
+      Some(oracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+        labels AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+          FROM reach GROUP BY node),
+        sizes AS (SELECT cluster_id, count(*) AS k FROM labels GROUP BY 1),
+        totals AS (SELECT cast(sum(k) as bigint) AS n_docs,
+            count(*) AS n_clusters FROM sizes)
+        SELECT k, count(*) AS n_clusters_of_k,
+          cast(k * count(*) as bigint) AS docs_covered,
+          ${oRnd4("(SELECT cast(n_docs as double) / n_clusters FROM totals)")} AS dup_factor
+        FROM sizes GROUP BY k ORDER BY k""")),
+
+    // ---- cross-source duplicate matrix: which sources duplicate into
+    // which — the attribution report that tells a pipeline owner WHERE
+    // the near-dup mass comes from (mirror sites, syndication, intra-
+    // source boilerplate on the diagonal). One join of the bounded
+    // pair list to a narrow (doc_id, source) frame, then an O(sources²)
+    // agg; source pairs are unordered (least/greatest) so mirror
+    // directions collapse. ----
+    "q130_cross_source_dups" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val src = table(s, dir, "documents").select($"doc_id", $"source")
+        lshPairs(s, dir)
+          .join(src.select($"doc_id".as("id_a"), $"source".as("sa")), Seq("id_a"))
+          .join(src.select($"doc_id".as("id_b"), $"source".as("sb")), Seq("id_b"))
+          .groupBy(least($"sa", $"sb").as("source_x"),
+            greatest($"sa", $"sb").as("source_y"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy($"source_x", $"source_y")
+      },
+      Some(s"""$oracleCtes
+        SELECT least(da.source, db.source) AS source_x,
+          greatest(da.source, db.source) AS source_y,
+          count(*) AS n_pairs
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.id_a
+        JOIN documents db ON db.doc_id = p.id_b
+        GROUP BY 1, 2 ORDER BY source_x, source_y""")),
+
     // ---- edit-distance verification of LSH candidates: levenshtein
     // over a bounded prefix (the full-text DP is O(len²) per pair —
     // bound the window, or use it only on high-jaccard survivors) ----
