@@ -292,6 +292,9 @@ object ScaleProbe {
       timeNamed("index_store_screen") {
         ops.IndexStore.screenBatch(spark, idxDir, batch).count()
       }
+      timeNamed("index_store_screen_sim") {
+        ops.IndexStore.screenBatchSim(spark, idxDir, batch).count()
+      }
     }
 
     // q03 bucketed-layout A/B (VERDICT r3 "next round" #6): the 100×

@@ -443,6 +443,34 @@ object Dedup {
       fps AS (SELECT k.doc_id, k.pos, k.gh AS fp FROM k
         JOIN f ON f.doc_id = k.doc_id AND f.sel = k.wk)"""
 
+  /** 60-bit majority-vote SimHash per doc (q128 / IndexStore sim
+    * channel): 15 md5 hex digits × 4 bits over the doc's distinct
+    * words — 60 bits keeps every shift inside int64 in both engines. */
+  private[ops] def simhash60(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("h", md5(col("w")))
+      .withColumn("d", explode(sequence(lit(0), lit(14))))
+      .withColumn("hv", conv(expr("substr(h, d + 1, 1)"), 16, 10).cast("int"))
+      .groupBy(col("doc_id"), col("d")).agg(
+        count(lit(1)).as("cnt"),
+        sum(expr("hv & 1")).as("s0"), sum(expr("(hv >> 1) & 1")).as("s1"),
+        sum(expr("(hv >> 2) & 1")).as("s2"), sum(expr("(hv >> 3) & 1")).as("s3"))
+      .withColumn("nibble", expr("""
+        (CASE WHEN 2*s0 >= cnt THEN 1 ELSE 0 END) +
+        (CASE WHEN 2*s1 >= cnt THEN 2 ELSE 0 END) +
+        (CASE WHEN 2*s2 >= cnt THEN 4 ELSE 0 END) +
+        (CASE WHEN 2*s3 >= cnt THEN 8 ELSE 0 END)"""))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("shiftleft(cast(nibble as bigint), d * 4)")).as("sim"))
+
+  /** The 4 × 15-bit pigeonhole block rows of a (doc_id, sim) frame. */
+  private[ops] def simBlocks(sims: DataFrame): DataFrame =
+    sims
+      .withColumn("b", explode(sequence(lit(0), lit(3))))
+      .withColumn("bv", expr("(sim >> (b * 15)) & 32767"))
+
   /** Sorted-neighborhood candidate pairs (q120/q127): each doc paired
     * with its next [[SnW]] neighbors in the (normalized 24-char text
     * prefix, doc_id) sort order. id_a precedes id_b in SORT order, not
@@ -1052,27 +1080,7 @@ object Dedup {
     "q128_simhash_join" -> Q(
       (s, dir) => {
         import s.implicits._
-        val words = table(s, dir, "documents")
-          .select($"doc_id", explode(array_distinct(split(lower($"text"), " "))).as("w"))
-          .filter(length($"w") > 0)
-          .withColumn("h", md5($"w"))
-        val nib = words
-          .withColumn("d", explode(sequence(lit(0), lit(14))))
-          .withColumn("hv", conv(expr("substr(h, d + 1, 1)"), 16, 10).cast("int"))
-          .groupBy($"doc_id", $"d").agg(
-            count(lit(1)).as("cnt"),
-            sum(expr("hv & 1")).as("s0"), sum(expr("(hv >> 1) & 1")).as("s1"),
-            sum(expr("(hv >> 2) & 1")).as("s2"), sum(expr("(hv >> 3) & 1")).as("s3"))
-          .withColumn("nibble", expr("""
-            (CASE WHEN 2*s0 >= cnt THEN 1 ELSE 0 END) +
-            (CASE WHEN 2*s1 >= cnt THEN 2 ELSE 0 END) +
-            (CASE WHEN 2*s2 >= cnt THEN 4 ELSE 0 END) +
-            (CASE WHEN 2*s3 >= cnt THEN 8 ELSE 0 END)"""))
-        val sims = nib.groupBy($"doc_id")
-          .agg(sum(expr("shiftleft(cast(nibble as bigint), d * 4)")).as("sim"))
-        val blocks = sims
-          .withColumn("b", explode(sequence(lit(0), lit(3))))
-          .withColumn("bv", expr("(sim >> (b * 15)) & 32767"))
+        val blocks = simBlocks(simhash60(table(s, dir, "documents")))
         // FIRST-MATCH dedup instead of distinct(): a pair colliding in
         // several blocks is emitted only from its lowest matching
         // block — a per-row integer filter, versus a shuffle-distinct

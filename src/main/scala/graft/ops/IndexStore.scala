@@ -45,6 +45,13 @@ object IndexStore {
       .parquet(s"$out/band_keys")
     val fps = fingerprints(docs)
     fps.write.mode(SaveMode.Overwrite).parquet(s"$out/fingerprints")
+    // simhash channel: the 60-bit fingerprint's pigeonhole block rows,
+    // partitioned by block so a screen's (b, bv) equi-join prunes to
+    // one block partition per probe — catches term-DISTRIBUTION twins
+    // (q128's family) that shingle-set banding can miss
+    Dedup.simBlocks(Dedup.simhash60(docs))
+      .write.mode(SaveMode.Overwrite).partitionBy("b")
+      .parquet(s"$out/sim_blocks")
     // one small binary blob: the BloomFilterAggregate sketch over the
     // fingerprint hashes (estItems from a cheap count — this runs once
     // per snapshot, at index-build time, not per screen)
@@ -66,6 +73,25 @@ object IndexStore {
     * the bloom is a no-false-negative prefilter, so every true exact
     * dup reaches the fingerprint semi-join and sketch false positives
     * are eliminated there. */
+  /** Distribution-level near-dup screen against the stored simhash
+    * channel: batch docs whose 60-bit fingerprint sits within Hamming
+    * distance 3 of ANY stored corpus fingerprint (q128's semantics,
+    * batch × stored-index instead of corpus × corpus). The (b, bv)
+    * equi-join probes the block-partitioned store; the exact
+    * bit_count verify runs per candidate; output is the flagged
+    * batch doc_ids — O(batch × bucket occupancy) work, no corpus
+    * access beyond the store. */
+  def screenBatchSim(s: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
+    import s.implicits._
+    val stored = s.read.parquet(s"$indexDir/sim_blocks")
+      .select($"b", $"bv", $"sim".as("corpus_sim"))
+    Dedup.simBlocks(Dedup.simhash60(batch))
+      .join(stored, Seq("b", "bv"))
+      .filter(expr("bit_count(sim ^ corpus_sim) <= 3"))
+      .select($"doc_id").distinct()
+      .orderBy($"doc_id")
+  }
+
   def screenBatch(s: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
     import s.implicits._
     graft.functions.BloomFuncs.register(s)

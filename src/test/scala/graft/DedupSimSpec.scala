@@ -316,6 +316,41 @@ class DedupSimSpec extends SparkSpec {
     assert(bloomLen > 0 && bloomLen < 10 * 1024 * 1024, s"bloom blob $bloomLen bytes")
   }
 
+  test("IndexStore sim channel: stored-index screen equals direct batch×corpus Hamming≤3") {
+    import org.apache.spark.sql.functions.{conv, substring, md5, lower => slower}
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft-simidx").toString
+    val docs = Core.table(spark, dir, "documents")
+    val gate = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10).cast("long")
+    val existing = docs.filter(gate < 58982)
+    val incoming = docs.filter(gate >= 58982)
+    graft.ops.IndexStore.write(spark, existing, out)
+    val got = graft.ops.IndexStore.screenBatchSim(spark, out, incoming)
+      .as[Long].collect().toSet
+    // driver-side truth: 60-bit simhash per doc, brute-force
+    // batch × corpus Hamming ≤ 3
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sim60(txt: String): Long = {
+      val ws = txt.split(" ", -1).filter(_.nonEmpty).distinct
+      val hs = ws.map(md5hex)
+      var sim = 0L
+      for (d <- 0 until 15; b <- 0 until 4)
+        if (2 * hs.count(h => ((Integer.parseInt(h.substring(d, d + 1), 16) >> b) & 1) == 1)
+            >= ws.length) sim |= 1L << (d * 4 + b)
+      sim
+    }
+    val ex = existing.select($"doc_id", slower($"text")).as[(Long, String)]
+      .collect().map { case (_, t) => sim60(t) }
+    val want = incoming.select($"doc_id", slower($"text")).as[(Long, String)]
+      .collect().filter { case (_, t) =>
+        val s = sim60(t); ex.exists(c => java.lang.Long.bitCount(s ^ c) <= 3)
+      }.map(_._1).toSet
+    assert(got == want, s"sim screen ${got.size} vs brute force ${want.size}")
+    Core.clearCaches(spark)
+  }
+
   test("EliminateRedundantDistinct removes array_distinct over word_shingles") {
     val df = spark.sql(
       "SELECT array_distinct(word_shingles('a b c d a b c d', 3)) AS s")

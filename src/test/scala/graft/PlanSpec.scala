@@ -504,9 +504,18 @@ class PlanSpec extends SparkSpec {
     // crossJoin-of-a-broadcast-1-row-aggregate (the N total).
     for (q <- Seq("q117_winnow_fingerprints", "q119_pmi_collocations",
         "q120_sorted_neighborhood", "q121_lm_filter_buckets",
-        "q122_curriculum_order", "q116_pagerank")) {
+        "q122_curriculum_order", "q116_pagerank", "q124_bpe_merge_apply",
+        "q127_entity_resolution", "q128_simhash_join",
+        "q129_dedup_report", "q130_cross_source_dups")) {
       val p = planOf(q)
-      val bnlAllowed = if (q == "q119_pmi_collocations") 1 else 0
+      val bnlAllowed = q match {
+        // documented crossJoin-of-a-broadcast-1-row-aggregate uses:
+        // q119's N total, q129's totals row, q124's top merge pair
+        // (the final round's — earlier rounds sit behind checkpoints)
+        case "q119_pmi_collocations" | "q129_dedup_report"
+           | "q124_bpe_merge_apply" => 1
+        case _ => 0
+      }
       // count physical nodes via the formatted-details header — the
       // tree rendering repeats each operator name
       val bnlNodes = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size
