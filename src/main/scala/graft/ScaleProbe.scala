@@ -202,7 +202,9 @@ object ScaleProbe {
       // buckets; verify is one integer op per candidate
       "q128_simhash_join",
       // q129 rides the memoized cluster labels (first consumer pays
-      // CC); q130 joins the bounded pair list to (doc, source)
+      // CC); q130 joins the bounded pair list to (doc, source).
+      // q131 is in the timeForced list below — a bare count() lets
+      // the optimizer eliminate its scrub join entirely.
       "q129_dedup_report", "q130_cross_source_dups"))
       .filter(q => only.forall(_.contains(q))).foreach(time)
     // wave-3 queries whose cost lives in agg expressions / join sides
@@ -227,6 +229,7 @@ object ScaleProbe {
     // count(clean_md5) forces the per-doc ordered rejoin + md5 witness
     // (the collect_list aggregate a bare count() would prune)
     timeForced("q113_span_scrub", ("clean_md5", "n_removed"))
+    timeForced("q131_decontaminate_scrub", ("clean_md5", "n_removed"))
     if (only.forall(_.contains("q88_canonical_dedup"))) {
       val t0 = System.nanoTime()
       // force the normalizer + keeper window: aggregate over BOTH

@@ -344,23 +344,54 @@ object Dedup {
         .select(col("doc_id"), col("pos"))
     }
 
-  /** Maximal duplicated spans per doc: [span_start, span_end] word
-    * ranges (0-based, inclusive). Two duplicated windows merge when
-    * their coverage overlaps or touches (start ≤ prev_end + 1, i.e.
-    * pos ≤ prev_max_pos + SpanK), so output ranges are disjoint and
-    * non-adjacent by construction. */
-  private def duplicateSpans(s: SparkSession, dir: String): DataFrame = {
+  /** Merge a (doc_id, pos) set of k-gram window STARTS into maximal
+    * [span_start, span_end] word ranges (0-based, inclusive). Two
+    * windows merge when their coverage overlaps or touches (start ≤
+    * prev_end + 1, i.e. pos ≤ prev_max_pos + k), so output ranges are
+    * disjoint and non-adjacent by construction. Shared by the
+    * duplicated-span queries (q112/q113) and surgical
+    * decontamination (q131). */
+  private[ops] def mergeSpans(starts: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    dupSpanStarts(s, dir)
+    starts
       .withColumn("pm",
         max(col("pos")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("new_span",
-        when(col("pm").isNull || col("pos") > col("pm") + SpanK, 1L).otherwise(0L))
+        when(col("pm").isNull || col("pos") > col("pm") + k, 1L).otherwise(0L))
       .withColumn("span_id", sum(col("new_span")).over(w))
       .groupBy(col("doc_id"), col("span_id"))
       .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + lit(SpanK - 1)).as("span_end"))
+        (max(col("pos")) + lit(k - 1)).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  private def duplicateSpans(s: SparkSession, dir: String): DataFrame =
+    mergeSpans(dupSpanStarts(s, dir), SpanK)
+
+  /** Cut the given spans out of each of `docs` and witness the result
+    * byte-exactly: (doc_id, n_words, n_kept, n_removed, clean_md5).
+    * q113's scrub body, shared with q131. */
+  private[ops] def scrubBySpans(s: SparkSession, docs: DataFrame,
+      spans: DataFrame): DataFrame = {
+    import s.implicits._
+    val covered = spans
+      .select($"doc_id", explode(sequence($"span_start", $"span_end")).as("pos"))
+    val toks = fanOut(s, docs)
+      .select($"doc_id", posexplode(split(lower($"text"), " ")).as(Seq("pos", "w")))
+    val scrubbed = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct($"pos", $"w"))),
+            x => x.getField("w")))).as("clean_md5"))
+    docs
+      .select($"doc_id", size(split(lower($"text"), " ")).as("n_words"))
+      .join(scrubbed, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_words",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        ($"n_words".cast("long") - coalesce($"n_kept", lit(0L))).as("n_removed"),
+        coalesce($"clean_md5", md5(lit(""))).as("clean_md5"))
+      .orderBy($"doc_id")
   }
 
   /** Shared oracle CTEs for the span queries: toks → positional gram
@@ -1322,27 +1353,8 @@ object Dedup {
     // rejoin groups (pos, word) pairs BY DOC KEY, so each task
     // reassembles whole documents locally. ----
     "q113_span_scrub" -> Q(
-      (s, dir) => {
-        import s.implicits._
-        val covered = duplicateSpans(s, dir)
-          .select($"doc_id", explode(sequence($"span_start", $"span_end")).as("pos"))
-        val toks = fanOut(s, table(s, dir, "documents"))
-          .select($"doc_id", posexplode(split(lower($"text"), " ")).as(Seq("pos", "w")))
-        val scrubbed = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
-          .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_kept"),
-            md5(concat_ws(" ",
-              transform(array_sort(collect_list(struct($"pos", $"w"))),
-                x => x.getField("w")))).as("clean_md5"))
-        table(s, dir, "documents")
-          .select($"doc_id", size(split(lower($"text"), " ")).as("n_words"))
-          .join(scrubbed, Seq("doc_id"), "left")
-          .select($"doc_id", $"n_words",
-            coalesce($"n_kept", lit(0L)).as("n_kept"),
-            ($"n_words".cast("long") - coalesce($"n_kept", lit(0L))).as("n_removed"),
-            coalesce($"clean_md5", md5(lit(""))).as("clean_md5"))
-          .orderBy($"doc_id")
-      },
+      (s, dir) => scrubBySpans(s, table(s, dir, "documents"),
+        duplicateSpans(s, dir)),
       Some(s"""$spanCtes,
         cov AS (SELECT doc_id, unnest(generate_series(span_start, span_end)) AS pos FROM spans),
         tk AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w

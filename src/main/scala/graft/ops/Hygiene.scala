@@ -247,6 +247,67 @@ object Hygiene {
           ${oRnd4("cast(h.n_hits as double) / t.n_shingles")} AS contamination
         FROM hits h JOIN tot t USING (doc_id) ORDER BY doc_id""")),
 
+    // ---- SURGICAL decontamination: instead of dropping a
+    // contaminated doc (q61's flag), cut exactly the benchmark-
+    // overlapping passages out of it and keep the rest — the
+    // span-level removal frontier pipelines actually run, because a
+    // long useful document shouldn't die for quoting one eval
+    // question. Positional 5-gram hashes (GramHashes) of the training
+    // side semi-join the benchmark gram set; matched window starts
+    // merge into maximal spans (q112's gaps-and-islands); the scrub
+    // is q113's anti-join + per-doc rejoin with a byte-exact md5
+    // witness. Scale: the semi-join shuffles 60-bit gram longs (q61's
+    // exchange class), spans are output-bounded, text never enters a
+    // hash shuffle. ----
+    "q131_decontaminate_scrub" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.GramHashes.register(s)
+        val docs = table(s, dir, "documents")
+        def grams(d: DataFrame): DataFrame = fanOut(s, d)
+          .select($"doc_id", posexplode(
+            graft.functions.GramHashes.gram_hashes(lower($"text"), 5))
+            .as(Seq("pos", "gh")))
+        val bench = grams(docs.filter(docGate($"doc_id") < BenchGate))
+          .select($"gh").distinct()
+        val train = docs.filter(docGate($"doc_id") >= BenchGate)
+        val starts = grams(train)
+          .join(bench, Seq("gh"), "left_semi")
+          .select($"doc_id", $"pos")
+        Dedup.scrubBySpans(s, train, Dedup.mergeSpans(starts, 5))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        g AS (SELECT doc_id, i - 1 AS pos,
+            CAST('0x' || substr(md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]), 1, 15) AS BIGINT) AS gh
+          FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i FROM toks)),
+        bench AS (SELECT DISTINCT gh FROM g WHERE $oDocGate < $BenchGate),
+        d AS (SELECT doc_id, pos FROM g
+          WHERE $oDocGate >= $BenchGate AND gh IN (SELECT gh FROM bench)),
+        m AS (SELECT doc_id, pos, max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM d),
+        isl AS (SELECT doc_id, pos, sum(CASE WHEN pm IS NULL OR pos > pm + 5 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM m),
+        spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
+          FROM isl GROUP BY doc_id, span_id),
+        cov AS (SELECT doc_id, unnest(generate_series(span_start, span_end)) AS pos FROM spans),
+        tk AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w
+          FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM toks)
+          WHERE $oDocGate >= $BenchGate),
+        kept AS (SELECT t.doc_id, t.pos, t.w FROM tk t
+          LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+          WHERE c.doc_id IS NULL),
+        ag AS (SELECT doc_id, count(*) AS n_kept,
+            md5(string_agg(w, ' ' ORDER BY pos)) AS clean_md5
+          FROM kept GROUP BY 1)
+        SELECT dd.doc_id,
+          cast(len(string_split(lower(dd.text), ' ')) as int) AS n_words,
+          coalesce(a.n_kept, 0) AS n_kept,
+          cast(len(string_split(lower(dd.text), ' ')) as bigint) - coalesce(a.n_kept, 0) AS n_removed,
+          coalesce(a.clean_md5, md5('')) AS clean_md5
+        FROM documents dd LEFT JOIN ag a ON a.doc_id = dd.doc_id
+        WHERE ${oDocGate.replace("doc_id", "dd.doc_id")} >= $BenchGate
+        ORDER BY dd.doc_id""")),
+
     // ---- repetition / boilerplate score: duplicate-trigram fraction
     // per doc (the Gopher-style repetition filter). One narrow codegen
     // pass — total trigrams is arithmetic on the word count, distinct

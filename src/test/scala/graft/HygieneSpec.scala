@@ -33,6 +33,41 @@ class HygieneSpec extends SparkSpec {
     Core.clearCaches(spark)
   }
 
+  test("q131 surgical decontamination: exactly the quoted passage is cut, clean docs untouched") {
+    import org.apache.spark.sql.SaveMode
+    def gate(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 4), 16)
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // pick real ids on each side of the md5 gate
+    val benchId = (1L to 2000L).find(gate(_) < 3277L).get
+    val trainIds = (1L to 2000L).filter(gate(_) >= 3277L).take(2)
+    val quote = "alpha bravo charlie delta echo"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    Seq(
+      benchId -> s"$quote f1 f2 f3 f4 f5",
+      trainIds(0) -> s"u1 u2 $quote v1 v2",        // quotes the benchmark
+      trainIds(1) -> "w1 w2 w3 w4 w5 w6 w7 w8")    // clean
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    Core.clearCaches(spark)
+    val got = SparkEntry.queries("q131_decontaminate_scrub")(spark, tmp)
+      .as[(Long, Int, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.keySet == trainIds.toSet, "only train docs are reported")
+    // the quoting doc loses exactly the 5 quoted words
+    assert(got(trainIds(0)) == ((9, 4L, 5L, md5hex("u1 u2 v1 v2"))))
+    // the clean doc is byte-identical
+    assert(got(trainIds(1)) == ((8, 8L, 0L, md5hex("w1 w2 w3 w4 w5 w6 w7 w8"))))
+    Core.clearCaches(spark)
+  }
+
   test("q61 decontamination: flagged docs truly share a 5-gram with the benchmark slice") {
     graft.functions.WordShingles.register(spark)
     val got = Hygiene.catalog("q61_decontamination").fn(spark, dir)
