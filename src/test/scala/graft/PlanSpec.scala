@@ -506,7 +506,8 @@ class PlanSpec extends SparkSpec {
         "q120_sorted_neighborhood", "q121_lm_filter_buckets",
         "q122_curriculum_order", "q116_pagerank", "q124_bpe_merge_apply",
         "q127_entity_resolution", "q128_simhash_join",
-        "q129_dedup_report", "q130_cross_source_dups")) {
+        "q129_dedup_report", "q130_cross_source_dups",
+        "q131_decontaminate_scrub")) {
       val p = planOf(q)
       val bnlAllowed = q match {
         // documented crossJoin-of-a-broadcast-1-row-aggregate uses:
