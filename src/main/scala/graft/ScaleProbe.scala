@@ -183,9 +183,9 @@ object ScaleProbe {
       // filter fused into the join — corpus streams once, anchors
       // bounded at 1024. Like q35 it is the ORACLE-EXACT baseline
       // (decimal dot over every anchor×corpus pair): cost is the
-      // documented exactness tax; the IVF route (q39) is the scale
-      // path when the corpus outgrows it
-      "q123_hard_negatives",
+      // documented exactness tax; q132 is the same semantics down the
+      // IVF route — O(anchors × probed-cell occupancy)
+      "q123_hard_negatives", "q132_hard_negatives_ivf",
       // q124: per round, one pair-count partial agg + 1-row broadcast
       // + per-doc windows; the token stream shuffles once per round
       // on doc_id (two ckpt materializations/round bound the plan)

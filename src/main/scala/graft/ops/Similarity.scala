@@ -414,6 +414,47 @@ object Similarity {
       },
       None),
 
+    // ---- IVF-routed hard-negative mining: q123's semantics down the
+    // q39 scale path — candidates come from the anchor's nprobe
+    // nearest IVF cells instead of the whole corpus, with the label
+    // inequality applied to cell members and a fast-path cosine
+    // re-rank. This is the documented production route once the
+    // corpus outgrows q123's exact broadcast scan (SCALE.md): work is
+    // O(anchors × probed-cell occupancy), not O(anchors × corpus).
+    // No oracle (float-trained centroids + fast-path dot);
+    // DedupSimSpec pins recall against q123's exact pairs. ----
+    "q132_hard_negatives_ivf" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val nprobe = 4
+        val all = normalized(s, dir)
+        val centroids = ivfCentroids(s, dir)
+        // nearestCell narrows to (vec_id, cid, unit); rejoin the label
+        // (narrow equi-join on the memoized frame)
+        val corpus = nearestCell(all, centroids)
+          .join(all.select($"vec_id", $"label"), Seq("vec_id"))
+        val queries = queryBatch(s, dir, all)
+          .join(broadcast(centroids))
+          .withColumn("sim", graft.functions.DotProduct.dot_fast($"unit", $"cvec"))
+          .withColumn("crn", row_number().over(
+            Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid")))
+          .filter($"crn" <= nprobe)
+          .select($"vec_id".as("qid"), $"label".as("qlabel"),
+            $"unit".as("qunit"), $"cid")
+        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid")
+        broadcast(queries).join(corpus, Seq("cid"))
+          .filter($"qid" =!= $"vec_id" && $"label" =!= $"qlabel")
+          .withColumn("cos", graft.functions.DotProduct.dot_fast($"qunit", $"unit"))
+          .select($"qid", $"qlabel", $"vec_id".as("vid"),
+            $"label".as("neg_label"), $"cos")
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" <= 3)
+          .select($"qid", $"qlabel", $"rn", $"vid", $"neg_label",
+            round($"cos", 4).as("cos"))
+          .orderBy($"qid", $"rn")
+      },
+      None),
+
     // ---- per-label element-wise mean via the VectorMean Aggregator;
     // exposed exploded so the DuckDB oracle can express it. Double sums
     // are rounded to 6 dp to absorb partition-order float noise. ----

@@ -520,6 +520,24 @@ class DedupSimSpec extends SparkSpec {
     Core.clearCaches(spark)
   }
 
+  test("q132 IVF hard negatives: usable recall of q123's exact pairs, labels always differ") {
+    val dir = "/root/testdata/sf0.001"
+    Core.clearCaches(spark)
+    val exact = SparkEntry.queries("q123_hard_negatives")(spark, dir)
+      .select($"qid", $"vid").as[(Long, Long)].collect().toSet
+    val rows = SparkEntry.queries("q132_hard_negatives_ivf")(spark, dir)
+      .as[(Long, Int, Int, Long, Int, Double)].collect()
+    rows.foreach { case (qid, ql, _, vid, nl, _) =>
+      assert(ql != nl, s"anchor $qid got same-label negative $vid") }
+    val ivf = rows.map(r => (r._1, r._4)).toSet
+    // same tiny-scale bound policy as q39's recall spec: nprobe cells
+    // over a ~200-vector corpus are noisy; the probe measures the
+    // real-scale curve
+    val recall = (exact & ivf).size.toDouble / exact.size.max(1)
+    assert(recall >= 0.4, s"IVF route recovered $recall of q123's exact negatives")
+    Core.clearCaches(spark)
+  }
+
   test("q127 entity resolution: near-twins cluster, longest record survives, singletons self-represent") {
     val dir = docsDir(Seq(
       1L -> base,
