@@ -854,6 +854,44 @@ object Dedup {
         JOIN sizes sb ON sb.doc_id=i.id_b
         ORDER BY i.id_a, i.id_b""")),
 
+    // ---- containment screen: the ASYMMETRIC complement to q32's
+    // Jaccard — containment(A in B) = |A∩B| / |A| catches the
+    // quote-heavy or wrapper page that CONTAINS another doc whole
+    // (Jaccard stays low when the container is much longer, so a
+    // symmetric threshold misses it; Broder's original resemblance
+    // paper treats containment as the second first-class measure).
+    // Same LSH-pruned candidate set and shingle-set arithmetic as
+    // q32, two divisions instead of one. ----
+    "q133_containment" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val sets = shingleRows(s, table(s, dir, "documents"))
+          .groupBy($"doc_id").agg(collect_set($"w").as("ws"))
+        lshPairs(s, dir)
+          .join(sets.select($"doc_id".as("id_a"), $"ws".as("wsa")), Seq("id_a"))
+          .join(sets.select($"doc_id".as("id_b"), $"ws".as("wsb")), Seq("id_b"))
+          .withColumn("c", size(array_intersect($"wsa", $"wsb")))
+          .select($"id_a", $"id_b",
+            rnd4($"c".cast("double") / size($"wsa")).as("cont_a_in_b"),
+            rnd4($"c".cast("double") / size($"wsb")).as("cont_b_in_a"))
+          .filter($"cont_a_in_b" >= 0.8 || $"cont_b_in_a" >= 0.8)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""$oracleCtes,
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+        inter AS (SELECT p.id_a, p.id_b, count(*) AS c FROM pairs p
+          JOIN shingles wa ON wa.doc_id=p.id_a
+          JOIN shingles wb ON wb.doc_id=p.id_b AND wb.w=wa.w
+          GROUP BY 1,2)
+        SELECT * FROM (
+          SELECT i.id_a, i.id_b,
+            floor(cast(i.c as double)/sa.n * 10000 + 0.5) / 10000.0 AS cont_a_in_b,
+            floor(cast(i.c as double)/sb.n * 10000 + 0.5) / 10000.0 AS cont_b_in_a
+          FROM inter i JOIN sizes sa ON sa.doc_id=i.id_a
+          JOIN sizes sb ON sb.doc_id=i.id_b)
+        WHERE cont_a_in_b >= 0.8 OR cont_b_in_a >= 0.8
+        ORDER BY id_a, id_b""")),
+
     // ---- dedup clusters: connected components over LSH pairs, each
     // doc labeled with its component's canonical (min) doc_id. Oracle
     // = transitive closure via recursive CTE. ----

@@ -489,6 +489,33 @@ class DedupSimSpec extends SparkSpec {
       "both lexical and semantic ranks must appear in the fused top-20")
   }
 
+  test("q133 containment: a contained doc reads 1.0 in its container while jaccard stays lower") {
+    // trim: base's trailing space would otherwise put an empty-token
+    // shingle in doc 1 that the suffixed doc 2 lacks
+    val small = base.trim
+    val dir = docsDir(Seq(
+      1L -> small,                 // contained whole in 2 (2 = 1 + suffix,
+      2L -> (small + " banana"),   // the LSH-caught near-twin shape)
+      3L -> "unrelated words about shuffle partitions and codegen stages here"))
+    Core.clearCaches(spark)
+    val got = SparkEntry.queries("q133_containment")(spark, dir)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    def shingles(t: String): Set[String] = {
+      val ws = t.toLowerCase.split(" ", -1)
+      (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val (sa, sb) = (shingles(small), shingles(small + " banana"))
+    val inter = (sa & sb).size
+    assert(got.keySet == Set((1L, 2L)))
+    // doc 1 is a prefix of doc 2: every shingle of 1 appears in 2
+    assert(got((1L, 2L))._1 == 1.0, "contained doc must read containment 1.0")
+    assert(got((1L, 2L))._2 ==
+      math.floor(inter.toDouble / sb.size * 10000 + 0.5) / 10000.0)
+    assert(got((1L, 2L))._2 < 1.0, "the container is not contained")
+    Core.clearCaches(spark)
+  }
+
   test("q128 simhash join: pigeonhole candidates find EVERY Hamming≤3 pair (brute-force complete)") {
     val dir = "/root/testdata/sf0.001"
     Core.clearCaches(spark)
