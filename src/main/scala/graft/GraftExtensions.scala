@@ -42,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bloom_contains", "bloom_contains(bloom, keyHash) - no-false-negative membership probe"),
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("sim_hash60"),
+      info("sim_hash60", "sim_hash60(str) - 60-bit majority-vote SimHash of the distinct words"),
+      (exprs: Seq[Expression]) => functions.SimHash60(exprs.head)))
     e.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(str, n) - distinct word n-gram shingles"),
       (exprs: Seq[Expression]) => functions.WordShingles(exprs.head,

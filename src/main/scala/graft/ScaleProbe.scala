@@ -201,6 +201,9 @@ object ScaleProbe {
       // rows; block-join fan-out is Σ occupancy² over 4 × 2^15
       // buckets; verify is one integer op per candidate
       "q128_simhash_join",
+      // q133: q32's exact shape with two divisions — candidates from
+      // the memoized LSH pairs, shingle sets joined as arrays
+      "q133_containment",
       // q129 rides the memoized cluster labels (first consumer pays
       // CC); q130 joins the bounded pair list to (doc, source).
       // q131 is in the timeForced list below — a bare count() lets

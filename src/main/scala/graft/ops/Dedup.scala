@@ -476,25 +476,18 @@ object Dedup {
 
   /** 60-bit majority-vote SimHash per doc (q128 / IndexStore sim
     * channel): 15 md5 hex digits × 4 bits over the doc's distinct
-    * words — 60 bits keeps every shift inside int64 in both engines. */
-  private[ops] def simhash60(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("w"))
-      .filter(length(col("w")) > 0)
-      .withColumn("h", md5(col("w")))
-      .withColumn("d", explode(sequence(lit(0), lit(14))))
-      .withColumn("hv", conv(expr("substr(h, d + 1, 1)"), 16, 10).cast("int"))
-      .groupBy(col("doc_id"), col("d")).agg(
-        count(lit(1)).as("cnt"),
-        sum(expr("hv & 1")).as("s0"), sum(expr("(hv >> 1) & 1")).as("s1"),
-        sum(expr("(hv >> 2) & 1")).as("s2"), sum(expr("(hv >> 3) & 1")).as("s3"))
-      .withColumn("nibble", expr("""
-        (CASE WHEN 2*s0 >= cnt THEN 1 ELSE 0 END) +
-        (CASE WHEN 2*s1 >= cnt THEN 2 ELSE 0 END) +
-        (CASE WHEN 2*s2 >= cnt THEN 4 ELSE 0 END) +
-        (CASE WHEN 2*s3 >= cnt THEN 8 ELSE 0 END)"""))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr("shiftleft(cast(nibble as bigint), d * 4)")).as("sim"))
+    * words — 60 bits keeps every shift inside int64 in both engines.
+    * One row-local codegen call (see the SimHash60 scaladoc for why
+    * this beats the explode + two-groupBy spelling: zero shuffle, and
+    * legal inside an append-mode streaming plan). Docs with no
+    * non-empty words drop out (NULL fingerprint), matching the
+    * declarative version's groupBy semantics. */
+  private[ops] def simhash60(docs: DataFrame): DataFrame = {
+    graft.functions.SimHash60.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+        graft.functions.SimHash60.sim_hash60(lower(col("text"))).as("sim"))
+      .filter(col("sim").isNotNull)
+  }
 
   /** The 4 × 15-bit pigeonhole block rows of a (doc_id, sim) frame. */
   private[ops] def simBlocks(sims: DataFrame): DataFrame =

@@ -159,6 +159,35 @@ object StreamingOps {
       event_type: String, value: Double)
   final case class UserAgg(user_id: Long, n: Long, total: Double)
 
+  final case class DocRow(doc_id: Long, text: String)
+
+  /** Stateless streaming sim-channel screen: keep only incoming docs
+    * whose 60-bit SimHash is NOT within Hamming distance 3 of any
+    * fingerprint in the stored sim-block index (IndexStore's
+    * `sim_blocks` artifact) — the streaming mirror of
+    * `IndexStore.screenBatchSim`, dropping term-distribution twins at
+    * ingest. The fingerprint is the row-local SimHash60 codegen call
+    * (legal in append mode — a groupBy-based fingerprint would not
+    * be); each pigeonhole block is one stream-static LEFT ANTI join
+    * whose condition carries the exact bit_count verify, so a doc
+    * within Hamming ≤ 3 shares ≥1 block and is removed by that
+    * block's join. Docs with no words keep (null fingerprint never
+    * matches). */
+  def screenIncomingSim(incoming: DataFrame, simBlocks: DataFrame): DataFrame = {
+    val s = incoming.sparkSession
+    graft.functions.SimHash60.register(s)
+    var df = incoming.withColumn("sim",
+      graft.functions.SimHash60.sim_hash60(lower(col("text"))))
+    for (b <- 0 until 4) {
+      val idx = simBlocks.filter(col("b") === b)
+        .select(col("bv").as(s"ibv$b"), col("sim").as(s"isim$b"))
+      df = df.join(idx,
+        expr(s"((sim >> ${b * 15}) & 32767) = ibv$b AND bit_count(sim ^ isim$b) <= 3"),
+        "left_anti")
+    }
+    df.select(incoming.columns.map(col): _*)
+  }
+
   final case class SessionSeq(user_id: Long, session_id: Long,
       n_events: Long, seq: String)
   final case class SessState(nextId: Long, lastUs: Long,

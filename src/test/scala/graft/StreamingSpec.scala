@@ -233,6 +233,34 @@ class StreamingSpec extends SparkSpec {
         s"diff=${(kept diff batchKeep) ++ (batchKeep diff kept)}")
   }
 
+  test("streaming sim screen ≡ stored-index batch screen (keeps the non-near-dup slice)") {
+    import org.apache.spark.sql.functions.{conv, substring, md5}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft-simstream").toString
+    val docs = Core.table(spark, dir, "documents")
+    val gate = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10).cast("long")
+    graft.ops.IndexStore.write(spark, docs.filter(gate < 58982), out)
+    val incoming = docs.filter(gate >= 58982)
+      .select($"doc_id", $"text").as[StreamingOps.DocRow].collect()
+    val stream = MemoryStream[StreamingOps.DocRow]
+    val simIdx = spark.read.parquet(s"$out/sim_blocks")
+    val q = StreamingOps.screenIncomingSim(stream.toDF(), simIdx)
+      .writeStream.format("memory").queryName("sim_screen")
+      .outputMode("append").start()
+    stream.addData(incoming.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("sim_screen").select($"doc_id").as[Long].collect().toSet
+    val flagged = graft.ops.IndexStore
+      .screenBatchSim(spark, out, docs.filter(gate >= 58982))
+      .as[Long].collect().toSet
+    val want = incoming.map(_.doc_id).toSet -- flagged
+    assert(kept == want,
+      s"streaming kept ${kept.size}, batch screen implies ${want.size}")
+    Core.clearCaches(spark)
+  }
+
   test("streaming quality gate applies the snapshot thresholds exactly (≡ batch keep set)") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
