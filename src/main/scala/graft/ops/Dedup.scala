@@ -498,16 +498,86 @@ object Dedup {
   /** Sorted-neighborhood candidate pairs (q120/q127): each doc paired
     * with its next [[SnW]] neighbors in the (normalized 24-char text
     * prefix, doc_id) sort order. id_a precedes id_b in SORT order, not
-    * necessarily numerically. */
+    * necessarily numerically. Routed through the range-partitioned
+    * [[snPairs]] — the scale-safe spelling; [[snCandidatesWindowRef]]
+    * keeps the one-window reference spelling that DedupSimSpec pins
+    * this against. */
   private val SnW = 3
-  private def snCandidates(s: SparkSession, dir: String): DataFrame = {
-    val docs = table(s, dir, "documents").select(col("doc_id"),
+  private[graft] def snKeyed(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"),
       substring(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), 1, 24).as("snk"))
+  private def snCandidates(s: SparkSession, dir: String): DataFrame =
+    snPairs(snKeyed(s, dir), SnW)
+
+  /** Reference spelling of the sliding-window pairing: ONE global
+    * `Window.orderBy` — a single-partition external sort of the whole
+    * corpus, correct but not scale-safe. It anchors the DuckDB oracle
+    * (same `lead()` SQL) and the DedupSimSpec equality pin for
+    * [[snPairs]]; catalog queries never run it. */
+  private[graft] def snCandidatesWindowRef(s: SparkSession, dir: String): DataFrame = {
     val ord = Window.orderBy(col("snk"), col("doc_id"))
-    (1 to SnW).map(o => docs
+    (1 to SnW).map(o => snKeyed(s, dir)
         .select(col("doc_id").as("id_a"), lead(col("doc_id"), o).over(ord).as("id_b")))
       .reduce(_ unionByName _)
       .filter(col("id_b").isNotNull)
+  }
+
+  /** Scale-safe sliding-window pairing over the (snk, doc_id) total
+    * order — the range-partitioned shape the q120 scaladoc described
+    * and production needs (Hernández/Stolfo '95 run on a sorted file,
+    * not in one task's memory):
+    *
+    *  1. `repartitionByRange(snk, doc_id)` — a full-parallelism range
+    *     shuffle, the same exchange class as q73's shard sort;
+    *     `localCheckpoint` pins the sampled range boundaries so both
+    *     consumers below see identical pid assignments. (No
+    *     `sortWithinPartitions` here: the windows below sort their own
+    *     pid-groups, so a pre-sort would be paid twice.)
+    *  2. In-partition pairs from a PARTITION-LOCAL window keyed on the
+    *     physical partition id — each task sorts only its own range.
+    *  3. Boundary pairs from the first/last `w` rows of every
+    *     partition (≤ 2·w·P rows total, independent of corpus size): a
+    *     global window over that bounded frame recovers exactly the
+    *     pairs that straddle a range boundary, and the
+    *     `pid_a =!= pid_b` strip drops the in-partition duplicates.
+    *
+    * Why the strip is exact: a pair (a,b) at offset o ≤ w crosses a
+    * boundary only if a is within w rows of its partition's end and b
+    * within w rows of a later partition's start (cascading through
+    * partitions shorter than w, all of whose rows are in the frame) —
+    * so every crossing pair appears in the boundary frame with all its
+    * intervening rows present, and `lead(o)` there equals `lead(o)`
+    * over the full order. Anchors deeper than w from the end can reach
+    * only same-pid frame rows within w steps, which the strip drops.
+    * DedupSimSpec pins set-equality against [[snCandidatesWindowRef]];
+    * PlanSpec allowlists the bounded boundary window. */
+  private[graft] def snPairs(keyed: DataFrame, w: Int): DataFrame = {
+    val s = keyed.sparkSession
+    val p = s.sessionState.conf.numShufflePartitions
+    val parted = keyed
+      .repartitionByRange(p, col("snk"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wPart = Window.partitionBy(col("pid")).orderBy(col("snk"), col("doc_id"))
+    val inPart = (1 to w).map(o => parted
+        .select(col("doc_id").as("id_a"), lead(col("doc_id"), o).over(wPart).as("id_b")))
+      .reduce(_ unionByName _)
+      .filter(col("id_b").isNotNull)
+    val edge = parted
+      .withColumn("rn", row_number().over(wPart))
+      .withColumn("rnd", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("snk").desc, col("doc_id").desc)))
+      .filter(col("rn") <= w || col("rnd") <= w)
+      .select(col("doc_id"), col("snk"), col("pid"))
+    val wEdge = Window.orderBy(col("snk"), col("doc_id")) // ≤ 2·w·P rows
+    val cross = (1 to w).map(o => edge.select(
+        col("doc_id").as("id_a"), col("pid").as("pid_a"),
+        lead(col("doc_id"), o).over(wEdge).as("id_b"),
+        lead(col("pid"), o).over(wEdge).as("pid_b")))
+      .reduce(_ unionByName _)
+      .filter(col("id_b").isNotNull && col("pid_a") =!= col("pid_b"))
+      .select(col("id_a"), col("id_b"))
+    inPart.unionByName(cross)
   }
 
   /** Shared q120/q127 oracle CTEs: `snd` sort keys → `cands`. */
@@ -650,14 +720,14 @@ object Dedup {
     // compare only records within a sliding window of the sort. One
     // total sort + lead() candidates + exact token-Jaccard verify; no
     // hashing, catches prefix-sharing near-dups LSH bands can miss at
-    // low shingle overlap. Scale: the sort is a range partition (the
-    // same exchange class as q73's shard sort); candidates are
-    // window-local (W−1 per row, text NOT carried — pairs are id/key
-    // rows joined back to word sets); the verify is bounded by W·n.
-    // The global window here mirrors production's range-partitioned
-    // sort: neighbors within a partition see each other, and at the
-    // boundaries a W-row overlap region (sortWithinPartitions +
-    // per-boundary duplicate strip) restores exactness. ----
+    // low shingle overlap. Scale: the sort IS a range partition now —
+    // snPairs runs partition-local windows over repartitionByRange
+    // output plus a bounded first/last-W boundary frame (≤ 2·W·P rows)
+    // whose pid-strip restores exactness; candidates are window-local
+    // (W−1 per row, text NOT carried — pairs are id/key rows joined
+    // back to word sets); the verify is bounded by W·n. The one-window
+    // spelling survives only as snCandidatesWindowRef, the
+    // DedupSimSpec equality anchor. ----
     "q120_sorted_neighborhood" -> Q(
       (s, dir) => {
         import s.implicits._

@@ -81,7 +81,7 @@ object Similarity {
     * broadcast-join the ≤[[MaxQueryBatch]]-row cached id set against
     * their (already memoized) feature frame, so per-query work is one
     * map-side semi-join, not a global sort. */
-  private val MaxQueryBatch = 1024
+  private[graft] val MaxQueryBatch = 1024
   private def queryIds(s: SparkSession, dir: String): DataFrame =
     memo(s, s"similarity.queryIds:$dir") {
       table(s, dir, "embeddings")

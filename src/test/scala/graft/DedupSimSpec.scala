@@ -726,4 +726,36 @@ class DedupSimSpec extends SparkSpec {
     assert(joined.filter($"want".isNull || $"got".isNull ||
       $"want" =!= $"got".cast("string")).count() == 0)
   }
+
+  test("snPairs (range-partitioned) equals the global-window reference spelling") {
+    // real corpus: many docs spread over all 32 range partitions, so
+    // boundary pairs genuinely cross partitions
+    val dir = "/root/testdata/sf0.01"
+    val ref = ops.Dedup.snCandidatesWindowRef(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    val fast = ops.Dedup.snPairs(ops.Dedup.snKeyed(spark, dir), 3)
+      .as[(Long, Long)].collect().toSet
+    assert(ref.nonEmpty && fast == ref,
+      s"range-partitioned SN pairs diverge: missing=${(ref -- fast).take(5)} extra=${(fast -- ref).take(5)}")
+    // degenerate corpus: fewer docs than shuffle partitions, so most
+    // range partitions hold 0–1 rows and the boundary cascade (frame
+    // rows pulled through short/empty partitions) carries every pair
+    val tiny = docsDir((1 to 8).map(i => i.toLong -> s"doc number $i words ${"x " * i}"))
+    val refT = ops.Dedup.snCandidatesWindowRef(spark, tiny).as[(Long, Long)].collect().toSet
+    val fastT = ops.Dedup.snPairs(ops.Dedup.snKeyed(spark, tiny), 3).as[(Long, Long)].collect().toSet
+    assert(refT.nonEmpty && fastT == refT)
+  }
+
+  test("kNN query batch cap is not binding at any test SF (oracle stays exact)") {
+    // q35's oracle mirrors only the %50 gate; the md5-rank limit
+    // (MaxQueryBatch) must therefore never trigger on test fixtures,
+    // or engine and oracle silently desynchronize. Assert it for every
+    // SF the driver or specs run against.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val n = Core.table(spark, s"/root/testdata/$sf", "embeddings")
+        .filter($"vec_id" % 50 === 0).count()
+      assert(n < ops.Similarity.MaxQueryBatch,
+        s"$sf: ${n} query ids ≥ cap ${ops.Similarity.MaxQueryBatch} — cap now binds, oracle desyncs")
+    }
+  }
 }
