@@ -130,6 +130,32 @@ object Training {
     sb.toString
   }
 
+  /** Web-scale spelling of q122's curriculum staging: the global
+    * ntile(3) tercile window is replaced by two approx-quantile cut
+    * points (q66's mergeable sketch — a partial+final aggregate)
+    * broadcast as a 1-row frame, making stage assignment row-local;
+    * the within-stage shuffle windows partition by stage exactly as
+    * in the anchor. Divergence is confined to the cut line (tie
+    * groups + sketch rank error); OpsSpec pins ≥95% per-doc stage
+    * agreement and that positions are a correct per-stage md5-rank
+    * permutation. The catalog q122 stays the oracle-checked ntile
+    * spelling. */
+  def curriculumOrderScalable(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val scored = TextOps.scoredDocs(s, dir).select(col("doc_id"), col("quality_score"))
+    val cuts = scored.agg(percentile_approx(col("quality_score"),
+        array(lit(2.0 / 3), lit(1.0 / 3)), lit(10000)).as("c"))
+      .select(col("c")(0).as("t1"), col("c")(1).as("t2"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("stage",
+        when(col("quality_score") >= col("t1"), 1)
+          .when(col("quality_score") >= col("t2"), 2).otherwise(3))
+      .withColumn("rk", md5(col("doc_id").cast("string")))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("stage")).orderBy(col("rk"), col("doc_id"))))
+      .select(col("doc_id"), col("stage"), col("pos"))
+      .orderBy(col("stage"), col("pos"))
+  }
+
   val catalog: Map[String, Q] = Map(
 
     // ---- BPE merge application: the token stream after BpeRounds
@@ -230,9 +256,11 @@ object Training {
     // scoredDocs pass; ranking uses the rnd4-rounded score with
     // doc_id ties so the stage cut is engine-stable. Scale: the
     // tercile ntile is one global window over narrow (score, id) rows
-    // — at web scale the cut comes from two broadcast approx-quantile
-    // thresholds (q66's sketch) instead; the within-stage position
-    // windows partition by stage. ----
+    // — it survives here as the ORACLE anchor, while
+    // curriculumOrderScalable is the web-scale spelling (two
+    // broadcast approx-quantile thresholds from q66's sketch; the
+    // within-stage position windows partition by stage either way),
+    // agreement-pinned in OpsSpec and A/B'd by the probe. ----
     "q122_curriculum_order" -> Q(
       (s, dir) => {
         import s.implicits._

@@ -105,6 +105,53 @@ class OpsSpec extends SparkSpec {
       s"median mismatch: got $got vs driver-side $expect")
   }
 
+  test("TextOps.lmBucketsScalable agrees with the q121 ntile buckets") {
+    val dir = "/root/testdata/sf0.01"
+    val anchor = SparkEntry.queries("q121_lm_filter_buckets")(spark, dir)
+      .select($"doc_id", $"bucket").as[(Long, String)].collect().toMap
+    val fastRows = ops.TextOps.lmBucketsScalable(spark, dir)
+      .select($"doc_id", $"mean_logp", $"bucket", $"keep")
+      .as[(Long, Double, String, Int)].collect()
+    assert(fastRows.map(_._1).toSet == anchor.keySet, "doc sets diverge")
+    val agree = fastRows.count { case (id, _, b, _) => anchor(id) == b }
+      .toDouble / anchor.size
+    assert(agree >= 0.95,
+      s"threshold buckets agree with ntile on only ${agree * 100}%% of docs")
+    // construction invariants: all three buckets populated, buckets
+    // strictly monotone in score (thresholds keep tie groups
+    // together, so the bucket boundaries cannot interleave), and keep
+    // is exactly the head+middle gate
+    val byB = fastRows.groupBy(_._3)
+    assert(Set("head", "middle", "tail") == byB.keySet)
+    assert(byB("head").map(_._2).min > byB("middle").map(_._2).max)
+    assert(byB("middle").map(_._2).min > byB("tail").map(_._2).max)
+    assert(fastRows.forall { case (_, _, b, k) => (b != "tail") == (k == 1) })
+  }
+
+  test("Training.curriculumOrderScalable agrees with the q122 ntile stages") {
+    val dir = "/root/testdata/sf0.01"
+    val anchor = SparkEntry.queries("q122_curriculum_order")(spark, dir)
+      .select($"doc_id", $"stage").as[(Long, Int)].collect().toMap
+    val fast = ops.Training.curriculumOrderScalable(spark, dir)
+      .select($"doc_id", $"stage", $"pos").as[(Long, Int, Int)].collect()
+    assert(fast.map(_._1).toSet == anchor.keySet, "doc sets diverge")
+    val agree = fast.count { case (id, st, _) => anchor(id) == st }
+      .toDouble / anchor.size
+    assert(agree >= 0.95,
+      s"threshold stages agree with ntile on only ${agree * 100}%% of docs")
+    // within each stage the positions are a complete 1..n permutation
+    // in md5-rank order (same in-stage shuffle as the anchor)
+    fast.groupBy(_._2).foreach { case (st, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"stage $st positions are not 1..${rows.length}")
+      def hex(id: Long) = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val want = rows.map(_._1).sortBy(id => (hex(id), id))
+      assert(rows.sortBy(_._3).map(_._1).toSeq == want.toSeq,
+        s"stage $st order is not the md5-rank shuffle")
+    }
+  }
+
   test("q119 PMI: scores match a driver-side recompute from raw bigram counts") {
     val dir = "/root/testdata/sf0.001"
     Core.clearCaches(spark)
