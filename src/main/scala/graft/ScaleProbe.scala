@@ -279,6 +279,44 @@ object ScaleProbe {
       }
     }
 
+    // round-5 de-weak A/Bs — each scalable spelling vs its window
+    // anchor (the anchor numbers come from the catalog entries above:
+    // q120 now RUNS snPairs, so sn_window_ref is the old baseline;
+    // q121/q122/q116 still run the anchor spellings)
+    if (only.forall(_.contains("sn_window_ref"))) {
+      timeNamed("sn_window_ref") {
+        ops.Dedup.snCandidatesWindowRef(spark, dst).count()
+      }
+    }
+    if (only.forall(_.contains("sn_pairs_scalable"))) {
+      timeNamed("sn_pairs_scalable") {
+        ops.Dedup.snPairs(ops.Dedup.snKeyed(spark, dst), 3).count()
+      }
+    }
+    if (only.forall(_.contains("lm_buckets_scalable"))) {
+      timeNamed("lm_buckets_scalable") {
+        // aggregate the computed column: a bare count() would prune
+        // the bucket assignment entirely (q88's lesson)
+        ops.TextOps.lmBucketsScalable(spark, dst)
+          .agg(sum(col("keep"))).head().getLong(0)
+      }
+    }
+    if (only.forall(_.contains("curriculum_scalable"))) {
+      timeNamed("curriculum_scalable") {
+        val r = ops.Training.curriculumOrderScalable(spark, dst)
+          .agg(max(col("pos")).as("mp"), sum(col("stage")).as("ss")).head()
+        r.getLong(1)
+      }
+    }
+    // q116's above-broadcast-bound arm: edges partitioned by SRC, the
+    // n-row rank frame shuffles onto them each round (the gate flips
+    // here past PrBroadcastMaxDocs docs; forced for the measurement)
+    if (only.forall(_.contains("pagerank_shuffle"))) {
+      timeNamed("pagerank_shuffle") {
+        ops.Dedup.pagerank(spark, dst, forceShuffle = true).count()
+      }
+    }
+
     // persisted IndexStore at probe scale (VERDICT r3 "next round" #5):
     // q71 proves the incremental-dedup SHAPE against the in-session
     // memo; this measures the operational contract — build the index

@@ -616,7 +616,19 @@ object Dedup {
   private val PrT = 1000000000L
   private val PrIters = 10
 
-  private def pagerank(s: SparkSession, dir: String): DataFrame = {
+  /** Above this corpus size the per-round rank broadcast (~16 bytes
+    * a doc, ~1.6 GB plain at the bound) stops being safe for the
+    * driver/executor broadcast path, and [[pagerank]] flips the rank
+    * join to the shuffle spelling. DedupSimSpec pins that both
+    * spellings produce identical integer ranks; the probe forces the
+    * shuffle path at 100× for a measured number (SCALE.md). */
+  private[graft] val PrBroadcastMaxDocs = 100000000L
+
+  private def pagerank(s: SparkSession, dir: String): DataFrame =
+    pagerank(s, dir, forceShuffle = false)
+
+  private[graft] def pagerank(s: SparkSession, dir: String,
+      forceShuffle: Boolean): DataFrame = {
     import s.implicits._
     def ckpt(df: DataFrame): DataFrame =
       df.localCheckpoint().select(df.columns.map(c => col(c).as(c)): _*)
@@ -625,28 +637,38 @@ object Dedup {
     val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
       .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
     val degs = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-    // The edge list is partitioned by DST once and checkpointed (the
-    // partitioning survives the checkpoint), and the rank frame — one
-    // (long, long) row per doc, orders of magnitude smaller than the
-    // edge list — is BROADCAST each round. The per-round contrib
-    // aggregation then needs NO edge shuffle at all: the broadcast
-    // join is map-side and groupBy(dst) lands on the existing
-    // partitioning. 10 rounds × zero 50M-row exchanges instead of
-    // 10 × (edge join shuffle + contrib shuffle) — measured 221 s →
-    // (see SCALE.md) at the 100× probe. Broadcasting ranks is right
-    // up to ~100M docs (~1.6 GB plain); past that flip the join back
-    // to the shuffle spelling — the partitioning stays valid.
-    val edgeDeg = ckpt(edges.join(degs, Seq("src")).repartition($"dst"))
+    // SIZE-GATED rank join, two spellings with bit-identical integer
+    // output (every op is exact 64-bit arithmetic; integer sums are
+    // order-independent):
+    //  - broadcast (≤ PrBroadcastMaxDocs): edge list partitioned by
+    //    DST once and checkpointed, the (long, long) rank frame —
+    //    orders of magnitude smaller than the edge list — broadcast
+    //    each round. The per-round contrib aggregation then needs NO
+    //    edge shuffle at all: the join is map-side and groupBy(dst)
+    //    lands on the existing partitioning. 10 rounds × zero 50M-row
+    //    exchanges — measured 221 s → 167 s at the 100× probe.
+    //  - shuffle (beyond the broadcast bound — billions of docs):
+    //    edge list partitioned by SRC once and checkpointed; each
+    //    round shuffles only the n-row rank frame onto that
+    //    partitioning (the checkpointed edges never move) and the
+    //    contrib groupBy partial-aggregates map-side before its
+    //    narrow (dst, c) exchange. Per-round cost is O(n) rank rows +
+    //    O(partial contribs), never O(edges).
     // loop invariants materialized ONCE: the dangling-doc id set and
     // the 1-row corpus count (recomputing either inside the loop costs
-    // an extra anti-join / agg job per iteration)
+    // an extra anti-join / agg job per iteration); the count doubles
+    // as the broadcast-vs-shuffle gate input
     val dangIds = ckpt(docs.join(
       degs.select($"src".as("doc_id")), Seq("doc_id"), "left_anti"))
     val nDocs = ckpt(docs.agg(count(lit(1)).as("n")))
+    val useBroadcast = !forceShuffle && nDocs.head().getLong(0) <= PrBroadcastMaxDocs
+    val edgeDeg = ckpt(edges.join(degs, Seq("src"))
+      .repartition(if (useBroadcast) $"dst" else $"src"))
     var r = docs.select($"doc_id", lit(PrT).as("r"))
     for (_ <- 1 to PrIters) {
+      val rSrc = r.withColumnRenamed("doc_id", "src")
       val contrib = edgeDeg
-        .join(broadcast(r.withColumnRenamed("doc_id", "src")), Seq("src"))
+        .join(if (useBroadcast) broadcast(rSrc) else rSrc, Seq("src"))
         .select($"dst".as("doc_id"), expr("r div deg").as("c"))
         .groupBy($"doc_id").agg(sum($"c").as("contrib"))
       val dang = r.join(dangIds, Seq("doc_id"), "left_semi")

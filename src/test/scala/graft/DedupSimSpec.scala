@@ -708,6 +708,19 @@ class DedupSimSpec extends SparkSpec {
     Core.clearCaches(spark)
   }
 
+  test("pagerank shuffle spelling equals the broadcast spelling bit-for-bit") {
+    // the size gate flips the rank join past PrBroadcastMaxDocs docs;
+    // both spellings are exact 64-bit integer arithmetic, so the flip
+    // must be invisible in the output
+    val dir = "/root/testdata/sf0.001"
+    val bc = ops.Dedup.pagerank(spark, dir, forceShuffle = false)
+      .as[(Long, Long)].collect().toMap
+    val sh = ops.Dedup.pagerank(spark, dir, forceShuffle = true)
+      .as[(Long, Long)].collect().toMap
+    assert(bc.nonEmpty && sh == bc,
+      "forced shuffle rank join diverged from the broadcast spelling")
+  }
+
   test("gram_hashes matches the SQL md5-prefix formulation position by position") {
     graft.functions.GramHashes.register(spark)
     import org.apache.spark.sql.functions._
