@@ -540,6 +540,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "q123 must not shuffle a Cartesian")
   }
 
+  test("no catalog query plans an unpartitioned window outside the documented bounded set") {
+    // The executable form of the r4 verdict's WindowExec invariant: a
+    // Window with an empty partitionSpec funnels its whole input
+    // through ONE task's external sort — fatal at corpus scale unless
+    // the input is provably bounded. Every catalog query must either
+    // plan zero unpartitioned windows or appear here with the reason
+    // its frames stay small. (Same durability move as CODEGEN_ONLY:
+    // the warning in the test log becomes a failing gate.)
+    // (q127 shares q120's snPairs boundary windows, but they sit
+    // behind the connected-components checkpoint and never appear in
+    // its final plan)
+    val bounded: Map[String, (Int, String)] = Map(
+      "q115_hybrid_rrf" -> ((2,
+        "both rank windows run over the two top-100 TakeOrdered frames")),
+      "q120_sorted_neighborhood" -> ((3,
+        "snPairs boundary windows see ≤ 2·W·numPartitions rows (first/last-W frame)")),
+      "q121_lm_filter_buckets" -> ((1,
+        "ntile ORACLE anchor; lmBucketsScalable is the broadcast-threshold scale path")),
+      "q122_curriculum_order" -> ((1,
+        "ntile ORACLE anchor; curriculumOrderScalable is the broadcast-threshold scale path")))
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val n = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
+        .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        .size
+      if (n > 0) Some(q -> n) else None
+    }.toMap
+    val unexpected = offenders.filter { case (q, n) =>
+      !bounded.get(q).exists(_._1 == n) }
+    assert(unexpected.isEmpty,
+      s"unpartitioned corpus windows beyond the documented bounded set: " +
+        s"${unexpected.toSeq.sorted.map { case (q, n) => s"$q($n)" }}")
+    val stale = bounded.keySet -- offenders.keySet
+    assert(stale.isEmpty,
+      s"allowlist entries no longer needed (remove them): ${stale.toSeq.sorted}")
+  }
+
   test("q107 SCD2 merge: one equi-join feeds all three merge branches") {
     val p = planOf("q107_scd2_merge")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
