@@ -616,6 +616,44 @@ object Dedup {
   private val PrT = 1000000000L
   private val PrIters = 10
 
+  /** q133's body, parameterized by the candidate-pair frame so the
+    * SAME dataflow runs from the session-memoized lshPairs (catalog,
+    * oracle-checked) or from [[IndexStore.pairsFromStore]]'s persisted
+    * band index (the cold-session operational path — no re-minhash of
+    * the corpus). DedupSimSpec pins both routes equal. */
+  private[ops] def containmentScreen(s: SparkSession, dir: String,
+      pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val sets = shingleRows(s, table(s, dir, "documents"))
+      .groupBy($"doc_id").agg(collect_set($"w").as("ws"))
+    pairs
+      .join(sets.select($"doc_id".as("id_a"), $"ws".as("wsa")), Seq("id_a"))
+      .join(sets.select($"doc_id".as("id_b"), $"ws".as("wsb")), Seq("id_b"))
+      .withColumn("c", size(array_intersect($"wsa", $"wsb")))
+      .select($"id_a", $"id_b",
+        rnd4($"c".cast("double") / size($"wsa")).as("cont_a_in_b"),
+        rnd4($"c".cast("double") / size($"wsb")).as("cont_b_in_a"))
+      .filter($"cont_a_in_b" >= 0.8 || $"cont_b_in_a" >= 0.8)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** q129's body, parameterized by the cluster-label frame (catalog
+    * passes the session memo; [[IndexStore.reportFromStore]] passes
+    * labels contracted from the persisted band index). */
+  private[ops] def dedupReportFrom(s: SparkSession, labels: DataFrame): DataFrame = {
+    import s.implicits._
+    val sizes = labels
+      .groupBy($"cluster_id").agg(count(lit(1)).as("k"))
+    val totals = sizes.agg(
+      sum($"k").as("n_docs"), count(lit(1)).as("n_clusters"))
+    sizes.groupBy($"k").agg(count(lit(1)).as("n_clusters_of_k"))
+      .crossJoin(broadcast(totals))
+      .select($"k", $"n_clusters_of_k",
+        ($"k" * $"n_clusters_of_k").as("docs_covered"),
+        rnd4($"n_docs".cast("double") / $"n_clusters").as("dup_factor"))
+      .orderBy($"k")
+  }
+
   /** Above this corpus size the per-round rank broadcast (~16 bytes
     * a doc, ~1.6 GB plain at the bound) stops being safe for the
     * driver/executor broadcast path, and [[pagerank]] flips the rank
@@ -948,20 +986,7 @@ object Dedup {
     // Same LSH-pruned candidate set and shingle-set arithmetic as
     // q32, two divisions instead of one. ----
     "q133_containment" -> Q(
-      (s, dir) => {
-        import s.implicits._
-        val sets = shingleRows(s, table(s, dir, "documents"))
-          .groupBy($"doc_id").agg(collect_set($"w").as("ws"))
-        lshPairs(s, dir)
-          .join(sets.select($"doc_id".as("id_a"), $"ws".as("wsa")), Seq("id_a"))
-          .join(sets.select($"doc_id".as("id_b"), $"ws".as("wsb")), Seq("id_b"))
-          .withColumn("c", size(array_intersect($"wsa", $"wsb")))
-          .select($"id_a", $"id_b",
-            rnd4($"c".cast("double") / size($"wsa")).as("cont_a_in_b"),
-            rnd4($"c".cast("double") / size($"wsb")).as("cont_b_in_a"))
-          .filter($"cont_a_in_b" >= 0.8 || $"cont_b_in_a" >= 0.8)
-          .orderBy($"id_a", $"id_b")
-      },
+      (s, dir) => containmentScreen(s, dir, lshPairs(s, dir)),
       Some(s"""$oracleCtes,
         sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
         inter AS (SELECT p.id_a, p.id_b, count(*) AS c FROM pairs p
@@ -1002,19 +1027,7 @@ object Dedup {
     // labels; everything after is two partial aggs over O(clusters)
     // rows + a 1-row broadcast ratio. ----
     "q129_dedup_report" -> Q(
-      (s, dir) => {
-        import s.implicits._
-        val sizes = clusterLabels(s, dir)
-          .groupBy($"cluster_id").agg(count(lit(1)).as("k"))
-        val totals = sizes.agg(
-          sum($"k").as("n_docs"), count(lit(1)).as("n_clusters"))
-        sizes.groupBy($"k").agg(count(lit(1)).as("n_clusters_of_k"))
-          .crossJoin(broadcast(totals))
-          .select($"k", $"n_clusters_of_k",
-            ($"k" * $"n_clusters_of_k").as("docs_covered"),
-            rnd4($"n_docs".cast("double") / $"n_clusters").as("dup_factor"))
-          .orderBy($"k")
-      },
+      (s, dir) => dedupReportFrom(s, clusterLabels(s, dir)),
       Some(oracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
           UNION ALL SELECT id_b, id_a FROM pairs),

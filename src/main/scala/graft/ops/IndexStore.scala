@@ -92,6 +92,40 @@ object IndexStore {
       .orderBy($"doc_id")
   }
 
+  /** Candidate near-dup pairs reconstructed from the STORED band index
+    * alone — the same self-join + distinct as Dedup.lshPairs over the
+    * same md5-base band rows, so the pair set is IDENTICAL, but a cold
+    * session pays a band-partitioned parquet read instead of
+    * re-shingling and re-minhashing the whole corpus. This is the
+    * operational input for the pair-consuming reports below: index
+    * once per snapshot, report from the artifacts. */
+  def pairsFromStore(s: SparkSession, indexDir: String): DataFrame = {
+    import s.implicits._
+    val b = s.read.parquet(s"$indexDir/band_keys")
+    b.as("a").join(b.as("b"),
+        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+  }
+
+  /** q133's containment screen fed from the stored band index: the
+    * shingle-set verify still reads the corpus text (it must — the
+    * measure is set arithmetic), but the candidate generation that
+    * dominated the cold 100× number is now a store read. Output is
+    * bit-identical to the catalog query (DedupSimSpec pins it). */
+  def containmentFromStore(s: SparkSession, dir: String, indexDir: String): DataFrame =
+    Dedup.containmentScreen(s, dir, pairsFromStore(s, indexDir))
+
+  /** q129's governance report fed from the stored band index: cluster
+    * labels are contracted (large-star/small-star) from the store's
+    * pair graph instead of the session memo. Bit-identical output. */
+  def reportFromStore(s: SparkSession, dir: String, indexDir: String): DataFrame =
+    Dedup.dedupReportFrom(s,
+      Dedup.connectedComponents(
+        table(s, dir, "documents").select(col("doc_id")),
+        pairsFromStore(s, indexDir)))
+
   def screenBatch(s: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
     import s.implicits._
     graft.functions.BloomFuncs.register(s)

@@ -708,6 +708,27 @@ class DedupSimSpec extends SparkSpec {
     Core.clearCaches(spark)
   }
 
+  test("store-fed containment and governance report equal the catalog queries") {
+    // the cold-session operational route: write the index once, then
+    // derive the pair-consuming reports from the parquet artifacts —
+    // outputs must be bit-identical to the memo-fed catalog spellings
+    val dir = "/root/testdata/sf0.001"
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    ops.IndexStore.write(spark, Core.table(spark, dir, "documents"), idx)
+    val catC = SparkEntry.queries("q133_containment")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val storeC = ops.IndexStore.containmentFromStore(spark, dir, idx)
+      .collect().map(_.toSeq).toSeq
+    assert(catC.nonEmpty && storeC == catC,
+      "store-fed containment diverged from the catalog query")
+    val catR = SparkEntry.queries("q129_dedup_report")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val storeR = ops.IndexStore.reportFromStore(spark, dir, idx)
+      .collect().map(_.toSeq).toSeq
+    assert(catR.nonEmpty && storeR == catR,
+      "store-fed governance report diverged from the catalog query")
+  }
+
   test("pagerank shuffle spelling equals the broadcast spelling bit-for-bit") {
     // the size gate flips the rank join past PrBroadcastMaxDocs docs;
     // both spellings are exact 64-bit integer arithmetic, so the flip
