@@ -293,6 +293,15 @@ object ScaleProbe {
         ops.Dedup.snPairs(ops.Dedup.snKeyed(spark, dst), 3).count()
       }
     }
+    if (only.forall(_.contains("rank_fractions_scalable"))) {
+      timeNamed("rank_fractions_scalable") {
+        // same forced aggregation as the q100 probe entry, so the A/B
+        // compares identical work
+        val r = ops.Relational.rankFractionsScalable(spark, dst)
+          .agg(sum(col("pr")).as("sp"), count(col("second_key")).as("ck")).head()
+        r.getLong(1)
+      }
+    }
     if (only.forall(_.contains("lm_buckets_scalable"))) {
       timeNamed("lm_buckets_scalable") {
         // aggregate the computed column: a bare count() would prune

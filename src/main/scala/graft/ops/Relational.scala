@@ -29,6 +29,63 @@ import graft.Core._
   */
 object Relational {
 
+  /** Web-scale spelling of q100's fractional ranks. The anchor's
+    * 5-value partition key caps the window at 5 tasks, each
+    * external-sorting n/5 rows (SCALE.md flagged 22.5 s at 100×, cost
+    * linear in the fact). This variant restores full parallelism with
+    * the groupMedians two-phase shape:
+    *
+    *  1. `repartitionByRange(prio, price, key)` — each task owns a
+    *     contiguous slice of each group's sorted order
+    *     (`localCheckpoint` pins the sampled boundaries);
+    *  2. per-(pid, prio) counts, collected as O(partitions × 5)
+    *     driver metadata → broadcast prefix offsets;
+    *  3. local `row_number` windows keyed by (pid, prio) — every task
+    *     sorts only its slice — plus the offset = the exact global
+    *     rank.
+    *
+    * Because the window order (o_totalprice, o_orderkey) is a TOTAL
+    * order (unique tiebreak), rank() == row_number(), so
+    * percent_rank = (rn−1)/(n−1) and cume_dist = rn/n reproduce the
+    * anchor bit-for-bit — same double-precision operands, same rnd4 —
+    * and nth_value(2) is the broadcast-joined rn==2 row per group.
+    * OpsSpec pins exact equality; the catalog q100 stays the
+    * oracle-checked window spelling; the probe A/Bs the two. */
+  def rankFractionsScalable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = s.sessionState.conf.numShufflePartitions
+    val parted = table(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+      .repartitionByRange(p, $"o_orderpriority", $"o_totalprice", $"o_orderkey")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = parted.groupBy($"pid", $"o_orderpriority")
+      .agg(count(lit(1)).as("c"))
+      .as[(Int, String, Long)].collect()
+    val totals = counts.groupBy(_._2).map { case (g, r) => g -> r.map(_._3).sum }
+    val meta = counts.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1).map { case (pid, _, c) =>
+        val off = acc; acc += c; (pid, g, off, totals(g))
+      }
+    }.toDF("pid", "o_orderpriority", "off", "n")
+    val wLoc = Window.partitionBy($"pid", $"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    val ranked = parted
+      .withColumn("rnl", row_number().over(wLoc))
+      .join(broadcast(meta), Seq("pid", "o_orderpriority"))
+      .withColumn("rn", $"off" + $"rnl")
+    val second = ranked.filter($"rn" === 2)
+      .select($"o_orderpriority", $"o_orderkey".as("second_key"))
+    ranked.join(broadcast(second), Seq("o_orderpriority"), "left")
+      .select($"o_orderkey", $"o_orderpriority",
+        rnd4(when($"n" === 1, lit(0.0))
+          .otherwise(($"rn" - 1).cast("double") / ($"n" - 1))).as("pr"),
+        rnd4($"rn".cast("double") / $"n").as("cd"),
+        $"second_key")
+      .orderBy($"o_orderkey")
+  }
+
   val catalog: Map[String, Q] = Map(
 
     // ---- aggregation: TPC-H Q1-shaped pricing summary (flagship) ----

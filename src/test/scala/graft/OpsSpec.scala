@@ -105,6 +105,20 @@ class OpsSpec extends SparkSpec {
       s"median mismatch: got $got vs driver-side $expect")
   }
 
+  test("Relational.rankFractionsScalable equals the q100 window formulation exactly") {
+    // total order (unique o_orderkey tiebreak) makes rank==row_number,
+    // so the prefix-offset spelling must reproduce the window
+    // bit-for-bit — including the n==1 percent_rank=0 edge and the
+    // null second_key for 1-row groups
+    val dir = "/root/testdata/sf0.001"
+    val window = SparkEntry.queries("q100_rank_fractions")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val scalable = ops.Relational.rankFractionsScalable(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(window.nonEmpty && scalable == window,
+      "prefix-offset fractional ranks diverged from the window spelling")
+  }
+
   test("TextOps.lmBucketsScalable agrees with the q121 ntile buckets") {
     val dir = "/root/testdata/sf0.01"
     val anchor = SparkEntry.queries("q121_lm_filter_buckets")(spark, dir)
