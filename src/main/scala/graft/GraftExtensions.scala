@@ -48,11 +48,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(str, n) - distinct word n-gram shingles"),
       (exprs: Seq[Expression]) => functions.WordShingles(exprs.head,
-        exprs(1).eval(null) match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"word_shingles: n must be an integer literal, got $other")
-        })))
+        functions.ConstArgs.int("word_shingles", exprs(1)))))
   }
 }

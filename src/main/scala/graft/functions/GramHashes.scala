@@ -93,7 +93,7 @@ object GramHashes {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "gram_hashes",
       exprs => GramHashes(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+        ConstArgs.int("gram_hashes", exprs(1))), "built-in")
 
   /** Column-API entry point — requires register(spark) first. */
   def gram_hashes(c: Column, n: Int): Column =

@@ -76,7 +76,7 @@ object WordShingles {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles",
       exprs => WordShingles(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+        ConstArgs.int("word_shingles", exprs(1))), "built-in")
 
   /** Column-API entry point — requires register(spark) first. */
   def word_shingles(c: Column, n: Int): Column =

@@ -67,13 +67,25 @@ object Training {
       .withColumn("pos",
         (row_number().over(Window.partitionBy($"doc_id").orderBy($"p")) - 1).cast("long"))
       .select($"doc_id", $"pos", $"tok")
-    for (_ <- 1 to BpeRounds) {
+    var exhausted = false
+    for (_ <- 1 to BpeRounds if !exhausted) {
       val wn = ckpt(toks.withColumn("nxt", lead($"tok", 1).over(byDoc)))
       val top = wn.filter($"nxt".isNotNull)
         .groupBy($"tok", $"nxt").agg(count(lit(1)).as("c"))
         .orderBy($"c".desc, $"tok", $"nxt").limit(1)
         .select($"tok".as("m1"), $"nxt".as("m2"))
-      val marked = wn.crossJoin(broadcast(top))
+        .collect()
+      // degenerate corpus guard: if NO adjacent pair exists anywhere
+      // (every doc shorter than 2 tokens), an empty merge-pair frame
+      // would cross-join the whole token stream to zero rows — the
+      // oracle's LEFT-JOIN spelling instead passes tokens through
+      // unmerged, so stop merging and do the same. The collect is the
+      // 1-row TakeOrdered the scaladoc already promises; the selected
+      // pair re-enters the plan as a local 1-row broadcast.
+      if (top.isEmpty) exhausted = true
+      else {
+      val marked = wn.crossJoin(broadcast(
+        Seq((top(0).getString(0), top(0).getString(1))).toDF("m1", "m2")))
       val sel = marked
         .filter($"nxt".isNotNull && $"tok" === $"m1" && $"nxt" === $"m2")
         .withColumn("rn", row_number().over(byDoc))
@@ -90,6 +102,7 @@ object Training {
           when($"m" === 1, concat($"tok", $"nxt")).otherwise($"tok").as("tok"))
         .withColumn("pos", (row_number().over(byDoc) - 1).cast("long"))
         .select($"doc_id", $"pos", $"tok")
+      }
     }
     toks
   }

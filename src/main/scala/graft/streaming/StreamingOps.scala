@@ -221,7 +221,17 @@ object StreamingOps {
         (uid: Long, it: Iterator[EventRow], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
             val out = state.getOption.flatMap(close(uid, _))
-            state.remove()
+            // keep a counter-preserving TOMBSTONE instead of removing
+            // the state: a user who returns after the timeout must
+            // continue the sequential numbering (batch q125 numbers a
+            // resumed user's next session n+1, and a remove() here
+            // would restart it at 1, emitting duplicate session_ids).
+            // No timeout is re-armed, so the tombstone never fires
+            // again; the retained state is three scalars per
+            // ever-seen user — the same O(distinct users) a batch
+            // replay holds, and far below the open-session buffers.
+            state.getOption.foreach(st =>
+              state.update(SessState(st.nextId + 1, Long.MinValue, Nil)))
             out.iterator
           } else {
             val incoming = it.toSeq.sortBy(e => (us(e.ts), e.event_id))

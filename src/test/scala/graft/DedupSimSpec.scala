@@ -761,6 +761,22 @@ class DedupSimSpec extends SparkSpec {
       $"want" =!= $"got".cast("string")).count() == 0)
   }
 
+  test("constant-n SQL functions reject a non-constant or non-integral n clearly") {
+    graft.functions.GramHashes.register(spark)
+    graft.functions.WordShingles.register(spark)
+    val df = Core.table(spark, "/root/testdata/sf0.001", "documents")
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    for (bad <- Seq("gram_hashes(text, n_chars)", "word_shingles(text, n_chars)",
+        "gram_hashes(text, 'x')")) {
+      val e = intercept[Throwable] { df.selectExpr(bad).schema }
+      assert(messages(e).contains("requires a constant integer"),
+        s"$bad should fail with the clear message, got: ${messages(e)}")
+    }
+    // a long literal in int range is accepted (widened, not rejected)
+    assert(df.selectExpr("word_shingles(lower(text), 3L) AS s").count() > 0)
+  }
+
   test("snPairs (range-partitioned) equals the global-window reference spelling") {
     // real corpus: many docs spread over all 32 range partitions, so
     // boundary pairs genuinely cross partitions

@@ -200,6 +200,37 @@ class StreamingSpec extends SparkSpec {
     Core.clearCaches(spark)
   }
 
+  test("a user returning after a timeout flush continues the session numbering") {
+    // the tombstone path: user 42's first session is flushed by the
+    // EventTimeTimeout (a batch where the user has NO data), then the
+    // user comes back — the resumed session must number n+1 exactly
+    // as a batch replay would, not restart at 1
+    implicit val sqlCtx = spark.sqlContext
+    def at(base: Long, min: Int) = new Timestamp(base + min * 60000L)
+    val b0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val far1 = new Timestamp(b0 + 86400000L * 30)
+    val far2 = new Timestamp(far1.getTime + 86400000L)
+    val far3 = new Timestamp(far2.getTime + 86400000L)
+    val far4 = new Timestamp(far3.getTime + 86400000L)
+    val stream = MemoryStream[EventRow]
+    val got = runQuery(stream,
+      StreamingOps.sessionSequences(stream.toDS()).toDF(),
+      OutputMode.Append, "sess_resume")(Seq(
+        Seq(EventRow(1, at(b0, 0), 42, "a", 0.0), EventRow(2, at(b0, 1), 42, "b", 0.0),
+          EventRow(3, at(b0, 2), 42, "c", 0.0)),
+        Seq(EventRow(900001L, far1, 999999L, "x", 0.0)), // advance watermark
+        Seq(EventRow(900002L, far2, 999999L, "x", 0.0)), // fire user 42's timeout
+        Seq(EventRow(4, at(far2.getTime, 60), 42, "d", 0.0),
+          EventRow(5, at(far2.getTime, 61), 42, "e", 0.0),
+          EventRow(6, at(far2.getTime, 62), 42, "f", 0.0)), // the user returns
+        Seq(EventRow(900003L, far3, 999999L, "x", 0.0)), // advance watermark
+        Seq(EventRow(900004L, far4, 999999L, "x", 0.0)))) // fire the second flush
+      .as[StreamingOps.SessionSeq].collect()
+      .filter(_.user_id == 42L).map(s => (s.session_id, s.seq)).toSet
+    assert(got == Set((1L, "a b c"), (2L, "d e f")),
+      s"resumed user must continue the sequential numbering: got $got")
+  }
+
   test("streaming ingest screen matches the batch incremental-dedup keep set") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext

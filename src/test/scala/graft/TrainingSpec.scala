@@ -154,4 +154,23 @@ class TrainingSpec extends SparkSpec {
     assert(cons == 0, "window membership lost or duplicated tokens")
     out.unpersist()
   }
+
+  test("q124 BPE on a corpus with no adjacent pairs passes tokens through unmerged") {
+    // degenerate guard: every doc has exactly one token, so no merge
+    // pair exists — the loop must stop and return the unmerged stream
+    // (the oracle's LEFT-JOIN formulation), not cross-join it to zero
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe1").toString
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("q124_bpe_merge_apply")(spark, tmp)
+      .as[(Long, Long, String)].collect().toSet
+    assert(out == Set((1L, 0L, "alpha"), (2L, 0L, "beta"), (3L, 0L, "gamma")),
+      s"degenerate corpus must pass through unmerged: got $out")
+  }
 }
