@@ -525,59 +525,66 @@ object Dedup {
   /** Scale-safe sliding-window pairing over the (snk, doc_id) total
     * order — the range-partitioned shape the q120 scaladoc described
     * and production needs (Hernández/Stolfo '95 run on a sorted file,
-    * not in one task's memory):
+    * not in one task's memory). Exactly the q105 `groupMedians`
+    * two-phase pattern:
     *
-    *  1. `repartitionByRange(snk, doc_id)` — a full-parallelism range
-    *     shuffle, the same exchange class as q73's shard sort;
-    *     `localCheckpoint` pins the sampled range boundaries so both
-    *     consumers below see identical pid assignments. (No
-    *     `sortWithinPartitions` here: the windows below sort their own
-    *     pid-groups, so a pre-sort would be paid twice.)
-    *  2. In-partition pairs from a PARTITION-LOCAL window keyed on the
-    *     physical partition id — each task sorts only its own range.
-    *  3. Boundary pairs from the first/last `w` rows of every
-    *     partition (≤ 2·w·P rows total, independent of corpus size): a
-    *     global window over that bounded frame recovers exactly the
-    *     pairs that straddle a range boundary, and the
-    *     `pid_a =!= pid_b` strip drops the in-partition duplicates.
+    *  1. `repartitionByRange(snk, doc_id)` + `sortWithinPartitions` —
+    *     ONE full-parallelism range shuffle (q73's exchange class),
+    *     cached so both passes read the same sampled boundaries.
+    *  2. Boundary-overlap exchange: each partition's first `w`
+    *     doc_ids, collected as O(w · partitions) driver metadata and
+    *     broadcast — partition i appends the next `w` ids drawn from
+    *     the heads of partitions i+1, i+2, … (the iterator cascade
+    *     through partitions shorter than `w` is exact: a partition
+    *     with m < w rows contributes all m, and the remainder comes
+    *     from the next head).
+    *  3. One streaming `mapPartitionsWithIndex` pass emits (anchor,
+    *     successor) pairs with an O(w) pending ring — no window
+    *     machinery, no per-pid re-shuffle, memory O(w) per task.
     *
-    * Why the strip is exact: a pair (a,b) at offset o ≤ w crosses a
-    * boundary only if a is within w rows of its partition's end and b
-    * within w rows of a later partition's start (cascading through
-    * partitions shorter than w, all of whose rows are in the frame) —
-    * so every crossing pair appears in the boundary frame with all its
-    * intervening rows present, and `lead(o)` there equals `lead(o)`
-    * over the full order. Anchors deeper than w from the end can reach
-    * only same-pid frame rows within w steps, which the strip drops.
-    * DedupSimSpec pins set-equality against [[snCandidatesWindowRef]];
-    * PlanSpec allowlists the bounded boundary window. */
+    * Appended overlap rows are never anchors, so every pair is owned
+    * by exactly one partition — no duplicate strip needed. The pair
+    * frame is localCheckpoint'ed so the cache can be dropped before
+    * returning. DedupSimSpec pins set-equality against
+    * [[snCandidatesWindowRef]] on the real corpus and on a
+    * fewer-docs-than-partitions corpus (the cascade case). */
   private[graft] def snPairs(keyed: DataFrame, w: Int): DataFrame = {
     val s = keyed.sparkSession
+    import s.implicits._
     val p = s.sessionState.conf.numShufflePartitions
-    val parted = keyed
+    val sorted = keyed
+      .select(col("snk"), col("doc_id").cast("long").as("doc_id"))
+      .as[(String, Long)]
       .repartitionByRange(p, col("snk"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val wPart = Window.partitionBy(col("pid")).orderBy(col("snk"), col("doc_id"))
-    val inPart = (1 to w).map(o => parted
-        .select(col("doc_id").as("id_a"), lead(col("doc_id"), o).over(wPart).as("id_b")))
-      .reduce(_ unionByName _)
-      .filter(col("id_b").isNotNull)
-    val edge = parted
-      .withColumn("rn", row_number().over(wPart))
-      .withColumn("rnd", row_number().over(
-        Window.partitionBy(col("pid")).orderBy(col("snk").desc, col("doc_id").desc)))
-      .filter(col("rn") <= w || col("rnd") <= w)
-      .select(col("doc_id"), col("snk"), col("pid"))
-    val wEdge = Window.orderBy(col("snk"), col("doc_id")) // ≤ 2·w·P rows
-    val cross = (1 to w).map(o => edge.select(
-        col("doc_id").as("id_a"), col("pid").as("pid_a"),
-        lead(col("doc_id"), o).over(wEdge).as("id_b"),
-        lead(col("pid"), o).over(wEdge).as("pid_b")))
-      .reduce(_ unionByName _)
-      .filter(col("id_b").isNotNull && col("pid_a") =!= col("pid_b"))
-      .select(col("id_a"), col("id_b"))
-    inPart.unionByName(cross)
+      .sortWithinPartitions(col("snk"), col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nParts = sorted.rdd.getNumPartitions
+      val heads: Map[Int, Array[Long]] = sorted.rdd
+        .mapPartitionsWithIndex((i, it) => Iterator(i -> it.take(w).map(_._2).toArray))
+        .collect().toMap
+      val bc = s.sparkContext.broadcast(heads)
+      val pairs = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+        val overflow = ((i + 1) until nParts).iterator
+          .flatMap(j => bc.value.getOrElse(j, Array.empty[Long]))
+          .take(w)
+        // pending anchors still owed successors: ≤ w entries alive
+        val pending = scala.collection.mutable.ArrayDeque.empty[(Long, Int)]
+        (it.map(r => (r._2, true)) ++ overflow.map(id => (id, false))).flatMap {
+          case (id, isOwn) =>
+            val out = pending.iterator.map { case (a, _) => (a, id) }.toArray
+            var k = pending.size
+            while (k > 0) {
+              val (a, rem) = pending.removeHead()
+              if (rem > 1) pending.append((a, rem - 1))
+              k -= 1
+            }
+            if (isOwn) pending.append((id, w))
+            out.iterator
+        }
+      }
+      pairs.toDF("id_a", "id_b").localCheckpoint()
+    } finally { sorted.unpersist(blocking = false); () }
   }
 
   /** Shared q120/q127 oracle CTEs: `snd` sort keys → `cands`. */
@@ -781,13 +788,13 @@ object Dedup {
     // total sort + lead() candidates + exact token-Jaccard verify; no
     // hashing, catches prefix-sharing near-dups LSH bands can miss at
     // low shingle overlap. Scale: the sort IS a range partition now —
-    // snPairs runs partition-local windows over repartitionByRange
-    // output plus a bounded first/last-W boundary frame (≤ 2·W·P rows)
-    // whose pid-strip restores exactness; candidates are window-local
-    // (W−1 per row, text NOT carried — pairs are id/key rows joined
-    // back to word sets); the verify is bounded by W·n. The one-window
-    // spelling survives only as snCandidatesWindowRef, the
-    // DedupSimSpec equality anchor. ----
+    // snPairs sorts each range slice in place and restores boundary
+    // exactness with a W-row heads overlap (O(W·P) driver metadata,
+    // broadcast back), one streaming pass, O(W) state per task;
+    // candidates are window-local (W−1 per row, text NOT carried —
+    // pairs are id/key rows joined back to word sets); the verify is
+    // bounded by W·n. The one-window spelling survives only as
+    // snCandidatesWindowRef, the DedupSimSpec equality anchor. ----
     "q120_sorted_neighborhood" -> Q(
       (s, dir) => {
         import s.implicits._

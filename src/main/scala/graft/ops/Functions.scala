@@ -495,6 +495,33 @@ object Functions {
           count(DISTINCT user_id) AS n_users
         FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_offset""")),
 
+    // ---- daily reach: new users per day + the cumulative distinct-
+    // user count — the growth report every event pipeline ships.
+    // count(DISTINCT) over a running window is unsupported AND
+    // quadratic everywhere; the standard spelling reduces it to each
+    // user's FIRST-SEEN day (one partial-agged groupBy, shuffle
+    // O(users)) and a running sum over the per-day counts. The
+    // cumulative window is unpartitioned but its frame is the
+    // calendar-DAY domain (one row per day with activity), bounded
+    // and independent of event volume — PlanSpec allowlists it with
+    // that reason. ----
+    "q136_daily_reach" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val firstSeen = table(s, dir, "events")
+          .groupBy($"user_id").agg(min(to_date($"ts")).as("d"))
+        firstSeen.groupBy($"d").agg(count(lit(1)).as("new_users"))
+          .withColumn("cumulative_reach",
+            sum($"new_users").over(Window.orderBy($"d")))
+          .orderBy($"d")
+      },
+      Some("""WITH fs AS (SELECT user_id, min(cast(ts as date)) AS d
+          FROM events GROUP BY 1),
+        daily AS (SELECT d, count(*) AS new_users FROM fs GROUP BY 1)
+        SELECT d, new_users,
+          cast(sum(new_users) OVER (ORDER BY d) as bigint) AS cumulative_reach
+        FROM daily ORDER BY d""")),
+
     // ---- conversion funnel: first 'view' per user → earliest
     // 'purchase' within the following hour, reported per first-view
     // day. Two bounded aggregations (per-user min over each type

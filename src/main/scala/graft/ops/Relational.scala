@@ -716,6 +716,50 @@ object Relational {
         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         ORDER BY o_orderkey""")),
 
+    // ---- PIVOT: long→wide reshaping, the reporting-layer staple —
+    // priority × order-year money matrix here. The value list is
+    // EXPLICIT, which matters twice at scale: Catalyst skips the extra
+    // distinct-values job a bare pivot() runs, and the plan stays one
+    // partial+final aggregate with 7 conditional sums per group (never
+    // a per-value shuffle). Money sums ride the decimal cast for
+    // engine parity; the oracle is the equivalent CASE-WHEN matrix. ----
+    "q134_pivot_year_priority" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "orders")
+          .withColumn("yr", year($"o_orderdate"))
+          .groupBy($"o_orderpriority")
+          .pivot("yr", (1992 to 1998).map(Integer.valueOf))
+          .agg(moneySum($"o_totalprice"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, " + (1992 to 1998).map(y =>
+          s"""round(cast(sum(CASE WHEN year(o_orderdate)=$y THEN cast(o_totalprice as decimal(18,4)) END) as double), 2) AS "$y"""")
+        .mkString(", ") +
+        " FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
+    // ---- UNPIVOT/melt: wide→long, the inverse reshaping (feature
+    // matrices → (entity, metric, value) triples for per-metric
+    // pipelines). Spark's native unpivot generates len(values) rows
+    // per input row with NO shuffle at all — the only exchange is the
+    // presentation sort; metrics are pre-cast to one double type, as
+    // the operator requires a common value type. ----
+    "q135_unpivot_part_metrics" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        table(s, dir, "part")
+          .select($"p_partkey", $"p_size".cast("double").as("p_size"),
+            $"p_retailprice")
+          .unpivot(Array($"p_partkey"), Array($"p_size", $"p_retailprice"),
+            "metric", "value")
+          .orderBy($"p_partkey", $"metric")
+      },
+      Some("""SELECT p_partkey, 'p_size' AS metric, cast(p_size as double) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+        ORDER BY p_partkey, metric""")),
+
     // ---- SCD2 merge/upsert (MERGE INTO semantics as a join + union):
     // apply a CDC batch (a deterministic slice of customers with
     // changed balances) to a type-2 dimension — matched rows close

@@ -554,12 +554,12 @@ class PlanSpec extends SparkSpec {
     val bounded: Map[String, (Int, String)] = Map(
       "q115_hybrid_rrf" -> ((2,
         "both rank windows run over the two top-100 TakeOrdered frames")),
-      "q120_sorted_neighborhood" -> ((3,
-        "snPairs boundary windows see ≤ 2·W·numPartitions rows (first/last-W frame)")),
       "q121_lm_filter_buckets" -> ((1,
         "ntile ORACLE anchor; lmBucketsScalable is the broadcast-threshold scale path")),
       "q122_curriculum_order" -> ((1,
-        "ntile ORACLE anchor; curriculumOrderScalable is the broadcast-threshold scale path")))
+        "ntile ORACLE anchor; curriculumOrderScalable is the broadcast-threshold scale path")),
+      "q136_daily_reach" -> ((1,
+        "cumulative window frame is the calendar-day domain, independent of event volume")))
     import org.apache.spark.sql.execution.window.WindowExec
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
