@@ -349,6 +349,27 @@ object ScaleProbe {
         }
       }
     }
+    // incremental cluster maintenance (round 5): cluster the 90%
+    // corpus slice once at write time, then merge the 10% batch via
+    // the supernode contraction — the A/B is the full-corpus CC
+    // (q45's shape) this replaces at batch time
+    if (only.forall(_.contains("clusters_incremental"))) {
+      val docs = Core.table(spark, dst, "documents")
+      def gate(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
+      val idxDir = s"$dst/index_store_clusters"
+      timeNamed("clusters_snapshot_write") {
+        val corpus = docs.filter(gate(col("doc_id")) < 58982L)
+        ops.IndexStore.write(spark, corpus, idxDir)
+        ops.IndexStore.writeClusters(spark, corpus, idxDir)
+        corpus.count()
+      }
+      Core.clearCaches(spark)
+      timeNamed("clusters_incremental") {
+        ops.IndexStore.incrementalClusters(spark, idxDir,
+          docs.filter(gate(col("doc_id")) >= 58982L)).count()
+      }
+    }
 
     // persisted IndexStore at probe scale (VERDICT r3 "next round" #5):
     // q71 proves the incremental-dedup SHAPE against the in-session

@@ -160,6 +160,21 @@ object Dedup {
   def bandKeyIndex(s: SparkSession, dir: String, md5Base: Boolean = true): DataFrame =
     if (md5Base) bandKeys(s, dir) else bandKeysFast(s, dir)
 
+  /** Cluster labels for an explicit docs frame — the IndexStore
+    * write-side variant of [[clusterLabels]] (which is dir-keyed and
+    * session-memoized): same band rows, same pair self-join, same
+    * star-contraction CC. */
+  private[ops] def clusterLabelsFor(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val b = toBandRowsPublic(s, docs)
+    val pairs = b.as("a").join(b.as("b"),
+        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+    connectedComponents(docs.select($"doc_id"), pairs)
+  }
+
   /** Candidate near-dup pairs: docs sharing ≥1 LSH band bucket. */
   private[ops] def lshPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -109,6 +109,108 @@ object IndexStore {
       .distinct()
   }
 
+  /** Persist the corpus's near-dup cluster labels next to the index
+    * artifacts — one CC contraction at snapshot-build time. This is
+    * the state [[incrementalClusters]] maintains per batch, so a
+    * rolling corpus never re-clusters itself from scratch. */
+  def writeClusters(s: SparkSession, docs: DataFrame, out: String): Unit =
+    Dedup.clusterLabelsFor(s, docs)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/cluster_labels")
+
+  /** Merge an incoming batch into the persisted clustering WITHOUT
+    * re-clustering the corpus. The contraction insight: an existing
+    * cluster can only change by merging with a batch doc (its members
+    * are already mutually connected), so CC needs only the SUPERNODE
+    * graph — one node per stored cluster id plus the batch docs, with
+    * batch↔corpus edges contracted onto the stored cluster label and
+    * batch↔batch edges from the usual band self-join. Work is
+    * O(batch + clusters) nodes and O(batch-driven edges); the full
+    * corpus appears only in the final one-pass label join. Because a
+    * stored label IS the min doc_id of its members, the supernode
+    * component min equals the full-recompute component min, so the
+    * returned (doc_id, cluster_id) frame for corpus ∪ batch is
+    * bit-identical to re-running CC on everything (DedupSimSpec pins
+    * it against catalog q45). */
+  def incrementalClusters(s: SparkSession, indexDir: String,
+      batch: DataFrame): DataFrame = {
+    import s.implicits._
+    val storedBands = s.read.parquet(s"$indexDir/band_keys")
+    val storedLabels = s.read.parquet(s"$indexDir/cluster_labels")
+    val batchBands = Dedup.toBandRowsPublic(s, batch)
+    val crossE = batchBands
+      .join(storedBands.select($"doc_id".as("cid"), $"band", $"band_key"),
+        Seq("band", "band_key"))
+      .join(storedLabels.select($"doc_id".as("cid"), $"cluster_id"), Seq("cid"))
+      .select($"doc_id".as("id_a"), $"cluster_id".as("id_b")).distinct()
+    val bb = batchBands.as("a").join(batchBands.as("b"),
+        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b")).distinct()
+    val nodes = batch.select($"doc_id")
+      .unionByName(storedLabels.select($"cluster_id".as("doc_id")).distinct())
+    val comp = Dedup.connectedComponents(nodes, crossE.unionByName(bb))
+    val remap = comp.select($"doc_id".as("old_lbl"), $"cluster_id".as("new_lbl"))
+    val corpusPart = storedLabels
+      .join(remap, storedLabels("cluster_id") === remap("old_lbl"), "left")
+      .select(storedLabels("doc_id"),
+        coalesce($"new_lbl", storedLabels("cluster_id")).as("cluster_id"))
+    val batchPart = comp.join(batch.select($"doc_id"), Seq("doc_id"), "left_semi")
+    corpusPart.unionByName(batchPart.select($"doc_id", $"cluster_id"))
+  }
+
+  /** Fold an accepted batch into EVERY store channel in O(batch) work —
+    * the rolling-corpus maintenance op that pairs with [[screenBatch]]
+    * and [[incrementalClusters]]: screen the day's batch, keep the
+    * survivors, append them here; no channel is ever rebuilt from the
+    * corpus.
+    *
+    *  - band_keys / fingerprints / sim_blocks: batch rows appended to
+    *    the partitioned parquet dirs (same layout `write` produced).
+    *  - cluster_labels (when present): replaced by the
+    *    [[incrementalClusters]] merge — the artifact is O(corpus) rows
+    *    but producing it is O(batch + clusters) (a label-remap join,
+    *    never a re-cluster).
+    *  - bloom: re-aggregated from the merged fingerprint CHANNEL — a
+    *    scan of (doc_id, fp) rows, no document text — so estItems
+    *    tracks the true count and the FP rate stays at its design
+    *    point instead of degrading as the corpus grows past the
+    *    original sketch's capacity.
+    *
+    * Not atomic across channels: a crash mid-append leaves some
+    * channels ahead of others, which over-reports membership — the
+    * SAFE direction for a dedup screen (it over-flags, never silently
+    * under-flags; cf. SURVEY §4.3(4) on the reference's silent-loss
+    * bug). Production would stage to a fresh snapshot dir and swap the
+    * pointer. After append the store is observation-equivalent to
+    * `write(corpus ∪ batch)`: DedupSimSpec pins set equality on every
+    * parquet channel and decision equality on both screens. */
+  def append(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    graft.functions.BloomFuncs.register(s)
+    // merged labels are computed EAGERLY (localCheckpoint) before any
+    // channel mutates: the merge must see the pre-append band index,
+    // and the overwrite below may not read the path it replaces
+    val mergedLabels =
+      if (new java.io.File(s"$indexDir/cluster_labels").exists())
+        Some(incrementalClusters(s, indexDir, batch).localCheckpoint())
+      else None
+    Dedup.toBandRowsPublic(s, batch)
+      .write.mode(SaveMode.Append).partitionBy("band")
+      .parquet(s"$indexDir/band_keys")
+    fingerprints(batch)
+      .write.mode(SaveMode.Append).parquet(s"$indexDir/fingerprints")
+    Dedup.simBlocks(Dedup.simhash60(batch))
+      .write.mode(SaveMode.Append).partitionBy("b")
+      .parquet(s"$indexDir/sim_blocks")
+    mergedLabels.foreach(_.write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/cluster_labels"))
+    val fps = s.read.parquet(s"$indexDir/fingerprints").select(col("fp"))
+    val n = math.max(1024L, fps.count())
+    val bits = fps.selectExpr(s"bloom_agg(xxhash64(fp), ${n}L) AS b")
+      .head().getAs[Array[Byte]]("b")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$indexDir/bloom/fingerprints.bloom"), bits)
+  }
+
   /** q133's containment screen fed from the stored band index: the
     * shingle-set verify still reads the corpus text (it must — the
     * measure is set arithmetic), but the candidate generation that

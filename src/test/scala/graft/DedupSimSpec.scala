@@ -729,6 +729,29 @@ class DedupSimSpec extends SparkSpec {
       "store-fed governance report diverged from the catalog query")
   }
 
+  test("incremental cluster maintenance equals the full-corpus recompute") {
+    // write the index + labels for the md5-gated corpus slice, merge
+    // the remaining docs as a batch, and require the combined labels
+    // to be bit-identical to clustering everything from scratch (the
+    // oracle-checked q45 on the whole dir) — including clusters that
+    // MERGE through a bridging batch doc
+    import org.apache.spark.sql.functions.{conv, substring, md5 => smd5}
+    val dir = "/root/testdata/sf0.001"
+    val docs = Core.table(spark, dir, "documents")
+    val gate = conv(substring(smd5($"doc_id".cast("string")), 1, 4), 16, 10).cast("long")
+    val corpus = docs.filter(gate < 58982L)
+    val batch = docs.filter(gate >= 58982L)
+    val idx = java.nio.file.Files.createTempDirectory("graft-incc").toString
+    ops.IndexStore.write(spark, corpus, idx)
+    ops.IndexStore.writeClusters(spark, corpus, idx)
+    val inc = ops.IndexStore.incrementalClusters(spark, idx, batch)
+      .as[(Long, Long)].collect().toMap
+    val full = SparkEntry.queries("q45_dedup_clusters")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(inc.nonEmpty && inc == full,
+      s"incremental labels diverged on ${inc.toSet.diff(full.toSet).take(5)}")
+  }
+
   test("pagerank shuffle spelling equals the broadcast spelling bit-for-bit") {
     // the size gate flips the rank join past PrBroadcastMaxDocs docs;
     // both spellings are exact 64-bit integer arithmetic, so the flip
