@@ -369,6 +369,15 @@ object ScaleProbe {
         ops.IndexStore.incrementalClusters(spark, idxDir,
           docs.filter(gate(col("doc_id")) >= 58982L)).count()
       }
+      // the maintenance fold across ALL channels (bands, fps, sim
+      // blocks, labels, bloom re-agg) — A/B baseline is
+      // clusters_snapshot_write, a fresh build at 0.9x corpus
+      Core.clearCaches(spark)
+      timeNamed("index_append") {
+        ops.IndexStore.append(spark, idxDir,
+          docs.filter(gate(col("doc_id")) >= 58982L))
+        spark.read.parquet(s"$idxDir/cluster_labels").count()
+      }
     }
 
     // persisted IndexStore at probe scale (VERDICT r3 "next round" #5):

@@ -1042,6 +1042,38 @@ object Dedup {
         SELECT node AS doc_id, min(lbl) AS cluster_id
         FROM reach GROUP BY node ORDER BY doc_id""")),
 
+    // ---- incremental cluster maintenance, end to end: snapshot the
+    // md5-gated ~90% corpus slice into a store (band index + cluster
+    // labels), merge the remaining ~10% as an arriving batch via the
+    // supernode contraction, return the combined labels. The oracle is
+    // q45's full-corpus recursive-CTE closure — the contract is that
+    // the O(batch + clusters) merge is INDISTINGUISHABLE from
+    // re-clustering everything. The snapshot write is part of the
+    // query on purpose: it is the honest once-per-snapshot cost the
+    // merge amortizes (SCALE.md round-5 addendum measures both). ----
+    "q137_incremental_clusters" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = table(s, dir, "documents")
+        val gate = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+          .cast("long")
+        val idx = s"${sys.props("java.io.tmpdir")}/graft_incc_" +
+          Integer.toHexString(dir.hashCode)
+        IndexStore.write(s, docs.filter(gate < 58982L), idx)
+        IndexStore.writeClusters(s, docs.filter(gate < 58982L), idx)
+        IndexStore.incrementalClusters(s, idx, docs.filter(gate >= 58982L))
+          .orderBy($"doc_id")
+      },
+      Some(oracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""",
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, lbl) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT node AS doc_id, min(lbl) AS cluster_id
+        FROM reach GROUP BY node ORDER BY doc_id""")),
+
     // ---- dedup report: the governance numbers a curation run ships —
     // cluster-SIZE histogram (how much of the corpus sits in 1-, 2-,
     // k-member near-dup clusters) plus the corpus duplication factor

@@ -27,15 +27,44 @@ import graft.Core._
   *
   * Artifacts are plain parquet + one binary file: readable by any
   * engine, re-writable atomically per snapshot (SaveMode.Overwrite),
-  * and append-mergeable for rolling corpora (union the parquet dirs;
-  * rebuild the bloom from the merged fingerprints or OR the bit
-  * arrays offline).
+  * and append-mergeable for rolling corpora ([[append]]).
+  *
+  * The bloom is a bounded OPTIMIZATION, not a correctness channel:
+  * past `graft.bloom.maxItems` fingerprints (default 64M ≈ a 56 MB
+  * blob at the default FPP — the broadcast-literal budget) the blob is
+  * not written and [[screenBatch]] falls back to the plain fingerprint
+  * semi-join, which is exact and O(batch) regardless. Same size-gate
+  * pattern as the PageRank rank join: the optimization has a stated
+  * bound and the past-the-bound spelling is code, not prose.
   */
 object IndexStore {
 
   /** Rows a batch screen needs per incoming doc. */
   private def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("fp"))
+
+  /** Fingerprint count above which the bloom blob is skipped. */
+  private def bloomMaxItems(s: SparkSession): Long =
+    s.conf.getOption("graft.bloom.maxItems").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+
+  private def bloomPath(out: String) =
+    java.nio.file.Paths.get(s"$out/bloom/fingerprints.bloom")
+
+  /** Aggregate and persist the bloom blob over the fingerprint
+    * channel, or REMOVE a stale blob when the corpus has outgrown the
+    * gate (a lingering undersized sketch would degrade its FP rate —
+    * decisions would stay exact, but the prefilter would stop
+    * filtering). */
+  private def writeBloom(s: SparkSession, fps: DataFrame, out: String): Unit = {
+    val n = math.max(1024L, fps.count())
+    if (n <= bloomMaxItems(s)) {
+      val bits = fps.selectExpr(s"bloom_agg(xxhash64(fp), ${n}L) AS b")
+        .head().getAs[Array[Byte]]("b")
+      new java.io.File(s"$out/bloom").mkdirs()
+      java.nio.file.Files.write(bloomPath(out), bits)
+    } else java.nio.file.Files.deleteIfExists(bloomPath(out))
+  }
 
   /** Persist the dedup index of `docs` under `out`. */
   def write(s: SparkSession, docs: DataFrame, out: String): Unit = {
@@ -54,14 +83,9 @@ object IndexStore {
       .parquet(s"$out/sim_blocks")
     // one small binary blob: the BloomFilterAggregate sketch over the
     // fingerprint hashes (estItems from a cheap count — this runs once
-    // per snapshot, at index-build time, not per screen)
-    val n = math.max(1024L, fps.count())
-    val bits = fps.selectExpr(s"bloom_agg(xxhash64(fp), ${n}L) AS b")
-      .head().getAs[Array[Byte]]("b")
-    val p = new java.io.File(s"$out/bloom")
-    p.mkdirs()
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$out/bloom/fingerprints.bloom"), bits)
+    // per snapshot, at index-build time, not per screen); skipped past
+    // the graft.bloom.maxItems gate
+    writeBloom(s, fps, out)
   }
 
   private def loadBloom(out: String): Array[Byte] =
@@ -203,12 +227,8 @@ object IndexStore {
       .parquet(s"$indexDir/sim_blocks")
     mergedLabels.foreach(_.write.mode(SaveMode.Overwrite)
       .parquet(s"$indexDir/cluster_labels"))
-    val fps = s.read.parquet(s"$indexDir/fingerprints").select(col("fp"))
-    val n = math.max(1024L, fps.count())
-    val bits = fps.selectExpr(s"bloom_agg(xxhash64(fp), ${n}L) AS b")
-      .head().getAs[Array[Byte]]("b")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$indexDir/bloom/fingerprints.bloom"), bits)
+    writeBloom(s, s.read.parquet(s"$indexDir/fingerprints").select(col("fp")),
+      indexDir)
   }
 
   /** q133's containment screen fed from the stored band index: the
@@ -231,14 +251,19 @@ object IndexStore {
   def screenBatch(s: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
     import s.implicits._
     graft.functions.BloomFuncs.register(s)
-    val bloomLit = lit(loadBloom(indexDir))
     val bandIdx = s.read.parquet(s"$indexDir/band_keys")
     val fpIdx = s.read.parquet(s"$indexDir/fingerprints").select($"fp")
     val bfp = fingerprints(batch)
     // exact screen: bloom prefilter (narrow, broadcast bits) → exact
-    // semi-join only for sketch hits
-    val exactHits = bfp
-      .filter(call_function("bloom_contains", bloomLit, xxhash64($"fp")))
+    // semi-join only for sketch hits; a store past the
+    // graft.bloom.maxItems gate has no blob, and the screen is the
+    // plain semi-join — still exact, still O(batch)
+    val preFiltered =
+      if (java.nio.file.Files.exists(bloomPath(indexDir)))
+        bfp.filter(call_function("bloom_contains",
+          lit(loadBloom(indexDir)), xxhash64($"fp")))
+      else bfp
+    val exactHits = preFiltered
       .join(fpIdx, Seq("fp"), "left_semi")
       .select($"doc_id")
     // near screen: incoming band rows semi-join the stored band index

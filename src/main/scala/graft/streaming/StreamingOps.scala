@@ -188,6 +188,44 @@ object StreamingOps {
     df.select(incoming.columns.map(col): _*)
   }
 
+  /** Continuous corpus ingestion with ROLLING index maintenance — the
+    * `foreachBatch` body that closes the loop between the read side
+    * (`IndexStore.screenBatch`) and the write side
+    * (`IndexStore.append`). Each micro-batch is screened against the
+    * CURRENT store — so a doc admitted in micro-batch 1 correctly
+    * blocks its twin arriving in micro-batch 3, which the stateless
+    * screens above cannot do (their index is frozen at stream start) —
+    * and the keepers are folded into every channel (bands,
+    * fingerprints, sim blocks, labels, bloom) before the next batch
+    * runs. Structured Streaming executes micro-batches serially per
+    * query, so the read-modify-write cycle needs no locking; the
+    * semantics are exactly a sequential daily screen+append job run at
+    * micro-batch cadence (StreamingSpec pins decisions and the final
+    * store against that replay). Intra-batch duplicates are NOT
+    * screened against each other, matching q71's batch-vs-corpus
+    * contract — callers wanting intra-batch exact dedup apply
+    * `dropDuplicates("text")` first.
+    *
+    * Per-batch cost is O(batch) against the stored artifacts plus the
+    * append's narrow fingerprint-channel bloom re-agg; nothing scans
+    * corpus text. Returns the batch's decisions frame
+    * (doc_id, exact_dup, near_dup, decision) for sinking/audit —
+    * checkpointed eagerly so its lazy plan cannot observe the store
+    * post-append (which would flag every kept doc as its own dup).
+    *
+    * Usage: `.writeStream.foreachBatch { (b, _) =>
+    *   StreamingOps.ingestAndMaintain(spark, indexDir, b); () }`. */
+  def ingestAndMaintain(s: SparkSession, indexDir: String,
+      batch: DataFrame): DataFrame = {
+    val decisions = graft.ops.IndexStore.screenBatch(s, indexDir, batch)
+      .localCheckpoint()
+    val kept = batch.join(
+      decisions.filter(col("decision") === "keep").select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    graft.ops.IndexStore.append(s, indexDir, kept)
+    decisions
+  }
+
   final case class SessionSeq(user_id: Long, session_id: Long,
       n_events: Long, seq: String)
   final case class SessState(nextId: Long, lastUs: Long,

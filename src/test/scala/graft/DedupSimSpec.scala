@@ -752,6 +752,73 @@ class DedupSimSpec extends SparkSpec {
       s"incremental labels diverged on ${inc.toSet.diff(full.toSet).take(5)}")
   }
 
+  test("IndexStore.append makes the store observation-equivalent to a fresh full write") {
+    // build a store on the corpus slice, append the batch, and compare
+    // every channel + both screen decisions against a store written
+    // fresh over corpus ∪ batch
+    import org.apache.spark.sql.functions.{conv, substring, md5 => smd5}
+    val dir = "/root/testdata/sf0.001"
+    val docs = Core.table(spark, dir, "documents")
+    val gate = conv(substring(smd5($"doc_id".cast("string")), 1, 4), 16, 10).cast("long")
+    val corpus = docs.filter(gate < 58982L)
+    val batch = docs.filter(gate >= 58982L)
+    val rolled = java.nio.file.Files.createTempDirectory("graft-appA").toString
+    val fresh = java.nio.file.Files.createTempDirectory("graft-appB").toString
+    ops.IndexStore.write(spark, corpus, rolled)
+    ops.IndexStore.writeClusters(spark, corpus, rolled)
+    ops.IndexStore.append(spark, rolled, batch)
+    ops.IndexStore.write(spark, docs, fresh)
+    ops.IndexStore.writeClusters(spark, docs, fresh)
+    for (ch <- Seq("band_keys", "fingerprints", "sim_blocks", "cluster_labels")) {
+      val a = spark.read.parquet(s"$rolled/$ch")
+      val b = spark.read.parquet(s"$fresh/$ch")
+      assert(a.unionByName(b).distinct().count() == b.distinct().count() &&
+          a.count() == b.count(),
+        s"channel $ch diverged after append")
+    }
+    // screen decisions over a fresh probe frame must agree exactly
+    // (bloom BITS may differ by estItems timing; decisions are exact)
+    val probe = docs.limit(200)
+    val da = ops.IndexStore.screenBatch(spark, rolled, probe).collect().toSeq
+    val db = ops.IndexStore.screenBatch(spark, fresh, probe).collect().toSeq
+    assert(da == db, "screenBatch decisions diverged after append")
+    val sa = ops.IndexStore.screenBatchSim(spark, rolled, probe).collect().toSeq
+    val sb = ops.IndexStore.screenBatchSim(spark, fresh, probe).collect().toSeq
+    assert(sa == sb, "screenBatchSim decisions diverged after append")
+  }
+
+  test("bloom size gate: a store past graft.bloom.maxItems screens exactly without the blob") {
+    // force the gate to 1 item: write must skip the blob, screenBatch
+    // must fall back to the plain fingerprint semi-join with decisions
+    // identical to a bloom'd store; an append that crosses the gate
+    // must REMOVE the now-undersized blob
+    import org.apache.spark.sql.functions.{conv, substring, md5 => smd5}
+    val dir = "/root/testdata/sf0.001"
+    val docs = Core.table(spark, dir, "documents")
+    val gate = conv(substring(smd5($"doc_id".cast("string")), 1, 4), 16, 10).cast("long")
+    val existing = docs.filter(gate < 58982L)
+    val incoming = docs.filter(gate >= 58982L)
+    val gated = java.nio.file.Files.createTempDirectory("graft-nobloom").toString
+    val bloomed = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    def blob(out: String) =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/bloom/fingerprints.bloom"))
+    try {
+      spark.conf.set("graft.bloom.maxItems", "1")
+      ops.IndexStore.write(spark, existing, gated)
+      assert(!blob(gated), "blob written past the gate")
+      val got = ops.IndexStore.screenBatch(spark, gated, incoming).collect().toSeq
+      spark.conf.unset("graft.bloom.maxItems")
+      ops.IndexStore.write(spark, existing, bloomed)
+      assert(blob(bloomed), "blob missing below the gate")
+      val expect = ops.IndexStore.screenBatch(spark, bloomed, incoming).collect().toSeq
+      assert(got == expect, "gated screen decisions diverge from the bloom'd store")
+      // crossing the gate on append removes the stale undersized blob
+      spark.conf.set("graft.bloom.maxItems", "1")
+      ops.IndexStore.append(spark, bloomed, incoming)
+      assert(!blob(bloomed), "stale blob survived a past-the-gate append")
+    } finally spark.conf.unset("graft.bloom.maxItems")
+  }
+
   test("pagerank shuffle spelling equals the broadcast spelling bit-for-bit") {
     // the size gate flips the rank join past PrBroadcastMaxDocs docs;
     // both spellings are exact 64-bit integer arithmetic, so the flip

@@ -292,6 +292,69 @@ class StreamingSpec extends SparkSpec {
     Core.clearCaches(spark)
   }
 
+  test("ingest-and-maintain: cross-micro-batch twins blocked, store stays write-equivalent") {
+    import org.apache.spark.sql.functions.{conv, substring, md5 => smd5}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = Core.table(spark, dir, "documents")
+    val gate = conv(substring(smd5($"doc_id".cast("string")), 1, 4), 16, 10).cast("long")
+    val seed = docs.filter(gate < 58982L)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    ops.IndexStore.write(spark, seed, idx)
+    ops.IndexStore.writeClusters(spark, seed, idx)
+    // micro-batch 1 = q71's incoming slice; micro-batch 2 = EXACT
+    // twins of every batch-1 doc under fresh ids. A twin of a KEPT
+    // batch-1 doc is only blockable if batch 1 was folded into the
+    // store between the two micro-batches — the frozen-index screens
+    // above would wave it through.
+    val b1 = docs.filter(gate >= 58982L).select($"doc_id", $"text")
+      .as[StreamingOps.DocRow].collect().toSeq
+    val b2 = b1.map(d => StreamingOps.DocRow(d.doc_id + 1000000L, d.text))
+    val decisions = collection.mutable.ArrayBuffer[(Long, String)]()
+    val stream = MemoryStream[StreamingOps.DocRow]
+    val q = stream.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        decisions ++= StreamingOps.ingestAndMaintain(spark, idx, b.toDF())
+          .select($"doc_id", $"decision").as[(Long, String)].collect()
+        ()
+      }.start()
+    Seq(b1, b2).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val dec = decisions.toMap
+    // batch-1 decisions replay the oracle-checked q71 exactly (same
+    // seed store, same screen)
+    val batchQ71 = SparkEntry.queries("q71_incremental_dedup")(spark, dir)
+      .select($"doc_id", $"decision").as[(Long, String)].collect().toMap
+    assert(b1.forall(d => dec(d.doc_id) == batchQ71(d.doc_id)),
+      "micro-batch 1 decisions diverged from batch q71")
+    // every twin: drop_exact if its original was kept (its fingerprint
+    // entered the store via the append), else the original's own
+    // verdict (it matches the seed the same way its original did)
+    val wrong = b2.filter { d =>
+      val orig = dec(d.doc_id - 1000000L)
+      dec(d.doc_id) != (if (orig == "keep") "drop_exact" else orig)
+    }
+    assert(wrong.isEmpty, s"twin decisions wrong for ${wrong.take(5).map(_.doc_id)}")
+    assert(b1.exists(d => dec(d.doc_id) == "keep"),
+      "fixture degenerate: no batch-1 doc was kept, twin test vacuous")
+    // final store ≡ a fresh write over seed ∪ kept batch-1 docs (no
+    // twin survives, so batch 2 adds nothing)
+    val keptIds = b1.map(_.doc_id).filter(dec(_) == "keep").toSet
+    val keptDf = spark.createDataset(b1.filter(d => keptIds(d.doc_id))).toDF()
+    val union = seed.select($"doc_id", $"text").unionByName(keptDf)
+    val fresh = java.nio.file.Files.createTempDirectory("graft-ingestB").toString
+    ops.IndexStore.write(spark, union, fresh)
+    ops.IndexStore.writeClusters(spark, union, fresh)
+    for (ch <- Seq("band_keys", "fingerprints", "sim_blocks", "cluster_labels")) {
+      val a = spark.read.parquet(s"$idx/$ch")
+      val b = spark.read.parquet(s"$fresh/$ch")
+      assert(a.unionByName(b).distinct().count() == b.distinct().count() &&
+          a.count() == b.count(),
+        s"channel $ch diverged after streaming maintenance")
+    }
+    Core.clearCaches(spark)
+  }
+
   test("streaming quality gate applies the snapshot thresholds exactly (≡ batch keep set)") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
