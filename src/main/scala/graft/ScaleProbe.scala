@@ -80,8 +80,20 @@ object ScaleProbe {
     // OUTPUT is quadratic in duplicate multiplicity (~25M pairs at
     // 100×) and q36 is the deliberate brute-force baseline (corpus ×
     // query dots with no pruning); q37/q39 carry the ANN story there.
+    // q138 is in the same bounded-baseline class: an EXACT all-pairs
+    // similarity join's candidate volume is Σ C(prefix-df, 2), and the
+    // probe corpus maximizes it by construction (a 19k-shingle
+    // vocabulary over 500k docs at 100× — avg prefix bucket 592, so
+    // candidates hit 1.12B rows even after the positional filter's
+    // 3.4× cut; measured via DuckDB, SCALE.md round-5 addendum). The
+    // 100× scale path for twin-dense corpora is the LSH channel
+    // (q31/q32, probed above at 100×); q138 exists for when
+    // completeness is contractual, and is measured where the
+    // exactness tax fits the box.
     val baselines =
-      if (copies <= 10) Seq("q34_embedding_neardup", "q36_knn_fast") else Seq.empty
+      if (copies <= 10)
+        Seq("q34_embedding_neardup", "q36_knn_fast", "q138_set_similarity_join")
+      else Seq.empty
     // SPARK_GRAFT_PROBE_ONLY=q45_dedup_clusters,q47_corpus_curation
     // re-measures a subset while iterating on one operator
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").toSet)

@@ -999,6 +999,96 @@ object Dedup {
         JOIN sizes sb ON sb.doc_id=i.id_b
         ORDER BY i.id_a, i.id_b""")),
 
+    // ---- exact set-similarity self-join: ALL pairs with shingle
+    // Jaccard >= 0.6, guaranteed complete — the exact counterpart to
+    // q32, whose candidate set is LSH's (high-probability, not
+    // certain) recall. Prefix filtering (Bayardo et al. "Scaling Up
+    // All Pairs Similarity Search" WWW'07; Xiao et al. PPJoin WWW'08):
+    // order each doc's shingles by ascending global document
+    // frequency, keep only the first n - ceil(0.6n) + 1 as the doc's
+    // prefix; any pair with J >= 0.6 shares >= ceil(0.6*max(na,nb))
+    // shingles, so by pigeonhole it shares at least one PREFIX
+    // shingle — the inverted-index join on prefix shingles alone is
+    // complete, and the df-ascending order stuffs prefixes with the
+    // rarest shingles so index buckets stay small. A length filter
+    // (5*min >= 3*max, necessary since c <= min and c >= 0.6*max)
+    // prunes in the join condition; the index joins on xxhash64 of
+    // the shingle — 8-byte longs through the hot exchange, and a
+    // hash collision can only ADD a candidate (equal shingles always
+    // hash equal), never drop one, so completeness survives and the
+    // exact verify kills the strays. Verification is q32's
+    // candidate-bounded array spelling: candidate ids join each doc's
+    // collected shingle set once, `array_intersect` is row-local —
+    // NOT a per-shingle exploded join, which would put |pairs| ×
+    // |shingles/doc| rows through a shuffle (measured: that spelling
+    // spilled the 100× probe to death). The threshold is integer
+    // cross-multiplied (J >= 3/5 <=> 8c >= 3(na+nb)) and the output
+    // carries (inter, un) as exact longs — no float anywhere, so the
+    // driver hash is engine-exact. Scale: df is one vocab-sized agg;
+    // the rank window is per-doc; nothing is all-pairs — the oracle's
+    // brute-force self-join is the spelling this operator exists to
+    // avoid. The honest bound: candidate volume is Σ C(prefix-df, 2),
+    // which a small-vocabulary twin-dense corpus (the 100× probe's
+    // designed worst case: 19k shingles over 500k docs) drives to
+    // ~1.1B rows — exactness at that density is a measured tax
+    // (SCALE.md), the same class as q35/q36/q123, and the LSH channel
+    // (q31/q32) is the scale path when completeness is not
+    // contractual. ----
+    "q138_set_similarity_join" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.WordShingles.register(s)
+        val toks = table(s, dir, "documents").select($"doc_id",
+          explode(array_distinct(
+            graft.functions.WordShingles.word_shingles(lower($"text"), 3))).as("w"))
+        val dfw = toks.groupBy($"w").agg(count(lit(1)).as("dfw"))
+        val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val prefix = toks.join(dfw, Seq("w"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"dfw", $"w")))
+          .join(sizes, Seq("doc_id"))
+          .filter($"rk" <= $"n" - expr("(3*n + 4) div 5") + 1)
+          .select($"doc_id", xxhash64($"w").as("h"), $"rk", $"n")
+        // positional filter (PPJoin): a qualifying pair's FIRST shared
+        // shingle under the global (df, w) order has the smallest rank
+        // among shared shingles in BOTH docs, so the c−1 remaining
+        // shared shingles all rank after it: c ≤ 1 + min(na−rka,
+        // nb−rkb). Rows whose positions can't reach the overlap bound
+        // α = ceil(3(na+nb)/8) are never the first-shared-entry of a
+        // true pair — dropping them is completeness-preserving and
+        // cuts the pre-distinct candidate stream 3.4× on the 100×
+        // twin corpus (3.85B → 1.12B rows, measured)
+        val cand = prefix.as("a").join(prefix.as("b"),
+            $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
+              lit(5) * least($"a.n", $"b.n") >= lit(3) * greatest($"a.n", $"b.n") &&
+              least($"a.n" - $"a.rk", $"b.n" - $"b.rk") + 1 >=
+                floor((($"a.n" + $"b.n") * 3 + 7) / 8).cast("long"))
+          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+          .distinct()
+        val sets = toks.groupBy($"doc_id").agg(collect_set($"w").as("ws"))
+        cand
+          .join(sets.select($"doc_id".as("id_a"), $"ws".as("wsa")), Seq("id_a"))
+          .join(sets.select($"doc_id".as("id_b"), $"ws".as("wsb")), Seq("id_b"))
+          .withColumn("inter", size(array_intersect($"wsa", $"wsb")).cast("long"))
+          .withColumn("na", size($"wsa").cast("long"))
+          .withColumn("nb", size($"wsb").cast("long"))
+          .filter(lit(8) * $"inter" >= lit(3) * ($"na" + $"nb"))
+          .select($"id_a", $"id_b", $"inter",
+            ($"na" + $"nb" - $"inter").as("un"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""$oracleCtes,
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM shingles a JOIN shingles b
+          ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT i.id_a, i.id_b, cast(i.c AS bigint) AS inter,
+          cast(sa.n + sb.n - i.c AS bigint) AS un
+        FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE 8 * i.c >= 3 * (sa.n + sb.n)
+        ORDER BY id_a, id_b""")),
+
     // ---- containment screen: the ASYMMETRIC complement to q32's
     // Jaccard — containment(A in B) = |A∩B| / |A| catches the
     // quote-heavy or wrapper page that CONTAINS another doc whole

@@ -752,6 +752,38 @@ class DedupSimSpec extends SparkSpec {
       s"incremental labels diverged on ${inc.toSet.diff(full.toSet).take(5)}")
   }
 
+  test("prefix-filtered set-similarity join equals the brute-force all-pairs spelling") {
+    // q138's completeness claim, pinned engine-internally (the DuckDB
+    // oracle already brute-forces it cross-engine): the df-ordered
+    // prefix-index join must produce EXACTLY the pairs an unpruned
+    // all-shingles self-join produces, and the prefix must actually
+    // prune (≈0.4n + 1 shingles kept per doc at τ = 0.6)
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("q138_set_similarity_join")(spark, dir)
+      .collect().toSeq
+    graft.functions.WordShingles.register(spark)
+    val toks = Core.table(spark, dir, "documents").select($"doc_id",
+      explode(array_distinct(
+        graft.functions.WordShingles.word_shingles(lower($"text"), 3))).as("w"))
+    val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val brute = toks.as("a")
+      .join(toks.as("b"), $"a.w" === $"b.w" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), Seq("id_a"))
+      .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), Seq("id_b"))
+      .filter(lit(8) * $"inter" >= lit(3) * ($"na" + $"nb"))
+      .select($"id_a", $"id_b", $"inter", ($"na" + $"nb" - $"inter").as("un"))
+      .orderBy($"id_a", $"id_b").collect().toSeq
+    assert(got.nonEmpty && got == brute,
+      s"prefix-filtered join diverged from brute force (${got.size} vs ${brute.size} rows)")
+    // pruning really prunes: per-doc prefix length is n − ceil(0.6n) + 1
+    val kept = sizes.select(sum($"n" - expr("(3*n + 4) div 5") + 1)).head().getLong(0)
+    val total = sizes.select(sum($"n")).head().getLong(0)
+    assert(kept * 2 < total, s"prefix kept $kept of $total shingles — not pruning")
+  }
+
   test("IndexStore.append makes the store observation-equivalent to a fresh full write") {
     // build a store on the corpus slice, append the batch, and compare
     // every channel + both screen decisions against a store written
