@@ -35,20 +35,50 @@ object Bench {
     // subset in an otherwise-identical session — for separating a
     // query's own cost from cross-query cache/GC interference
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // calibration sentinel (VERDICT r5 "next" #6): time the same fixed
+    // probe before and after the sweep. If the host was contended during
+    // the run the two numbers diverge, and the bench self-identifies as
+    // contaminated instead of silently publishing an inflated total
+    // (the r5 driver bench was ~1.7× host noise and nothing flagged it).
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+      catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calFirst = calibrate()
+    // a failed query is an ERROR, not a (fast, flattering) timing: it
+    // gets -1 in `queries` and a message in `errors`, and the run exits
+    // non-zero (VERDICT r5 "what's wrong" #3)
+    val errors = scala.collection.mutable.ListBuffer.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          errors += ((name, s"${e.getClass.getName}: ${e.getMessage}"))
+          name -> -1.0
+        }
       }
+    val calLast = calibrate()
     def jsonObj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
     val qs = jsonObj(results)
     val wb = jsonObj(warmBreakdown)
-    val queriesSec = results.map(_._2).sum
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val queriesSec = results.map(_._2).filter(_ >= 0).sum
     val total = queriesSec + warmSec
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmSec,"queries_sec":$queriesSec,"queries":$qs,"warm_breakdown":$wb,"sf":"$sfDir"}"""
+    val cal = s"""{"first":$calFirst,"last":$calLast}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmSec,"queries_sec":$queriesSec,"queries":$qs,"warm_breakdown":$wb,"errors":$errJson,"calibration":$cal,"sf":"$sfDir"}"""
     println(json)
     // sbt wraps stdout in [info] prefixes the driver can't parse — also
     // write the line to a file (optional first arg, default ./bench.json)
@@ -61,10 +91,15 @@ object Bench {
     // stdout line arrives as "[info] {...}" — print it to stderr too
     // (sbt passes forked stderr through unprefixed) and pin
     // `run / outputStrategy := StdoutOutput` in build.sbt.
-    val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmSec,"sf":"$sfDir"}"""
+    val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmSec,"errors":${errors.size},"calibration":$cal,"sf":"$sfDir"}"""
     println(shortLine)
     System.err.println(shortLine)
     Core.clearCaches(spark)
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED: " +
+        errors.map(_._1).mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -21,17 +21,29 @@ object Core {
 
   val Money: DecimalType = DecimalType(18, 4)
 
-  /** Loads a driver table. `events.ts` is physically INT64
-    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects — read
-    * it as raw nanos and truncate to micros (identical to DuckDB's own
-    * ns→us handling, so oracle parity holds). */
+  /** Loads a driver table, normalizing `events.ts` to a session-TZ
+    * TIMESTAMP regardless of the file's physical encoding — the driver
+    * has shipped it three ways across rounds:
+    *   - INT64 TIMESTAMP(NANOS): Spark's vectorized reader rejects it;
+    *     read as raw nanos and truncate to micros (identical to DuckDB's
+    *     own ns→us handling, so oracle parity holds);
+    *   - timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ in Spark 4:
+    *     cast to TimestampType. Session TZ is pinned UTC in every
+    *     harness and DuckDB's TIMESTAMP is naive, so the cast is a
+    *     relabel, not a wall-clock shift — oracle parity holds;
+    *   - timestamp[us] UTC-adjusted → already TimestampType, pass through.
+    * Downstream (`unix_micros`, watermarks, window()) always sees LTZ. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (df.schema("ts").dataType == LongType)
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else df
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

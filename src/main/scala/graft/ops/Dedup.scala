@@ -513,16 +513,54 @@ object Dedup {
   /** Sorted-neighborhood candidate pairs (q120/q127): each doc paired
     * with its next [[SnW]] neighbors in the (normalized 24-char text
     * prefix, doc_id) sort order. id_a precedes id_b in SORT order, not
-    * necessarily numerically. Routed through the range-partitioned
-    * [[snPairs]] — the scale-safe spelling; [[snCandidatesWindowRef]]
-    * keeps the one-window reference spelling that DedupSimSpec pins
-    * this against. */
+    * necessarily numerically.
+    *
+    * SIZE-GATED like PageRank's rank join (VERDICT r5 next #4): below
+    * [[SnWindowMaxDocs]] corpus rows the one-window spelling
+    * ([[snWindowPairs]], one WindowExec with three lead()s) is strictly
+    * cheaper — a single-task sort of ≤ ~50 MB of (24-char key, id)
+    * rows — while [[snPairs]]'s range shuffle + heads broadcast +
+    * localCheckpoint machinery was measured as a 1.9× tax at that
+    * scale (SCALE.md 100× A/B; q127 3.8→9.9 s at sf0.1). Above the
+    * gate the single-task sort is the scale-killer and [[snPairs]]
+    * takes over. Both spellings are set-equal (DedupSimSpec pins each
+    * against [[snCandidatesWindowRef]]). */
   private val SnW = 3
+
+  /** Corpus-rows bound for the one-window sn spelling: 1M rows × ~50 B
+    * (24-char key + long id + sort overhead) ≈ 50 MB through one
+    * task's external sort — comfortably single-task; beyond it the
+    * range-partitioned [[snPairs]] amortizes. */
+  private[graft] val SnWindowMaxDocs = 1000000L
+
+  private val snDocCounts =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
   private[graft] def snKeyed(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents").select(col("doc_id"),
       substring(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), 1, 24).as("snk"))
-  private def snCandidates(s: SparkSession, dir: String): DataFrame =
-    snPairs(snKeyed(s, dir), SnW)
+
+  private def snCandidates(s: SparkSession, dir: String): DataFrame = {
+    snDocCounts.keys.filter(_._1.sparkContext.isStopped).foreach(snDocCounts.remove)
+    val n = snDocCounts.getOrElseUpdate((s, dir),
+      table(s, dir, "documents").count())
+    if (n <= SnWindowMaxDocs) snWindowPairs(snKeyed(s, dir))
+    else snPairs(snKeyed(s, dir), SnW)
+  }
+
+  /** Small-corpus arm of the [[snCandidates]] gate: ONE unpartitioned
+    * window evaluating all [[SnW]] lead()s in a single pass (the
+    * reference spelling sorts the corpus once per offset), then one
+    * explode. Bounded by the gate — PlanSpec allowlists the single
+    * WindowExec with this reason. */
+  private[graft] def snWindowPairs(keyed: DataFrame): DataFrame = {
+    val ord = Window.orderBy(col("snk"), col("doc_id"))
+    keyed.select(col("doc_id").cast("long").as("id_a"),
+        array((1 to SnW).map(o =>
+          lead(col("doc_id").cast("long"), o).over(ord)): _*).as("bs"))
+      .select(col("id_a"), explode(col("bs")).as("id_b"))
+      .filter(col("id_b").isNotNull)
+  }
 
   /** Reference spelling of the sliding-window pairing: ONE global
     * `Window.orderBy` — a single-partition external sort of the whole

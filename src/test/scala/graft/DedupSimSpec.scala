@@ -918,6 +918,20 @@ class DedupSimSpec extends SparkSpec {
     assert(refT.nonEmpty && fastT == refT)
   }
 
+  test("snWindowPairs (small-corpus gate arm) equals the reference spelling") {
+    // the ≤ SnWindowMaxDocs arm of the snCandidates size gate: one
+    // WindowExec with all three lead()s — must be set-equal to the
+    // per-offset reference spelling (and hence, by the pin above, to
+    // snPairs: all three spellings interchangeable, gate picks by size)
+    val dir = "/root/testdata/sf0.01"
+    val ref = ops.Dedup.snCandidatesWindowRef(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    val gated = ops.Dedup.snWindowPairs(ops.Dedup.snKeyed(spark, dir))
+      .as[(Long, Long)].collect().toSet
+    assert(ref.nonEmpty && gated == ref,
+      s"one-window SN pairs diverge: missing=${(ref -- gated).take(5)} extra=${(gated -- ref).take(5)}")
+  }
+
   test("kNN query batch cap is not binding at any test SF (oracle stays exact)") {
     // q35's oracle mirrors only the %50 gate; the md5-rank limit
     // (MaxQueryBatch) must therefore never trigger on test fixtures,

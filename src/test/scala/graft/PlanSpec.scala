@@ -548,12 +548,15 @@ class PlanSpec extends SparkSpec {
     // plan zero unpartitioned windows or appear here with the reason
     // its frames stay small. (Same durability move as CODEGEN_ONLY:
     // the warning in the test log becomes a failing gate.)
-    // (q127 shares q120's snPairs boundary windows, but they sit
-    // behind the connected-components checkpoint and never appear in
-    // its final plan)
+    // (q127 shares q120's size-gated sn channel, but its candidate
+    // frame sits behind the connected-components checkpoint and never
+    // appears in its final plan)
     val bounded: Map[String, (Int, String)] = Map(
       "q115_hybrid_rrf" -> ((2,
         "both rank windows run over the two top-100 TakeOrdered frames")),
+      "q120_sorted_neighborhood" -> ((1,
+        "size-gated sn channel: the one-window spelling runs only ≤ SnWindowMaxDocs " +
+          "(1M) corpus rows ≈ 50 MB single-task sort; snPairs is the scale path")),
       "q121_lm_filter_buckets" -> ((1,
         "ntile ORACLE anchor; lmBucketsScalable is the broadcast-threshold scale path")),
       "q122_curriculum_order" -> ((1,
