@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bloom_contains", "bloom_contains(bloom, keyHash) - no-false-negative membership probe"),
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - |A∩B| of two sorted-ascending bigint arrays"),
+      (exprs: Seq[Expression]) => functions.SortedIntersectCount(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("sim_hash60"),
       info("sim_hash60", "sim_hash60(str) - 60-bit majority-vote SimHash of the distinct words"),
       (exprs: Seq[Expression]) => functions.SimHash60(exprs.head)))

@@ -42,6 +42,49 @@ object Dedup {
       explode(graft.functions.WordShingles.word_shingles(lower(col("text")), 3)).as("w"))
   }
 
+  /** Session-memoized verify-stage shingle sets, DICTIONARY-CODED:
+    * doc_id → sorted array of dense LONG shingle ids. Every exact
+    * set-overlap verify (q32/q109/q120/q127/q133) consumes only set
+    * CARDINALITIES (|A∩B|, |A|, |B|), which are invariant under any
+    * bijection — so the verify joins can ship ~8-byte longs instead of
+    * ~20-char shingle strings. Two wins, both O(pairs)-side:
+    *
+    *  - BYTES: the candidate-pair join amplifies each doc's set by its
+    *    pair count (26.9M pairs × 2 full sets at the 100× probe, vs
+    *    500k docs); int-coding cuts the dominant shuffle ~4×.
+    *  - CPU: array_intersect on longs hashes 8-byte values, not
+    *    variable-length UTF8 strings.
+    *
+    * The dictionary itself is EXACT (a bijection, not a hash — no
+    * collision caveat at any scale) and assigned scalably with the
+    * q100 prefix-offset machinery: range-partition the distinct vocab,
+    * collect O(partitions) counts as driver metadata, id = partition
+    * offset + local row_number. One O(occurrences) coding join at
+    * build, memoized; it replaces the five per-query string-set
+    * groupBys the catalog used to rebuild. */
+  private[graft] def codedSets(s: SparkSession, dir: String): DataFrame =
+    memo(s, s"dedup.codedSets:$dir") {
+      import s.implicits._
+      val p = s.sessionState.conf.numShufflePartitions
+      val rows = shingleRows(s, table(s, dir, "documents"))
+      val parted = rows.select($"w").distinct()
+        .repartitionByRange(p, $"w")
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val counts = parted.groupBy($"pid").agg(count(lit(1)).as("c"))
+        .as[(Int, Long)].collect().sortBy(_._1)
+      var acc = 0L
+      val offs = counts.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
+      val meta = offs.toSeq.toDF("pid", "off")
+      val vocab = parted
+        .withColumn("rnl", row_number().over(
+          Window.partitionBy($"pid").orderBy($"w")))
+        .join(broadcast(meta), Seq("pid"))
+        .select($"w", ($"off" + $"rnl").cast("long").as("wid"))
+      rows.join(vocab, Seq("w"))
+        .groupBy($"doc_id").agg(sort_array(collect_set($"wid")).as("ws"))
+    }
+
   /** Universal-hash-family minhash: one base hash per shingle (md5
     * prefix as uint32), then hash i is the linear permutation
     * `(a_i·h + b_i) mod P` with P prime > 2^32 — the standard
@@ -136,7 +179,13 @@ object Dedup {
   def warm(s: SparkSession, dir: String): Seq[(String, Double)] = Seq(
     timedBuild("dedup.bandKeys") { bandKeys(s, dir).count(); () },
     timedBuild("dedup.clusterLabels") { clusterLabels(s, dir).count(); () },
-    timedBuild("dedup.dupSpanStarts") { dupSpanStarts(s, dir).count(); () })
+    timedBuild("dedup.dupSpanStarts") { dupSpanStarts(s, dir).count(); () },
+    timedBuild("dedup.codedSets") { codedSets(s, dir).count(); () },
+    // q137's snapshot store: a maintained artifact that exists before a
+    // batch arrives — built (once per JVM) in the timed warm phase so
+    // the catalog query measures the incremental MERGE, not the
+    // once-per-snapshot write (VERDICT r5 next #5)
+    timedBuild("dedup.snapshotStore") { snapshotStore(s, dir, 58982L); () })
 
   /** Session-memoized cluster labels over the corpus's LSH pair graph.
     * q45 (clusters), q47 (curation) and q76 (training pipeline) all
@@ -548,6 +597,28 @@ object Dedup {
     else snPairs(snKeyed(s, dir), SnW)
   }
 
+  /** Once-per-JVM IndexStore snapshot of the md5-gated corpus slice
+    * (`gate < gateLt` of 65536): band index + cluster labels under a
+    * deterministic temp path. q137 times the incremental MERGE against
+    * this store; rebuilding the snapshot inside every bench run timed
+    * the write, not the operator (VERDICT r5 next #5). Keyed by
+    * (dir, gateLt) — a different corpus or gate gets its own store. */
+  private val snapshotStores =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+  private def snapshotStore(s: SparkSession, dir: String, gateLt: Long): String =
+    snapshotStores.synchronized {
+      snapshotStores.getOrElseUpdate((dir, gateLt), {
+        val gate = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long")
+        val slice = table(s, dir, "documents").filter(gate < gateLt)
+        val idx = s"${sys.props("java.io.tmpdir")}/graft_incc_" +
+          Integer.toHexString((dir, gateLt).hashCode)
+        IndexStore.write(s, slice, idx)
+        IndexStore.writeClusters(s, slice, idx)
+        idx
+      })
+    }
+
   /** Small-corpus arm of the [[snCandidates]] gate: ONE unpartitioned
     * window evaluating all [[SnW]] lead()s in a single pass (the
     * reference spelling sorts the corpus once per offset), then one
@@ -684,12 +755,13 @@ object Dedup {
   private[ops] def containmentScreen(s: SparkSession, dir: String,
       pairs: DataFrame): DataFrame = {
     import s.implicits._
-    val sets = shingleRows(s, table(s, dir, "documents"))
-      .groupBy($"doc_id").agg(collect_set($"w").as("ws"))
+    graft.functions.SortedIntersectCount.register(s)
+    val sets = codedSets(s, dir)
     pairs
       .join(sets.select($"doc_id".as("id_a"), $"ws".as("wsa")), Seq("id_a"))
       .join(sets.select($"doc_id".as("id_b"), $"ws".as("wsb")), Seq("id_b"))
-      .withColumn("c", size(array_intersect($"wsa", $"wsb")))
+      .withColumn("c",
+        graft.functions.SortedIntersectCount.sorted_intersect_count($"wsa", $"wsb"))
       .select($"id_a", $"id_b",
         rnd4($"c".cast("double") / size($"wsa")).as("cont_a_in_b"),
         rnd4($"c".cast("double") / size($"wsb")).as("cont_b_in_a"))
@@ -852,12 +924,13 @@ object Dedup {
       (s, dir) => {
         import s.implicits._
         val cands = snCandidates(s, dir)
-        val sets = shingleRows(s, table(s, dir, "documents"))
-          .groupBy($"doc_id").agg(collect_set($"w").as("ws"))
+        graft.functions.SortedIntersectCount.register(s)
+        val sets = codedSets(s, dir)
         cands
           .join(sets.select($"doc_id".as("id_a"), $"ws".as("wsa")), Seq("id_a"))
           .join(sets.select($"doc_id".as("id_b"), $"ws".as("wsb")), Seq("id_b"))
-          .withColumn("c", size(array_intersect($"wsa", $"wsb")))
+          .withColumn("c",
+            graft.functions.SortedIntersectCount.sorted_intersect_count($"wsa", $"wsb"))
           .select($"id_a", $"id_b",
             rnd4($"c".cast("double") / (size($"wsa") + size($"wsb") - $"c")).as("jaccard"))
           .filter($"jaccard" >= 0.5)
@@ -896,12 +969,12 @@ object Dedup {
           .select(least($"id_a", $"id_b").as("id_a"),
             greatest($"id_a", $"id_b").as("id_b"))
           .distinct()
-        val sets = shingleRows(s, docs)
-          .groupBy($"doc_id").agg(collect_set($"w").as("ws"))
+        graft.functions.SortedIntersectCount.register(s)
+        val sets = codedSets(s, dir)
         val edges = allc
           .join(sets.select($"doc_id".as("id_a"), $"ws".as("wsa")), Seq("id_a"))
           .join(sets.select($"doc_id".as("id_b"), $"ws".as("wsb")), Seq("id_b"))
-          .withColumn("c", size(array_intersect($"wsa", $"wsb")))
+          .withColumn("c", graft.functions.SortedIntersectCount.sorted_intersect_count($"wsa", $"wsb"))
           .filter($"c".cast("double") / (size($"wsa") + size($"wsb") - $"c") >= 0.5)
           .select($"id_a", $"id_b")
         val labels = connectedComponents(docs.select($"doc_id"), edges)
@@ -1008,18 +1081,19 @@ object Dedup {
       Some(s"$oracleCtes SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b")),
 
     // ---- n-gram Jaccard: exact verification of the LSH candidates.
-    // Shingle sets travel as arrays to the (small) candidate-pair set;
-    // the intersection is a codegen'd array op per pair — no shuffle
-    // proportional to shingle count. ----
+    // Shingle sets travel as arrays to the (small) candidate-pair set —
+    // DICTIONARY-CODED sorted longs (codedSets), not strings, since
+    // Jaccard needs only cardinalities; the intersection is a codegen'd
+    // array op per pair — no shuffle proportional to shingle count. ----
     "q32_ngram_jaccard" -> Q(
       (s, dir) => {
         import s.implicits._
-        val sets = shingleRows(s, table(s, dir, "documents"))
-          .groupBy($"doc_id").agg(collect_set($"w").as("ws"))
+        graft.functions.SortedIntersectCount.register(s)
+        val sets = codedSets(s, dir)
         val inter = lshPairs(s, dir)
           .join(sets.select($"doc_id".as("id_a"), $"ws".as("wsa")), Seq("id_a"))
           .join(sets.select($"doc_id".as("id_b"), $"ws".as("wsb")), Seq("id_b"))
-          .withColumn("c", size(array_intersect($"wsa", $"wsb")))
+          .withColumn("c", graft.functions.SortedIntersectCount.sorted_intersect_count($"wsa", $"wsb"))
         inter
           .select($"id_a", $"id_b",
             rnd4($"c".cast("double") / (size($"wsa") + size($"wsb") - $"c")).as("jaccard"))
@@ -1103,11 +1177,15 @@ object Dedup {
                 floor((($"a.n" + $"b.n") * 3 + 7) / 8).cast("long"))
           .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
           .distinct()
-        val sets = toks.groupBy($"doc_id").agg(collect_set($"w").as("ws"))
+        // verify ships the dictionary-coded sets (codedSets: same
+        // distinct-shingle universe as toks, bijectively coded — inter/
+        // na/nb are cardinalities, invariant under the coding)
+        graft.functions.SortedIntersectCount.register(s)
+        val sets = codedSets(s, dir)
         cand
           .join(sets.select($"doc_id".as("id_a"), $"ws".as("wsa")), Seq("id_a"))
           .join(sets.select($"doc_id".as("id_b"), $"ws".as("wsb")), Seq("id_b"))
-          .withColumn("inter", size(array_intersect($"wsa", $"wsb")).cast("long"))
+          .withColumn("inter", graft.functions.SortedIntersectCount.sorted_intersect_count($"wsa", $"wsb").cast("long"))
           .withColumn("na", size($"wsa").cast("long"))
           .withColumn("nb", size($"wsb").cast("long"))
           .filter(lit(8) * $"inter" >= lit(3) * ($"na" + $"nb"))
@@ -1176,19 +1254,20 @@ object Dedup {
     // supernode contraction, return the combined labels. The oracle is
     // q45's full-corpus recursive-CTE closure — the contract is that
     // the O(batch + clusters) merge is INDISTINGUISHABLE from
-    // re-clustering everything. The snapshot write is part of the
-    // query on purpose: it is the honest once-per-snapshot cost the
-    // merge amortizes (SCALE.md round-5 addendum measures both). ----
+    // re-clustering everything. The snapshot is written ONCE per
+    // (dir, gate) per JVM (VERDICT r5 next #5): in production the
+    // store is a maintained artifact that exists before a batch
+    // arrives, so the catalog query times the MERGE — the operator
+    // under test — not a repeated snapshot rebuild; the once-per-
+    // snapshot write cost is measured separately (SCALE.md round-5
+    // addendum: 55.3 s write vs 17.6 s merge at 100×). ----
     "q137_incremental_clusters" -> Q(
       (s, dir) => {
         import s.implicits._
         val docs = table(s, dir, "documents")
         val gate = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
           .cast("long")
-        val idx = s"${sys.props("java.io.tmpdir")}/graft_incc_" +
-          Integer.toHexString(dir.hashCode)
-        IndexStore.write(s, docs.filter(gate < 58982L), idx)
-        IndexStore.writeClusters(s, docs.filter(gate < 58982L), idx)
+        val idx = snapshotStore(s, dir, 58982L)
         IndexStore.incrementalClusters(s, idx, docs.filter(gate >= 58982L))
           .orderBy($"doc_id")
       },
@@ -1610,12 +1689,12 @@ object Dedup {
           .groupBy($"id_a", $"id_b")
           .agg(rnd4(sum(when($"sa.hmin" === $"sb.hmin", 1L).otherwise(0L))
             .cast("double") / 16.0).as("est_jaccard"))
-        val sets = shingleRows(s, table(s, dir, "documents"))
-          .groupBy($"doc_id").agg(collect_set($"w").as("ws"))
+        graft.functions.SortedIntersectCount.register(s)
+        val sets = codedSets(s, dir)
         val exact = lshPairs(s, dir)
           .join(sets.select($"doc_id".as("id_a"), $"ws".as("wsa")), Seq("id_a"))
           .join(sets.select($"doc_id".as("id_b"), $"ws".as("wsb")), Seq("id_b"))
-          .withColumn("c", size(array_intersect($"wsa", $"wsb")))
+          .withColumn("c", graft.functions.SortedIntersectCount.sorted_intersect_count($"wsa", $"wsb"))
           .select($"id_a", $"id_b",
             rnd4($"c".cast("double") / (size($"wsa") + size($"wsb") - $"c")).as("jaccard"))
         est.join(exact, Seq("id_a", "id_b"))

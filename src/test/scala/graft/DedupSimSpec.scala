@@ -932,6 +932,55 @@ class DedupSimSpec extends SparkSpec {
       s"one-window SN pairs diverge: missing=${(ref -- gated).take(5)} extra=${(gated -- ref).take(5)}")
   }
 
+  test("codedSets dictionary is an exact bijection of the string shingle sets") {
+    // the verify-stage int coding (q32/q109/q120/q127/q133) is only
+    // legal because the dictionary is a BIJECTION — unlike a hash it
+    // can never merge two shingles. Pin the two facts that imply it:
+    // per-doc cardinalities survive coding, and the coded corpus uses
+    // exactly vocab-size distinct ids (injective on the union).
+    val dir = "/root/testdata/sf0.01"
+    graft.functions.WordShingles.register(spark)
+    val strSets = Core.table(spark, dir, "documents")
+      .select($"doc_id",
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.expr("word_shingles(lower(text), 3)")).as("w"))
+    val strN = strSets.groupBy($"doc_id")
+      .agg(org.apache.spark.sql.functions.countDistinct($"w").as("n_str"))
+    val coded = ops.Dedup.codedSets(spark, dir)
+    val codedN = coded.select($"doc_id",
+      org.apache.spark.sql.functions.size($"ws").as("n_coded"))
+    val mismatch = strN.join(codedN, Seq("doc_id"), "full")
+      .filter($"n_str".isNull || $"n_coded".isNull || $"n_str" =!= $"n_coded")
+      .count()
+    assert(mismatch == 0, s"$mismatch docs change cardinality under coding")
+    val vocab = strSets.select($"w").distinct().count()
+    val ids = coded.select(org.apache.spark.sql.functions.explode($"ws").as("wid"))
+      .distinct().count()
+    assert(ids == vocab, s"coded ids ($ids) != vocab size ($vocab): not a bijection")
+  }
+
+  test("sorted_intersect_count ≡ size(array_intersect) on random sorted sets") {
+    // the merge-walk codegen expression is only legal on sorted
+    // duplicate-free arrays (codedSets' contract); pin exact equality
+    // against the built-in spelling across random set sizes including
+    // empty and disjoint arrays
+    graft.functions.SortedIntersectCount.register(spark)
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 400).map { i =>
+      (i.toLong,
+        (0 until rnd.nextInt(60)).map(_ => rnd.nextInt(90).toLong)
+          .distinct.sorted.toArray)
+    }
+    val df = rows.toDF("id", "ws")
+    val mism = df.as("a").crossJoin(df.as("b"))
+      .withColumn("c1",
+        org.apache.spark.sql.functions.expr("sorted_intersect_count(a.ws, b.ws)"))
+      .withColumn("c2", org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.array_intersect($"a.ws", $"b.ws")))
+      .filter($"c1" =!= $"c2").count()
+    assert(mism == 0, s"$mism pairs disagree with array_intersect")
+  }
+
   test("kNN query batch cap is not binding at any test SF (oracle stays exact)") {
     // q35's oracle mirrors only the %50 gate; the md5-rank limit
     // (MaxQueryBatch) must therefore never trigger on test fixtures,
