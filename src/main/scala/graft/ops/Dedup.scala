@@ -1674,21 +1674,28 @@ object Dedup {
     // distribution is wide at the 0.8 operating point, you need more
     // hashes, and you want to learn that from an audit query, not
     // from a leaked near-dup. Signatures are REUSED from the memoized
-    // band-key frame (positions reconstructed as band*4 + slot), so
-    // the audit adds two joins on the pair list, not a re-shingle of
-    // the corpus. ----
+    // band-key frame, reassembled ROW-WISE into one 16-slot array per
+    // doc (band-ascending, slot order inside each band's CSV) — so the
+    // est side is two joins of the pair list against a 1-row-per-doc
+    // frame and a per-pair 16-element zip-compare, NOT a join against
+    // 16-rows-per-doc position rows (which put |pairs|×16 rows through
+    // two shuffles and a pair-keyed agg — 430M rows at the 100×
+    // probe, measured 145 s; the whole agg existed only to reassemble
+    // what one row can carry). ----
     "q109_sketch_quality" -> Q(
       (s, dir) => {
         import s.implicits._
-        val sig = bandKeys(s, dir)
-          .select($"doc_id", $"band", posexplode(split($"band_key", ",")))
-          .select($"doc_id", ($"band" * 4 + $"pos").as("i"), $"col".as("hmin"))
+        val sigArr = bandKeys(s, dir)
+          .groupBy($"doc_id")
+          .agg(array_sort(collect_list(struct($"band", $"band_key"))).as("bk"))
+          .select($"doc_id",
+            flatten(transform($"bk", b => split(b("band_key"), ","))).as("hs"))
         val est = lshPairs(s, dir)
-          .join(sig.as("sa"), $"id_a" === $"sa.doc_id")
-          .join(sig.as("sb"), $"id_b" === $"sb.doc_id" && $"sa.i" === $"sb.i")
-          .groupBy($"id_a", $"id_b")
-          .agg(rnd4(sum(when($"sa.hmin" === $"sb.hmin", 1L).otherwise(0L))
-            .cast("double") / 16.0).as("est_jaccard"))
+          .join(sigArr.select($"doc_id".as("id_a"), $"hs".as("ha")), Seq("id_a"))
+          .join(sigArr.select($"doc_id".as("id_b"), $"hs".as("hb")), Seq("id_b"))
+          .select($"id_a", $"id_b",
+            rnd4(size(filter(zip_with($"ha", $"hb", (x, y) => x === y),
+              m => m)).cast("double") / 16.0).as("est_jaccard"))
         graft.functions.SortedIntersectCount.register(s)
         val sets = codedSets(s, dir)
         val exact = lshPairs(s, dir)
