@@ -151,4 +151,19 @@ class PropertySpec extends SparkSpec {
       assert(got == expect, s"minhash mismatch on ${ts.take(3)}…")
     }
   }
+
+  test("sorted_intersect_count: codegen merge walk equals Set.intersect on arbitrary id sets") {
+    graft.functions.SortedIntersectCount.register(spark)
+    val idSet: Gen[List[Long]] = Gen.chooseNum(0, 40)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-50L, 50L)))
+    forAll(Gen.zip(idSet, idSet)) { case (a, b) =>
+      val sa = a.distinct.sorted; val sb = b.distinct.sorted
+      val expect = sa.toSet.intersect(sb.toSet).size
+      val got = Seq((sa.toArray, sb.toArray)).toDF("a", "b")
+        .selectExpr("sorted_intersect_count(a, b) AS c")
+        .as[Int].head()
+      assert(got == expect,
+        s"merge walk=$got, Set.intersect=$expect on |a|=${sa.size}, |b|=${sb.size}")
+    }
+  }
 }
