@@ -248,6 +248,62 @@ object IndexStore {
         table(s, dir, "documents").select(col("doc_id")),
         pairsFromStore(s, indexDir)))
 
+  /** Text-retrieval channel: the BM25 postings index as a persisted,
+    * append-maintained artifact — the retrieval-family counterpart of
+    * the dedup channels above.
+    *
+    *  - `postings` (doc_id, term, tf): range-partitioned BY TERM and
+    *    term-sorted within partitions, so a k-term query's pushed
+    *    `In(term, …)` filter prunes parquet row groups via min/max
+    *    stats — the lookup reads O(Σ df(query terms)) rows, never the
+    *    corpus. (The store-side analog of band-partition pruning: the
+    *    channel's physical layout IS the index.)
+    *  - `doc_lens` (doc_id, dl): the narrow channel BM25's length
+    *    normalization joins and corpus stats (N, avgdl) re-aggregate
+    *    from — O(corpus) only in two integer columns, never in text
+    *    (the bloom re-agg pattern).
+    *
+    * [[appendText]] folds a batch in O(batch): new term-sorted postings
+    * files + new doc_lens rows; df and (N, avgdl) are derived at query
+    * time from the merged channels, so no stored statistic goes stale.
+    * TextIndexSpec pins `writeText(corpus ∪ batch)` ≡
+    * `writeText(corpus); appendText(batch)` on query results. */
+  def writeText(s: SparkSession, docs: DataFrame, out: String): Unit =
+    writeTextChannels(s, TextOps.postingsFor(docs), out, SaveMode.Overwrite)
+
+  /** O(batch) append to the text channel (same layout as [[writeText]];
+    * each append's files are term-sorted internally, so row-group
+    * pruning keeps working as files accumulate). */
+  def appendText(s: SparkSession, indexDir: String, batch: DataFrame): Unit =
+    writeTextChannels(s, TextOps.postingsFor(batch), indexDir, SaveMode.Append)
+
+  private def writeTextChannels(s: SparkSession, postings: DataFrame,
+      out: String, mode: SaveMode): Unit = {
+    postings
+      .repartitionByRange(col("term"), col("doc_id"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode(mode).parquet(s"$out/postings")
+    postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .write.mode(mode).parquet(s"$out/doc_lens")
+  }
+
+  /** BM25 top-ranked docs for driver-known query terms, from the
+    * stored channels only — bit-identical scoring to the session route
+    * (TextOps.bm25Rank is shared; TextIndexSpec + the q139 oracle pin
+    * it): term-pruned postings give per-doc tf AND per-term df; the
+    * doc_lens channel gives dl and (N, avgdl). */
+  def bm25FromStore(s: SparkSession, indexDir: String,
+      terms: Seq[String]): DataFrame = {
+    import s.implicits._
+    val pruned = s.read.parquet(s"$indexDir/postings")
+      .filter($"term".isin(terms: _*))
+    val dl = s.read.parquet(s"$indexDir/doc_lens")
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg($"dl".cast("double")).as("avgdl"))
+    val qdf = pruned.groupBy($"term").agg(count(lit(1)).as("df"))
+    TextOps.bm25Rank(pruned, qdf, dl, stats)
+  }
+
   def screenBatch(s: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
     import s.implicits._
     graft.functions.BloomFuncs.register(s)

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** Persisted text-retrieval channel (IndexStore.writeText / appendText /
+  * bm25FromStore): the retrieval-family member of the maintained-index
+  * tier. Pins the three contracts that make the store a real index:
+  * the store route is indistinguishable from the session route, an
+  * O(batch) append is indistinguishable from a full rebuild, and the
+  * query-term lookup actually prunes at the scan. */
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-txt-$tag").toString
+
+  test("bm25FromStore ≡ bm25 session route (catalog q139 ≡ q114)") {
+    val a = SparkEntry.queries("q114_bm25")(spark, dir).collect().toSeq
+    val b = SparkEntry.queries("q139_bm25_store")(spark, dir).collect().toSeq
+    assert(a.nonEmpty && a == b,
+      s"store route diverges from session route:\n  q114=${a.take(3)}\n  q139=${b.take(3)}")
+  }
+
+  test("writeText(corpus) ≡ writeText(90%) + appendText(10%) on query results") {
+    val docs = Core.table(spark, dir, "documents")
+    val gate = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    val full = tmp("full"); val rolled = tmp("rolled")
+    ops.IndexStore.writeText(spark, docs, full)
+    ops.IndexStore.writeText(spark, docs.filter(gate < 58982L), rolled)
+    ops.IndexStore.appendText(spark, rolled, docs.filter(gate >= 58982L))
+    // channel-level set equality
+    for (ch <- Seq("postings", "doc_lens")) {
+      val a = spark.read.parquet(s"$full/$ch")
+      val b = spark.read.parquet(s"$rolled/$ch")
+      assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty,
+        s"channel $ch diverges after append")
+    }
+    // observation equality: same query, same scores, either store
+    val terms = ops.TextOps.qtermsOf(spark, dir)
+    val qa = ops.IndexStore.bm25FromStore(spark, full, terms)
+      .orderBy($"doc_id").collect().toSeq
+    val qb = ops.IndexStore.bm25FromStore(spark, rolled, terms)
+      .orderBy($"doc_id").collect().toSeq
+    assert(qa.nonEmpty && qa == qb, "append-maintained store scores diverge")
+  }
+
+  test("query-term lookup reaches the postings scan as a pushed In filter") {
+    // the layout claim (term-range-partitioned + term-sorted → row-group
+    // pruning) is only real if the filter is PUSHED, not post-scan
+    val idx = tmp("push")
+    ops.IndexStore.writeText(spark, Core.table(spark, dir, "documents"), idx)
+    val plan = ops.IndexStore.bm25FromStore(spark, idx, Seq("the", "spark"))
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("postings"))
+      .mkString("\n")
+    assert(scanLine.contains("PushedFilters: [In(term, ["),
+      s"term filter not pushed to the postings scan:\n${scanLine.take(800)}")
+  }
+
+  test("empty term list returns no rows (and does not scan the corpus)") {
+    val idx = tmp("empty")
+    ops.IndexStore.writeText(spark,
+      Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text"), idx)
+    assert(ops.IndexStore.bm25FromStore(spark, idx, Seq.empty).count() == 0)
+    assert(ops.IndexStore.bm25FromStore(spark, idx, Seq("zzz")).count() == 0)
+    val hit = ops.IndexStore.bm25FromStore(spark, idx, Seq("beta"))
+    assert(hit.count() == 2)
+  }
+}
