@@ -164,6 +164,12 @@ object ScaleProbe {
       // TakeOrdered over the doc-keyed score agg (count() can't prune
       // the agg: the limit needs the ordered scores)
       "q114_bm25",
+      // q139: q114 answered from the persisted postings channel — the
+      // pushed In(q-terms) filter must keep the lookup O(Σ df) via
+      // row-group pruning while q114 re-aggregates the corpus; the
+      // first run also pays the once-per-JVM writeText (reported
+      // inside the timing here, separately in bench's warm phase)
+      "q139_bm25_store",
       // q115: both retrieval channels are bounded TakeOrdereds (the
       // rank windows see only the retrieved 100 rows); the semantic
       // side is one broadcast-1-vector dot pass over the corpus
@@ -222,6 +228,14 @@ object ScaleProbe {
       // the optimizer eliminate its scrub join entirely.
       "q129_dedup_report", "q130_cross_source_dups"))
       .filter(q => only.forall(_.contains(q))).foreach(time)
+    // q139 second run in the same JVM: the once-per-JVM writeText is
+    // paid by the listed run above, so this times the PURE store-fed
+    // lookup — the steady-state cost a deployment sees per query
+    if (only.forall(_.contains("q139_bm25_store"))) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries("q139_bm25_store")(spark, dst).count()
+      println(f"PROBE q139_bm25_store(lookup)     ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
+    }
     // wave-3 queries whose cost lives in agg expressions / join sides
     // that a bare count() lets the optimizer elide: aggregate over the
     // computed columns so the measured plan is the real one.

@@ -226,6 +226,25 @@ object StreamingOps {
     decisions
   }
 
+  /** Text-channel sibling of [[ingestAndMaintain]]: fold each
+    * micro-batch into the persisted BM25 postings index
+    * (IndexStore.appendText — O(batch) term-sorted postings files +
+    * doc_lens rows; df and corpus stats derive from the merged
+    * channels at query time, so a query between micro-batches always
+    * scores against the corpus-so-far). Micro-batches execute
+    * serially per query, so the append needs no locking. Callers
+    * screening for duplicates first compose the two:
+    * `foreachBatch { (b, _) =>
+    *    val d = StreamingOps.ingestAndMaintain(spark, dedupIdx, b)
+    *    val kept = b.join(d.filter($"decision" === "keep")
+    *      .select($"doc_id"), Seq("doc_id"), "left_semi")
+    *    StreamingOps.ingestAndMaintainText(spark, textIdx, kept) }`.
+    * TextIndexSpec pins the streamed store ≡ one-shot writeText on
+    * channels and on query scores. */
+  def ingestAndMaintainText(s: SparkSession, textIndexDir: String,
+      batch: DataFrame): Unit =
+    graft.ops.IndexStore.appendText(s, textIndexDir, batch)
+
   final case class SessionSeq(user_id: Long, session_id: Long,
       n_events: Long, seq: String)
   final case class SessState(nextId: Long, lastUs: Long,

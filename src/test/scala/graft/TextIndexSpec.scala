@@ -62,6 +62,37 @@ class TextIndexSpec extends SparkSpec {
       s"term filter not pushed to the postings scan:\n${scanLine.take(800)}")
   }
 
+  test("streamed ingestAndMaintainText ≡ one-shot writeText (channels + scores)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tiny = "/root/testdata/sf0.001"
+    val docs = Core.table(spark, tiny, "documents").select($"doc_id", $"text")
+    val rows = docs.as[streaming.StreamingOps.DocRow].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val streamed = tmp("stream")
+    val stream = MemoryStream[streaming.StreamingOps.DocRow]
+    val q = stream.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        streaming.StreamingOps.ingestAndMaintainText(spark, streamed, b.toDF())
+      }.start()
+    Seq(b1, b2).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val oneShot = tmp("oneshot")
+    ops.IndexStore.writeText(spark, docs, oneShot)
+    for (ch <- Seq("postings", "doc_lens")) {
+      val a = spark.read.parquet(s"$streamed/$ch")
+      val b = spark.read.parquet(s"$oneShot/$ch")
+      assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty,
+        s"channel $ch diverged after streamed maintenance")
+    }
+    val terms = ops.TextOps.qtermsOf(spark, tiny)
+    val qa = ops.IndexStore.bm25FromStore(spark, streamed, terms)
+      .orderBy($"doc_id").collect().toSeq
+    val qb = ops.IndexStore.bm25FromStore(spark, oneShot, terms)
+      .orderBy($"doc_id").collect().toSeq
+    assert(qa.nonEmpty && qa == qb, "streamed store scores diverge from one-shot")
+  }
+
   test("empty term list returns no rows (and does not scan the corpus)") {
     val idx = tmp("empty")
     ops.IndexStore.writeText(spark,
