@@ -100,7 +100,11 @@ object ScaleProbe {
     (Seq("q01_pricing_summary", "q03_join_revenue_by_nation", "q09_asof_join_event_order",
       "q31_minhash_lsh_pairs", "q32_ngram_jaccard", "q45_dedup_clusters",
       "q47_corpus_curation", "q61_decontamination") ++ baselines ++ Seq("q37_ann_lsh",
-      "q39_ann_ivf", "q53_topk_custom_operator",
+      "q39_ann_ivf",
+      // q140: q39 from the persisted cid-partitioned cells — the
+      // probed cells arrive as a partition filter; first run also
+      // pays the once-per-JVM writeVectors
+      "q140_ann_store", "q53_topk_custom_operator",
       // round-3 training-set assembly + incremental/semantic dedup —
       // q72's probe shape is adversarial: every vector has copies−1
       // exact twins, so its verified OUTPUT grows with duplicate
@@ -228,13 +232,15 @@ object ScaleProbe {
       // the optimizer eliminate its scrub join entirely.
       "q129_dedup_report", "q130_cross_source_dups"))
       .filter(q => only.forall(_.contains(q))).foreach(time)
-    // q139 second run in the same JVM: the once-per-JVM writeText is
-    // paid by the listed run above, so this times the PURE store-fed
-    // lookup — the steady-state cost a deployment sees per query
-    if (only.forall(_.contains("q139_bm25_store"))) {
+    // q139/q140 second runs in the same JVM: the once-per-JVM store
+    // writes are paid by the listed runs above, so these time the PURE
+    // store-fed lookups — the steady-state cost a deployment sees per
+    // query
+    for (q <- Seq("q139_bm25_store", "q140_ann_store")
+         if only.forall(_.contains(q))) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries("q139_bm25_store")(spark, dst).count()
-      println(f"PROBE q139_bm25_store(lookup)     ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
+      val n = SparkEntry.queries(q)(spark, dst).count()
+      println(f"PROBE $q%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n (lookup)")
     }
     // wave-3 queries whose cost lives in agg expressions / join sides
     // that a bare count() lets the optimizer elide: aggregate over the

@@ -304,6 +304,82 @@ object IndexStore {
     TextOps.bm25Rank(pruned, qdf, dl, stats)
   }
 
+  /** Vector-retrieval channel: the IVF index as a persisted,
+    * append-maintained artifact — the third family of the
+    * maintained-index tier (dedup bands, text postings, now vectors).
+    *
+    *  - `centroids` (cid, cvec): the trained k-means model, a tiny
+    *    broadcastable table.
+    *  - `cells` (vec_id, label, unit), PARTITIONED BY cid: each
+    *    vector stored in its inverted-file cell, so an nprobe lookup's
+    *    `cid IN (…)` filter prunes at the DIRECTORY level — a query
+    *    reads only the probed cells' files, O(nprobe · n/k) rows.
+    *
+    * [[appendVectors]] assigns a batch to cells under the FROZEN
+    * stored centroids (IVF semantics: the model retrains per
+    * snapshot, not per batch) and appends O(batch) rows into the
+    * partition layout. VectorIndexSpec pins store ≡ session routes
+    * and write ≡ write+append. */
+  def writeVectors(s: SparkSession, vectors: DataFrame,
+      centroids: DataFrame, out: String): Unit = {
+    centroids.write.mode(SaveMode.Overwrite).parquet(s"$out/centroids")
+    assignCells(vectors, centroids)
+      .write.mode(SaveMode.Overwrite).partitionBy("cid")
+      .parquet(s"$out/cells")
+  }
+
+  /** O(batch) append: assign under the stored centroids, write into
+    * the same cid-partitioned layout. */
+  def appendVectors(s: SparkSession, indexDir: String,
+      batch: DataFrame): Unit =
+    assignCells(batch, s.read.parquet(s"$indexDir/centroids"))
+      .write.mode(SaveMode.Append).partitionBy("cid")
+      .parquet(s"$indexDir/cells")
+
+  private def assignCells(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    graft.functions.DotProduct.register(vectors.sparkSession)
+    Similarity.nearestCell(vectors, cents)
+      .join(vectors.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("unit"), col("cid"))
+  }
+
+  /** Top-k cosine ANN for a bounded query batch, answered from the
+    * stored channels: probe assignment runs against the broadcast
+    * centroids; the probed cell ids are collected (bounded —
+    * |queries| × nprobe ints) and pushed as a PARTITION filter on the
+    * cells read, so the corpus scan touches only probed directories.
+    * Scoring/top-k mirror the session route exactly (same dot, same
+    * window), so results are bit-identical to q39 given the same
+    * centroids and query batch (VectorIndexSpec pins it). */
+  def annFromStore(s: SparkSession, indexDir: String, queries: DataFrame,
+      nprobe: Int = 4, k: Int = 5): DataFrame = {
+    import s.implicits._
+    graft.functions.DotProduct.register(s)
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val probed = queries
+      .join(broadcast(cents))
+      .withColumn("sim", graft.functions.DotProduct.dot_fast($"unit", $"cvec"))
+      .withColumn("crn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"vec_id").orderBy($"sim".desc, $"cid")))
+      .filter($"crn" <= nprobe)
+      .select($"vec_id".as("qid"), $"unit".as("qunit"), $"cid")
+      .localCheckpoint()
+    val cids = probed.select($"cid").distinct().as[Long].collect()
+    val cells = s.read.parquet(s"$indexDir/cells")
+      .filter($"cid".isin(cids: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"cos".desc, $"vid")
+    broadcast(probed).join(cells, Seq("cid"))
+      .filter($"qid" =!= $"vec_id")
+      .withColumn("cos", graft.functions.DotProduct.dot_fast($"qunit", $"unit"))
+      .select($"qid", $"vec_id".as("vid"), $"cos")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"qid", $"rn", $"vid", round($"cos", 4).as("cos"))
+      .orderBy($"qid", $"rn")
+  }
+
   def screenBatch(s: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
     import s.implicits._
     graft.functions.BloomFuncs.register(s)

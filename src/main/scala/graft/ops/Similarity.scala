@@ -90,12 +90,12 @@ object Similarity {
         .limit(MaxQueryBatch)
         .select(col("vec_id"))
     }
-  private def queryBatch(s: SparkSession, dir: String, df: DataFrame): DataFrame =
+  private[graft] def queryBatch(s: SparkSession, dir: String, df: DataFrame): DataFrame =
     df.join(broadcast(queryIds(s, dir)), Seq("vec_id"))
 
   /** Normalized embeddings for the fast path: unit-length double arrays.
     * Memoized+cached once per session — q36/q37/q39 share one pass. */
-  private def normalized(s: SparkSession, dir: String): DataFrame =
+  private[graft] def normalized(s: SparkSession, dir: String): DataFrame =
     memo(s, s"similarity.normalized:$dir") {
       import s.implicits._
       graft.functions.DotProduct.register(s)
@@ -110,7 +110,7 @@ object Similarity {
     * (sim desc, cid asc): one row per vector leaves each map task. A
     * window/row_number argmin would shuffle AND sort corpus × k rows on
     * every use (VERDICT r1 "what's wrong" #3). */
-  private def nearestCell(df: DataFrame, cents: DataFrame): DataFrame = {
+  private[ops] def nearestCell(df: DataFrame, cents: DataFrame): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     df.join(broadcast(cents))
@@ -132,7 +132,7 @@ object Similarity {
     * small inputs train on everything — the sample path is exactly the
     * 100 TB path and is measured at the 100× probe (2M vectors → Lloyd
     * sees ~250k). */
-  private def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+  private[graft] def ivfCentroids(s: SparkSession, dir: String): DataFrame =
     memo(s, s"similarity.ivfCentroids:$dir") {
       import s.implicits._
       val all = normalized(s, dir)
@@ -411,6 +411,24 @@ object Similarity {
           .filter($"rn" <= 5)
           .select($"qid", $"rn", $"vid", round($"cos", 4).as("cos"))
           .orderBy($"qid", $"rn")
+      },
+      None),
+
+    // ---- store-fed IVF ANN: q39 answered from the PERSISTED vector
+    // channel (IndexStore.writeVectors: tiny centroids table +
+    // cid-PARTITIONED cells) — the vector family joins the
+    // maintained-index tier. The probed cell ids become a partition
+    // filter, so the lookup reads only nprobe cells' directories —
+    // O(nprobe · n/k) rows, no corpus re-normalization, no centroid
+    // re-train in a cold session. Within a JVM the store persists the
+    // session's own trained model, so output is BIT-IDENTICAL to q39
+    // (VectorIndexSpec pins it; no oracle for the same reason as q39 —
+    // k-means isn't SQL-expressible). ----
+    "q140_ann_store" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        IndexStore.annFromStore(s, vectorStore(s, dir),
+          queryBatch(s, dir, normalized(s, dir)))
       },
       None),
 
@@ -749,5 +767,27 @@ object Similarity {
     timedBuild("similarity.withNorm") { withNorm(s, dir).count(); () },
     timedBuild("similarity.normalized") { normalized(s, dir).count(); () },
     timedBuild("similarity.ivfCentroids") { ivfCentroids(s, dir).count(); () },
-    timedBuild("similarity.queryIds") { queryIds(s, dir).count(); () })
+    timedBuild("similarity.queryIds") { queryIds(s, dir).count(); () },
+    // q140's persisted IVF index — built once per JVM in the timed
+    // warm phase (the q137/q139 maintained-artifact pattern)
+    timedBuild("similarity.vectorStore") { vectorStore(s, dir); () })
+
+  /** Once-per-JVM persisted IVF index of the corpus
+    * (IndexStore.writeVectors under a deterministic temp path) —
+    * q140's store: the session-memoized centroids and normalized
+    * vectors written as the (centroids, cid-partitioned cells)
+    * channels, so store and session routes share one trained model
+    * within a JVM and q140 ≡ q39 bit-identically (VectorIndexSpec). */
+  private val vectorStores =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def vectorStore(s: SparkSession, dir: String): String =
+    vectorStores.synchronized {
+      vectorStores.getOrElseUpdate(dir, {
+        val idx = s"${sys.props("java.io.tmpdir")}/graft_vec_" +
+          Integer.toHexString(dir.hashCode)
+        IndexStore.writeVectors(s, normalized(s, dir),
+          ivfCentroids(s, dir), idx)
+        idx
+      })
+    }
 }
