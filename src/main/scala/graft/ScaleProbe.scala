@@ -349,10 +349,19 @@ object ScaleProbe {
         r.getLong(1)
       }
     }
+    // ---- EXPLICIT-ONLY tail sections (run via SPARK_GRAFT_PROBE_ONLY,
+    // never in the unfiltered sweep): each was measured in its own
+    // dedicated session in rounds 3–5 and the numbers stand in
+    // SCALE.md. Running them after the full 85-probe sweep OOM'd the
+    // shared 28-minute session (round 6: heap death inside
+    // pagerank_shuffle from accumulated checkpoint blocks) — and a
+    // same-session A/B after 85 unrelated probes isn't a clean
+    // measurement anyway. `exists` (vs the sweep's `forall`) makes
+    // them opt-in. ----
     // q116's above-broadcast-bound arm: edges partitioned by SRC, the
     // n-row rank frame shuffles onto them each round (the gate flips
     // here past PrBroadcastMaxDocs docs; forced for the measurement)
-    if (only.forall(_.contains("pagerank_shuffle"))) {
+    if (only.exists(_.contains("pagerank_shuffle"))) {
       timeNamed("pagerank_shuffle") {
         ops.Dedup.pagerank(spark, dst, forceShuffle = true).count()
       }
@@ -362,7 +371,7 @@ object ScaleProbe {
     // here the candidate pairs come from the persisted band index —
     // write once per snapshot, report from artifacts. Run with
     // cleared memos so the numbers are genuinely store-decoupled.
-    if (only.forall(o => o.contains("containment_store") || o.contains("report_store"))) {
+    if (only.exists(o => o.contains("containment_store") || o.contains("report_store"))) {
       val idxDir = s"$dst/index_store_corpus"
       timeNamed("store_corpus_write") {
         val docs = Core.table(spark, dst, "documents")
@@ -385,7 +394,7 @@ object ScaleProbe {
     // corpus slice once at write time, then merge the 10% batch via
     // the supernode contraction — the A/B is the full-corpus CC
     // (q45's shape) this replaces at batch time
-    if (only.forall(_.contains("clusters_incremental"))) {
+    if (only.exists(_.contains("clusters_incremental"))) {
       val docs = Core.table(spark, dst, "documents")
       def gate(c: org.apache.spark.sql.Column) =
         conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
@@ -418,7 +427,7 @@ object ScaleProbe {
     // from the probe corpus ONCE, then screen the incoming slice using
     // ONLY the stored artifacts (parquet band index + fingerprints +
     // bloom blob). Screen cost should track the batch, not the corpus.
-    if (only.forall(_.contains("index_store"))) {
+    if (only.exists(_.contains("index_store"))) {
       val docs = Core.table(spark, dst, "documents")
       def gate(c: org.apache.spark.sql.Column) =
         conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
@@ -444,7 +453,7 @@ object ScaleProbe {
     // tables; both variants run twice in THIS session so the A/B is
     // same-JVM, same-AQE-state. The one-time bucket build is timed
     // too — it amortizes over every orderkey join on the snapshot.
-    if (only.forall(_.contains("q03_ab"))) {
+    if (only.exists(_.contains("q03_ab"))) {
       import spark.implicits._
       time("q03_join_revenue_by_nation")
       time("q03_join_revenue_by_nation")
