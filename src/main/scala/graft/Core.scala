@@ -73,6 +73,21 @@ object Core {
   def rnd4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
   def oRnd4(e: String): String = s"(floor(($e) * 10000 + 0.5) / 10000.0)"
 
+  private val rowCounts =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  /** Once-per-JVM row count of a driver table — the 1-row metadata job
+    * the SIZE GATES key on (sorted-neighborhood channel, q100 rank
+    * fractions, q105 MAD): below the bound the window spelling is
+    * strictly cheaper, above it the range-partitioned machinery takes
+    * over. A parquet count is footer metadata (no row scan), and the
+    * testdata is immutable within a JVM's lifetime, so (dir, name)
+    * keying without a session is safe. */
+  def tableRows(s: SparkSession, dir: String, name: String): Long =
+    rowCounts.synchronized {
+      rowCounts.getOrElseUpdate((dir, name), table(s, dir, name).count())
+    }
+
   private val memos =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 

@@ -582,20 +582,14 @@ object Dedup {
     * range-partitioned [[snPairs]] amortizes. */
   private[graft] val SnWindowMaxDocs = 1000000L
 
-  private val snDocCounts =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
-
   private[graft] def snKeyed(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents").select(col("doc_id"),
       substring(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), 1, 24).as("snk"))
 
-  private def snCandidates(s: SparkSession, dir: String): DataFrame = {
-    snDocCounts.keys.filter(_._1.sparkContext.isStopped).foreach(snDocCounts.remove)
-    val n = snDocCounts.getOrElseUpdate((s, dir),
-      table(s, dir, "documents").count())
-    if (n <= SnWindowMaxDocs) snWindowPairs(snKeyed(s, dir))
+  private def snCandidates(s: SparkSession, dir: String): DataFrame =
+    if (graft.Core.tableRows(s, dir, "documents") <= SnWindowMaxDocs)
+      snWindowPairs(snKeyed(s, dir))
     else snPairs(snKeyed(s, dir), SnW)
-  }
 
   /** Once-per-JVM IndexStore snapshot of the md5-gated corpus slice
     * (`gate < gateLt` of 65536): band index + cluster labels under a

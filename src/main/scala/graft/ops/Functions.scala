@@ -81,6 +81,43 @@ object Functions {
     } finally { sorted.unpersist(blocking = false); () }
   }
 
+  /** Orders-rows bound for q105's window spelling — same per-task
+    * sort budget as q100's RankWindowMaxRows (5 priority groups ×
+    * ≤1M rows); above it the catalog flips to [[madOutliersScalable]]. */
+  private[graft] val MadWindowMaxRows = 5000000L
+
+  /** Window/anchor spelling of q105 (the DuckDB oracle's shape): two
+    * 5-way median windows + the fence aggregation. The catalog runs
+    * it below [[MadWindowMaxRows]]; OpsSpec pins it equal to the
+    * scalable spelling. */
+  private[graft] def q105WindowRef(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def medianOf(df: DataFrame, valueCol: String, grp: String): DataFrame = {
+      val w = Window.partitionBy(col(grp)).orderBy(col(valueCol))
+      df.select(col(grp), col(valueCol),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy(col(grp))).as("cnt"))
+        // `div`, not `/`: Spark's / on longs is double division
+        .filter($"rn" === expr("(cnt + 1) div 2") || $"rn" === expr("(cnt + 2) div 2"))
+        .groupBy(col(grp))
+        .agg((sum(col(valueCol)) / count(lit(1))).as(s"med_$valueCol"))
+    }
+    val orders = table(s, dir, "orders")
+      .select($"o_orderpriority".as("prio"), $"o_totalprice".as("price"))
+    val med = medianOf(orders, "price", "prio")
+    val dev = orders.join(med, Seq("prio"))
+      .withColumn("adev", abs($"price" - $"med_price"))
+    val mad = medianOf(dev.select($"prio", $"adev"), "adev", "prio")
+    orders.join(med, Seq("prio")).join(mad, Seq("prio"))
+      .groupBy($"prio")
+      .agg(count(lit(1)).as("n"),
+        round(min($"med_price"), 2).as("median_price"),
+        round(min($"med_adev"), 2).as("mad"),
+        sum(when(abs($"price" - $"med_price") > lit(3.0) * $"med_adev", 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy($"prio")
+  }
+
   /** q105's report computed through [[groupMedians]] — identical
     * output (OpsSpec pins equality), scalable physical plan: the two
     * medians cost two range shuffles at full parallelism instead of
@@ -588,33 +625,19 @@ object Functions {
     // distributed selection (OpsSpec pins output equality, the probe
     // A/Bs the two), and `approx_percentile(0.5)` (q66's mergeable
     // sketch) is the cheaper answer when rank error is tolerable. ----
+    // SIZE-GATED like q100/the sn channel: below MadWindowMaxRows the
+    // two 5-way median windows are trivial; above it each task
+    // external-sorts n/5 rows twice and the catalog flips to
+    // madOutliersScalable (two full-parallelism range shuffles +
+    // prefix-count median picks), output-identical (OpsSpec pin;
+    // round-6 100× sweep: 43.3 s window vs 11.9 s scalable at 15M
+    // rows).
     "q105_mad_outliers" -> Q(
       (s, dir) => {
         import s.implicits._
-        def medianOf(df: DataFrame, valueCol: String, grp: String): DataFrame = {
-          val w = Window.partitionBy(col(grp)).orderBy(col(valueCol))
-          df.select(col(grp), col(valueCol),
-              row_number().over(w).as("rn"),
-              count(lit(1)).over(Window.partitionBy(col(grp))).as("cnt"))
-            // `div`, not `/`: Spark's / on longs is double division
-            .filter($"rn" === expr("(cnt + 1) div 2") || $"rn" === expr("(cnt + 2) div 2"))
-            .groupBy(col(grp))
-            .agg((sum(col(valueCol)) / count(lit(1))).as(s"med_$valueCol"))
-        }
-        val orders = table(s, dir, "orders")
-          .select($"o_orderpriority".as("prio"), $"o_totalprice".as("price"))
-        val med = medianOf(orders, "price", "prio")
-        val dev = orders.join(med, Seq("prio"))
-          .withColumn("adev", abs($"price" - $"med_price"))
-        val mad = medianOf(dev.select($"prio", $"adev"), "adev", "prio")
-        orders.join(med, Seq("prio")).join(mad, Seq("prio"))
-          .groupBy($"prio")
-          .agg(count(lit(1)).as("n"),
-            round(min($"med_price"), 2).as("median_price"),
-            round(min($"med_adev"), 2).as("mad"),
-            sum(when(abs($"price" - $"med_price") > lit(3.0) * $"med_adev", 1L)
-              .otherwise(0L)).as("n_outliers"))
-          .orderBy($"prio")
+        if (graft.Core.tableRows(s, dir, "orders") > MadWindowMaxRows)
+          madOutliersScalable(s, dir)
+        else q105WindowRef(s, dir)
       },
       Some("""WITH o AS (SELECT o_orderpriority AS prio, o_totalprice AS price FROM orders),
         r1 AS (SELECT prio, price,

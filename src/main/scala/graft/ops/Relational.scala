@@ -51,6 +51,11 @@ object Relational {
     * and nth_value(2) is the broadcast-joined rn==2 row per group.
     * OpsSpec pins exact equality; the catalog q100 stays the
     * oracle-checked window spelling; the probe A/Bs the two. */
+  /** Orders-rows bound for q100's window spelling: 5 priority groups
+    * × ≤1M rows ≈ 50 MB per task sort below it (same per-task budget
+    * as Dedup.SnWindowMaxDocs); above, [[rankFractionsScalable]]. */
+  private[graft] val RankWindowMaxRows = 5000000L
+
   def rankFractionsScalable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val p = s.sessionState.conf.numShufflePartitions
@@ -694,17 +699,29 @@ object Relational {
     // The order key is tie-broken by o_orderkey, making every rank —
     // and therefore both fractions — engine-independent integers
     // before the one shared division. ----
+    // SIZE-GATED like the sn channel: the 5-value partition key caps
+    // the window at 5 tasks each sorting n/5 rows — fine to
+    // RankWindowMaxRows (≈1M rows ≈ 50 MB per task sort), a spill
+    // wall beyond it. Above the gate the catalog runs
+    // rankFractionsScalable (full-parallelism range shuffle +
+    // prefix-offset ranks), bit-exact to the anchor (OpsSpec pin);
+    // the round-6 100× sweep measured the crossover flipped there
+    // (22.8 s window vs 13.0 s scalable at 15M rows).
     "q100_rank_fractions" -> Q(
       (s, dir) => {
         import s.implicits._
-        val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice", $"o_orderkey")
-        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        table(s, dir, "orders").select(
-            $"o_orderkey", $"o_orderpriority",
-            rnd4(percent_rank().over(w)).as("pr"),
-            rnd4(cume_dist().over(w)).as("cd"),
-            nth_value($"o_orderkey", 2).over(wFull).as("second_key"))
-          .orderBy($"o_orderkey")
+        if (graft.Core.tableRows(s, dir, "orders") > RankWindowMaxRows)
+          rankFractionsScalable(s, dir)
+        else {
+          val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice", $"o_orderkey")
+          val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+          table(s, dir, "orders").select(
+              $"o_orderkey", $"o_orderpriority",
+              rnd4(percent_rank().over(w)).as("pr"),
+              rnd4(cume_dist().over(w)).as("cd"),
+              nth_value($"o_orderkey", 2).over(wFull).as("second_key"))
+            .orderBy($"o_orderkey")
+        }
       },
       Some(s"""SELECT o_orderkey, o_orderpriority,
           ${oRnd4("percent_rank() OVER w")} AS pr,
