@@ -21,30 +21,34 @@ object Core {
 
   val Money: DecimalType = DecimalType(18, 4)
 
-  /** Loads a driver table, normalizing `events.ts` to a session-TZ
-    * TIMESTAMP regardless of the file's physical encoding — the driver
-    * has shipped it three ways across rounds:
-    *   - INT64 TIMESTAMP(NANOS): Spark's vectorized reader rejects it;
-    *     read as raw nanos and truncate to micros (identical to DuckDB's
-    *     own ns→us handling, so oracle parity holds);
-    *   - timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ in Spark 4:
-    *     cast to TimestampType. Session TZ is pinned UTC in every
-    *     harness and DuckDB's TIMESTAMP is naive, so the cast is a
-    *     relabel, not a wall-clock shift — oracle parity holds;
-    *   - timestamp[us] UTC-adjusted → already TimestampType, pass through.
-    * Downstream (`unix_micros`, watermarks, window()) always sees LTZ. */
+  /** Loads a driver table, normalizing EVERY temporal column to a
+    * session-TZ TIMESTAMP regardless of the file's physical encoding —
+    * the driver's testdata regenerations have already flipped encodings
+    * twice (events.ts: INT64 TIMESTAMP(NANOS) → timestamp[us] NTZ,
+    * silently breaking three queries in round 5; orders.o_orderdate
+    * ships NTZ today). The invariant downstream code relies on:
+    * whatever the file says, `unix_micros`, watermarks, `window()` and
+    * interval frames always see LTZ.
+    *   - INT64 TIMESTAMP(NANOS) (`events.ts` historically): Spark's
+    *     vectorized reader rejects it; read as raw nanos and truncate
+    *     to micros (identical to DuckDB's own ns→us handling, so
+    *     oracle parity holds);
+    *   - timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ in
+    *     Spark 4: cast to TimestampType. Session TZ is pinned UTC in
+    *     every harness and DuckDB's TIMESTAMP is naive, so the cast is
+    *     a relabel, not a wall-clock shift — oracle parity holds;
+    *   - timestamp[us] UTC-adjusted → already TimestampType, untouched.
+    * SchemaDriftSpec pins all encodings per consuming query family. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
+    val raw = if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.schema("ts").dataType match {
-        case LongType =>
-          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case TimestampNTZType =>
-          df.withColumn("ts", col("ts").cast(TimestampType))
-        case _ => df
-      }
+      if (df.schema("ts").dataType == LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
     } else spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(raw)((d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType)))
   }
 
   /** Exact order-independent sum of a money-like double column. */

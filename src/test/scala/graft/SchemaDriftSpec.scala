@@ -101,6 +101,50 @@ class SchemaDriftSpec extends SparkSpec {
     }
   }
 
+  test("orders.o_orderdate: NTZ and UTC encodings analyze and agree (q19 executed)") {
+    // the same drift class as events.ts — o_orderdate ships as
+    // timestamp[us] NTZ today; Core.table's blanket NTZ→LTZ
+    // normalization must keep every date-consuming query identical
+    // under either encoding
+    val ordersConsumers = Seq(
+      "q09_asof_join_event_order", "q14_window_analytic",
+      "q15_window_frames", "q19_date_fns", "q27_range_join",
+      "q28_window_range_frame", "q134_pivot_year_priority")
+    val canonical = Core.table(spark, srcDir, "orders")  // normalized LTZ
+    def mkVariant(tag: String)(write: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): (String, String) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-odrift-$tag")
+      new java.io.File(srcDir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && f.getName != "orders.parquet")
+        .foreach(f => java.nio.file.Files.createSymbolicLink(
+          dir.resolve(f.getName), f.toPath))
+      write(canonical).write.mode(SaveMode.Overwrite)
+        .parquet(s"$dir/orders.parquet")
+      tag -> dir.toString
+    }
+    val ovariants = Map(
+      mkVariant("utc")(identity),
+      mkVariant("ntz")(df => df.withColumn("o_orderdate",
+        col("o_orderdate").cast(TimestampNTZType))))
+    for ((tag, dir) <- ovariants) {
+      val t = Core.table(spark, dir, "orders").schema("o_orderdate").dataType
+      assert(t == TimestampType,
+        s"encoding '$tag': o_orderdate must normalize to TimestampType, got $t")
+      for (q <- ordersConsumers) {
+        try SparkEntry.queries(q)(spark, dir).queryExecution.assertAnalyzed()
+        catch { case e: Throwable =>
+          fail(s"$q does not analyze against orders encoding '$tag': ${e.getMessage}")
+        }
+      }
+    }
+    val results = ovariants.map { case (tag, dir) =>
+      tag -> SparkEntry.queries("q19_date_fns")(spark, dir)
+        .collect().map(_.toString).toSeq.sorted
+    }
+    assert(results.values.forall(_.nonEmpty) &&
+        results.values.toSeq.distinct.size == 1,
+      "q19 differs between o_orderdate encodings")
+  }
+
   test("the consumer list stays in sync with the catalog") {
     // the forward direction (a listed query must actually read events)
     // keeps this spec honest if a query drops its events dependency
