@@ -252,56 +252,102 @@ object IndexStore {
     * append-maintained artifact — the retrieval-family counterpart of
     * the dedup channels above.
     *
-    *  - `postings` (doc_id, term, tf): range-partitioned BY TERM and
-    *    term-sorted within partitions, so a k-term query's pushed
+    *  - `postings` (doc_id, term, tf, dl): range-partitioned BY TERM
+    *    and term-sorted within partitions, so a k-term query's pushed
     *    `In(term, …)` filter prunes parquet row groups via min/max
     *    stats — the lookup reads O(Σ df(query terms)) rows, never the
     *    corpus. (The store-side analog of band-partition pruning: the
-    *    channel's physical layout IS the index.)
-    *  - `doc_lens` (doc_id, dl): the narrow channel BM25's length
-    *    normalization joins and corpus stats (N, avgdl) re-aggregate
-    *    from — O(corpus) only in two integer columns, never in text
-    *    (the bloom re-agg pattern).
+    *    channel's physical layout IS the index.) `dl` is DENORMALIZED
+    *    into the rows at write time, so scoring needs no doc-length
+    *    join at lookup — the Lucene move of storing norms inline with
+    *    the postings.
+    *  - `doc_lens` (doc_id, dl): the narrow per-doc membership channel
+    *    — the append disjointness guard and the stats merge read it;
+    *    queries never do.
+    *  - `stats`: ONE row (n_docs, sum_dl), written at index build and
+    *    merge-updated per append with exact long arithmetic — the same
+    *    write-time re-derivation pattern as the bloom channel, so a
+    *    lookup's (N, avgdl) is a 1-row read, not a corpus-wide
+    *    aggregation.
     *
     * [[appendText]] folds a batch in O(batch): new term-sorted postings
-    * files + new doc_lens rows; df and (N, avgdl) are derived at query
-    * time from the merged channels, so no stored statistic goes stale.
-    * TextIndexSpec pins `writeText(corpus ∪ batch)` ≡
-    * `writeText(corpus); appendText(batch)` on query results. */
+    * files + new doc_lens rows + a 1-row stats merge; per-term df is
+    * derived at query time from the pruned postings read, so no stored
+    * statistic goes stale. TextIndexSpec pins `writeText(corpus ∪
+    * batch)` ≡ `writeText(corpus); appendText(batch)` on every channel
+    * (stats included) and on query results. */
   def writeText(s: SparkSession, docs: DataFrame, out: String): Unit =
     writeTextChannels(s, TextOps.postingsFor(docs), out, SaveMode.Overwrite)
 
   /** O(batch) append to the text channel (same layout as [[writeText]];
     * each append's files are term-sorted internally, so row-group
-    * pruning keeps working as files accumulate). */
+    * pruning keeps working as files accumulate). The batch must be
+    * disjoint from the store — ENFORCED, not assumed: a re-appended
+    * doc would silently duplicate postings and inflate df/N/avgdl, so
+    * the overlap guard below fails loudly instead (the screened-batch
+    * precondition of ingestAndMaintainText, now checked). */
   def appendText(s: SparkSession, indexDir: String, batch: DataFrame): Unit =
-    writeTextChannels(s, TextOps.postingsFor(batch), indexDir, SaveMode.Append)
+    // first append into an empty store bootstraps it (the streaming
+    // ingest loop's opening micro-batch) — nothing to guard against
+    if (!new java.io.File(s"$indexDir/doc_lens").exists())
+      writeText(s, batch, indexDir)
+    else {
+      val overlap = batch.select(col("doc_id")).distinct()
+        .join(s.read.parquet(s"$indexDir/doc_lens"), Seq("doc_id"), "left_semi")
+        .count()
+      require(overlap == 0,
+        s"appendText: $overlap batch doc_id(s) already present in the stored " +
+          "doc_lens channel — appends must be pre-screened disjoint batches")
+      writeTextChannels(s, TextOps.postingsFor(batch), indexDir, SaveMode.Append)
+    }
 
-  private def writeTextChannels(s: SparkSession, postings: DataFrame,
+  private def writeTextChannels(s: SparkSession, postings0: DataFrame,
       out: String, mode: SaveMode): Unit = {
-    postings
-      .repartitionByRange(col("term"), col("doc_id"))
-      .sortWithinPartitions(col("term"), col("doc_id"))
-      .write.mode(mode).parquet(s"$out/postings")
-    postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      .write.mode(mode).parquet(s"$out/doc_lens")
+    // one tokenization pass feeds all three channels (the postings
+    // plan re-tokenizes the corpus per consumer otherwise — a measured
+    // double scan at store-write time)
+    val postings = postings0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docLens = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      postings.join(docLens, Seq("doc_id"))
+        .repartitionByRange(col("term"), col("doc_id"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode(mode).parquet(s"$out/postings")
+      docLens.write.mode(mode).parquet(s"$out/doc_lens")
+      // stats channel: exact long merge (prior + batch) on append —
+      // the 1-row collect is the whole cross-channel coupling
+      val b = docLens.agg(count(lit(1)).as("n"), sum(col("dl")).as("sd")).head()
+      val (bn, bsd) = (b.getLong(0), if (b.isNullAt(1)) 0L else b.getLong(1))
+      val (n, sd) =
+        if (mode == SaveMode.Append) {
+          val p = s.read.parquet(s"$out/stats").head()
+          (p.getAs[Long]("n_docs") + bn, p.getAs[Long]("sum_dl") + bsd)
+        } else (bn, bsd)
+      import s.implicits._
+      Seq((n, sd)).toDF("n_docs", "sum_dl")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/stats")
+    } finally { postings.unpersist(); docLens.unpersist() }
   }
 
   /** BM25 top-ranked docs for driver-known query terms, from the
     * stored channels only — bit-identical scoring to the session route
-    * (TextOps.bm25Rank is shared; TextIndexSpec + the q139 oracle pin
-    * it): term-pruned postings give per-doc tf AND per-term df; the
-    * doc_lens channel gives dl and (N, avgdl). */
+    * (the TextOps scoring core is shared; TextIndexSpec + the q139
+    * oracle pin it): the term-pruned postings read gives per-doc tf,
+    * per-doc dl (denormalized at write) AND per-term df; (N, avgdl) is
+    * the 1-row stats channel. End to end the lookup touches O(Σ df)
+    * postings rows plus one stats row — NEVER the corpus, at any
+    * corpus size. */
   def bm25FromStore(s: SparkSession, indexDir: String,
       terms: Seq[String]): DataFrame = {
     import s.implicits._
     val pruned = s.read.parquet(s"$indexDir/postings")
       .filter($"term".isin(terms: _*))
-    val dl = s.read.parquet(s"$indexDir/doc_lens")
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      avg($"dl".cast("double")).as("avgdl"))
+    val stats = s.read.parquet(s"$indexDir/stats")
+      .select($"n_docs",
+        ($"sum_dl".cast("double") / $"n_docs".cast("double")).as("avgdl"))
     val qdf = pruned.groupBy($"term").agg(count(lit(1)).as("df"))
-    TextOps.bm25Rank(pruned, qdf, dl, stats)
+    TextOps.bm25RankDl(pruned, qdf, stats)
   }
 
   /** Vector-retrieval channel: the IVF index as a persisted,
@@ -329,12 +375,24 @@ object IndexStore {
   }
 
   /** O(batch) append: assign under the stored centroids, write into
-    * the same cid-partitioned layout. */
+    * the same cid-partitioned layout. Batch vec_ids must be disjoint
+    * from the store — ENFORCED (a re-appended vector would silently
+    * duplicate ANN candidates), mirroring appendText's guard. */
   def appendVectors(s: SparkSession, indexDir: String,
-      batch: DataFrame): Unit =
+      batch: DataFrame): Unit = {
+    val overlap =
+      if (!new java.io.File(s"$indexDir/cells").exists()) 0L
+      else batch.select(col("vec_id")).distinct()
+        .join(s.read.parquet(s"$indexDir/cells").select(col("vec_id")),
+          Seq("vec_id"), "left_semi")
+        .count()
+    require(overlap == 0,
+      s"appendVectors: $overlap batch vec_id(s) already present in the stored " +
+        "cells channel — appends must be disjoint batches")
     assignCells(batch, s.read.parquet(s"$indexDir/centroids"))
       .write.mode(SaveMode.Append).partitionBy("cid")
       .parquet(s"$indexDir/cells")
+  }
 
   private def assignCells(vectors: DataFrame, cents: DataFrame): DataFrame = {
     graft.functions.DotProduct.register(vectors.sparkSession)

@@ -32,8 +32,9 @@ class TextIndexSpec extends SparkSpec {
     ops.IndexStore.writeText(spark, docs, full)
     ops.IndexStore.writeText(spark, docs.filter(gate < 58982L), rolled)
     ops.IndexStore.appendText(spark, rolled, docs.filter(gate >= 58982L))
-    // channel-level set equality
-    for (ch <- Seq("postings", "doc_lens")) {
+    // channel-level set equality — stats included: the merged 1-row
+    // (n_docs, sum_dl) must equal a fresh full-corpus build's
+    for (ch <- Seq("postings", "doc_lens", "stats")) {
       val a = spark.read.parquet(s"$full/$ch")
       val b = spark.read.parquet(s"$rolled/$ch")
       assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty,
@@ -60,6 +61,34 @@ class TextIndexSpec extends SparkSpec {
       .mkString("\n")
     assert(scanLine.contains("PushedFilters: [In(term, ["),
       s"term filter not pushed to the postings scan:\n${scanLine.take(800)}")
+  }
+
+  test("lookup never touches the corpus: no doc_lens scan, stats read is 1 row") {
+    // the O(Σ df) claim: dl rides inside the pruned postings rows and
+    // (N, avgdl) is the persisted 1-row stats channel, so the ONLY
+    // per-corpus-row channel (doc_lens) must be absent from the plan
+    val idx = tmp("nodl")
+    ops.IndexStore.writeText(spark, Core.table(spark, dir, "documents"), idx)
+    val plan = ops.IndexStore.bm25FromStore(spark, idx, Seq("the", "spark"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("doc_lens"),
+      s"lookup plan scans the doc_lens channel — O(corpus) per query:\n${plan.take(800)}")
+    assert(spark.read.parquet(s"$idx/stats").count() == 1)
+  }
+
+  test("appendText refuses a batch overlapping the stored corpus") {
+    val idx = tmp("guard")
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    ops.IndexStore.writeText(spark, docs, idx)
+    val e = intercept[IllegalArgumentException] {
+      ops.IndexStore.appendText(spark, idx,
+        Seq((2L, "beta gamma"), (3L, "delta")).toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("already present"))
+    // the guarded store is untouched: a disjoint append still works
+    ops.IndexStore.appendText(spark, idx, Seq((3L, "delta")).toDF("doc_id", "text"))
+    val st = spark.read.parquet(s"$idx/stats").head()
+    assert(st.getAs[Long]("n_docs") == 3L)
   }
 
   test("streamed ingestAndMaintainText ≡ one-shot writeText (channels + scores)") {
