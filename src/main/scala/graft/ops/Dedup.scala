@@ -876,6 +876,42 @@ object Dedup {
     sb.toString
   }
 
+  /** Candidate budget for the exact set-similarity join (q138) —
+    * override with `graft.ppjoin.maxCandidates`. The default refuses
+    * the measured out-of-disk regime (the 100× twin corpus's 3.85B
+    * pre-positional candidates) while passing every corpus whose
+    * candidate volume a 32-thread host demonstrably absorbs. */
+  private[graft] val PpjoinMaxCandidates = 1000000000L
+
+  /** The q138 regime detector AS CODE (it was SCALE.md prose through
+    * round 6, against the engine's own "none survive as prose-only
+    * advice" bar): an exact all-pairs similarity join's candidate
+    * volume is Σ C(prefix-df, 2) over the inverted prefix index — a
+    * quantity one cheap groupBy-agg over the narrow (hash) prefix rows
+    * measures EXACTLY, before any pair is materialized. Above the
+    * budget the operator refuses with the measured bound in the error
+    * (never starts a shuffle that measurably cannot fit) and names the
+    * LSH channel (q31/q32) as the scale path; the DuckDB
+    * pre-measurement SCALE.md described is now this method. The sum is
+    * decimal-accumulated: a single 10⁹-df key alone would overflow a
+    * long sum. */
+  private[graft] def ppjoinCandidateGate(s: SparkSession, prefix: DataFrame): Unit = {
+    import s.implicits._
+    val budget = s.conf.getOption("graft.ppjoin.maxCandidates")
+      .map(_.toLong).getOrElse(PpjoinMaxCandidates)
+    val bound = prefix.groupBy($"h").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(($"c".cast("decimal(38,0)") * ($"c" - 1)) / 2),
+        lit(java.math.BigDecimal.ZERO)).as("cand"))
+      .head().getDecimal(0).toBigInteger
+    if (bound.compareTo(java.math.BigInteger.valueOf(budget)) > 0)
+      throw new IllegalStateException(
+        s"q138 exact set-similarity join refused: measured candidate bound " +
+          s"Σ C(prefix-df, 2) = $bound exceeds graft.ppjoin.maxCandidates = " +
+          s"$budget. This corpus is in the candidate-explosion regime — use " +
+          "the LSH near-dup channel (q31/q32) unless completeness is " +
+          "contractual, or raise the budget on a host sized for the shuffle.")
+  }
+
   val catalog: Map[String, Q] = Map(
 
     // ---- pagerank over the near-dup pair graph: boilerplate-hub
@@ -1164,6 +1200,7 @@ object Dedup {
         // true pair — dropping them is completeness-preserving and
         // cuts the pre-distinct candidate stream 3.4× on the 100×
         // twin corpus (3.85B → 1.12B rows, measured)
+        ppjoinCandidateGate(s, prefix)
         val cand = prefix.as("a").join(prefix.as("b"),
             $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
               lit(5) * least($"a.n", $"b.n") >= lit(3) * greatest($"a.n", $"b.n") &&

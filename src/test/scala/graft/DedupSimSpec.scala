@@ -784,6 +784,28 @@ class DedupSimSpec extends SparkSpec {
     assert(kept * 2 < total, s"prefix kept $kept of $total shingles — not pruning")
   }
 
+  test("q138 candidate-bound gate refuses with the measured bound under a tiny budget") {
+    // the regime detector as CODE (SCALE.md described it as prose
+    // through round 6): Σ C(prefix-df, 2) is measured BEFORE the
+    // candidate join, and past the budget the operator refuses citing
+    // the bound — it never starts the shuffle
+    val dir = docsDir(Seq(
+      1L -> base, 2L -> (base + " banana"), 3L -> (base + " cherry")))
+    spark.conf.set("graft.ppjoin.maxCandidates", "1")
+    try {
+      val e = intercept[IllegalStateException] {
+        SparkEntry.queries("q138_set_similarity_join")(spark, dir).count()
+      }
+      assert(e.getMessage.contains("candidate bound") &&
+        e.getMessage.contains("exceeds graft.ppjoin.maxCandidates = 1") &&
+        e.getMessage.matches("(?s).*= \\d+ exceeds.*"),
+        s"gate error must cite the measured bound: ${e.getMessage}")
+    } finally spark.conf.unset("graft.ppjoin.maxCandidates")
+    // under the default budget the same corpus passes (the twins ARE
+    // found) — the gate only fires in the explosion regime
+    assert(SparkEntry.queries("q138_set_similarity_join")(spark, dir).count() >= 1)
+  }
+
   test("IndexStore.append makes the store observation-equivalent to a fresh full write") {
     // build a store on the corpus slice, append the batch, and compare
     // every channel + both screen decisions against a store written
