@@ -77,6 +77,15 @@ object Core {
   def rnd4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
   def oRnd4(e: String): String = s"(floor(($e) * 10000 + 0.5) / 10000.0)"
 
+  /** Collision-free per-JVM tag for a derived store path: the SOURCE
+    * path sanitized in full (the 32-bit hashCode it replaces could
+    * alias two distinct dirs) plus the PID, so two harness JVMs
+    * running against the same sfDir (bench + probe) never write/read
+    * the same store directory concurrently. */
+  def storeTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "") +
+      "_p" + ProcessHandle.current().pid()
+
   private val rowCounts =
     scala.collection.concurrent.TrieMap.empty[(String, String), Long]
 

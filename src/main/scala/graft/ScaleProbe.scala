@@ -417,7 +417,7 @@ object ScaleProbe {
       timeNamed("index_append") {
         ops.IndexStore.append(spark, idxDir,
           docs.filter(gate(col("doc_id")) >= 58982L))
-        spark.read.parquet(s"$idxDir/cluster_labels").count()
+        ops.IndexStore.channel(spark, idxDir, "cluster_labels").count()
       }
     }
 

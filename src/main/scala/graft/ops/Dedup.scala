@@ -606,7 +606,7 @@ object Dedup {
           .cast("long")
         val slice = table(s, dir, "documents").filter(gate < gateLt)
         val idx = s"${sys.props("java.io.tmpdir")}/graft_incc_" +
-          Integer.toHexString((dir, gateLt).hashCode)
+          s"${graft.Core.storeTag(dir)}_g$gateLt"
         IndexStore.write(s, slice, idx)
         IndexStore.writeClusters(s, slice, idx)
         idx

@@ -1,5 +1,7 @@
 package graft.ops
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Core._
@@ -11,33 +13,212 @@ import graft.Core._
   * labels are `Core.memo`-shared; but the 100 TB deployment story
   * (SCALE.md, q71/q81) is "index the corpus ONCE per snapshot, then
   * screen each day's batch against the STORED index in O(batch)".
-  * This object is that store:
+  * This object is that store, three channel families under one
+  * contract:
   *
-  *  - `write` materializes the band-key index (partitioned by `band`,
-  *    so a screen's band-equi-join prunes to matching band partitions),
-  *    the exact-dup fingerprint set, and a Bloom sketch of the
-  *    fingerprints (Spark's own `BloomFilterAggregate` bits, one small
-  *    binary blob — the broadcastable prefilter of q81).
-  *  - `screenBatch` reproduces q71's keep/drop decisions for an
-  *    incoming batch using ONLY the stored artifacts — no access to
-  *    the original corpus, no recompute. The bloom prunes the exact
-  *    screen to sketch hits (no false negatives ⇒ decisions are
-  *    exact); the near screen is a semi-join against the stored band
-  *    index, shuffling O(batch) band rows.
+  *  - dedup: `band_keys` (partitioned by band), `fingerprints`,
+  *    `sim_blocks` (partitioned by simhash block), an optional
+  *    broadcastable `bloom` blob, and `cluster_labels`.
+  *  - text: `postings` (term-range-partitioned, term-sorted, dl
+  *    denormalized), `doc_lens`, and a 1-row `stats` channel.
+  *  - vector: `centroids` and cid-partitioned `cells`.
   *
-  * Artifacts are plain parquet + one binary file: readable by any
-  * engine, re-writable atomically per snapshot (SaveMode.Overwrite),
-  * and append-mergeable for rolling corpora ([[append]]).
+  * == Snapshot layout (format_version 1) ==
+  *
+  * Every mutation is a TRANSACTION. A store root contains immutable
+  * snapshot directories plus one pointer file:
+  *
+  * {{{
+  *   <root>/_current                     # the ONLY mutable file: name
+  *                                       # of the live snapshot
+  *   <root>/snap_00000001/_manifest.json # format version + channel map
+  *   <root>/snap_00000001/<channel>/     # parquet dirs / bloom blob
+  *   <root>/snap_00000002/...            # next snapshot's NEW files
+  * }}}
+  *
+  * A writer stages all of its channel files into a FRESH snapshot
+  * directory, writes that snapshot's manifest, and only then flips
+  * `_current` with an atomic rename — the swap the round-6 scaladoc
+  * could only describe as "production would". A crash at ANY earlier
+  * point leaves the pointer on the previous snapshot, whose files are
+  * never mutated, so concurrent readers and post-crash reopens both
+  * see a consistent store (DedupSimSpec injects the crash and checks).
+  * Aborted snapshot directories (index past the committed pointer) are
+  * unreachable — the next transaction clears them.
+  *
+  * Appends are COPY-FREE: an append writes only the batch's new files
+  * and carries the prior snapshot's channel paths forward in the new
+  * manifest (a channel is a PATH LIST; readers union them), so append
+  * cost stays O(batch) while old snapshots remain intact. Replaced
+  * artifacts (merged `cluster_labels`, the re-agged `bloom`, merged
+  * `stats`) list only their new path.
+  *
+  * The manifest is the layout CONTRACT: `format_version` is checked at
+  * every open, and a pointer-less or manifest-less directory is
+  * refused loudly — a layout change can never silently misread an
+  * older store. Channels record their partition/sort layout so the
+  * physical-layout-IS-the-index claim is self-describing.
   *
   * The bloom is a bounded OPTIMIZATION, not a correctness channel:
   * past `graft.bloom.maxItems` fingerprints (default 64M ≈ a 56 MB
   * blob at the default FPP — the broadcast-literal budget) the blob is
-  * not written and [[screenBatch]] falls back to the plain fingerprint
-  * semi-join, which is exact and O(batch) regardless. Same size-gate
-  * pattern as the PageRank rank join: the optimization has a stated
-  * bound and the past-the-bound spelling is code, not prose.
+  * dropped from the manifest and [[screenBatch]] falls back to the
+  * plain fingerprint semi-join, which is exact and O(batch)
+  * regardless. Same size-gate pattern as the PageRank rank join.
   */
 object IndexStore {
+
+  // ---------------------------------------------------------------
+  // snapshot + manifest machinery
+  // ---------------------------------------------------------------
+
+  private[graft] val FormatVersion = 1
+
+  private[graft] final case class Channel(paths: Seq[String],
+      partitionBy: String, sort: String)
+
+  /** Test-only failpoint: throw AFTER the named channel's files land
+    * but BEFORE the snapshot commits — the crash-injection hook the
+    * atomicity test drives. Never set outside tests. */
+  @volatile private[graft] var crashAfterChannel: Option[String] = None
+  private def maybeCrash(ch: String): Unit =
+    if (crashAfterChannel.contains(ch))
+      throw new RuntimeException(s"injected crash after channel $ch")
+
+  private def pointer(root: String) = Paths.get(root, "_current")
+
+  private def currentSnapOpt(root: String): Option[String] =
+    if (Files.exists(pointer(root)))
+      Some(Files.readString(pointer(root)).trim)
+    else None
+
+  private def snapIndex(name: String): Int =
+    name.stripPrefix("snap_").toInt
+
+  private def manifestJson(channels: Map[String, Channel]): String = {
+    def esc(x: String) = x.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+    }
+    val chs = channels.toSeq.sortBy(_._1).map { case (n, c) =>
+      s"""    "${esc(n)}": {"paths": [${c.paths.map(p => "\"" + esc(p) + "\"").mkString(", ")}], "partition_by": "${esc(c.partitionBy)}", "sort": "${esc(c.sort)}"}"""
+    }.mkString(",\n")
+    s"""{\n  "format_version": $FormatVersion,\n  "channels": {\n$chs\n  }\n}\n"""
+  }
+
+  private def parseManifest(root: String, snap: String): Map[String, Channel] = {
+    val p = Paths.get(root, snap, "_manifest.json")
+    if (!Files.exists(p))
+      throw new IllegalStateException(
+        s"index store snapshot $snap at $root has no _manifest.json — " +
+          "refusing to guess the layout")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(p))
+    val v = if (node.has("format_version")) node.get("format_version").asInt(-1) else -1
+    if (v != FormatVersion)
+      throw new IllegalStateException(
+        s"index store at $root has format_version $v; this build reads " +
+          s"version $FormatVersion only — rebuild the store or upgrade the engine")
+    val chs = node.get("channels")
+    val it = chs.fieldNames()
+    val out = Map.newBuilder[String, Channel]
+    while (it.hasNext) {
+      val n = it.next()
+      val c = chs.get(n)
+      val paths = Seq.newBuilder[String]
+      val pit = c.get("paths").elements()
+      while (pit.hasNext) paths += pit.next().asText()
+      out += n -> Channel(paths.result(),
+        c.get("partition_by").asText(), c.get("sort").asText())
+    }
+    out.result()
+  }
+
+  /** The live snapshot's channel map; fails loudly on anything that is
+    * not a committed format-v1 store. */
+  private def channels(root: String): Map[String, Channel] = {
+    val cur = currentSnapOpt(root).getOrElse(throw new IllegalStateException(
+      s"$root is not an index store: no _current snapshot pointer " +
+        "(pre-snapshot flat layouts and foreign directories are refused, " +
+        "never misread)"))
+    parseManifest(root, cur)
+  }
+
+  /** Channel map for WRITERS: an uninitialized root is an empty store,
+    * anything initialized resolves through the manifest. */
+  private def channelsForWrite(root: String): Map[String, Channel] =
+    if (currentSnapOpt(root).isEmpty) Map.empty else channels(root)
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete(); ()
+  }
+
+  /** Open a snapshot transaction: clear aborted leftovers (snapshot
+    * dirs past the committed pointer are unreachable by construction —
+    * publication IS the pointer flip) and create the next staging dir. */
+  private def beginSnap(root: String): String = {
+    val curIdx = currentSnapOpt(root).map(snapIndex).getOrElse(0)
+    val rootF = new java.io.File(root)
+    rootF.mkdirs()
+    Option(rootF.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("snap_"))
+      .filter(f => scala.util.Try(snapIndex(f.getName)).toOption.exists(_ > curIdx))
+      .foreach(deleteRec)
+    val name = f"snap_${curIdx + 1}%08d"
+    new java.io.File(s"$root/$name").mkdirs()
+    name
+  }
+
+  /** Commit: manifest into the snapshot dir, then ONE atomic pointer
+    * rename — the only instant the new state becomes visible. */
+  private def commitSnap(root: String, snap: String,
+      chs: Map[String, Channel]): Unit = {
+    Files.writeString(Paths.get(root, snap, "_manifest.json"), manifestJson(chs))
+    val tmp = Paths.get(root, "_current.tmp")
+    Files.writeString(tmp, snap + "\n")
+    Files.move(tmp, pointer(root),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Read a channel through the live manifest (readers never touch
+    * paths directly — the manifest is the one source of layout truth).
+    * Multi-path channels (append accumulations) load each snapshot's
+    * dir as its own partitioned root and union — a single multi-path
+    * read would make Spark infer one base path across snapshots and
+    * refuse the partition layout; per-root loads keep partition
+    * columns (band / b / cid) and their pruning intact, and filters
+    * push through the union into every branch's scan. */
+  def channel(s: SparkSession, root: String, name: String): DataFrame = {
+    val m = channels(root)
+    val ch = m.getOrElse(name, throw new IllegalStateException(
+      s"index store at $root has no '$name' channel " +
+        s"(present: ${m.keys.toSeq.sorted.mkString(", ")})"))
+    ch.paths.map(p => s.read.parquet(s"$root/$p")).reduce(_ unionByName _)
+  }
+
+  private[graft] def hasChannel(root: String, name: String): Boolean =
+    currentSnapOpt(root).nonEmpty && channels(root).contains(name)
+
+  /** The live bloom blob's absolute path, when the channel exists. */
+  private[graft] def bloomBlob(root: String): Option[java.nio.file.Path] =
+    channels(root).get("bloom").map(ch => Paths.get(s"$root/${ch.paths.head}"))
+
+  /** True when a staged parquet dir actually holds data files — an
+    * EMPTY batch's channel write produces a part-file-less dir that a
+    * later read cannot infer a schema from, so appends only record
+    * paths that carry rows (an empty append is a manifest-only
+    * transaction: carried-forward paths + merged stats). */
+  private def hasData(abs: String): Boolean =
+    Option(new java.io.File(abs).listFiles()).exists(_.exists(f =>
+      (f.isFile && f.getName.startsWith("part-")) ||
+        (f.isDirectory && hasData(f.getPath))))
+
+  private def relIfData(root: String, rel: String): Seq[String] =
+    if (hasData(s"$root/$rel")) Seq(rel) else Seq.empty
+
+  // ---------------------------------------------------------------
+  // dedup channel family
+  // ---------------------------------------------------------------
 
   /** Rows a batch screen needs per incoming doc. */
   private def fingerprints(docs: DataFrame): DataFrame =
@@ -48,55 +229,95 @@ object IndexStore {
     s.conf.getOption("graft.bloom.maxItems").map(_.toLong)
       .getOrElse(64L * 1024 * 1024)
 
-  private def bloomPath(out: String) =
-    java.nio.file.Paths.get(s"$out/bloom/fingerprints.bloom")
-
-  /** Aggregate and persist the bloom blob over the fingerprint
-    * channel, or REMOVE a stale blob when the corpus has outgrown the
-    * gate (a lingering undersized sketch would degrade its FP rate —
-    * decisions would stay exact, but the prefilter would stop
-    * filtering). */
-  private def writeBloom(s: SparkSession, fps: DataFrame, out: String): Unit = {
+  /** Aggregate the bloom blob over a fingerprint frame into the
+    * staging snapshot; returns the blob's rel path, or None past the
+    * gate (the manifest entry is simply omitted then — a lingering
+    * undersized sketch would degrade its FP rate, so crossing the gate
+    * on append DROPS the channel). */
+  private def writeBloomInto(s: SparkSession, fps: DataFrame,
+      root: String, snap: String): Option[String] = {
     val n = math.max(1024L, fps.count())
     if (n <= bloomMaxItems(s)) {
       val bits = fps.selectExpr(s"bloom_agg(xxhash64(fp), ${n}L) AS b")
         .head().getAs[Array[Byte]]("b")
-      new java.io.File(s"$out/bloom").mkdirs()
-      java.nio.file.Files.write(bloomPath(out), bits)
-    } else java.nio.file.Files.deleteIfExists(bloomPath(out))
+      new java.io.File(s"$root/$snap/bloom").mkdirs()
+      Files.write(Paths.get(s"$root/$snap/bloom/fingerprints.bloom"), bits)
+      Some(s"$snap/bloom/fingerprints.bloom")
+    } else None
   }
 
-  /** Persist the dedup index of `docs` under `out`. */
+  private val dedupChannels = Seq("band_keys", "fingerprints", "sim_blocks", "bloom")
+
+  /** Persist the dedup index of `docs` under `out` (one snapshot
+    * transaction; any cluster_labels / other-family channels already
+    * present are carried forward untouched). */
   def write(s: SparkSession, docs: DataFrame, out: String): Unit = {
     graft.functions.BloomFuncs.register(s)
+    val prior = channelsForWrite(out)
+    val snap = beginSnap(out)
     Dedup.toBandRowsPublic(s, docs)
       .write.mode(SaveMode.Overwrite).partitionBy("band")
-      .parquet(s"$out/band_keys")
+      .parquet(s"$out/$snap/band_keys")
+    maybeCrash("band_keys")
     val fps = fingerprints(docs)
-    fps.write.mode(SaveMode.Overwrite).parquet(s"$out/fingerprints")
+    fps.write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/fingerprints")
+    maybeCrash("fingerprints")
     // simhash channel: the 60-bit fingerprint's pigeonhole block rows,
     // partitioned by block so a screen's (b, bv) equi-join prunes to
     // one block partition per probe — catches term-DISTRIBUTION twins
     // (q128's family) that shingle-set banding can miss
     Dedup.simBlocks(Dedup.simhash60(docs))
       .write.mode(SaveMode.Overwrite).partitionBy("b")
-      .parquet(s"$out/sim_blocks")
-    // one small binary blob: the BloomFilterAggregate sketch over the
-    // fingerprint hashes (estItems from a cheap count — this runs once
-    // per snapshot, at index-build time, not per screen); skipped past
-    // the graft.bloom.maxItems gate
-    writeBloom(s, fps, out)
+      .parquet(s"$out/$snap/sim_blocks")
+    maybeCrash("sim_blocks")
+    val bloomRel = writeBloomInto(s, fps, out, snap)
+    commitSnap(out, snap, prior -- dedupChannels ++ Map(
+      "band_keys" -> Channel(Seq(s"$snap/band_keys"), "band", ""),
+      "fingerprints" -> Channel(Seq(s"$snap/fingerprints"), "", ""),
+      "sim_blocks" -> Channel(Seq(s"$snap/sim_blocks"), "b", "")) ++
+      bloomRel.map(p => "bloom" -> Channel(Seq(p), "", "")))
   }
-
-  private def loadBloom(out: String): Array[Byte] =
-    java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$out/bloom/fingerprints.bloom"))
 
   /** q71's decisions for `batch`, from the stored index only:
     * (doc_id, exact_dup, near_dup, decision). Decisions are exact —
     * the bloom is a no-false-negative prefilter, so every true exact
     * dup reaches the fingerprint semi-join and sketch false positives
     * are eliminated there. */
+  def screenBatch(s: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
+    import s.implicits._
+    graft.functions.BloomFuncs.register(s)
+    val m = channels(indexDir)
+    val bandIdx = channel(s, indexDir, "band_keys")
+    val fpIdx = channel(s, indexDir, "fingerprints").select($"fp")
+    val bfp = fingerprints(batch)
+    // exact screen: bloom prefilter (narrow, broadcast bits) → exact
+    // semi-join only for sketch hits; a store past the
+    // graft.bloom.maxItems gate has no blob, and the screen is the
+    // plain semi-join — still exact, still O(batch)
+    val preFiltered = m.get("bloom") match {
+      case Some(ch) =>
+        val bits = Files.readAllBytes(Paths.get(s"$indexDir/${ch.paths.head}"))
+        bfp.filter(call_function("bloom_contains", lit(bits), xxhash64($"fp")))
+      case None => bfp
+    }
+    val exactHits = preFiltered
+      .join(fpIdx, Seq("fp"), "left_semi")
+      .select($"doc_id")
+    // near screen: incoming band rows semi-join the stored band index
+    val nearHits = Dedup.toBandRowsPublic(s, batch)
+      .join(bandIdx, Seq("band", "band_key"), "left_semi")
+      .select($"doc_id").distinct()
+    batch.select($"doc_id")
+      .join(exactHits.withColumn("ex", lit(1)), Seq("doc_id"), "left")
+      .join(nearHits.withColumn("nr", lit(1)), Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"ex", lit(0)).as("exact_dup"),
+        coalesce($"nr", lit(0)).as("near_dup"),
+        when($"ex" === 1, "drop_exact").when($"nr" === 1, "drop_near")
+          .otherwise("keep").as("decision"))
+      .orderBy($"doc_id")
+  }
+
   /** Distribution-level near-dup screen against the stored simhash
     * channel: batch docs whose 60-bit fingerprint sits within Hamming
     * distance 3 of ANY stored corpus fingerprint (q128's semantics,
@@ -107,7 +328,7 @@ object IndexStore {
     * access beyond the store. */
   def screenBatchSim(s: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
     import s.implicits._
-    val stored = s.read.parquet(s"$indexDir/sim_blocks")
+    val stored = channel(s, indexDir, "sim_blocks")
       .select($"b", $"bv", $"sim".as("corpus_sim"))
     Dedup.simBlocks(Dedup.simhash60(batch))
       .join(stored, Seq("b", "bv"))
@@ -125,7 +346,7 @@ object IndexStore {
     * once per snapshot, report from the artifacts. */
   def pairsFromStore(s: SparkSession, indexDir: String): DataFrame = {
     import s.implicits._
-    val b = s.read.parquet(s"$indexDir/band_keys")
+    val b = channel(s, indexDir, "band_keys")
     b.as("a").join(b.as("b"),
         $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
           $"a.doc_id" < $"b.doc_id")
@@ -137,9 +358,15 @@ object IndexStore {
     * artifacts — one CC contraction at snapshot-build time. This is
     * the state [[incrementalClusters]] maintains per batch, so a
     * rolling corpus never re-clusters itself from scratch. */
-  def writeClusters(s: SparkSession, docs: DataFrame, out: String): Unit =
+  def writeClusters(s: SparkSession, docs: DataFrame, out: String): Unit = {
+    val prior = channelsForWrite(out)
+    val snap = beginSnap(out)
     Dedup.clusterLabelsFor(s, docs)
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/cluster_labels")
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/cluster_labels")
+    maybeCrash("cluster_labels")
+    commitSnap(out, snap,
+      prior + ("cluster_labels" -> Channel(Seq(s"$snap/cluster_labels"), "", "")))
+  }
 
   /** Merge an incoming batch into the persisted clustering WITHOUT
     * re-clustering the corpus. The contraction insight: an existing
@@ -158,8 +385,8 @@ object IndexStore {
   def incrementalClusters(s: SparkSession, indexDir: String,
       batch: DataFrame): DataFrame = {
     import s.implicits._
-    val storedBands = s.read.parquet(s"$indexDir/band_keys")
-    val storedLabels = s.read.parquet(s"$indexDir/cluster_labels")
+    val storedBands = channel(s, indexDir, "band_keys")
+    val storedLabels = channel(s, indexDir, "cluster_labels")
     val batchBands = Dedup.toBandRowsPublic(s, batch)
     val crossE = batchBands
       .join(storedBands.select($"doc_id".as("cid"), $"band", $"band_key"),
@@ -182,14 +409,15 @@ object IndexStore {
     corpusPart.unionByName(batchPart.select($"doc_id", $"cluster_id"))
   }
 
-  /** Fold an accepted batch into EVERY store channel in O(batch) work —
+  /** Fold an accepted batch into EVERY dedup channel in O(batch) work —
     * the rolling-corpus maintenance op that pairs with [[screenBatch]]
     * and [[incrementalClusters]]: screen the day's batch, keep the
     * survivors, append them here; no channel is ever rebuilt from the
     * corpus.
     *
-    *  - band_keys / fingerprints / sim_blocks: batch rows appended to
-    *    the partitioned parquet dirs (same layout `write` produced).
+    *  - band_keys / fingerprints / sim_blocks: the batch's new files
+    *    land in the staging snapshot and the manifest carries the
+    *    prior paths forward (copy-free list append).
     *  - cluster_labels (when present): replaced by the
     *    [[incrementalClusters]] merge — the artifact is O(corpus) rows
     *    but producing it is O(batch + clusters) (a label-remap join,
@@ -200,35 +428,50 @@ object IndexStore {
     *    point instead of degrading as the corpus grows past the
     *    original sketch's capacity.
     *
-    * Not atomic across channels: a crash mid-append leaves some
-    * channels ahead of others, which over-reports membership — the
-    * SAFE direction for a dedup screen (it over-flags, never silently
-    * under-flags; cf. SURVEY §4.3(4) on the reference's silent-loss
-    * bug). Production would stage to a fresh snapshot dir and swap the
-    * pointer. After append the store is observation-equivalent to
+    * The whole fold is ONE snapshot transaction: a crash anywhere
+    * before the pointer flip leaves readers on the previous consistent
+    * snapshot (DedupSimSpec injects the crash between channel writes).
+    * After commit the store is observation-equivalent to
     * `write(corpus ∪ batch)`: DedupSimSpec pins set equality on every
     * parquet channel and decision equality on both screens. */
   def append(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
     graft.functions.BloomFuncs.register(s)
-    // merged labels are computed EAGERLY (localCheckpoint) before any
-    // channel mutates: the merge must see the pre-append band index,
-    // and the overwrite below may not read the path it replaces
+    val prior = channels(indexDir)
+    // merged labels are computed EAGERLY (localCheckpoint) before the
+    // new snapshot stages: the merge must see the pre-append band index
     val mergedLabels =
-      if (new java.io.File(s"$indexDir/cluster_labels").exists())
+      if (prior.contains("cluster_labels"))
         Some(incrementalClusters(s, indexDir, batch).localCheckpoint())
       else None
+    val snap = beginSnap(indexDir)
     Dedup.toBandRowsPublic(s, batch)
-      .write.mode(SaveMode.Append).partitionBy("band")
-      .parquet(s"$indexDir/band_keys")
+      .write.mode(SaveMode.Overwrite).partitionBy("band")
+      .parquet(s"$indexDir/$snap/band_keys")
+    maybeCrash("band_keys")
     fingerprints(batch)
-      .write.mode(SaveMode.Append).parquet(s"$indexDir/fingerprints")
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$snap/fingerprints")
+    maybeCrash("fingerprints")
     Dedup.simBlocks(Dedup.simhash60(batch))
-      .write.mode(SaveMode.Append).partitionBy("b")
-      .parquet(s"$indexDir/sim_blocks")
+      .write.mode(SaveMode.Overwrite).partitionBy("b")
+      .parquet(s"$indexDir/$snap/sim_blocks")
+    maybeCrash("sim_blocks")
     mergedLabels.foreach(_.write.mode(SaveMode.Overwrite)
-      .parquet(s"$indexDir/cluster_labels"))
-    writeBloom(s, s.read.parquet(s"$indexDir/fingerprints").select(col("fp")),
-      indexDir)
+      .parquet(s"$indexDir/$snap/cluster_labels"))
+    maybeCrash("cluster_labels")
+    val fpPaths = prior("fingerprints").paths ++
+      relIfData(indexDir, s"$snap/fingerprints")
+    val mergedFps = s.read.parquet(fpPaths.map(p => s"$indexDir/$p"): _*)
+      .select(col("fp"))
+    val bloomRel = writeBloomInto(s, mergedFps, indexDir, snap)
+    def appended(name: String, rel: String) =
+      name -> prior(name).copy(paths = prior(name).paths ++ relIfData(indexDir, rel))
+    commitSnap(indexDir, snap, prior - "bloom" ++ Map(
+      appended("band_keys", s"$snap/band_keys"),
+      appended("fingerprints", s"$snap/fingerprints"),
+      appended("sim_blocks", s"$snap/sim_blocks")) ++
+      mergedLabels.map(_ => "cluster_labels" ->
+        Channel(Seq(s"$snap/cluster_labels"), "", "")) ++
+      bloomRel.map(p => "bloom" -> Channel(Seq(p), "", "")))
   }
 
   /** q133's containment screen fed from the stored band index: the
@@ -247,6 +490,10 @@ object IndexStore {
       Dedup.connectedComponents(
         table(s, dir, "documents").select(col("doc_id")),
         pairsFromStore(s, indexDir)))
+
+  // ---------------------------------------------------------------
+  // text channel family
+  // ---------------------------------------------------------------
 
   /** Text-retrieval channel: the BM25 postings index as a persisted,
     * append-maintained artifact — the retrieval-family counterpart of
@@ -271,13 +518,18 @@ object IndexStore {
     *    aggregation.
     *
     * [[appendText]] folds a batch in O(batch): new term-sorted postings
-    * files + new doc_lens rows + a 1-row stats merge; per-term df is
-    * derived at query time from the pruned postings read, so no stored
-    * statistic goes stale. TextIndexSpec pins `writeText(corpus ∪
-    * batch)` ≡ `writeText(corpus); appendText(batch)` on every channel
-    * (stats included) and on query results. */
-  def writeText(s: SparkSession, docs: DataFrame, out: String): Unit =
-    writeTextChannels(s, TextOps.postingsFor(docs), out, SaveMode.Overwrite)
+    * files + new doc_lens rows + a 1-row stats merge, all one snapshot
+    * transaction; per-term df is derived at query time from the pruned
+    * postings read, so no stored statistic goes stale. TextIndexSpec
+    * pins `writeText(corpus ∪ batch)` ≡ `writeText(corpus);
+    * appendText(batch)` on every channel (stats included) and on query
+    * results. */
+  def writeText(s: SparkSession, docs: DataFrame, out: String): Unit = {
+    val prior = channelsForWrite(out)
+    val snap = beginSnap(out)
+    val chs = writeTextInto(s, TextOps.postingsFor(docs), out, snap, None)
+    commitSnap(out, snap, prior -- Seq("postings", "doc_lens", "stats") ++ chs)
+  }
 
   /** O(batch) append to the text channel (same layout as [[writeText]];
     * each append's files are term-sorted internally, so row-group
@@ -285,27 +537,39 @@ object IndexStore {
     * disjoint from the store — ENFORCED, not assumed: a re-appended
     * doc would silently duplicate postings and inflate df/N/avgdl, so
     * the overlap guard below fails loudly instead (the screened-batch
-    * precondition of ingestAndMaintainText, now checked). */
-  def appendText(s: SparkSession, indexDir: String, batch: DataFrame): Unit =
-    // first append into an empty store bootstraps it (the streaming
-    // ingest loop's opening micro-batch) — nothing to guard against
-    if (!new java.io.File(s"$indexDir/doc_lens").exists())
-      writeText(s, batch, indexDir)
+    * precondition of ingestAndMaintainText, now checked). An append
+    * into an uninitialized store bootstraps it (the streaming ingest
+    * loop's opening micro-batch). */
+  def appendText(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val prior = channelsForWrite(indexDir)
+    if (!prior.contains("doc_lens")) writeText(s, batch, indexDir)
     else {
       val overlap = batch.select(col("doc_id")).distinct()
-        .join(s.read.parquet(s"$indexDir/doc_lens"), Seq("doc_id"), "left_semi")
+        .join(channel(s, indexDir, "doc_lens"), Seq("doc_id"), "left_semi")
         .count()
       require(overlap == 0,
         s"appendText: $overlap batch doc_id(s) already present in the stored " +
           "doc_lens channel — appends must be pre-screened disjoint batches")
-      writeTextChannels(s, TextOps.postingsFor(batch), indexDir, SaveMode.Append)
+      val st = channel(s, indexDir, "stats").head()
+      val snap = beginSnap(indexDir)
+      val chs = writeTextInto(s, TextOps.postingsFor(batch), indexDir, snap,
+        Some((st.getAs[Long]("n_docs"), st.getAs[Long]("sum_dl"))))
+      def appended(name: String) =
+        name -> prior(name).copy(paths = prior(name).paths ++
+          chs(name).paths.flatMap(relIfData(indexDir, _)))
+      commitSnap(indexDir, snap,
+        prior ++ Map(appended("postings"), appended("doc_lens")) +
+          ("stats" -> chs("stats")))
     }
+  }
 
-  private def writeTextChannels(s: SparkSession, postings0: DataFrame,
-      out: String, mode: SaveMode): Unit = {
-    // one tokenization pass feeds all three channels (the postings
-    // plan re-tokenizes the corpus per consumer otherwise — a measured
-    // double scan at store-write time)
+  /** Stage the three text channels of one doc frame into `snap`;
+    * returns their (single-path) channel entries. One tokenization
+    * pass feeds all three (the postings plan re-tokenizes the corpus
+    * per consumer otherwise — a measured double scan at store-write
+    * time). */
+  private def writeTextInto(s: SparkSession, postings0: DataFrame,
+      root: String, snap: String, priorStats: Option[(Long, Long)]): Map[String, Channel] = {
     val postings = postings0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docLens = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -313,21 +577,26 @@ object IndexStore {
       postings.join(docLens, Seq("doc_id"))
         .repartitionByRange(col("term"), col("doc_id"))
         .sortWithinPartitions(col("term"), col("doc_id"))
-        .write.mode(mode).parquet(s"$out/postings")
-      docLens.write.mode(mode).parquet(s"$out/doc_lens")
-      // stats channel: exact long merge (prior + batch) on append —
-      // the 1-row collect is the whole cross-channel coupling
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/$snap/postings")
+      maybeCrash("postings")
+      docLens.write.mode(SaveMode.Overwrite).parquet(s"$root/$snap/doc_lens")
+      maybeCrash("doc_lens")
+      // stats channel: exact long merge (prior + batch) — the 1-row
+      // collect is the whole cross-channel coupling
       val b = docLens.agg(count(lit(1)).as("n"), sum(col("dl")).as("sd")).head()
       val (bn, bsd) = (b.getLong(0), if (b.isNullAt(1)) 0L else b.getLong(1))
-      val (n, sd) =
-        if (mode == SaveMode.Append) {
-          val p = s.read.parquet(s"$out/stats").head()
-          (p.getAs[Long]("n_docs") + bn, p.getAs[Long]("sum_dl") + bsd)
-        } else (bn, bsd)
+      val (n, sd) = priorStats match {
+        case Some((pn, psd)) => (pn + bn, psd + bsd)
+        case None => (bn, bsd)
+      }
       import s.implicits._
       Seq((n, sd)).toDF("n_docs", "sum_dl")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$out/stats")
-    } finally { postings.unpersist(); docLens.unpersist() }
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/$snap/stats")
+      Map(
+        "postings" -> Channel(Seq(s"$snap/postings"), "", "term,doc_id"),
+        "doc_lens" -> Channel(Seq(s"$snap/doc_lens"), "", ""),
+        "stats" -> Channel(Seq(s"$snap/stats"), "", ""))
+    } finally { postings.unpersist(); docLens.unpersist(); () }
   }
 
   /** BM25 top-ranked docs for driver-known query terms, from the
@@ -341,18 +610,22 @@ object IndexStore {
   def bm25FromStore(s: SparkSession, indexDir: String,
       terms: Seq[String]): DataFrame = {
     import s.implicits._
-    val pruned = s.read.parquet(s"$indexDir/postings")
+    val pruned = channel(s, indexDir, "postings")
       .filter($"term".isin(terms: _*))
-    val stats = s.read.parquet(s"$indexDir/stats")
+    val stats = channel(s, indexDir, "stats")
       .select($"n_docs",
         ($"sum_dl".cast("double") / $"n_docs".cast("double")).as("avgdl"))
     val qdf = pruned.groupBy($"term").agg(count(lit(1)).as("df"))
     TextOps.bm25RankDl(pruned, qdf, stats)
   }
 
+  // ---------------------------------------------------------------
+  // vector channel family
+  // ---------------------------------------------------------------
+
   /** Vector-retrieval channel: the IVF index as a persisted,
     * append-maintained artifact — the third family of the
-    * maintained-index tier (dedup bands, text postings, now vectors).
+    * maintained-index tier (dedup bands, text postings, vectors).
     *
     *  - `centroids` (cid, cvec): the trained k-means model, a tiny
     *    broadcastable table.
@@ -363,35 +636,48 @@ object IndexStore {
     *
     * [[appendVectors]] assigns a batch to cells under the FROZEN
     * stored centroids (IVF semantics: the model retrains per
-    * snapshot, not per batch) and appends O(batch) rows into the
-    * partition layout. VectorIndexSpec pins store ≡ session routes
-    * and write ≡ write+append. */
+    * snapshot, not per batch) and stages O(batch) rows into the
+    * partition layout, carrying the centroid paths forward.
+    * VectorIndexSpec pins store ≡ session routes and write ≡
+    * write+append. */
   def writeVectors(s: SparkSession, vectors: DataFrame,
       centroids: DataFrame, out: String): Unit = {
-    centroids.write.mode(SaveMode.Overwrite).parquet(s"$out/centroids")
+    val prior = channelsForWrite(out)
+    val snap = beginSnap(out)
+    centroids.write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/centroids")
+    maybeCrash("centroids")
     assignCells(vectors, centroids)
       .write.mode(SaveMode.Overwrite).partitionBy("cid")
-      .parquet(s"$out/cells")
+      .parquet(s"$out/$snap/cells")
+    maybeCrash("cells")
+    commitSnap(out, snap, prior -- Seq("centroids", "cells") ++ Map(
+      "centroids" -> Channel(Seq(s"$snap/centroids"), "", ""),
+      "cells" -> Channel(Seq(s"$snap/cells"), "cid", "")))
   }
 
-  /** O(batch) append: assign under the stored centroids, write into
+  /** O(batch) append: assign under the stored centroids, stage into
     * the same cid-partitioned layout. Batch vec_ids must be disjoint
     * from the store — ENFORCED (a re-appended vector would silently
     * duplicate ANN candidates), mirroring appendText's guard. */
   def appendVectors(s: SparkSession, indexDir: String,
       batch: DataFrame): Unit = {
-    val overlap =
-      if (!new java.io.File(s"$indexDir/cells").exists()) 0L
-      else batch.select(col("vec_id")).distinct()
-        .join(s.read.parquet(s"$indexDir/cells").select(col("vec_id")),
-          Seq("vec_id"), "left_semi")
-        .count()
+    val prior = channels(indexDir)
+    val overlap = batch.select(col("vec_id")).distinct()
+      .join(channel(s, indexDir, "cells").select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .count()
     require(overlap == 0,
       s"appendVectors: $overlap batch vec_id(s) already present in the stored " +
         "cells channel — appends must be disjoint batches")
-    assignCells(batch, s.read.parquet(s"$indexDir/centroids"))
-      .write.mode(SaveMode.Append).partitionBy("cid")
-      .parquet(s"$indexDir/cells")
+    val cents = channel(s, indexDir, "centroids")
+    val snap = beginSnap(indexDir)
+    assignCells(batch, cents)
+      .write.mode(SaveMode.Overwrite).partitionBy("cid")
+      .parquet(s"$indexDir/$snap/cells")
+    maybeCrash("cells")
+    commitSnap(indexDir, snap, prior + ("cells" ->
+      prior("cells").copy(paths =
+        prior("cells").paths ++ relIfData(indexDir, s"$snap/cells"))))
   }
 
   private def assignCells(vectors: DataFrame, cents: DataFrame): DataFrame = {
@@ -413,7 +699,7 @@ object IndexStore {
       nprobe: Int = 4, k: Int = 5): DataFrame = {
     import s.implicits._
     graft.functions.DotProduct.register(s)
-    val cents = s.read.parquet(s"$indexDir/centroids")
+    val cents = channel(s, indexDir, "centroids")
     val probed = queries
       .join(broadcast(cents))
       .withColumn("sim", graft.functions.DotProduct.dot_fast($"unit", $"cvec"))
@@ -424,7 +710,7 @@ object IndexStore {
       .select($"vec_id".as("qid"), $"unit".as("qunit"), $"cid")
       .localCheckpoint()
     val cids = probed.select($"cid").distinct().as[Long].collect()
-    val cells = s.read.parquet(s"$indexDir/cells")
+    val cells = channel(s, indexDir, "cells")
       .filter($"cid".isin(cids: _*))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"qid").orderBy($"cos".desc, $"vid")
@@ -436,38 +722,5 @@ object IndexStore {
       .filter($"rn" <= k)
       .select($"qid", $"rn", $"vid", round($"cos", 4).as("cos"))
       .orderBy($"qid", $"rn")
-  }
-
-  def screenBatch(s: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
-    import s.implicits._
-    graft.functions.BloomFuncs.register(s)
-    val bandIdx = s.read.parquet(s"$indexDir/band_keys")
-    val fpIdx = s.read.parquet(s"$indexDir/fingerprints").select($"fp")
-    val bfp = fingerprints(batch)
-    // exact screen: bloom prefilter (narrow, broadcast bits) → exact
-    // semi-join only for sketch hits; a store past the
-    // graft.bloom.maxItems gate has no blob, and the screen is the
-    // plain semi-join — still exact, still O(batch)
-    val preFiltered =
-      if (java.nio.file.Files.exists(bloomPath(indexDir)))
-        bfp.filter(call_function("bloom_contains",
-          lit(loadBloom(indexDir)), xxhash64($"fp")))
-      else bfp
-    val exactHits = preFiltered
-      .join(fpIdx, Seq("fp"), "left_semi")
-      .select($"doc_id")
-    // near screen: incoming band rows semi-join the stored band index
-    val nearHits = Dedup.toBandRowsPublic(s, batch)
-      .join(bandIdx, Seq("band", "band_key"), "left_semi")
-      .select($"doc_id").distinct()
-    batch.select($"doc_id")
-      .join(exactHits.withColumn("ex", lit(1)), Seq("doc_id"), "left")
-      .join(nearHits.withColumn("nr", lit(1)), Seq("doc_id"), "left")
-      .select($"doc_id",
-        coalesce($"ex", lit(0)).as("exact_dup"),
-        coalesce($"nr", lit(0)).as("near_dup"),
-        when($"ex" === 1, "drop_exact").when($"nr" === 1, "drop_near")
-          .otherwise("keep").as("decision"))
-      .orderBy($"doc_id")
   }
 }

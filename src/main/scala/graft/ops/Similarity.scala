@@ -784,7 +784,7 @@ object Similarity {
     vectorStores.synchronized {
       vectorStores.getOrElseUpdate(dir, {
         val idx = s"${sys.props("java.io.tmpdir")}/graft_vec_" +
-          Integer.toHexString(dir.hashCode)
+          graft.Core.storeTag(dir)
         IndexStore.writeVectors(s, normalized(s, dir),
           ivfCentroids(s, dir), idx)
         idx

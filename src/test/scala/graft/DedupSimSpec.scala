@@ -312,7 +312,7 @@ class DedupSimSpec extends SparkSpec {
       s"stored-index decisions diverge: got ${got.take(5).toSeq} vs ${expect.take(5).toSeq}")
     // the bloom artifact is small enough to broadcast (one literal)
     val bloomLen = java.nio.file.Files.size(
-      java.nio.file.Paths.get(s"$out/bloom/fingerprints.bloom"))
+      graft.ops.IndexStore.bloomBlob(out).get)
     assert(bloomLen > 0 && bloomLen < 10 * 1024 * 1024, s"bloom blob $bloomLen bytes")
   }
 
@@ -824,8 +824,8 @@ class DedupSimSpec extends SparkSpec {
     ops.IndexStore.write(spark, docs, fresh)
     ops.IndexStore.writeClusters(spark, docs, fresh)
     for (ch <- Seq("band_keys", "fingerprints", "sim_blocks", "cluster_labels")) {
-      val a = spark.read.parquet(s"$rolled/$ch")
-      val b = spark.read.parquet(s"$fresh/$ch")
+      val a = ops.IndexStore.channel(spark, rolled, ch)
+      val b = ops.IndexStore.channel(spark, fresh, ch)
       assert(a.unionByName(b).distinct().count() == b.distinct().count() &&
           a.count() == b.count(),
         s"channel $ch diverged after append")
@@ -854,8 +854,7 @@ class DedupSimSpec extends SparkSpec {
     val incoming = docs.filter(gate >= 58982L)
     val gated = java.nio.file.Files.createTempDirectory("graft-nobloom").toString
     val bloomed = java.nio.file.Files.createTempDirectory("graft-bloom").toString
-    def blob(out: String) =
-      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$out/bloom/fingerprints.bloom"))
+    def blob(out: String) = ops.IndexStore.hasChannel(out, "bloom")
     try {
       spark.conf.set("graft.bloom.maxItems", "1")
       ops.IndexStore.write(spark, existing, gated)

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+
+/** Snapshot/manifest contract of the persisted index store: every
+  * mutation stages into a fresh snapshot dir and publishes with ONE
+  * atomic pointer flip, so a crash between channel writes can never
+  * expose a half-updated store; the versioned manifest is the layout
+  * contract checked at every open. */
+class IndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-store-$tag").toString
+
+  private val docs = Seq(
+    1L -> "alpha beta gamma delta", 2L -> "beta gamma delta epsilon",
+    3L -> "completely different words here entirely")
+  private val batch = Seq(4L -> "zeta eta theta iota", 5L -> "alpha beta gamma delta")
+
+  private def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+  test("crash between append channel writes leaves readers on the old consistent snapshot") {
+    val idx = tmp("crash")
+    ops.IndexStore.writeText(spark, df(docs), idx)
+    val before = ops.IndexStore.bm25FromStore(spark, idx, Seq("beta", "zeta"))
+      .orderBy($"doc_id").collect().toSeq
+    val statsBefore = ops.IndexStore.channel(spark, idx, "stats").head()
+    // inject the crash AFTER the postings files land but BEFORE
+    // doc_lens/stats/manifest/pointer — the classic torn multi-channel
+    // update the round-6 layout could only document as unsafe
+    ops.IndexStore.crashAfterChannel = Some("postings")
+    try intercept[RuntimeException] {
+      ops.IndexStore.appendText(spark, idx, df(batch))
+    } finally ops.IndexStore.crashAfterChannel = None
+    // the pointer never flipped: same scores, same stats, no torn state
+    val after = ops.IndexStore.bm25FromStore(spark, idx, Seq("beta", "zeta"))
+      .orderBy($"doc_id").collect().toSeq
+    assert(after == before, "crashed append changed reader-visible scores")
+    assert(ops.IndexStore.channel(spark, idx, "stats").head() == statsBefore)
+    // recovery: the retried append clears the aborted staging dir and
+    // lands; the store then equals a fresh full build
+    ops.IndexStore.appendText(spark, idx, df(batch))
+    val fresh = tmp("crash-fresh")
+    ops.IndexStore.writeText(spark, df(docs ++ batch), fresh)
+    for (ch <- Seq("postings", "doc_lens", "stats")) {
+      val a = ops.IndexStore.channel(spark, idx, ch)
+      val b = ops.IndexStore.channel(spark, fresh, ch)
+      assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty,
+        s"channel $ch diverged after crash-recovery append")
+    }
+  }
+
+  test("crash mid dedup append: both screens keep answering from the old snapshot") {
+    val idx = tmp("dcrash")
+    ops.IndexStore.write(spark, df(docs), idx)
+    val probe = df(batch)
+    val before = ops.IndexStore.screenBatch(spark, idx, probe).collect().toSeq
+    ops.IndexStore.crashAfterChannel = Some("fingerprints")
+    try intercept[RuntimeException] {
+      ops.IndexStore.append(spark, idx, probe)
+    } finally ops.IndexStore.crashAfterChannel = None
+    assert(ops.IndexStore.screenBatch(spark, idx, probe).collect().toSeq == before,
+      "crashed append changed screen decisions")
+    // retry lands and the batch's twin (doc 5 ≡ doc 1) now flags exact
+    ops.IndexStore.append(spark, idx, probe)
+    val dec = ops.IndexStore.screenBatch(spark, idx, df(Seq(9L -> docs.head._2)))
+      .select($"decision").head().getString(0)
+    assert(dec == "drop_exact")
+  }
+
+  test("a directory without a snapshot pointer is refused, never misread") {
+    val dir = tmp("foreign")
+    // even one that LOOKS like a flat-layout store
+    df(docs).write.mode(SaveMode.Overwrite).parquet(s"$dir/doc_lens")
+    val e = intercept[IllegalStateException] {
+      ops.IndexStore.channel(spark, dir, "doc_lens").count()
+    }
+    assert(e.getMessage.contains("no _current snapshot pointer"))
+    val e2 = intercept[IllegalStateException] {
+      ops.IndexStore.bm25FromStore(spark, dir, Seq("alpha")).count()
+    }
+    assert(e2.getMessage.contains("no _current snapshot pointer"))
+  }
+
+  test("a wrong-version manifest fails loudly at open") {
+    val idx = tmp("version")
+    ops.IndexStore.writeText(spark, df(docs), idx)
+    val cur = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$idx/_current")).trim
+    val mPath = java.nio.file.Paths.get(s"$idx/$cur/_manifest.json")
+    val bumped = java.nio.file.Files.readString(mPath)
+      .replace("\"format_version\": 1", "\"format_version\": 99")
+    java.nio.file.Files.writeString(mPath, bumped)
+    val e = intercept[IllegalStateException] {
+      ops.IndexStore.channel(spark, idx, "postings").count()
+    }
+    assert(e.getMessage.contains("format_version 99") &&
+      e.getMessage.contains(s"version ${ops.IndexStore.FormatVersion}"),
+      s"version mismatch must cite both versions: ${e.getMessage}")
+    // a manifest-less snapshot dir is equally refused
+    java.nio.file.Files.delete(mPath)
+    val e2 = intercept[IllegalStateException] {
+      ops.IndexStore.channel(spark, idx, "postings").count()
+    }
+    assert(e2.getMessage.contains("_manifest.json"))
+  }
+
+  test("append is copy-free: prior snapshot files are carried forward, not rewritten") {
+    val idx = tmp("copyfree")
+    ops.IndexStore.writeText(spark, df(docs), idx)
+    val firstSnap = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$idx/_current")).trim
+    def postingFiles(snap: String) = {
+      val d = new java.io.File(s"$idx/$snap/postings")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = postingFiles(firstSnap)
+    ops.IndexStore.appendText(spark, idx, df(batch))
+    val curSnap = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$idx/_current")).trim
+    assert(curSnap != firstSnap, "append must commit a NEW snapshot")
+    assert(postingFiles(firstSnap) == before,
+      "append rewrote prior-snapshot postings files — not copy-free")
+    // and the new manifest lists both snapshots' postings dirs
+    val manifest = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$idx/$curSnap/_manifest.json"))
+    assert(manifest.contains(s"$firstSnap/postings") &&
+      manifest.contains(s"$curSnap/postings"),
+      s"manifest must carry prior postings path forward:\n$manifest")
+  }
+}

@@ -275,7 +275,7 @@ class StreamingSpec extends SparkSpec {
     val incoming = docs.filter(gate >= 58982)
       .select($"doc_id", $"text").as[StreamingOps.DocRow].collect()
     val stream = MemoryStream[StreamingOps.DocRow]
-    val simIdx = spark.read.parquet(s"$out/sim_blocks")
+    val simIdx = graft.ops.IndexStore.channel(spark, out, "sim_blocks")
     val q = StreamingOps.screenIncomingSim(stream.toDF(), simIdx)
       .writeStream.format("memory").queryName("sim_screen")
       .outputMode("append").start()
@@ -346,8 +346,8 @@ class StreamingSpec extends SparkSpec {
     ops.IndexStore.write(spark, union, fresh)
     ops.IndexStore.writeClusters(spark, union, fresh)
     for (ch <- Seq("band_keys", "fingerprints", "sim_blocks", "cluster_labels")) {
-      val a = spark.read.parquet(s"$idx/$ch")
-      val b = spark.read.parquet(s"$fresh/$ch")
+      val a = ops.IndexStore.channel(spark, idx, ch)
+      val b = ops.IndexStore.channel(spark, fresh, ch)
       assert(a.unionByName(b).distinct().count() == b.distinct().count() &&
           a.count() == b.count(),
         s"channel $ch diverged after streaming maintenance")

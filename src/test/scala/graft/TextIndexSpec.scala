@@ -35,8 +35,8 @@ class TextIndexSpec extends SparkSpec {
     // channel-level set equality — stats included: the merged 1-row
     // (n_docs, sum_dl) must equal a fresh full-corpus build's
     for (ch <- Seq("postings", "doc_lens", "stats")) {
-      val a = spark.read.parquet(s"$full/$ch")
-      val b = spark.read.parquet(s"$rolled/$ch")
+      val a = ops.IndexStore.channel(spark, full, ch)
+      val b = ops.IndexStore.channel(spark, rolled, ch)
       assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty,
         s"channel $ch diverges after append")
     }
@@ -73,7 +73,7 @@ class TextIndexSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("doc_lens"),
       s"lookup plan scans the doc_lens channel — O(corpus) per query:\n${plan.take(800)}")
-    assert(spark.read.parquet(s"$idx/stats").count() == 1)
+    assert(ops.IndexStore.channel(spark, idx, "stats").count() == 1)
   }
 
   test("appendText refuses a batch overlapping the stored corpus") {
@@ -87,7 +87,7 @@ class TextIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("already present"))
     // the guarded store is untouched: a disjoint append still works
     ops.IndexStore.appendText(spark, idx, Seq((3L, "delta")).toDF("doc_id", "text"))
-    val st = spark.read.parquet(s"$idx/stats").head()
+    val st = ops.IndexStore.channel(spark, idx, "stats").head()
     assert(st.getAs[Long]("n_docs") == 3L)
   }
 
@@ -108,9 +108,9 @@ class TextIndexSpec extends SparkSpec {
     q.stop()
     val oneShot = tmp("oneshot")
     ops.IndexStore.writeText(spark, docs, oneShot)
-    for (ch <- Seq("postings", "doc_lens")) {
-      val a = spark.read.parquet(s"$streamed/$ch")
-      val b = spark.read.parquet(s"$oneShot/$ch")
+    for (ch <- Seq("postings", "doc_lens", "stats")) {
+      val a = ops.IndexStore.channel(spark, streamed, ch)
+      val b = ops.IndexStore.channel(spark, oneShot, ch)
       assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty,
         s"channel $ch diverged after streamed maintenance")
     }

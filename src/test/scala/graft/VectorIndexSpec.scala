@@ -34,8 +34,8 @@ class VectorIndexSpec extends SparkSpec {
     ops.IndexStore.writeVectors(spark, vecs.filter(gate < 58982L), cents, rolled)
     ops.IndexStore.appendVectors(spark, rolled, vecs.filter(gate >= 58982L))
     for (ch <- Seq("centroids", "cells")) {
-      val a = spark.read.parquet(s"$full/$ch")
-      val b = spark.read.parquet(s"$rolled/$ch")
+      val a = ops.IndexStore.channel(spark, full, ch)
+      val b = ops.IndexStore.channel(spark, rolled, ch)
       assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty,
         s"channel $ch diverges after append")
     }
