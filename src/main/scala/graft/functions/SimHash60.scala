@@ -64,9 +64,37 @@ object SimHash60 {
   /** Sentinel for "no non-empty words" (a real fingerprint is ≥ 0). */
   final val Empty: Long = -1L
 
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
+  private[functions] val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Fold one md5 digest's 15 hex digits × 4 bits into the vote
+    * counters — shared by the word-level and byte-shingle variants. */
+  private[functions] def accumulate(d: Array[Byte], ones: Array[Int]): Unit = {
+    var j = 0
+    while (j < 15) {
+      val byte = d(j / 2) & 0xff
+      val hv = if (j % 2 == 0) byte >> 4 else byte & 0xf
+      var b = 0
+      while (b < 4) {
+        if (((hv >> b) & 1) == 1) ones(j * 4 + b) += 1
+        b += 1
+      }
+      j += 1
+    }
+  }
+
+  /** Majority vote over n contributors, or [[Empty]] for none. */
+  private[functions] def majority(ones: Array[Int], n: Int): Long = {
+    if (n == 0) return Empty
+    var sim = 0L
+    var k = 0
+    while (k < 60) {
+      if (2 * ones(k) >= n) sim |= 1L << k
+      k += 1
+    }
+    sim
   }
 
   def compute(text: UTF8String): Long = {
@@ -81,29 +109,11 @@ object SimHash60 {
       if (w.nonEmpty && seen.add(w)) {
         n += 1
         md.reset()
-        val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        var j = 0
-        while (j < 15) {
-          val byte = d(j / 2) & 0xff
-          val hv = if (j % 2 == 0) byte >> 4 else byte & 0xf
-          var b = 0
-          while (b < 4) {
-            if (((hv >> b) & 1) == 1) ones(j * 4 + b) += 1
-            b += 1
-          }
-          j += 1
-        }
+        accumulate(md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8)), ones)
       }
       i += 1
     }
-    if (n == 0) return Empty
-    var sim = 0L
-    var k = 0
-    while (k < 60) {
-      if (2 * ones(k) >= n) sim |= 1L << k
-      k += 1
-    }
-    sim
+    majority(ones, n)
   }
 
   /** SQL registration: SELECT sim_hash60(lower(text)) ... */

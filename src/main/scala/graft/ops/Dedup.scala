@@ -559,6 +559,48 @@ object Dedup {
       .withColumn("b", explode(sequence(lit(0), lit(3))))
       .withColumn("bv", expr("(sim >> (b * 15)) & 32767"))
 
+  /** Byte-shingle SimHash per binary payload (q141 / media channel):
+    * the content-level sibling of [[simhash60]] — 60-bit majority vote
+    * over the payload's distinct byte n-grams, one row-local codegen
+    * call (see ByteSimHash60). Payloads shorter than one window drop
+    * out (NULL fingerprint), matching the word variant's no-words
+    * semantics. */
+  private[ops] def simhash60Bytes(payloads: DataFrame, n: Int = 4): DataFrame = {
+    graft.functions.ByteSimHash60.register(payloads.sparkSession)
+    payloads.select(col("doc_id"),
+        graft.functions.ByteSimHash60.byte_sim_hash60(col("payload"), n).as("sim"))
+      .filter(col("sim").isNotNull)
+  }
+
+  /** First-match pigeonhole pair join over a (doc_id, sim, b, bv)
+    * block frame — the q128 candidate+verify machinery, shared with
+    * the byte-level payload variant (q141): by pigeonhole, fingerprints
+    * within Hamming distance 3 agree exactly on ≥ 1 of 4 disjoint
+    * 15-bit blocks; a pair colliding in several blocks is emitted only
+    * from its lowest matching block (a per-row integer filter, versus
+    * a shuffle-distinct of every candidate × matching-block row — a
+    * measured ~1.8G-row exchange on the 100× clique-heavy corpus);
+    * the exact `bit_count(xor) ≤ 3` verify is one codegen integer op
+    * per candidate. */
+  private[ops] def pigeonholePairs(blocks: DataFrame): DataFrame = {
+    val s = blocks.sparkSession
+    import s.implicits._
+    def blk(sim: String, i: Int) = s"(($sim >> ${i * 15}) & 32767)"
+    val firstMatch = (1 to 3).map { b =>
+      s"(b = $b AND ${(0 until b).map(i => s"${blk("sa", i)} <> ${blk("sb", i)}")
+        .mkString(" AND ")})"
+    }.mkString("(b = 0) OR ", " OR ", "")
+    blocks.as("x").join(blocks.as("y"),
+        $"x.b" === $"y.b" && $"x.bv" === $"y.bv" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"), $"x.b".as("b"),
+        $"x.sim".as("sa"), $"y.sim".as("sb"))
+      .filter(expr(firstMatch))
+      .withColumn("hamming", expr("cast(bit_count(sa ^ sb) as bigint)"))
+      .filter($"hamming" <= 3)
+      .select($"id_a", $"id_b", $"hamming")
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Sorted-neighborhood candidate pairs (q120/q127): each doc paired
     * with its next [[SnW]] neighbors in the (normalized 24-char text
     * prefix, doc_id) sort order. id_a precedes id_b in SORT order, not
@@ -1537,31 +1579,9 @@ object Dedup {
     // block count/width exactly as in the paper; verify is one codegen
     // integer op per candidate. ----
     "q128_simhash_join" -> Q(
-      (s, dir) => {
-        import s.implicits._
-        val blocks = simBlocks(simhash60(table(s, dir, "documents")))
-        // FIRST-MATCH dedup instead of distinct(): a pair colliding in
-        // several blocks is emitted only from its lowest matching
-        // block — a per-row integer filter, versus a shuffle-distinct
-        // of every (candidate × matching-block) row. On the 100×
-        // probe's clique-heavy corpus that distinct was a ~1.8G-row
-        // exchange; the filter costs nothing and emits each pair
-        // exactly once (per block a pair appears at most once).
-        def blk(sim: String, i: Int) = s"(($sim >> ${i * 15}) & 32767)"
-        val firstMatch = (1 to 3).map { b =>
-          s"(b = $b AND ${(0 until b).map(i => s"${blk("sa", i)} <> ${blk("sb", i)}")
-            .mkString(" AND ")})"
-        }.mkString("(b = 0) OR ", " OR ", "")
-        blocks.as("x").join(blocks.as("y"),
-            $"x.b" === $"y.b" && $"x.bv" === $"y.bv" && $"x.doc_id" < $"y.doc_id")
-          .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"), $"x.b".as("b"),
-            $"x.sim".as("sa"), $"y.sim".as("sb"))
-          .filter(expr(firstMatch))
-          .withColumn("hamming", expr("cast(bit_count(sa ^ sb) as bigint)"))
-          .filter($"hamming" <= 3)
-          .select($"id_a", $"id_b", $"hamming")
-          .orderBy($"id_a", $"id_b")
-      },
+      // candidate + FIRST-MATCH verify machinery lives in
+      // [[pigeonholePairs]] (shared with the byte-level q141)
+      (s, dir) => pigeonholePairs(simBlocks(simhash60(table(s, dir, "documents")))),
       Some("""WITH words AS (SELECT DISTINCT doc_id, w FROM
           (SELECT doc_id, unnest(string_split(lower(text),' ')) AS w FROM documents)
           WHERE length(w)>0),

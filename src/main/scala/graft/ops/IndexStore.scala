@@ -492,6 +492,62 @@ object IndexStore {
         pairsFromStore(s, indexDir)))
 
   // ---------------------------------------------------------------
+  // media channel family
+  // ---------------------------------------------------------------
+
+  /** Multimodal payload near-dup channel: the byte-shingle SimHash
+    * pigeonhole blocks of each binary payload (q141's fingerprint),
+    * persisted block-partitioned exactly like the word-level
+    * `sim_blocks` channel — a screen's (b, bv) equi-join prunes to one
+    * block partition per probe. `payloads` must carry (doc_id,
+    * payload: binary). */
+  def writeMedia(s: SparkSession, payloads: DataFrame, out: String): Unit = {
+    val prior = channelsForWrite(out)
+    val snap = beginSnap(out)
+    Dedup.simBlocks(Dedup.simhash60Bytes(payloads))
+      .write.mode(SaveMode.Overwrite).partitionBy("b")
+      .parquet(s"$out/$snap/media_sim_blocks")
+    maybeCrash("media_sim_blocks")
+    commitSnap(out, snap, prior + ("media_sim_blocks" ->
+      Channel(Seq(s"$snap/media_sim_blocks"), "b", "")))
+  }
+
+  /** O(batch) append into the media channel (disjointness enforced
+    * like the text/vector appends). */
+  def appendMedia(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val prior = channels(indexDir)
+    val overlap = batch.select(col("doc_id")).distinct()
+      .join(channel(s, indexDir, "media_sim_blocks").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .count()
+    require(overlap == 0,
+      s"appendMedia: $overlap batch doc_id(s) already present in the stored " +
+        "media_sim_blocks channel — appends must be disjoint batches")
+    val snap = beginSnap(indexDir)
+    Dedup.simBlocks(Dedup.simhash60Bytes(batch))
+      .write.mode(SaveMode.Overwrite).partitionBy("b")
+      .parquet(s"$indexDir/$snap/media_sim_blocks")
+    maybeCrash("media_sim_blocks")
+    commitSnap(indexDir, snap, prior + ("media_sim_blocks" ->
+      prior("media_sim_blocks").copy(paths = prior("media_sim_blocks").paths ++
+        relIfData(indexDir, s"$snap/media_sim_blocks"))))
+  }
+
+  /** Batch payloads whose byte-shingle fingerprint sits within Hamming
+    * distance 3 of ANY stored payload (q141's semantics, batch ×
+    * stored-index) — the media sibling of [[screenBatchSim]]. */
+  def screenBatchMedia(s: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
+    import s.implicits._
+    val stored = channel(s, indexDir, "media_sim_blocks")
+      .select($"b", $"bv", $"sim".as("corpus_sim"))
+    Dedup.simBlocks(Dedup.simhash60Bytes(batch))
+      .join(stored, Seq("b", "bv"))
+      .filter(expr("bit_count(sim ^ corpus_sim) <= 3"))
+      .select($"doc_id").distinct()
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------
   // text channel family
   // ---------------------------------------------------------------
 

@@ -21,6 +21,19 @@ class DedupSimSpec extends SparkSpec {
 
   private val base = "the quick brown fox jumps over the lazy dog and runs far away " * 3
 
+  /** Deterministic high-entropy payload (LCG chars): distinct 4-gram
+    * count tracks the length, like real media bytes — what the
+    * byte-shingle SimHash fixtures need. */
+  private def noisyPayload(seed: Long, len: Int): String = {
+    var x = seed
+    val sb = new StringBuilder
+    for (_ <- 0 until len) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      sb += ('a' + math.floorMod(x >>> 33, 26L).toInt).toChar
+    }
+    sb.toString
+  }
+
   test("minhash LSH finds a known near-duplicate pair and skips unrelated docs") {
     val dir = docsDir(Seq(
       1L -> base,
@@ -804,6 +817,60 @@ class DedupSimSpec extends SparkSpec {
     // under the default budget the same corpus passes (the twins ARE
     // found) — the gate only fires in the explosion regime
     assert(SparkEntry.queries("q138_set_similarity_join")(spark, dir).count() >= 1)
+  }
+
+  test("q141 byte-shingle payload near-dup: planted twins found, strangers rejected") {
+    // content-level multimodal dedup: the fingerprint reads the BYTES
+    // of the payload (here text cast to binary, as in q50/q51), so a
+    // payload re-encoded with a slightly different tail is a twin while
+    // an unrelated payload of similar length is not. The fixture
+    // payloads are HIGH-ENTROPY (distinct 4-gram count ~ length, like
+    // real media bytes): majority-vote SimHash needs the perturbation
+    // to be a small FRACTION of the distinct shingles — a repeated
+    // phrase would concentrate the whole payload into ~60 shingles and
+    // make a 1-byte tail edit a 6% distribution shift
+    val dir = docsDir(Seq(
+      1L -> noisyPayload(7919L, 900),
+      2L -> (noisyPayload(7919L, 900) + "xyz"), // tail-perturbed byte twin
+      3L -> noisyPayload(104729L, 900)))
+    val got = SparkEntry.queries("q141_multimodal_neardup")(spark, dir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), s"payload twin pair missing from $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L), s"stranger flagged: $got")
+    // spec-pin the semantics behind the no_oracle entry: the pair set
+    // equals a driver-side brute force over the same fingerprints
+    graft.functions.ByteSimHash60.register(spark)
+    val sims = Core.table(spark, dir, "documents")
+      .select($"doc_id", graft.functions.ByteSimHash60
+        .byte_sim_hash60($"text".cast("binary"), 4).as("sim"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sims; (b, sb) <- sims if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(got == brute, s"pigeonhole pairs $got != brute-force $brute")
+  }
+
+  test("media channel: stored byte-fingerprint screen flags payload twins only, append maintains") {
+    def payloads(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text").select($"doc_id", $"text".cast("binary").as("payload"))
+    val corpus = Seq(1L -> noisyPayload(7919L, 900), 3L -> noisyPayload(104729L, 900))
+    val out = java.nio.file.Files.createTempDirectory("graft-media").toString
+    ops.IndexStore.writeMedia(spark, payloads(corpus), out)
+    val probe = Seq(10L -> (noisyPayload(7919L, 900) + "y"), // byte twin of stored doc 1
+      11L -> noisyPayload(31337L, 900))
+    val flagged = ops.IndexStore.screenBatchMedia(spark, out, payloads(probe))
+      .as[Long].collect().toSet
+    assert(flagged == Set(10L), s"media screen flagged $flagged, want {10}")
+    // fold the novel payload in; a twin of IT now flags too — the
+    // channel is append-maintained like its word-level sibling
+    ops.IndexStore.appendMedia(spark, out, payloads(probe.filter(_._1 == 11L)))
+    val flagged2 = ops.IndexStore.screenBatchMedia(spark, out,
+      payloads(Seq(20L -> (probe(1)._2 + "z")))).as[Long].collect().toSet
+    assert(flagged2 == Set(20L), s"twin of appended payload not flagged: $flagged2")
+    intercept[IllegalArgumentException] {
+      ops.IndexStore.appendMedia(spark, out, payloads(probe.filter(_._1 == 11L)))
+    }
   }
 
   test("IndexStore.append makes the store observation-equivalent to a fresh full write") {

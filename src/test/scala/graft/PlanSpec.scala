@@ -266,7 +266,7 @@ class PlanSpec extends SparkSpec {
     Core.clearCaches(spark)
     withCodegenOnly {
       Seq("q31_minhash_lsh_pairs", "q44_rolling_fingerprint", "q34_embedding_neardup",
-          "q112_duplicate_spans", "q128_simhash_join")
+          "q112_duplicate_spans", "q128_simhash_join", "q141_multimodal_neardup")
         .foreach { q => assert(SparkEntry.queries(q)(spark, dir).count() > 0, q) }
       // the production (xxhash64) minhash path too
       graft.functions.WordShingles.register(spark)
