@@ -245,6 +245,26 @@ object StreamingOps {
       batch: DataFrame): Unit =
     graft.ops.IndexStore.appendText(s, textIndexDir, batch)
 
+  final case class VecRow(vec_id: Long, label: String, unit: Seq[Double])
+
+  /** Vector-channel sibling of [[ingestAndMaintainText]]: fold each
+    * micro-batch of (vec_id, label, unit) rows into the persisted IVF
+    * index (IndexStore.appendVectors — assignment under the FROZEN
+    * snapshot centroids, O(batch) rows staged into the cid-partitioned
+    * cells layout, one snapshot transaction per micro-batch). IVF
+    * semantics survive streaming unchanged because the model retrains
+    * per snapshot, not per batch: a query between micro-batches probes
+    * the same centroids over the cells-so-far. The store must exist
+    * (writeVectors trains and writes the model first — a stream cannot
+    * bootstrap a centroid model from its opening batch). Micro-batches
+    * execute serially per query, so the append needs no locking; the
+    * disjoint-batch guard in appendVectors rejects replayed vec_ids
+    * loudly. StreamingSpec pins the streamed store ≡ one-shot
+    * writeVectors on channels and on annFromStore results. */
+  def ingestAndMaintainVectors(s: SparkSession, vecIndexDir: String,
+      batch: DataFrame): Unit =
+    graft.ops.IndexStore.appendVectors(s, vecIndexDir, batch)
+
   final case class SessionSeq(user_id: Long, session_id: Long,
       n_events: Long, seq: String)
   final case class SessState(nextId: Long, lastUs: Long,

@@ -355,6 +355,44 @@ class StreamingSpec extends SparkSpec {
     Core.clearCaches(spark)
   }
 
+  test("streamed ingestAndMaintainVectors ≡ one-shot writeVectors (channels + ANN lookups)") {
+    import org.apache.spark.sql.functions.{broadcast => _, _}
+    implicit val sqlCtx = spark.sqlContext
+    val tiny = "/root/testdata/sf0.001"
+    val vecs = ops.Similarity.normalized(spark, tiny)
+    val cents = ops.Similarity.ivfCentroids(spark, tiny)
+    val gate = conv(substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    // the store exists BEFORE the stream: writeVectors trains/writes
+    // the frozen model; the stream only maintains cells under it
+    val streamed = java.nio.file.Files.createTempDirectory("graft-vecstream").toString
+    ops.IndexStore.writeVectors(spark, vecs.filter(gate < 32768L), cents, streamed)
+    val rows = vecs.filter(gate >= 32768L)
+      .as[StreamingOps.VecRow].collect().toSeq
+    assert(rows.size >= 4, "fixture degenerate: too few streamed vectors")
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val stream = MemoryStream[StreamingOps.VecRow]
+    val q = stream.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        StreamingOps.ingestAndMaintainVectors(spark, streamed, b.toDF())
+      }.start()
+    Seq(b1, b2).foreach { b => stream.addData(b); q.processAllAvailable() }
+    q.stop()
+    val oneShot = java.nio.file.Files.createTempDirectory("graft-veconeshot").toString
+    ops.IndexStore.writeVectors(spark, vecs, cents, oneShot)
+    for (ch <- Seq("centroids", "cells")) {
+      val a = ops.IndexStore.channel(spark, streamed, ch)
+      val b = ops.IndexStore.channel(spark, oneShot, ch)
+      assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty,
+        s"channel $ch diverged after streamed maintenance")
+    }
+    val qb = ops.Similarity.queryBatch(spark, tiny, vecs)
+    val ra = ops.IndexStore.annFromStore(spark, streamed, qb).collect().toSeq
+    val rb = ops.IndexStore.annFromStore(spark, oneShot, qb).collect().toSeq
+    assert(ra.nonEmpty && ra == rb, "streamed store ANN diverges from one-shot")
+    Core.clearCaches(spark)
+  }
+
   test("streaming quality gate applies the snapshot thresholds exactly (≡ batch keep set)") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
