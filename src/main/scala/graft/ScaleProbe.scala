@@ -97,6 +97,16 @@ object ScaleProbe {
     // SPARK_GRAFT_PROBE_ONLY=q45_dedup_clusters,q47_corpus_curation
     // re-measures a subset while iterating on one operator
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").toSet)
+    // the dictionary-coded shingle sets are SESSION-SHARED state (five
+    // verify consumers) — time the one-time corpus coding as its own
+    // named warm line, like bench's warm_breakdown does, so the first
+    // in-sweep consumer (q32) measures verify work only instead of
+    // silently absorbing a ~58 s build at 100× (VERDICT r6 next #7)
+    if (only.forall(_.contains("warm_codedSets"))) {
+      val t0 = System.nanoTime()
+      val n = ops.Dedup.codedSets(spark, dst).count()
+      println(f"PROBE warm_codedSets             ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
+    }
     (Seq("q01_pricing_summary", "q03_join_revenue_by_nation", "q09_asof_join_event_order",
       "q31_minhash_lsh_pairs", "q32_ngram_jaccard", "q45_dedup_clusters",
       "q47_corpus_curation", "q61_decontamination") ++ baselines ++ Seq("q37_ann_lsh",
