@@ -431,6 +431,22 @@ object ScaleProbe {
       }
     }
 
+    // q138's candidate-bound regime gate at the designed worst case
+    // (VERDICT r6 next #2): on the twin-dense probe corpus the exact
+    // set-similarity join's measured bound Σ C(prefix-df, 2) exceeds
+    // the default budget, so the expected outcome at 100× is a FAST
+    // REFUSAL citing the bound — the alternative the gate replaces was
+    // out-of-disk mid-shuffle. Explicit-only, like the other
+    // dedicated-session probes.
+    if (only.exists(_.contains("q138_gate"))) {
+      val t0 = System.nanoTime()
+      val r =
+        try s"ran rows=${SparkEntry.queries("q138_set_similarity_join")(spark, dst).count()}"
+        catch { case e: IllegalStateException =>
+          s"REFUSED (${e.getMessage.replaceAll("\\s+", " ").take(140)}…)" }
+      println(f"PROBE q138_gate                  ${(System.nanoTime() - t0) / 1e9}%8.2f s -> $r")
+    }
+
     // persisted IndexStore at probe scale (VERDICT r3 "next round" #5):
     // q71 proves the incremental-dedup SHAPE against the in-session
     // memo; this measures the operational contract — build the index

@@ -652,7 +652,15 @@ object IndexStore {
         "postings" -> Channel(Seq(s"$snap/postings"), "", "term,doc_id"),
         "doc_lens" -> Channel(Seq(s"$snap/doc_lens"), "", ""),
         "stats" -> Channel(Seq(s"$snap/stats"), "", ""))
-    } finally { postings.unpersist(); docLens.unpersist(); () }
+    } finally {
+      // BLOCKING unpersist: the async default returns while tens of GB
+      // of cached posting blocks still drain, and that churn taxed the
+      // NEXT queries — measured at 100× as 30-44 s "lookups" for two
+      // calls after a store write until cleanup settled. Synchronous
+      // release charges the cleanup to the write, where it belongs.
+      postings.unpersist(blocking = true)
+      docLens.unpersist(blocking = true); ()
+    }
   }
 
   /** BM25 top-ranked docs for driver-known query terms, from the
