@@ -744,6 +744,123 @@ object IndexStore {
         prior("cells").paths ++ relIfData(indexDir, s"$snap/cells"))))
   }
 
+  // ---------------------------------------------------------------
+  // store maintenance: compaction + vacuum
+  // ---------------------------------------------------------------
+
+  /** Compacted-file size target (bytes) — ~128 MB parquet files, the
+    * row-group-friendly size a 1000-executor scan wants. Conf-gated
+    * (`graft.store.compactTargetBytes`) so tests can force multi-file
+    * layouts on tiny fixtures. */
+  private def compactTargetBytes(s: SparkSession): Long =
+    s.conf.getOption("graft.store.compactTargetBytes").map(_.toLong)
+      .getOrElse(128L << 20)
+
+  private def dirBytes(f: java.io.File): Long =
+    if (f.isFile) f.length()
+    else Option(f.listFiles()).getOrElse(Array.empty).map(dirBytes).sum
+
+  /** Rewrite every channel of the live snapshot into ONE fresh
+    * snapshot, restoring each channel's contract layout — the
+    * maintenance op that closes the append loop's one open cost.
+    *
+    * Appends are deliberately copy-free (O(batch) files per fold), so
+    * a store that ingests daily accumulates one path — and one set of
+    * small files — per batch, and two things degrade at scale:
+    *
+    *  1. FILE COUNT grows O(appends): a year of daily folds is ~365
+    *     file groups per channel, and every lookup's scan plans
+    *     hundreds of splits where one would do (the small-files
+    *     problem every LSM-shaped store eventually compacts away).
+    *  2. The postings channel's TERM-RANGE layout fragments: each
+    *     append is range-partitioned and term-sorted WITHIN ITSELF,
+    *     so row-group min/max pruning still works per file, but a
+    *     query term's rows spread across one file per append — the
+    *     pushed `In(term, …)` read fans out to every batch's files
+    *     instead of the one range file the fresh-build layout gives.
+    *
+    * Compaction re-reads each channel through the manifest (the union
+    * readers see), reshapes it to the channel's recorded layout —
+    * `sort` channels via repartitionByRange + sortWithinPartitions
+    * (one global range again), `partition_by` channels clustered so
+    * each partition dir lands ≈one file — sized at
+    * [[compactTargetBytes]] per file, and commits all channels as
+    * single-path entries in one snapshot TRANSACTION: the same
+    * stage-then-flip protocol as every other mutation, so readers see
+    * either the fragmented store or the compacted one, never a mix,
+    * and a crash mid-compaction costs nothing (IndexStoreSpec injects
+    * one). After commit no prior snapshot is referenced, which is
+    * what makes [[vacuum]] able to reclaim them.
+    *
+    * Reads before and after are bit-identical by construction — the
+    * channel CONTENTS are unioned unchanged; only file boundaries
+    * move (spec-pinned on every channel and on screen/lookup
+    * results). */
+  def compact(s: SparkSession, root: String): Unit = {
+    val prior = channels(root)
+    val snap = beginSnap(root)
+    val rewritten = prior.map { case (name, ch) =>
+      if (name == "bloom") {
+        // the blob is a single file — carry its bytes into the new
+        // snapshot so the old one becomes fully unreferenced
+        val bytes = Files.readAllBytes(Paths.get(s"$root/${ch.paths.head}"))
+        new java.io.File(s"$root/$snap/bloom").mkdirs()
+        Files.write(Paths.get(s"$root/$snap/bloom/fingerprints.bloom"), bytes)
+        maybeCrash(name)
+        name -> ch.copy(paths = Seq(s"$snap/bloom/fingerprints.bloom"))
+      } else {
+        val df = ch.paths.map(p => s.read.parquet(s"$root/$p"))
+          .reduce(_ unionByName _)
+        val bytes = ch.paths.map(p => dirBytes(new java.io.File(s"$root/$p"))).sum
+        val target = compactTargetBytes(s)
+        val parts = math.max(1L, (bytes + target - 1) / target).toInt
+        val shaped =
+          if (ch.sort.nonEmpty) {
+            val cols = ch.sort.split(",").map(c => col(c.trim))
+            df.repartitionByRange(parts, cols: _*).sortWithinPartitions(cols: _*)
+          } else if (ch.partitionBy.nonEmpty)
+            df.repartition(parts, col(ch.partitionBy))
+          else df.repartition(parts)
+        val w = shaped.write.mode(SaveMode.Overwrite)
+        (if (ch.partitionBy.nonEmpty) w.partitionBy(ch.partitionBy) else w)
+          .parquet(s"$root/$snap/$name")
+        maybeCrash(name)
+        name -> ch.copy(paths = Seq(s"$snap/$name"))
+      }
+    }
+    commitSnap(root, snap, rewritten)
+  }
+
+  /** Delete snapshot directories unreachable from the live manifest;
+    * returns the deleted names (empty when nothing is reclaimable —
+    * an append-only history keeps every prior snapshot referenced via
+    * carried-forward paths, so vacuum frees space only after a
+    * [[compact]] or a channel-replacing write orphans one).
+    *
+    * Safety is structural, not temporal: reachability is computed
+    * from the committed manifest, so nothing the live snapshot can
+    * read is ever deleted, and aborted staging dirs past the pointer
+    * are reclaimed too. The one caveat — shared with every
+    * snapshot-vacuuming store — is a reader CONCURRENT with vacuum
+    * that resolved the pointer before a compaction committed: it may
+    * hold paths into a dir vacuum just freed. Run vacuum as scheduled
+    * maintenance after in-flight readers of the pre-compaction
+    * snapshot drain (the retention-window discipline; IndexStoreSpec
+    * pins that post-vacuum reads are unchanged). */
+  def vacuum(root: String): Seq[String] = {
+    val cur = currentSnapOpt(root).getOrElse(throw new IllegalStateException(
+      s"$root is not an index store: no _current snapshot pointer"))
+    val referenced = channels(root).values.flatMap(_.paths)
+      .map(_.takeWhile(_ != '/')).toSet + cur
+    val victims = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("snap_") &&
+        !referenced.contains(f.getName))
+      .sortBy(_.getName)
+    victims.foreach(deleteRec)
+    victims.map(_.getName).toSeq
+  }
+
   private def assignCells(vectors: DataFrame, cents: DataFrame): DataFrame = {
     graft.functions.DotProduct.register(vectors.sparkSession)
     Similarity.nearestCell(vectors, cents)

@@ -130,4 +130,101 @@ class IndexStoreSpec extends SparkSpec {
       manifest.contains(s"$curSnap/postings"),
       s"manifest must carry prior postings path forward:\n$manifest")
   }
+
+  private def currentSnap(idx: String): String = java.nio.file.Files
+    .readString(java.nio.file.Paths.get(s"$idx/_current")).trim
+
+  private def channelRows(idx: String, ch: String): Set[String] =
+    ops.IndexStore.channel(spark, idx, ch)
+      .collect().map(_.toString).toSet
+
+  private def manifestChannels(idx: String) = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        s"$idx/${currentSnap(idx)}/_manifest.json")))
+    val chs = node.get("channels")
+    val it = chs.fieldNames()
+    val out = scala.collection.mutable.Map.empty[String, Seq[String]]
+    while (it.hasNext) {
+      val n = it.next()
+      val pit = chs.get(n).get("paths").elements()
+      val ps = scala.collection.mutable.Buffer.empty[String]
+      while (pit.hasNext) ps += pit.next().asText()
+      out(n) = ps.toSeq
+    }
+    out.toMap
+  }
+
+  private val batch2 = Seq(6L -> "kappa lambda mu nu", 7L -> "nu xi omicron pi")
+
+  test("compact collapses every text channel to one path; reads are bit-identical") {
+    val idx = tmp("compact-text")
+    ops.IndexStore.writeText(spark, df(docs), idx)
+    ops.IndexStore.appendText(spark, idx, df(batch))
+    ops.IndexStore.appendText(spark, idx, df(batch2))
+    assert(manifestChannels(idx)("postings").size == 3,
+      "fixture must be fragmented before compaction")
+    val rowsBefore = Seq("postings", "doc_lens", "stats")
+      .map(ch => ch -> channelRows(idx, ch)).toMap
+    val lookupBefore = ops.IndexStore.bm25FromStore(spark, idx, Seq("beta", "nu"))
+      .orderBy($"doc_id").collect().toSeq
+    ops.IndexStore.compact(spark, idx)
+    val m = manifestChannels(idx)
+    val snap = currentSnap(idx)
+    for ((ch, paths) <- m) {
+      assert(paths.size == 1, s"channel $ch still multi-path after compact: $paths")
+      assert(paths.head.startsWith(snap + "/"),
+        s"channel $ch not rewritten into the compacted snapshot: $paths")
+    }
+    for ((ch, before) <- rowsBefore)
+      assert(channelRows(idx, ch) == before, s"compact changed channel $ch contents")
+    assert(ops.IndexStore.bm25FromStore(spark, idx, Seq("beta", "nu"))
+      .orderBy($"doc_id").collect().toSeq == lookupBefore,
+      "compact changed store-fed BM25 results")
+  }
+
+  test("compact preserves dedup screens and partition layout; crash mid-compaction is free") {
+    val idx = tmp("compact-dedup")
+    ops.IndexStore.write(spark, df(docs), idx)
+    ops.IndexStore.append(spark, idx, df(batch))
+    val probe = df(Seq(9L -> docs.head._2, 10L -> "utterly novel content"))
+    val screenBefore = ops.IndexStore.screenBatch(spark, idx, probe).collect().toSeq
+    // crash AFTER band_keys lands mid-compaction: pointer never flips
+    ops.IndexStore.crashAfterChannel = Some("band_keys")
+    try intercept[RuntimeException] { ops.IndexStore.compact(spark, idx) }
+    finally ops.IndexStore.crashAfterChannel = None
+    assert(ops.IndexStore.screenBatch(spark, idx, probe).collect().toSeq == screenBefore,
+      "crashed compaction changed screen decisions")
+    // retry lands; screens unchanged; band partition dirs intact
+    ops.IndexStore.compact(spark, idx)
+    assert(ops.IndexStore.screenBatch(spark, idx, probe).collect().toSeq == screenBefore,
+      "compaction changed screen decisions")
+    val bandDir = new java.io.File(s"$idx/${currentSnap(idx)}/band_keys")
+    assert(bandDir.listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("band=")),
+      "compacted band_keys lost its band partition layout")
+  }
+
+  test("vacuum reclaims only what compaction orphans; reads survive") {
+    val idx = tmp("vacuum")
+    ops.IndexStore.writeText(spark, df(docs), idx)
+    ops.IndexStore.appendText(spark, idx, df(batch))
+    ops.IndexStore.appendText(spark, idx, df(batch2))
+    // append-only history: every prior snapshot is still referenced
+    // via carried-forward postings/doc_lens paths → nothing to reclaim
+    assert(ops.IndexStore.vacuum(idx).isEmpty,
+      "vacuum must never delete snapshots the manifest still references")
+    val lookupBefore = ops.IndexStore.bm25FromStore(spark, idx, Seq("beta", "nu"))
+      .orderBy($"doc_id").collect().toSeq
+    ops.IndexStore.compact(spark, idx)
+    val deleted = ops.IndexStore.vacuum(idx)
+    assert(deleted == Seq("snap_00000001", "snap_00000002", "snap_00000003"),
+      s"compaction orphans exactly the three pre-compaction snapshots: $deleted")
+    assert(!new java.io.File(s"$idx/snap_00000001").exists())
+    assert(ops.IndexStore.bm25FromStore(spark, idx, Seq("beta", "nu"))
+      .orderBy($"doc_id").collect().toSeq == lookupBefore,
+      "vacuum broke the live snapshot's reads")
+    // idempotent: a second vacuum finds nothing
+    assert(ops.IndexStore.vacuum(idx).isEmpty)
+  }
 }
