@@ -188,6 +188,11 @@ object ScaleProbe {
       // rank windows see only the retrieved 100 rows); the semantic
       // side is one broadcast-1-vector dot pass over the corpus
       "q115_hybrid_rrf",
+      // q142: q115 served from the persisted channels only — lexical
+      // from the term-pruned postings read, semantic from the
+      // nprobe-pruned cells read (both stores already built by the
+      // q139/q140 entries above, so this times the pure fused lookup)
+      "q142_hybrid_store",
       // q116: 10 fixed iterations over the checkpointed degree-joined
       // edge list (partitioned by src once — only the small rank side
       // reshuffles per round) + an O(edges) narrow-long contrib
@@ -398,6 +403,46 @@ object ScaleProbe {
           ops.IndexStore.reportFromStore(spark, dst, idxDir)
             .agg(sum(col("docs_covered"))).head().getLong(0)
         }
+      }
+    }
+    // store compaction A/B (round 7): build the text channel as ONE
+    // write + three appends (the rolling-ingest shape), time a BM25
+    // lookup against the fragmented 4-snapshot store, compact, time
+    // the same lookup against the single-snapshot layout, vacuum the
+    // orphans. The claim under test: per-append postings files are
+    // term-sorted only WITHIN themselves, so a query's pushed In
+    // filter fans out to every append's files; compaction restores
+    // one global term range (+ ≈1 file per partition dir) and the
+    // lookup should drop toward the fresh-build cost.
+    if (only.exists(_.contains("store_compaction"))) {
+      val docs = Core.table(spark, dst, "documents")
+      def gate(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
+      val idxDir = s"$dst/index_store_compaction"
+      val g = gate(col("doc_id"))
+      val qterms = ops.TextOps.qtermsOf(spark, dst)
+      timeNamed("compaction_fragmented_write") {
+        ops.IndexStore.writeText(spark, docs.filter(g < 16384L), idxDir)
+        ops.IndexStore.appendText(spark, idxDir,
+          docs.filter(g >= 16384L && g < 32768L))
+        ops.IndexStore.appendText(spark, idxDir,
+          docs.filter(g >= 32768L && g < 49152L))
+        ops.IndexStore.appendText(spark, idxDir, docs.filter(g >= 49152L))
+        docs.count()
+      }
+      Core.clearCaches(spark)
+      timeNamed("bm25_lookup_fragmented") {
+        ops.IndexStore.bm25FromStore(spark, idxDir, qterms).count()
+      }
+      timeNamed("store_compact") {
+        ops.IndexStore.compact(spark, idxDir); 1L
+      }
+      Core.clearCaches(spark)
+      timeNamed("bm25_lookup_compacted") {
+        ops.IndexStore.bm25FromStore(spark, idxDir, qterms).count()
+      }
+      timeNamed("store_vacuum") {
+        ops.IndexStore.vacuum(idxDir).size.toLong
       }
     }
     // incremental cluster maintenance (round 5): cluster the 90%

@@ -432,6 +432,53 @@ object Similarity {
       },
       None),
 
+    // ---- store-fed hybrid retrieval: q115's RRF fusion served
+    // ENTIRELY from persisted artifacts — the lexical top-100 from the
+    // postings channel (IndexStore.bm25FromStore, the q139 lookup:
+    // term-pruned O(Σ df) read, oracle-proven ≡ scoring the corpus)
+    // and the semantic top-100 from the IVF channel
+    // (IndexStore.annFromStore, the q140 lookup: nprobe
+    // partition-pruned cells read), fused as 1/(60+rank) + 1/(60+rank)
+    // exactly like q115. This is the production serving shape: a COLD
+    // session answers "more like this" without touching document text
+    // or embeddings — both modalities read only their maintained index
+    // channels, so lookup cost is independent of corpus size where
+    // q115 re-scores the corpus per query. Differences from q115 are
+    // the semantic candidates only (IVF nprobe recall vs exact scan —
+    // the documented ANN trade, same as q39 vs q36); the lexical ranks
+    // are bit-identical to q115's. No oracle (the semantic side
+    // inherits q39/q140's float-trained centroids); HybridStoreSpec
+    // pins the fusion against a driver-side recomputation from the two
+    // individually-pinned store lookups, and the lexical side against
+    // the session route. ----
+    "q142_hybrid_store" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val minDoc = table(s, dir, "documents").agg(min($"doc_id").as("qid"))
+        val lexTop = IndexStore.bm25FromStore(s,
+            TextOps.textStore(s, dir), TextOps.qtermsOf(s, dir))
+          .join(broadcast(minDoc), $"doc_id" =!= $"qid")
+          .orderBy($"score".desc, $"doc_id").limit(100)
+          .withColumn("lex_rank",
+            row_number().over(Window.orderBy($"score".desc, $"doc_id")))
+          .select($"doc_id", $"lex_rank")
+        val qv = normalized(s, dir)
+          .join(broadcast(minDoc), $"vec_id" === $"qid")
+          .select($"vec_id", $"unit")
+        val semTop = IndexStore.annFromStore(s, vectorStore(s, dir),
+            qv, nprobe = 4, k = 100)
+          .select($"vid".as("doc_id"), $"rn".cast("int").as("sem_rank"))
+        lexTop.join(semTop, Seq("doc_id"), "full")
+          .select($"doc_id",
+            coalesce($"lex_rank", lit(0)).cast("long").as("lex_rank"),
+            coalesce($"sem_rank", lit(0)).cast("long").as("sem_rank"),
+            rnd4(coalesce(lit(1.0) / (lit(60) + $"lex_rank"), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + $"sem_rank"), lit(0.0))).as("rrf"))
+          .orderBy($"rrf".desc, $"doc_id")
+          .limit(20)
+      },
+      None),
+
     // ---- IVF-routed hard-negative mining: q123's semantics down the
     // q39 scale path — candidates come from the anchor's nprobe
     // nearest IVF cells instead of the whole corpus, with the label

@@ -562,7 +562,10 @@ class PlanSpec extends SparkSpec {
       "q122_curriculum_order" -> ((1,
         "ntile ORACLE anchor; curriculumOrderScalable is the broadcast-threshold scale path")),
       "q136_daily_reach" -> ((1,
-        "cumulative window frame is the calendar-day domain, independent of event volume")))
+        "cumulative window frame is the calendar-day domain, independent of event volume")),
+      "q142_hybrid_store" -> ((1,
+        "lex rank window runs over the store lookup's top-100 limit frame; " +
+          "the semantic rank is qid-partitioned inside annFromStore")))
     import org.apache.spark.sql.execution.window.WindowExec
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
