@@ -418,31 +418,45 @@ object ScaleProbe {
       val docs = Core.table(spark, dst, "documents")
       def gate(c: org.apache.spark.sql.Column) =
         conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
-      val idxDir = s"$dst/index_store_compaction"
+      // SPARK_GRAFT_COMPACT_SLICES controls the fragmentation depth
+      // (1 write + slices−1 appends): 4 models a lightly-rolled store,
+      // 32 the months-of-daily-folds regime the compaction claim is
+      // about
+      val slices = sys.env.getOrElse("SPARK_GRAFT_COMPACT_SLICES", "4").toInt
+      val idxDir = s"$dst/index_store_compaction_x$slices"
       val g = gate(col("doc_id"))
+      val width = 65536L / slices
       val qterms = ops.TextOps.qtermsOf(spark, dst)
-      timeNamed("compaction_fragmented_write") {
-        ops.IndexStore.writeText(spark, docs.filter(g < 16384L), idxDir)
-        ops.IndexStore.appendText(spark, idxDir,
-          docs.filter(g >= 16384L && g < 32768L))
-        ops.IndexStore.appendText(spark, idxDir,
-          docs.filter(g >= 32768L && g < 49152L))
-        ops.IndexStore.appendText(spark, idxDir, docs.filter(g >= 49152L))
+      timeNamed(s"compaction_fragmented_write_$slices") {
+        ops.IndexStore.writeText(spark, docs.filter(g < width), idxDir)
+        for (i <- 1 until slices) {
+          val hi = if (i == slices - 1) 65536L else (i + 1) * width
+          ops.IndexStore.appendText(spark, idxDir,
+            docs.filter(g >= i * width && g < hi))
+        }
         docs.count()
       }
+      def partFiles(dir: java.io.File): Long =
+        Option(dir.listFiles()).getOrElse(Array.empty).map(f =>
+          if (f.isDirectory) partFiles(f)
+          else if (f.getName.startsWith("part-")) 1L else 0L).sum
+      println(s"PROBE files_fragmented_$slices           " +
+        partFiles(new java.io.File(idxDir)))
       Core.clearCaches(spark)
-      timeNamed("bm25_lookup_fragmented") {
+      timeNamed(s"bm25_lookup_fragmented_$slices") {
         ops.IndexStore.bm25FromStore(spark, idxDir, qterms).count()
       }
-      timeNamed("store_compact") {
+      timeNamed(s"store_compact_$slices") {
         ops.IndexStore.compact(spark, idxDir); 1L
       }
-      Core.clearCaches(spark)
-      timeNamed("bm25_lookup_compacted") {
-        ops.IndexStore.bm25FromStore(spark, idxDir, qterms).count()
-      }
-      timeNamed("store_vacuum") {
+      timeNamed(s"store_vacuum_$slices") {
         ops.IndexStore.vacuum(idxDir).size.toLong
+      }
+      println(s"PROBE files_compacted_$slices            " +
+        partFiles(new java.io.File(idxDir)))
+      Core.clearCaches(spark)
+      timeNamed(s"bm25_lookup_compacted_$slices") {
+        ops.IndexStore.bm25FromStore(spark, idxDir, qterms).count()
       }
     }
     // incremental cluster maintenance (round 5): cluster the 90%

@@ -861,6 +861,37 @@ object IndexStore {
     victims.map(_.getName).toSeq
   }
 
+  /** Snapshot-count gate for IN-LOOP maintenance: when the live
+    * manifest references more than `graft.store.maxSnapshots` snapshot
+    * dirs (default 64; 0 disables), run [[compact]] + [[vacuum]] and
+    * return true. The streaming ingest loops call this after every
+    * append, so a long-running stream's read fan-out stays bounded
+    * instead of growing one file group per micro-batch — the same
+    * gate idiom as the bloom/PageRank size gates, applied to
+    * fragmentation. The check itself is one manifest read (no Spark
+    * job). Honest trade: an in-loop compaction stalls that micro-batch
+    * for an O(corpus) rewrite, amortized O(corpus / maxSnapshots) per
+    * batch; a deployment wanting zero ingest stalls sets 0 and runs
+    * compact/vacuum out-of-band on a maintenance schedule instead.
+    * In-loop vacuum is safe for the loop itself (micro-batches are
+    * serial, and compaction just moved every live path off the
+    * reclaimed snapshots); concurrent readers in OTHER sessions get
+    * the documented [[vacuum]] retention caveat. */
+  def compactIfFragmented(s: SparkSession, root: String): Boolean = {
+    val max = s.conf.getOption("graft.store.maxSnapshots").map(_.toInt)
+      .getOrElse(64)
+    if (max <= 0) false
+    else {
+      val snaps = channels(root).values.flatMap(_.paths)
+        .map(_.takeWhile(_ != '/')).toSet
+      if (snaps.size > max) {
+        compact(s, root)
+        vacuum(root)
+        true
+      } else false
+    }
+  }
+
   private def assignCells(vectors: DataFrame, cents: DataFrame): DataFrame = {
     graft.functions.DotProduct.register(vectors.sparkSession)
     Similarity.nearestCell(vectors, cents)

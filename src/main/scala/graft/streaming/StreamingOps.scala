@@ -223,6 +223,7 @@ object StreamingOps {
       decisions.filter(col("decision") === "keep").select(col("doc_id")),
       Seq("doc_id"), "left_semi")
     graft.ops.IndexStore.append(s, indexDir, kept)
+    graft.ops.IndexStore.compactIfFragmented(s, indexDir)
     decisions
   }
 
@@ -240,10 +241,17 @@ object StreamingOps {
     *      .select($"doc_id"), Seq("doc_id"), "left_semi")
     *    StreamingOps.ingestAndMaintainText(spark, textIdx, kept) }`.
     * TextIndexSpec pins the streamed store ≡ one-shot writeText on
-    * channels and on query scores. */
+    * channels and on query scores. After each fold the
+    * `graft.store.maxSnapshots` gate (IndexStore.compactIfFragmented,
+    * all three ingest loops) bounds the store's read fan-out: a
+    * long-running stream compacts + vacuums every ~maxSnapshots
+    * micro-batches instead of fragmenting forever (TextIndexSpec pins
+    * the gated loop ≡ one-shot too). */
   def ingestAndMaintainText(s: SparkSession, textIndexDir: String,
-      batch: DataFrame): Unit =
+      batch: DataFrame): Unit = {
     graft.ops.IndexStore.appendText(s, textIndexDir, batch)
+    graft.ops.IndexStore.compactIfFragmented(s, textIndexDir); ()
+  }
 
   final case class VecRow(vec_id: Long, label: String, unit: Seq[Double])
 
@@ -262,8 +270,10 @@ object StreamingOps {
     * loudly. StreamingSpec pins the streamed store ≡ one-shot
     * writeVectors on channels and on annFromStore results. */
   def ingestAndMaintainVectors(s: SparkSession, vecIndexDir: String,
-      batch: DataFrame): Unit =
+      batch: DataFrame): Unit = {
     graft.ops.IndexStore.appendVectors(s, vecIndexDir, batch)
+    graft.ops.IndexStore.compactIfFragmented(s, vecIndexDir); ()
+  }
 
   final case class SessionSeq(user_id: Long, session_id: Long,
       n_events: Long, seq: String)

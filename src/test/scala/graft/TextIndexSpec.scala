@@ -122,6 +122,48 @@ class TextIndexSpec extends SparkSpec {
     assert(qa.nonEmpty && qa == qb, "streamed store scores diverge from one-shot")
   }
 
+  test("ingest loop honors the maxSnapshots gate: compacts mid-stream, still ≡ one-shot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tiny = "/root/testdata/sf0.001"
+    val docs = Core.table(spark, tiny, "documents").select($"doc_id", $"text")
+    val rows = docs.as[streaming.StreamingOps.DocRow].collect().toSeq
+    val batches = rows.grouped(math.max(1, rows.size / 4)).toSeq
+    val streamed = tmp("gated")
+    spark.conf.set("graft.store.maxSnapshots", "2")
+    try {
+      val stream = MemoryStream[streaming.StreamingOps.DocRow]
+      val q = stream.toDF().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          streaming.StreamingOps.ingestAndMaintainText(spark, streamed, b.toDF())
+        }.start()
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      q.stop()
+    } finally spark.conf.unset("graft.store.maxSnapshots")
+    // the gate fired and vacuumed: on-disk snapshots are only the
+    // referenced ones, and fewer than the batch count — the stream
+    // compacted instead of fragmenting one snapshot per micro-batch
+    val snapDirs = new java.io.File(streamed).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("snap_"))
+      .map(_.getName).toSet
+    assert(snapDirs.size <= 3 && snapDirs.size < batches.size,
+      s"gate never fired: ${batches.size} batches left snapshots $snapDirs")
+    val oneShot = tmp("gated-oneshot")
+    ops.IndexStore.writeText(spark, docs, oneShot)
+    for (ch <- Seq("postings", "doc_lens", "stats")) {
+      val a = ops.IndexStore.channel(spark, streamed, ch)
+      val b = ops.IndexStore.channel(spark, oneShot, ch)
+      assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty,
+        s"channel $ch diverged under the compaction gate")
+    }
+    val terms = ops.TextOps.qtermsOf(spark, tiny)
+    val qa = ops.IndexStore.bm25FromStore(spark, streamed, terms)
+      .orderBy($"doc_id").collect().toSeq
+    val qb = ops.IndexStore.bm25FromStore(spark, oneShot, terms)
+      .orderBy($"doc_id").collect().toSeq
+    assert(qa.nonEmpty && qa == qb, "gated streamed store scores diverge from one-shot")
+  }
+
   test("empty term list returns no rows (and does not scan the corpus)") {
     val idx = tmp("empty")
     ops.IndexStore.writeText(spark,
