@@ -314,6 +314,16 @@ object ScaleProbe {
       println(f"PROBE $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
     }
 
+    // shared md5 doc_id gate for the store sections' corpus/batch
+    // slicing (one definition — the slicing scheme must stay
+    // consistent across every probe block)
+    def gate(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+      f.delete(); ()
+    }
+
     // exact-median A/B: the q105 window plan's parallelism is bounded
     // by the 5 priority groups; the selection path range-partitions
     // each group's sorted order across the cluster (OpsSpec pins
@@ -416,14 +426,15 @@ object ScaleProbe {
     // lookup should drop toward the fresh-build cost.
     if (only.exists(_.contains("store_compaction"))) {
       val docs = Core.table(spark, dst, "documents")
-      def gate(c: org.apache.spark.sql.Column) =
-        conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
       // SPARK_GRAFT_COMPACT_SLICES controls the fragmentation depth
       // (1 write + slices−1 appends): 4 models a lightly-rolled store,
       // 32 the months-of-daily-folds regime the compaction claim is
       // about
       val slices = sys.env.getOrElse("SPARK_GRAFT_COMPACT_SLICES", "4").toInt
       val idxDir = s"$dst/index_store_compaction_x$slices"
+      // fresh dir per run: a prior run's orphaned compacted snapshot
+      // would otherwise inflate the fragmented file census below
+      rmRf(new java.io.File(idxDir))
       val g = gate(col("doc_id"))
       val width = 65536L / slices
       val qterms = ops.TextOps.qtermsOf(spark, dst)
@@ -465,8 +476,6 @@ object ScaleProbe {
     // (q45's shape) this replaces at batch time
     if (only.exists(_.contains("clusters_incremental"))) {
       val docs = Core.table(spark, dst, "documents")
-      def gate(c: org.apache.spark.sql.Column) =
-        conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
       val idxDir = s"$dst/index_store_clusters"
       timeNamed("clusters_snapshot_write") {
         val corpus = docs.filter(gate(col("doc_id")) < 58982L)
@@ -514,8 +523,6 @@ object ScaleProbe {
     // bloom blob). Screen cost should track the batch, not the corpus.
     if (only.exists(_.contains("index_store"))) {
       val docs = Core.table(spark, dst, "documents")
-      def gate(c: org.apache.spark.sql.Column) =
-        conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
       val corpus = docs.filter(gate(col("doc_id")) < 58982L)
       val batch = docs.filter(gate(col("doc_id")) >= 58982L)
       val idxDir = s"$dst/index_store"

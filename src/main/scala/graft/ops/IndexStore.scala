@@ -818,9 +818,19 @@ object IndexStore {
           if (ch.sort.nonEmpty) {
             val cols = ch.sort.split(",").map(c => col(c.trim))
             df.repartitionByRange(parts, cols: _*).sortWithinPartitions(cols: _*)
-          } else if (ch.partitionBy.nonEmpty)
-            df.repartition(parts, col(ch.partitionBy))
-          else df.repartition(parts)
+          } else if (ch.partitionBy.nonEmpty) {
+            // range-partition on (partition col, remaining cols): a
+            // plain hash repartition on the partition column alone
+            // would land EVERY row of a value in one task — a hot IVF
+            // cell or LSH band then serializes into one oversized file
+            // (the file-size target unenforceable, task OOM risk). The
+            // full-row range key keeps a value's rows contiguous (its
+            // dir still gets few files) while splitting hot values
+            // across tasks at ~target bytes each.
+            val keys = col(ch.partitionBy) +:
+              df.columns.filterNot(_ == ch.partitionBy).map(col).toSeq
+            df.repartitionByRange(parts, keys: _*)
+          } else df.repartition(parts)
         val w = shaped.write.mode(SaveMode.Overwrite)
         (if (ch.partitionBy.nonEmpty) w.partitionBy(ch.partitionBy) else w)
           .parquet(s"$root/$snap/$name")
@@ -863,20 +873,26 @@ object IndexStore {
 
   /** Snapshot-count gate for IN-LOOP maintenance: when the live
     * manifest references more than `graft.store.maxSnapshots` snapshot
-    * dirs (default 64; 0 disables), run [[compact]] + [[vacuum]] and
-    * return true. The streaming ingest loops call this after every
-    * append, so a long-running stream's read fan-out stays bounded
-    * instead of growing one file group per micro-batch — the same
-    * gate idiom as the bloom/PageRank size gates, applied to
-    * fragmentation. The check itself is one manifest read (no Spark
-    * job). Honest trade: an in-loop compaction stalls that micro-batch
-    * for an O(corpus) rewrite, amortized O(corpus / maxSnapshots) per
-    * batch; a deployment wanting zero ingest stalls sets 0 and runs
-    * compact/vacuum out-of-band on a maintenance schedule instead.
-    * In-loop vacuum is safe for the loop itself (micro-batches are
-    * serial, and compaction just moved every live path off the
-    * reclaimed snapshots); concurrent readers in OTHER sessions get
-    * the documented [[vacuum]] retention caveat. */
+    * dirs (default 64; 0 disables), run [[compact]] and return true.
+    * The streaming ingest loops call this after every append, so a
+    * long-running stream's read fan-out stays bounded instead of
+    * growing one file group per micro-batch — the same gate idiom as
+    * the bloom/PageRank size gates, applied to fragmentation. The
+    * check itself is one manifest read (no Spark job). Honest trade:
+    * an in-loop compaction stalls that micro-batch for an O(corpus)
+    * rewrite, amortized O(corpus / maxSnapshots) per batch; a
+    * deployment wanting zero ingest stalls sets 0 and runs compact
+    * out-of-band on a maintenance schedule instead.
+    *
+    * Compaction alone DELETES NOTHING — a concurrent reader holding
+    * pre-compaction paths keeps reading intact files — so the default
+    * gate is safe with live readers; orphaned snapshots accumulate on
+    * disk until an out-of-band [[vacuum]]. A store with NO readers
+    * outside its ingest loop (the single-owner stream) can set
+    * `graft.store.vacuumOnCompact=true` to reclaim immediately;
+    * leaving it on with concurrent cross-session readers risks the
+    * documented [[vacuum]] retention caveat (a reader's FileNotFound
+    * on paths vacuum just freed). */
   def compactIfFragmented(s: SparkSession, root: String): Boolean = {
     val max = s.conf.getOption("graft.store.maxSnapshots").map(_.toInt)
       .getOrElse(64)
@@ -886,7 +902,8 @@ object IndexStore {
         .map(_.takeWhile(_ != '/')).toSet
       if (snaps.size > max) {
         compact(s, root)
-        vacuum(root)
+        if (s.conf.getOption("graft.store.vacuumOnCompact").contains("true"))
+          vacuum(root)
         true
       } else false
     }

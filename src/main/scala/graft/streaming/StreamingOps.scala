@@ -244,9 +244,11 @@ object StreamingOps {
     * channels and on query scores. After each fold the
     * `graft.store.maxSnapshots` gate (IndexStore.compactIfFragmented,
     * all three ingest loops) bounds the store's read fan-out: a
-    * long-running stream compacts + vacuums every ~maxSnapshots
-    * micro-batches instead of fragmenting forever (TextIndexSpec pins
-    * the gated loop ≡ one-shot too). */
+    * long-running stream compacts every ~maxSnapshots micro-batches
+    * instead of fragmenting forever — compact-only by default (safe
+    * with concurrent readers; `graft.store.vacuumOnCompact=true` adds
+    * immediate reclaim for single-owner stores). TextIndexSpec pins
+    * the gated loop ≡ one-shot too. */
   def ingestAndMaintainText(s: SparkSession, textIndexDir: String,
       batch: DataFrame): Unit = {
     graft.ops.IndexStore.appendText(s, textIndexDir, batch)

@@ -130,7 +130,10 @@ class TextIndexSpec extends SparkSpec {
     val rows = docs.as[streaming.StreamingOps.DocRow].collect().toSeq
     val batches = rows.grouped(math.max(1, rows.size / 4)).toSeq
     val streamed = tmp("gated")
+    // single-owner stream: no readers outside the loop, so immediate
+    // reclamation is safe — the vacuumOnCompact=true usage mode
     spark.conf.set("graft.store.maxSnapshots", "2")
+    spark.conf.set("graft.store.vacuumOnCompact", "true")
     try {
       val stream = MemoryStream[streaming.StreamingOps.DocRow]
       val q = stream.toDF().writeStream
@@ -139,7 +142,10 @@ class TextIndexSpec extends SparkSpec {
         }.start()
       batches.foreach { b => stream.addData(b); q.processAllAvailable() }
       q.stop()
-    } finally spark.conf.unset("graft.store.maxSnapshots")
+    } finally {
+      spark.conf.unset("graft.store.maxSnapshots")
+      spark.conf.unset("graft.store.vacuumOnCompact")
+    }
     // the gate fired and vacuumed: on-disk snapshots are only the
     // referenced ones, and fewer than the batch count — the stream
     // compacted instead of fragmenting one snapshot per micro-batch
