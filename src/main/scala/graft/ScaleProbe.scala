@@ -577,6 +577,39 @@ object ScaleProbe {
       timeNamed("q03_bucketed")(q03Bucketed())
       timeNamed("q03_bucketed")(q03Bucketed())
     }
+
+    // snapshot time travel at probe scale (round 7): fold the probe
+    // corpus into a versioned text store as three doc_id%3 ingest
+    // batches (q143's shape), then time the timeline reads. The build
+    // cost is the known text-channel write cost split three ways; the
+    // claim under test is the READ side — history/channelAt resolve
+    // manifests (no Spark job) and the q143-shaped stats timeline is
+    // three ONE-ROW parquet reads, so lookup time must be independent
+    // of corpus size (compare against the same probe at 1×).
+    if (only.exists(_.contains("time_travel"))) {
+      val docs = Core.table(spark, dst, "documents")
+      val idxDir = s"$dst/tt_store"
+      rmRf(new java.io.File(idxDir))
+      timeNamed("tt_build_write") {
+        ops.IndexStore.writeText(spark, docs.filter(col("doc_id") % 3 === 0), idxDir); 1L
+      }
+      timeNamed("tt_build_append1") {
+        ops.IndexStore.appendText(spark, idxDir, docs.filter(col("doc_id") % 3 === 1)); 1L
+      }
+      timeNamed("tt_build_append2") {
+        ops.IndexStore.appendText(spark, idxDir, docs.filter(col("doc_id") % 3 === 2)); 1L
+      }
+      timeNamed("tt_stats_timeline") {
+        ops.IndexStore.history(idxDir).zipWithIndex.map { case (sn, i) =>
+          ops.IndexStore.channelAt(spark, idxDir, sn, "stats")
+            .select(lit(i + 1).as("version"), col("n_docs"), col("sum_dl"))
+        }.reduce(_ unionByName _).count()
+      }
+      timeNamed("tt_channelat_v1_doclens") {
+        ops.IndexStore.channelAt(spark, idxDir,
+          ops.IndexStore.history(idxDir).head, "doc_lens").count()
+      }
+    }
     spark.stop()
   }
 }

@@ -36,15 +36,28 @@ import graft.Core._
   *   <root>/snap_00000002/...            # next snapshot's NEW files
   * }}}
   *
-  * A writer stages all of its channel files into a FRESH snapshot
-  * directory, writes that snapshot's manifest, and only then flips
-  * `_current` with an atomic rename — the swap the round-6 scaladoc
-  * could only describe as "production would". A crash at ANY earlier
-  * point leaves the pointer on the previous snapshot, whose files are
-  * never mutated, so concurrent readers and post-crash reopens both
-  * see a consistent store (DedupSimSpec injects the crash and checks).
-  * Aborted snapshot directories (index past the committed pointer) are
-  * unreachable — the next transaction clears them.
+  * A writer stages all of its channel files into a UNIQUELY-NAMED
+  * staging directory, then publishes in one short critical section
+  * (commitSnap): verify the optimistic base, rename the staging dir to
+  * its committed `snap_` name, write that snapshot's manifest, and
+  * flip `_current` with an atomic rename — the swap the round-6
+  * scaladoc could only describe as "production would". A crash at ANY
+  * earlier point leaves the pointer on the previous snapshot, whose
+  * files are never mutated, so concurrent readers and post-crash
+  * reopens both see a consistent store (DedupSimSpec injects the crash
+  * and checks). Aborted transactions leave only inert `_staging_` dirs
+  * (reclaimed by [[vacuum]] after a grace period).
+  *
+  * CONCURRENT WRITERS are first-committer-wins OCC: each transaction
+  * records the snapshot its channel map was read from and commitSnap
+  * refuses — under a cross-process file lock — to publish over a
+  * pointer that has moved, because a stale carried-forward path list
+  * would silently DROP the winner's fold (the concrete hazard: an
+  * out-of-band [[compact]] racing a streaming ingest loop would lose
+  * the loop's latest batch). The loser's staged files are inert; it
+  * re-reads the store and retries (IndexStoreSpec drives the race).
+  * Heavy work (channel writes) overlaps freely; only publication
+  * serializes.
   *
   * Appends are COPY-FREE: an append writes only the batch's new files
   * and carries the prior snapshot's channel paths forward in the new
@@ -148,36 +161,116 @@ object IndexStore {
   private def channelsForWrite(root: String): Map[String, Channel] =
     if (currentSnapOpt(root).isEmpty) Map.empty else channels(root)
 
+  /** (base snapshot, channel map) for a WRITER's transaction — the
+    * pointer is read ONCE and the pair is the transaction's optimistic
+    * base: [[commitSnap]] refuses to publish if the pointer has moved
+    * off `base` meanwhile (first committer wins). */
+  private def baseForWrite(root: String): (Option[String], Map[String, Channel]) = {
+    val cur = currentSnapOpt(root)
+    (cur, cur.map(parseManifest(root, _)).getOrElse(Map.empty))
+  }
+
+  /** Like [[baseForWrite]] but the store must already exist (append
+    * transactions). */
+  private def baseRequired(root: String): (Option[String], Map[String, Channel]) = {
+    val cur = currentSnapOpt(root).getOrElse(throw new IllegalStateException(
+      s"$root is not an index store: no _current snapshot pointer " +
+        "(pre-snapshot flat layouts and foreign directories are refused, " +
+        "never misread)"))
+    (Some(cur), parseManifest(root, cur))
+  }
+
   private def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
     f.delete(); ()
   }
 
-  /** Open a snapshot transaction: clear aborted leftovers (snapshot
-    * dirs past the committed pointer are unreachable by construction —
-    * publication IS the pointer flip) and create the next staging dir. */
+  /** Open a snapshot transaction: create a UNIQUELY-NAMED staging dir.
+    * Staging under the final `snap_N+1` name (the round-6 layout) was
+    * a concurrency bug: two writers staging at once would share the
+    * directory and interleave files. A unique name makes staging
+    * collision-free by construction; [[commitSnap]] renames it to its
+    * committed `snap_` name at publish time. A crashed transaction's
+    * staging dir is inert garbage (never pointed at, never in a
+    * manifest, named outside the `snap_` namespace every reader
+    * filters on) reclaimed by [[vacuum]] after a grace period. */
   private def beginSnap(root: String): String = {
-    val curIdx = currentSnapOpt(root).map(snapIndex).getOrElse(0)
-    val rootF = new java.io.File(root)
-    rootF.mkdirs()
-    Option(rootF.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("snap_"))
-      .filter(f => scala.util.Try(snapIndex(f.getName)).toOption.exists(_ > curIdx))
-      .foreach(deleteRec)
-    val name = f"snap_${curIdx + 1}%08d"
+    new java.io.File(root).mkdirs()
+    val name = "_staging_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     new java.io.File(s"$root/$name").mkdirs()
     name
   }
 
-  /** Commit: manifest into the snapshot dir, then ONE atomic pointer
-    * rename — the only instant the new state becomes visible. */
-  private def commitSnap(root: String, snap: String,
-      chs: Map[String, Channel]): Unit = {
-    Files.writeString(Paths.get(root, snap, "_manifest.json"), manifestJson(chs))
-    val tmp = Paths.get(root, "_current.tmp")
-    Files.writeString(tmp, snap + "\n")
-    Files.move(tmp, pointer(root),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  /** Per-root JVM commit monitor (FileLock is per-JVM on overlap, so
+    * in-process writers must serialize before taking the file lock). */
+  private val commitMonitors =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Cross-process critical section for commit publication: an
+    * exclusive lock on `<root>/_commitlock` (plus a JVM monitor —
+    * overlapping locks from one JVM throw instead of blocking). Held
+    * only for the pointer check + rename + manifest + flip, never
+    * across channel writes, so writers overlap on all the heavy work
+    * and serialize only on publication. */
+  private def withCommitLock[T](root: String)(body: => T): T = {
+    val mon = commitMonitors.getOrElseUpdate(root, new Object)
+    mon.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(root, "_commitlock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try body finally l.release()
+      } finally ch.close()
+    }
+  }
+
+  /** Test-only failpoint: run a rival mutation at the START of a
+    * commit (before the lock), simulating a writer that lands between
+    * this transaction's base read and its publication. Self-clearing. */
+  @volatile private[graft] var raceBeforeCommit: Option[() => Unit] = None
+
+  /** Commit: verify the optimistic base, rename the staging dir to
+    * its committed `snap_` name, write the manifest (with staged
+    * paths rewritten onto the committed name), then ONE atomic
+    * pointer rename — the only instant the new state becomes visible.
+    *
+    * The base check is first-committer-wins OCC: if another writer
+    * published while this transaction staged, committing would make
+    * its carried-forward paths a LOST UPDATE of that writer's fold
+    * (measured hazard: an out-of-band [[compact]] racing a streaming
+    * ingest loop would silently drop the loop's latest batch), so the
+    * loser fails loudly with both snapshot names and retries against
+    * the new state. Check + publish run under [[withCommitLock]], so
+    * the window is closed, not just narrowed. */
+  private def commitSnap(root: String, staging: String,
+      chs: Map[String, Channel], base: Option[String]): Unit = {
+    raceBeforeCommit.foreach { f => raceBeforeCommit = None; f() }
+    withCommitLock(root) {
+      val cur = currentSnapOpt(root)
+      if (cur != base)
+        throw new java.util.ConcurrentModificationException(
+          s"index store at $root advanced from ${base.getOrElse("<uninitialized>")} " +
+            s"to ${cur.getOrElse("<uninitialized>")} while this transaction was " +
+            "staging — first committer wins; re-read the store and retry " +
+            "(staged files are inert and reclaimed by vacuum)")
+      val next = f"snap_${cur.map(snapIndex).getOrElse(0) + 1}%08d"
+      val tgt = new java.io.File(s"$root/$next")
+      if (tgt.exists()) deleteRec(tgt) // aborted crash-after-rename leftovers
+      Files.move(Paths.get(root, staging), tgt.toPath)
+      val rewritten = chs.map { case (n, c) => n -> c.copy(paths = c.paths.map(p =>
+        if (p == staging) next
+        else if (p.startsWith(staging + "/")) next + p.stripPrefix(staging)
+        else p)) }
+      Files.writeString(Paths.get(root, next, "_manifest.json"),
+        manifestJson(rewritten))
+      val tmp = Paths.get(root, "_current.tmp")
+      Files.writeString(tmp, next + "\n")
+      Files.move(tmp, pointer(root),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** Read a channel through the live manifest (readers never touch
@@ -188,12 +281,53 @@ object IndexStore {
     * refuse the partition layout; per-root loads keep partition
     * columns (band / b / cid) and their pruning intact, and filters
     * push through the union into every branch's scan. */
-  def channel(s: SparkSession, root: String, name: String): DataFrame = {
-    val m = channels(root)
+  def channel(s: SparkSession, root: String, name: String): DataFrame =
+    channelFrom(s, root, channels(root), name)
+
+  private def channelFrom(s: SparkSession, root: String,
+      m: Map[String, Channel], name: String): DataFrame = {
     val ch = m.getOrElse(name, throw new IllegalStateException(
       s"index store at $root has no '$name' channel " +
         s"(present: ${m.keys.toSeq.sorted.mkString(", ")})"))
     ch.paths.map(p => s.read.parquet(s"$root/$p")).reduce(_ unionByName _)
+  }
+
+  /** The store's COMMITTED snapshot timeline, oldest → newest (the
+    * last element is the live snapshot). Every mutation leaves its
+    * predecessor's files untouched, so until a [[vacuum]] reclaims
+    * them these are readable point-in-time versions of the store —
+    * the Delta/Iceberg-style history the snapshot layout gives for
+    * free. A dir is committed iff its index is ≤ the pointer's AND it
+    * carries a manifest (an aborted transaction fails one of the two:
+    * crash-before-manifest leaves no manifest, crash-after-manifest
+    * leaves its index past the never-flipped pointer). */
+  def history(root: String): Seq[String] = {
+    val cur = currentSnapOpt(root).getOrElse(throw new IllegalStateException(
+      s"$root is not an index store: no _current snapshot pointer"))
+    val curIdx = snapIndex(cur)
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("snap_"))
+      .filter(f => scala.util.Try(snapIndex(f.getName)).toOption
+        .exists(i => i <= curIdx) &&
+        Files.exists(Paths.get(root, f.getName, "_manifest.json")))
+      .map(_.getName).sortBy(snapIndex).toSeq
+  }
+
+  /** Time-travel read: `name`'s contents AS OF the committed snapshot
+    * `snap` — resolved through THAT snapshot's manifest, so the read
+    * is exactly what a reader saw when `snap` was live (same paths,
+    * same layout, same format check). Valid until a vacuum whose
+    * retention window no longer covers `snap`; a vacuumed or
+    * never-committed version is refused by name, never misread. */
+  def channelAt(s: SparkSession, root: String, snap: String,
+      name: String): DataFrame = {
+    val committed = history(root)
+    if (!committed.contains(snap))
+      throw new IllegalStateException(
+        s"index store at $root has no committed snapshot '$snap' " +
+          s"(vacuumed or never committed; committed history: " +
+          s"${committed.mkString(", ")})")
+    channelFrom(s, root, parseManifest(root, snap), name)
   }
 
   private[graft] def hasChannel(root: String, name: String): Boolean =
@@ -253,7 +387,7 @@ object IndexStore {
     * present are carried forward untouched). */
   def write(s: SparkSession, docs: DataFrame, out: String): Unit = {
     graft.functions.BloomFuncs.register(s)
-    val prior = channelsForWrite(out)
+    val (base, prior) = baseForWrite(out)
     val snap = beginSnap(out)
     Dedup.toBandRowsPublic(s, docs)
       .write.mode(SaveMode.Overwrite).partitionBy("band")
@@ -275,7 +409,7 @@ object IndexStore {
       "band_keys" -> Channel(Seq(s"$snap/band_keys"), "band", ""),
       "fingerprints" -> Channel(Seq(s"$snap/fingerprints"), "", ""),
       "sim_blocks" -> Channel(Seq(s"$snap/sim_blocks"), "b", "")) ++
-      bloomRel.map(p => "bloom" -> Channel(Seq(p), "", "")))
+      bloomRel.map(p => "bloom" -> Channel(Seq(p), "", "")), base)
   }
 
   /** q71's decisions for `batch`, from the stored index only:
@@ -359,13 +493,14 @@ object IndexStore {
     * the state [[incrementalClusters]] maintains per batch, so a
     * rolling corpus never re-clusters itself from scratch. */
   def writeClusters(s: SparkSession, docs: DataFrame, out: String): Unit = {
-    val prior = channelsForWrite(out)
+    val (base, prior) = baseForWrite(out)
     val snap = beginSnap(out)
     Dedup.clusterLabelsFor(s, docs)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/cluster_labels")
     maybeCrash("cluster_labels")
     commitSnap(out, snap,
-      prior + ("cluster_labels" -> Channel(Seq(s"$snap/cluster_labels"), "", "")))
+      prior + ("cluster_labels" -> Channel(Seq(s"$snap/cluster_labels"), "", "")),
+      base)
   }
 
   /** Merge an incoming batch into the persisted clustering WITHOUT
@@ -436,7 +571,7 @@ object IndexStore {
     * parquet channel and decision equality on both screens. */
   def append(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
     graft.functions.BloomFuncs.register(s)
-    val prior = channels(indexDir)
+    val (base, prior) = baseRequired(indexDir)
     // merged labels are computed EAGERLY (localCheckpoint) before the
     // new snapshot stages: the merge must see the pre-append band index
     val mergedLabels =
@@ -471,7 +606,7 @@ object IndexStore {
       appended("sim_blocks", s"$snap/sim_blocks")) ++
       mergedLabels.map(_ => "cluster_labels" ->
         Channel(Seq(s"$snap/cluster_labels"), "", "")) ++
-      bloomRel.map(p => "bloom" -> Channel(Seq(p), "", "")))
+      bloomRel.map(p => "bloom" -> Channel(Seq(p), "", "")), base)
   }
 
   /** q133's containment screen fed from the stored band index: the
@@ -502,20 +637,20 @@ object IndexStore {
     * block partition per probe. `payloads` must carry (doc_id,
     * payload: binary). */
   def writeMedia(s: SparkSession, payloads: DataFrame, out: String): Unit = {
-    val prior = channelsForWrite(out)
+    val (base, prior) = baseForWrite(out)
     val snap = beginSnap(out)
     Dedup.simBlocks(Dedup.simhash60Bytes(payloads))
       .write.mode(SaveMode.Overwrite).partitionBy("b")
       .parquet(s"$out/$snap/media_sim_blocks")
     maybeCrash("media_sim_blocks")
     commitSnap(out, snap, prior + ("media_sim_blocks" ->
-      Channel(Seq(s"$snap/media_sim_blocks"), "b", "")))
+      Channel(Seq(s"$snap/media_sim_blocks"), "b", "")), base)
   }
 
   /** O(batch) append into the media channel (disjointness enforced
     * like the text/vector appends). */
   def appendMedia(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
-    val prior = channels(indexDir)
+    val (base, prior) = baseRequired(indexDir)
     val overlap = batch.select(col("doc_id")).distinct()
       .join(channel(s, indexDir, "media_sim_blocks").select(col("doc_id")),
         Seq("doc_id"), "left_semi")
@@ -530,7 +665,7 @@ object IndexStore {
     maybeCrash("media_sim_blocks")
     commitSnap(indexDir, snap, prior + ("media_sim_blocks" ->
       prior("media_sim_blocks").copy(paths = prior("media_sim_blocks").paths ++
-        relIfData(indexDir, s"$snap/media_sim_blocks"))))
+        relIfData(indexDir, s"$snap/media_sim_blocks"))), base)
   }
 
   /** Batch payloads whose byte-shingle fingerprint sits within Hamming
@@ -581,10 +716,11 @@ object IndexStore {
     * appendText(batch)` on every channel (stats included) and on query
     * results. */
   def writeText(s: SparkSession, docs: DataFrame, out: String): Unit = {
-    val prior = channelsForWrite(out)
+    val (base, prior) = baseForWrite(out)
     val snap = beginSnap(out)
     val chs = writeTextInto(s, TextOps.postingsFor(docs), out, snap, None)
-    commitSnap(out, snap, prior -- Seq("postings", "doc_lens", "stats") ++ chs)
+    commitSnap(out, snap, prior -- Seq("postings", "doc_lens", "stats") ++ chs,
+      base)
   }
 
   /** O(batch) append to the text channel (same layout as [[writeText]];
@@ -597,7 +733,7 @@ object IndexStore {
     * into an uninitialized store bootstraps it (the streaming ingest
     * loop's opening micro-batch). */
   def appendText(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
-    val prior = channelsForWrite(indexDir)
+    val (base, prior) = baseForWrite(indexDir)
     if (!prior.contains("doc_lens")) writeText(s, batch, indexDir)
     else {
       val overlap = batch.select(col("doc_id")).distinct()
@@ -615,7 +751,7 @@ object IndexStore {
           chs(name).paths.flatMap(relIfData(indexDir, _)))
       commitSnap(indexDir, snap,
         prior ++ Map(appended("postings"), appended("doc_lens")) +
-          ("stats" -> chs("stats")))
+          ("stats" -> chs("stats")), base)
     }
   }
 
@@ -706,7 +842,7 @@ object IndexStore {
     * write+append. */
   def writeVectors(s: SparkSession, vectors: DataFrame,
       centroids: DataFrame, out: String): Unit = {
-    val prior = channelsForWrite(out)
+    val (base, prior) = baseForWrite(out)
     val snap = beginSnap(out)
     centroids.write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/centroids")
     maybeCrash("centroids")
@@ -716,7 +852,7 @@ object IndexStore {
     maybeCrash("cells")
     commitSnap(out, snap, prior -- Seq("centroids", "cells") ++ Map(
       "centroids" -> Channel(Seq(s"$snap/centroids"), "", ""),
-      "cells" -> Channel(Seq(s"$snap/cells"), "cid", "")))
+      "cells" -> Channel(Seq(s"$snap/cells"), "cid", "")), base)
   }
 
   /** O(batch) append: assign under the stored centroids, stage into
@@ -725,7 +861,7 @@ object IndexStore {
     * duplicate ANN candidates), mirroring appendText's guard. */
   def appendVectors(s: SparkSession, indexDir: String,
       batch: DataFrame): Unit = {
-    val prior = channels(indexDir)
+    val (base, prior) = baseRequired(indexDir)
     val overlap = batch.select(col("vec_id")).distinct()
       .join(channel(s, indexDir, "cells").select(col("vec_id")),
         Seq("vec_id"), "left_semi")
@@ -741,7 +877,7 @@ object IndexStore {
     maybeCrash("cells")
     commitSnap(indexDir, snap, prior + ("cells" ->
       prior("cells").copy(paths =
-        prior("cells").paths ++ relIfData(indexDir, s"$snap/cells"))))
+        prior("cells").paths ++ relIfData(indexDir, s"$snap/cells"))), base)
   }
 
   // ---------------------------------------------------------------
@@ -797,7 +933,7 @@ object IndexStore {
     * move (spec-pinned on every channel and on screen/lookup
     * results). */
   def compact(s: SparkSession, root: String): Unit = {
-    val prior = channels(root)
+    val (base, prior) = baseRequired(root)
     val snap = beginSnap(root)
     val rewritten = prior.map { case (name, ch) =>
       if (name == "bloom") {
@@ -838,37 +974,54 @@ object IndexStore {
         name -> ch.copy(paths = Seq(s"$snap/$name"))
       }
     }
-    commitSnap(root, snap, rewritten)
+    commitSnap(root, snap, rewritten, base)
   }
 
-  /** Delete snapshot directories unreachable from the live manifest;
-    * returns the deleted names (empty when nothing is reclaimable —
-    * an append-only history keeps every prior snapshot referenced via
-    * carried-forward paths, so vacuum frees space only after a
-    * [[compact]] or a channel-replacing write orphans one).
+  /** Delete snapshot directories unreachable from the last `retain`
+    * committed manifests; returns the deleted names (empty when
+    * nothing is reclaimable — an append-only history keeps every
+    * prior snapshot referenced via carried-forward paths, so vacuum
+    * frees space only after a [[compact]] or a channel-replacing
+    * write orphans one).
     *
     * Safety is structural, not temporal: reachability is computed
-    * from the committed manifest, so nothing the live snapshot can
-    * read is ever deleted, and aborted staging dirs past the pointer
-    * are reclaimed too. The one caveat — shared with every
-    * snapshot-vacuuming store — is a reader CONCURRENT with vacuum
-    * that resolved the pointer before a compaction committed: it may
-    * hold paths into a dir vacuum just freed. Run vacuum as scheduled
-    * maintenance after in-flight readers of the pre-compaction
-    * snapshot drain (the retention-window discipline; IndexStoreSpec
-    * pins that post-vacuum reads are unchanged). */
-  def vacuum(root: String): Seq[String] = {
-    val cur = currentSnapOpt(root).getOrElse(throw new IllegalStateException(
-      s"$root is not an index store: no _current snapshot pointer"))
-    val referenced = channels(root).values.flatMap(_.paths)
-      .map(_.takeWhile(_ != '/')).toSet + cur
+    * from COMMITTED manifests, so nothing a retained version can read
+    * is ever deleted, and aborted staging dirs past the pointer are
+    * reclaimed too. `retain` is the round-6 "let in-flight readers
+    * drain" discipline AS CODE: a reader that resolved the pointer at
+    * most `retain - 1` transactions before the vacuum still holds
+    * paths some retained manifest references, so its files are intact
+    * by construction — no timing assumption, a counted window. It is
+    * also the [[channelAt]] time-travel contract: the last `retain`
+    * versions of [[history]] stay readable, older ones are refused by
+    * name after reclaim. `retain = 1` (the default) keeps only the
+    * live snapshot — maximal reclaim, for single-owner stores whose
+    * readers always re-resolve the pointer (IndexStoreSpec pins both
+    * the window and the reclaim). */
+  def vacuum(root: String, retain: Int = 1,
+      stagingGraceMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    require(retain >= 1, s"vacuum: retain must be >= 1, got $retain")
+    val keep = history(root).takeRight(retain)
+    val referenced = keep.flatMap(snap => parseManifest(root, snap)
+        .values.flatMap(_.paths).map(_.takeWhile(_ != '/'))).toSet ++ keep
     val victims = Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("snap_") &&
         !referenced.contains(f.getName))
       .sortBy(_.getName)
     victims.foreach(deleteRec)
-    victims.map(_.getName).toSeq
+    // crashed / OCC-losing transactions leave inert `_staging_` dirs
+    // (never pointed at, never in a manifest); reclaim them after a
+    // grace period generous enough that no LIVE transaction — however
+    // slow its channel writes — can still own one
+    val now = System.currentTimeMillis()
+    val staleStaging = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("_staging_") &&
+        now - f.lastModified() >= stagingGraceMs)
+      .sortBy(_.getName)
+    staleStaging.foreach(deleteRec)
+    (victims ++ staleStaging).map(_.getName).toSeq
   }
 
   /** Snapshot-count gate for IN-LOOP maintenance: when the live
@@ -889,10 +1042,12 @@ object IndexStore {
     * gate is safe with live readers; orphaned snapshots accumulate on
     * disk until an out-of-band [[vacuum]]. A store with NO readers
     * outside its ingest loop (the single-owner stream) can set
-    * `graft.store.vacuumOnCompact=true` to reclaim immediately;
-    * leaving it on with concurrent cross-session readers risks the
-    * documented [[vacuum]] retention caveat (a reader's FileNotFound
-    * on paths vacuum just freed). */
+    * `graft.store.vacuumOnCompact=true` to reclaim immediately; a
+    * store with cross-session readers additionally sets
+    * `graft.store.vacuumRetain` (default 1) so the in-loop vacuum
+    * keeps that many committed versions readable — readers at most
+    * `retain - 1` transactions stale are safe by the [[vacuum]]
+    * window, no drain discipline required. */
   def compactIfFragmented(s: SparkSession, root: String): Boolean = {
     val max = s.conf.getOption("graft.store.maxSnapshots").map(_.toInt)
       .getOrElse(64)
@@ -903,7 +1058,8 @@ object IndexStore {
       if (snaps.size > max) {
         compact(s, root)
         if (s.conf.getOption("graft.store.vacuumOnCompact").contains("true"))
-          vacuum(root)
+          vacuum(root, s.conf.getOption("graft.store.vacuumRetain")
+            .map(_.toInt).getOrElse(1))
         true
       } else false
     }

@@ -227,4 +227,110 @@ class IndexStoreSpec extends SparkSpec {
     // idempotent: a second vacuum finds nothing
     assert(ops.IndexStore.vacuum(idx).isEmpty)
   }
+
+  test("snapshot history is a readable timeline: channelAt pins every version") {
+    val idx = tmp("history")
+    ops.IndexStore.writeText(spark, df(docs), idx)
+    ops.IndexStore.appendText(spark, idx, df(batch))
+    ops.IndexStore.appendText(spark, idx, df(batch2))
+    val hist = ops.IndexStore.history(idx)
+    assert(hist == Seq("snap_00000001", "snap_00000002", "snap_00000003"),
+      s"three committed transactions = three versions, oldest first: $hist")
+    // each version's stats channel is the corpus census AS OF that fold
+    val census = hist.map { sn =>
+      val r = ops.IndexStore.channelAt(spark, idx, sn, "stats").head()
+      r.getAs[Long]("n_docs")
+    }
+    assert(census == Seq(3L, 5L, 7L),
+      s"per-version n_docs must replay the ingest history: $census")
+    // v1's postings AS OF snap 1 ≡ a fresh store built from batch 0 only
+    val fresh = tmp("history-fresh")
+    ops.IndexStore.writeText(spark, df(docs), fresh)
+    val v1 = ops.IndexStore.channelAt(spark, idx, hist.head, "postings")
+    val f1 = ops.IndexStore.channel(spark, fresh, "postings")
+    assert(v1.count() == f1.count() &&
+      v1.except(f1).isEmpty && f1.except(v1).isEmpty,
+      "time-travel read diverged from the store as originally written")
+    // a never-committed version is refused by name, never misread
+    val e = intercept[IllegalStateException] {
+      ops.IndexStore.channelAt(spark, idx, "snap_00000099", "stats")
+    }
+    assert(e.getMessage.contains("no committed snapshot"))
+    // an aborted transaction never enters the history
+    ops.IndexStore.crashAfterChannel = Some("postings")
+    try intercept[RuntimeException] {
+      ops.IndexStore.appendText(spark, idx, df(Seq(9L -> "rho sigma tau")))
+    } finally ops.IndexStore.crashAfterChannel = None
+    assert(ops.IndexStore.history(idx) == hist,
+      "a crashed append must not appear as a committed version")
+  }
+
+  test("vacuum retention window: the last N versions stay time-travel readable") {
+    val idx = tmp("retain")
+    ops.IndexStore.writeText(spark, df(docs), idx)
+    ops.IndexStore.appendText(spark, idx, df(batch))
+    val preCompact = ops.IndexStore.history(idx).last
+    val v2Before = ops.IndexStore.channelAt(spark, idx, preCompact, "doc_lens")
+      .collect().map(_.toString).toSet
+    ops.IndexStore.compact(spark, idx)
+    // retain=2 keeps the pre-compaction version AND every snapshot its
+    // manifest references — a reader ≤1 transaction stale is safe by
+    // construction, and the version stays time-travel readable
+    assert(ops.IndexStore.vacuum(idx, retain = 2).isEmpty,
+      "retain=2 must keep everything the previous manifest references")
+    assert(ops.IndexStore.channelAt(spark, idx, preCompact, "doc_lens")
+      .collect().map(_.toString).toSet == v2Before,
+      "retained version must read bit-identically after vacuum")
+    // retain=1 (default) reclaims both pre-compaction snapshots; the
+    // old version is then refused by name
+    val deleted = ops.IndexStore.vacuum(idx)
+    assert(deleted == Seq("snap_00000001", "snap_00000002"), s"got $deleted")
+    val e = intercept[IllegalStateException] {
+      ops.IndexStore.channelAt(spark, idx, preCompact, "doc_lens")
+    }
+    assert(e.getMessage.contains("vacuumed or never committed"))
+    // the live snapshot is untouched throughout
+    assert(ops.IndexStore.channel(spark, idx, "doc_lens").count() == 5)
+    intercept[IllegalArgumentException] { ops.IndexStore.vacuum(idx, retain = 0) }
+  }
+
+  test("concurrent writers: first committer wins, the loser fails loudly, nothing is lost") {
+    val idx = tmp("occ")
+    ops.IndexStore.writeText(spark, df(docs), idx)
+    // writer A stages `batch`; just before A's publication, writer B
+    // lands `batch2` — the exact race where A's stale carried-forward
+    // path list would silently DROP B's fold if A were allowed to commit
+    ops.IndexStore.raceBeforeCommit = Some(() =>
+      ops.IndexStore.appendText(spark, idx, df(batch2)))
+    val e = try intercept[java.util.ConcurrentModificationException] {
+      ops.IndexStore.appendText(spark, idx, df(batch))
+    } finally ops.IndexStore.raceBeforeCommit = None
+    assert(e.getMessage.contains("first committer wins"), e.getMessage)
+    // the store is exactly B's commit: nothing lost, nothing torn
+    assert(ops.IndexStore.channel(spark, idx, "doc_lens").count() == 5,
+      "store must hold docs ∪ batch2 after the race")
+    assert(ops.IndexStore.history(idx).size == 2,
+      "the losing transaction must not appear in the history")
+    // A retries against the new state and lands; the store now equals
+    // a fresh build of all three batches
+    ops.IndexStore.appendText(spark, idx, df(batch))
+    val fresh = tmp("occ-fresh")
+    ops.IndexStore.writeText(spark, df(docs ++ batch2 ++ batch), fresh)
+    for (ch <- Seq("postings", "doc_lens", "stats")) {
+      val a = ops.IndexStore.channel(spark, idx, ch)
+      val b = ops.IndexStore.channel(spark, fresh, ch)
+      assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty,
+        s"channel $ch diverged after the retried append")
+    }
+    // the loser's staging dir is inert garbage: invisible to readers,
+    // reclaimed by vacuum once past the grace window
+    val staging = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_staging_"))
+    assert(staging.length == 1, "exactly the losing transaction's staging dir remains")
+    assert(ops.IndexStore.vacuum(idx).isEmpty,
+      "a fresh staging dir must survive the default 24h grace")
+    val reclaimed = ops.IndexStore.vacuum(idx, retain = 1, stagingGraceMs = 0)
+    assert(reclaimed == Seq(staging.head.getName), s"got $reclaimed")
+    assert(!staging.head.exists())
+  }
 }
