@@ -319,10 +319,7 @@ object ScaleProbe {
     // consistent across every probe block)
     def gate(c: org.apache.spark.sql.Column) =
       conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long")
-    def rmRf(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-      f.delete(); ()
-    }
+    def rmRf(f: java.io.File): Unit = ops.IndexStore.deleteRec(f)
 
     // exact-median A/B: the q105 window plan's parallelism is bounded
     // by the 5 priority groups; the selection path range-partitions

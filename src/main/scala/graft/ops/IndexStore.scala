@@ -180,7 +180,7 @@ object IndexStore {
     (Some(cur), parseManifest(root, cur))
   }
 
-  private def deleteRec(f: java.io.File): Unit = {
+  private[graft] def deleteRec(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
     f.delete(); ()
   }
@@ -207,17 +207,23 @@ object IndexStore {
   private val commitMonitors =
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
-  /** Cross-process critical section for commit publication: an
-    * exclusive lock on `<root>/_commitlock` (plus a JVM monitor —
-    * overlapping locks from one JVM throw instead of blocking). Held
-    * only for the pointer check + rename + manifest + flip, never
-    * across channel writes, so writers overlap on all the heavy work
-    * and serialize only on publication. */
+  /** Cross-process critical section for commit publication and vacuum
+    * reclaim: an exclusive lock on `<root>/_commitlock` (plus a JVM
+    * monitor — overlapping locks from one JVM throw instead of
+    * blocking). Held only for the pointer check + rename + manifest +
+    * flip (or vacuum's reachability walk + deletes), never across
+    * channel writes, so writers overlap on all the heavy work and
+    * serialize only on publication. The root is CANONICALIZED before
+    * keying either lock — two spellings of one directory ("/x/s" vs
+    * "/x/s/", a symlink) must map to one monitor, or the second
+    * in-JVM locker would hit OverlappingFileLockException instead of
+    * waiting. */
   private def withCommitLock[T](root: String)(body: => T): T = {
-    val mon = commitMonitors.getOrElseUpdate(root, new Object)
+    val canon = new java.io.File(root).getCanonicalPath
+    val mon = commitMonitors.getOrElseUpdate(canon, new Object)
     mon.synchronized {
       val ch = java.nio.channels.FileChannel.open(
-        Paths.get(root, "_commitlock"),
+        Paths.get(canon, "_commitlock"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       try {
@@ -370,8 +376,9 @@ object IndexStore {
     * on append DROPS the channel). */
   private def writeBloomInto(s: SparkSession, fps: DataFrame,
       root: String, snap: String): Option[String] = {
-    val n = math.max(1024L, fps.count())
-    if (n <= bloomMaxItems(s)) {
+    val n0 = fps.count()
+    val n = math.max(1024L, n0)
+    if (n0 > 0 && n <= bloomMaxItems(s)) {
       val bits = fps.selectExpr(s"bloom_agg(xxhash64(fp), ${n}L) AS b")
         .head().getAs[Array[Byte]]("b")
       new java.io.File(s"$root/$snap/bloom").mkdirs()
@@ -405,10 +412,13 @@ object IndexStore {
       .parquet(s"$out/$snap/sim_blocks")
     maybeCrash("sim_blocks")
     val bloomRel = writeBloomInto(s, fps, out, snap)
+    // data-less parquet dirs (an empty corpus write) are not committed
+    // — a later read of a part-file-less path cannot infer a schema
     commitSnap(out, snap, prior -- dedupChannels ++ Map(
-      "band_keys" -> Channel(Seq(s"$snap/band_keys"), "band", ""),
-      "fingerprints" -> Channel(Seq(s"$snap/fingerprints"), "", ""),
-      "sim_blocks" -> Channel(Seq(s"$snap/sim_blocks"), "b", "")) ++
+      "band_keys" -> Channel(relIfData(out, s"$snap/band_keys"), "band", ""),
+      "fingerprints" -> Channel(relIfData(out, s"$snap/fingerprints"), "", ""),
+      "sim_blocks" -> Channel(relIfData(out, s"$snap/sim_blocks"), "b", ""))
+      .filter(_._2.paths.nonEmpty) ++
       bloomRel.map(p => "bloom" -> Channel(Seq(p), "", "")), base)
   }
 
@@ -643,29 +653,26 @@ object IndexStore {
       .write.mode(SaveMode.Overwrite).partitionBy("b")
       .parquet(s"$out/$snap/media_sim_blocks")
     maybeCrash("media_sim_blocks")
-    commitSnap(out, snap, prior + ("media_sim_blocks" ->
-      Channel(Seq(s"$snap/media_sim_blocks"), "b", "")), base)
+    commitSnap(out, snap, (prior + ("media_sim_blocks" ->
+      Channel(relIfData(out, s"$snap/media_sim_blocks"), "b", "")))
+      .filter(_._2.paths.nonEmpty), base)
   }
 
   /** O(batch) append into the media channel (disjointness enforced
     * like the text/vector appends). */
   def appendMedia(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
     val (base, prior) = baseRequired(indexDir)
-    val overlap = batch.select(col("doc_id")).distinct()
-      .join(channel(s, indexDir, "media_sim_blocks").select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-      .count()
-    require(overlap == 0,
-      s"appendMedia: $overlap batch doc_id(s) already present in the stored " +
-        "media_sim_blocks channel — appends must be disjoint batches")
-    val snap = beginSnap(indexDir)
-    Dedup.simBlocks(Dedup.simhash60Bytes(batch))
-      .write.mode(SaveMode.Overwrite).partitionBy("b")
-      .parquet(s"$indexDir/$snap/media_sim_blocks")
-    maybeCrash("media_sim_blocks")
-    commitSnap(indexDir, snap, prior + ("media_sim_blocks" ->
-      prior("media_sim_blocks").copy(paths = prior("media_sim_blocks").paths ++
-        relIfData(indexDir, s"$snap/media_sim_blocks"))), base)
+    if (appendGuard("appendMedia", batch, "doc_id",
+        channel(s, indexDir, "media_sim_blocks"))) {
+      val snap = beginSnap(indexDir)
+      Dedup.simBlocks(Dedup.simhash60Bytes(batch))
+        .write.mode(SaveMode.Overwrite).partitionBy("b")
+        .parquet(s"$indexDir/$snap/media_sim_blocks")
+      maybeCrash("media_sim_blocks")
+      commitSnap(indexDir, snap, prior + ("media_sim_blocks" ->
+        prior("media_sim_blocks").copy(paths = prior("media_sim_blocks").paths ++
+          relIfData(indexDir, s"$snap/media_sim_blocks"))), base)
+    }
   }
 
   /** Batch payloads whose byte-shingle fingerprint sits within Hamming
@@ -719,29 +726,68 @@ object IndexStore {
     val (base, prior) = baseForWrite(out)
     val snap = beginSnap(out)
     val chs = writeTextInto(s, TextOps.postingsFor(docs), out, snap, None)
-    commitSnap(out, snap, prior -- Seq("postings", "doc_lens", "stats") ++ chs,
+    // an EMPTY doc frame (a streaming bootstrap's first micro-batch
+    // can be empty) must not commit part-file-less parquet paths — a
+    // later read of such a path cannot infer a schema and the store
+    // would be permanently wedged; the stats row (n=0) still commits
+    commitSnap(out, snap, prior -- Seq("postings", "doc_lens", "stats") ++
+      chs.filter { case (n, c) =>
+        n == "stats" || c.paths.exists(p => hasData(s"$out/$p")) },
       base)
+  }
+
+  /** Disjointness guard shared by the append families. Returns true
+    * when the append should PROCEED; false when the batch is an EXACT
+    * id-level replay of already-stored rows — Structured Streaming's
+    * foreachBatch is at-least-once, so a crash between a successful
+    * snapshot commit and the stream's offset checkpoint REDELIVERS the
+    * same micro-batch on restart, and refusing it would wedge the
+    * stream forever; the caller skips it idempotently instead (the
+    * store already holds the fold, so skip ≡ exactly-once). PARTIAL
+    * overlap still fails loudly — that is a screening bug, not a
+    * replay. Cost: the stored side is filtered to the batch's
+    * [min, max] id range before the semi-join, so parquet row-group
+    * stats prune the scan to overlapping row groups only — O(batch)
+    * row groups for the monotone ids of a rolling ingest, never an
+    * unconditional full-channel read. */
+  private def appendGuard(op: String, batch: DataFrame, idCol: String,
+      stored: DataFrame): Boolean = {
+    val b = batch.agg(countDistinct(col(idCol)).as("n"),
+      min(col(idCol)).as("lo"), max(col(idCol)).as("hi")).head()
+    val n = b.getLong(0)
+    if (n == 0) true
+    else {
+      val overlap = batch.select(col(idCol)).distinct()
+        .join(stored.select(col(idCol))
+            .filter(col(idCol).between(lit(b.get(1)), lit(b.get(2)))),
+          Seq(idCol), "left_semi")
+        .count()
+      if (overlap == n) false
+      else {
+        require(overlap == 0,
+          s"$op: $overlap of $n batch ${idCol}(s) already present in the " +
+            "store — partial overlap is a screening bug (appends must be " +
+            "pre-screened disjoint batches); an exact replay is skipped " +
+            "idempotently, a mixed batch is refused")
+        true
+      }
+    }
   }
 
   /** O(batch) append to the text channel (same layout as [[writeText]];
     * each append's files are term-sorted internally, so row-group
     * pruning keeps working as files accumulate). The batch must be
     * disjoint from the store — ENFORCED, not assumed: a re-appended
-    * doc would silently duplicate postings and inflate df/N/avgdl, so
-    * the overlap guard below fails loudly instead (the screened-batch
-    * precondition of ingestAndMaintainText, now checked). An append
-    * into an uninitialized store bootstraps it (the streaming ingest
-    * loop's opening micro-batch). */
+    * doc would silently duplicate postings and inflate df/N/avgdl.
+    * [[appendGuard]] makes the one legitimate exception idempotent
+    * (an exact at-least-once redelivery is skipped, a partial overlap
+    * is refused). An append into an uninitialized store bootstraps it
+    * (the streaming ingest loop's opening micro-batch). */
   def appendText(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
     val (base, prior) = baseForWrite(indexDir)
     if (!prior.contains("doc_lens")) writeText(s, batch, indexDir)
-    else {
-      val overlap = batch.select(col("doc_id")).distinct()
-        .join(channel(s, indexDir, "doc_lens"), Seq("doc_id"), "left_semi")
-        .count()
-      require(overlap == 0,
-        s"appendText: $overlap batch doc_id(s) already present in the stored " +
-          "doc_lens channel — appends must be pre-screened disjoint batches")
+    else if (appendGuard("appendText", batch, "doc_id",
+        channel(s, indexDir, "doc_lens"))) {
       val st = channel(s, indexDir, "stats").head()
       val snap = beginSnap(indexDir)
       val chs = writeTextInto(s, TextOps.postingsFor(batch), indexDir, snap,
@@ -850,9 +896,10 @@ object IndexStore {
       .write.mode(SaveMode.Overwrite).partitionBy("cid")
       .parquet(s"$out/$snap/cells")
     maybeCrash("cells")
-    commitSnap(out, snap, prior -- Seq("centroids", "cells") ++ Map(
-      "centroids" -> Channel(Seq(s"$snap/centroids"), "", ""),
-      "cells" -> Channel(Seq(s"$snap/cells"), "cid", "")), base)
+    commitSnap(out, snap, prior -- Seq("centroids", "cells") ++ (Map(
+      "centroids" -> Channel(relIfData(out, s"$snap/centroids"), "", ""),
+      "cells" -> Channel(relIfData(out, s"$snap/cells"), "cid", ""))
+      .filter(_._2.paths.nonEmpty)), base)
   }
 
   /** O(batch) append: assign under the stored centroids, stage into
@@ -862,22 +909,18 @@ object IndexStore {
   def appendVectors(s: SparkSession, indexDir: String,
       batch: DataFrame): Unit = {
     val (base, prior) = baseRequired(indexDir)
-    val overlap = batch.select(col("vec_id")).distinct()
-      .join(channel(s, indexDir, "cells").select(col("vec_id")),
-        Seq("vec_id"), "left_semi")
-      .count()
-    require(overlap == 0,
-      s"appendVectors: $overlap batch vec_id(s) already present in the stored " +
-        "cells channel — appends must be disjoint batches")
-    val cents = channel(s, indexDir, "centroids")
-    val snap = beginSnap(indexDir)
-    assignCells(batch, cents)
-      .write.mode(SaveMode.Overwrite).partitionBy("cid")
-      .parquet(s"$indexDir/$snap/cells")
-    maybeCrash("cells")
-    commitSnap(indexDir, snap, prior + ("cells" ->
-      prior("cells").copy(paths =
-        prior("cells").paths ++ relIfData(indexDir, s"$snap/cells"))), base)
+    if (appendGuard("appendVectors", batch, "vec_id",
+        channel(s, indexDir, "cells"))) {
+      val cents = channel(s, indexDir, "centroids")
+      val snap = beginSnap(indexDir)
+      assignCells(batch, cents)
+        .write.mode(SaveMode.Overwrite).partitionBy("cid")
+        .parquet(s"$indexDir/$snap/cells")
+      maybeCrash("cells")
+      commitSnap(indexDir, snap, prior + ("cells" ->
+        prior("cells").copy(paths =
+          prior("cells").paths ++ relIfData(indexDir, s"$snap/cells"))), base)
+    }
   }
 
   // ---------------------------------------------------------------
@@ -1001,28 +1044,46 @@ object IndexStore {
   def vacuum(root: String, retain: Int = 1,
       stagingGraceMs: Long = 24L * 3600 * 1000): Seq[String] = {
     require(retain >= 1, s"vacuum: retain must be >= 1, got $retain")
-    val keep = history(root).takeRight(retain)
-    val referenced = keep.flatMap(snap => parseManifest(root, snap)
-        .values.flatMap(_.paths).map(_.takeWhile(_ != '/'))).toSet ++ keep
-    val victims = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("snap_") &&
-        !referenced.contains(f.getName))
-      .sortBy(_.getName)
-    victims.foreach(deleteRec)
-    // crashed / OCC-losing transactions leave inert `_staging_` dirs
-    // (never pointed at, never in a manifest); reclaim them after a
-    // grace period generous enough that no LIVE transaction — however
-    // slow its channel writes — can still own one
-    val now = System.currentTimeMillis()
-    val staleStaging = Option(new java.io.File(root).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("_staging_") &&
-        now - f.lastModified() >= stagingGraceMs)
-      .sortBy(_.getName)
-    staleStaging.foreach(deleteRec)
-    (victims ++ staleStaging).map(_.getName).toSeq
+    // the reachability walk + deletes run under the SAME lock commits
+    // publish under: an unlocked vacuum could see a committing writer
+    // mid-publication (snapshot dir renamed, pointer not yet flipped),
+    // judge it unreachable, and delete the dir the pointer is about to
+    // name — a bricked store. Structural safety needs the lock, not
+    // just reachability.
+    withCommitLock(root) {
+      val keep = history(root).takeRight(retain)
+      val referenced = keep.flatMap(snap => parseManifest(root, snap)
+          .values.flatMap(_.paths).map(_.takeWhile(_ != '/'))).toSet ++ keep
+      val victims = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("snap_") &&
+          !referenced.contains(f.getName))
+        .sortBy(_.getName)
+      victims.foreach(deleteRec)
+      // crashed / OCC-losing transactions leave inert `_staging_` dirs
+      // (never pointed at, never in a manifest); reclaim them after a
+      // grace period generous enough that no LIVE transaction — however
+      // slow its channel writes — can still own one. The age check
+      // walks the SUBTREE for the newest mtime: a dir's own mtime
+      // freezes once its direct children exist, so a transaction hours
+      // into writing part files deep inside the staging dir still
+      // reads as fresh.
+      val now = System.currentTimeMillis()
+      val staleStaging = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("_staging_") &&
+          now - newestMtime(f) >= stagingGraceMs)
+        .sortBy(_.getName)
+      staleStaging.foreach(deleteRec)
+      (victims ++ staleStaging).map(_.getName).toSeq
+    }
   }
+
+  /** Newest last-modified timestamp anywhere under `f` — the honest
+    * "is anyone still writing here" signal for staging-dir reclaim. */
+  private def newestMtime(f: java.io.File): Long =
+    (f.lastModified() +: Option(f.listFiles()).getOrElse(Array.empty)
+      .map(newestMtime).toSeq).max
 
   /** Snapshot-count gate for IN-LOOP maintenance: when the live
     * manifest references more than `graft.store.maxSnapshots` snapshot

@@ -268,8 +268,8 @@ object StreamingOps {
     * (writeVectors trains and writes the model first — a stream cannot
     * bootstrap a centroid model from its opening batch). Micro-batches
     * execute serially per query, so the append needs no locking; the
-    * disjoint-batch guard in appendVectors rejects replayed vec_ids
-    * loudly. StreamingSpec pins the streamed store ≡ one-shot
+    * disjoint-batch guard in appendVectors skips an exact at-least-once
+    * redelivery idempotently and refuses partial overlap loudly. StreamingSpec pins the streamed store ≡ one-shot
     * writeVectors on channels and on annFromStore results. */
   def ingestAndMaintainVectors(s: SparkSession, vecIndexDir: String,
       batch: DataFrame): Unit = {

@@ -868,8 +868,17 @@ class DedupSimSpec extends SparkSpec {
     val flagged2 = ops.IndexStore.screenBatchMedia(spark, out,
       payloads(Seq(20L -> (probe(1)._2 + "z")))).as[Long].collect().toSet
     assert(flagged2 == Set(20L), s"twin of appended payload not flagged: $flagged2")
+    // an exact redelivery of the same batch is an idempotent no-op
+    // (at-least-once micro-batch replay) — no new snapshot committed
+    val hist = ops.IndexStore.history(out)
+    ops.IndexStore.appendMedia(spark, out, payloads(probe.filter(_._1 == 11L)))
+    assert(ops.IndexStore.history(out) == hist,
+      "exact replay must not commit a new snapshot")
+    // a PARTIAL overlap (one stored id + one new) is a screening bug
+    // and still fails loudly
     intercept[IllegalArgumentException] {
-      ops.IndexStore.appendMedia(spark, out, payloads(probe.filter(_._1 == 11L)))
+      ops.IndexStore.appendMedia(spark, out, payloads(Seq(
+        11L -> noisyPayload(31337L, 900), 12L -> noisyPayload(65537L, 900))))
     }
   }
 

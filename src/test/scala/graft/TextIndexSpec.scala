@@ -91,6 +91,41 @@ class TextIndexSpec extends SparkSpec {
     assert(st.getAs[Long]("n_docs") == 3L)
   }
 
+  test("appendText skips an exact micro-batch redelivery idempotently") {
+    // foreachBatch is at-least-once: a crash between a successful store
+    // commit and the stream's offset checkpoint REDELIVERS the batch on
+    // restart — refusing it would wedge the stream forever, so an exact
+    // id-level replay is a no-op, while partial overlap stays an error
+    val idx = tmp("replay")
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    ops.IndexStore.writeText(spark, docs, idx)
+    val batch = Seq((3L, "delta epsilon"), (4L, "zeta")).toDF("doc_id", "text")
+    ops.IndexStore.appendText(spark, idx, batch)
+    val hist = ops.IndexStore.history(idx)
+    val stats = ops.IndexStore.channel(spark, idx, "stats").head()
+    ops.IndexStore.appendText(spark, idx, batch) // redelivery
+    assert(ops.IndexStore.history(idx) == hist,
+      "an exact replay must not commit a new snapshot")
+    assert(ops.IndexStore.channel(spark, idx, "stats").head() == stats,
+      "an exact replay must not touch the stats channel")
+    assert(ops.IndexStore.channel(spark, idx, "doc_lens").count() == 4)
+  }
+
+  test("an empty bootstrap batch does not wedge the store") {
+    // a streaming ingest loop's opening micro-batch can be empty; the
+    // bootstrap write must not commit part-file-less parquet paths a
+    // later read cannot infer a schema from
+    val idx = tmp("emptyboot")
+    ops.IndexStore.appendText(spark, idx,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(ops.IndexStore.channel(spark, idx, "stats").head()
+      .getAs[Long]("n_docs") == 0L)
+    ops.IndexStore.appendText(spark, idx,
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"))
+    assert(ops.IndexStore.channel(spark, idx, "doc_lens").count() == 1)
+    assert(ops.IndexStore.bm25FromStore(spark, idx, Seq("alpha")).count() == 1)
+  }
+
   test("streamed ingestAndMaintainText ≡ one-shot writeText (channels + scores)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
