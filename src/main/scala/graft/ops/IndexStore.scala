@@ -582,41 +582,49 @@ object IndexStore {
   def append(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
     graft.functions.BloomFuncs.register(s)
     val (base, prior) = baseRequired(indexDir)
-    // merged labels are computed EAGERLY (localCheckpoint) before the
-    // new snapshot stages: the merge must see the pre-append band index
-    val mergedLabels =
-      if (prior.contains("cluster_labels"))
-        Some(incrementalClusters(s, indexDir, batch).localCheckpoint())
-      else None
-    val snap = beginSnap(indexDir)
-    Dedup.toBandRowsPublic(s, batch)
-      .write.mode(SaveMode.Overwrite).partitionBy("band")
-      .parquet(s"$indexDir/$snap/band_keys")
-    maybeCrash("band_keys")
-    fingerprints(batch)
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$snap/fingerprints")
-    maybeCrash("fingerprints")
-    Dedup.simBlocks(Dedup.simhash60(batch))
-      .write.mode(SaveMode.Overwrite).partitionBy("b")
-      .parquet(s"$indexDir/$snap/sim_blocks")
-    maybeCrash("sim_blocks")
-    mergedLabels.foreach(_.write.mode(SaveMode.Overwrite)
-      .parquet(s"$indexDir/$snap/cluster_labels"))
-    maybeCrash("cluster_labels")
-    val fpPaths = prior("fingerprints").paths ++
-      relIfData(indexDir, s"$snap/fingerprints")
-    val mergedFps = s.read.parquet(fpPaths.map(p => s"$indexDir/$p"): _*)
-      .select(col("fp"))
-    val bloomRel = writeBloomInto(s, mergedFps, indexDir, snap)
-    def appended(name: String, rel: String) =
-      name -> prior(name).copy(paths = prior(name).paths ++ relIfData(indexDir, rel))
-    commitSnap(indexDir, snap, prior - "bloom" ++ Map(
-      appended("band_keys", s"$snap/band_keys"),
-      appended("fingerprints", s"$snap/fingerprints"),
-      appended("sim_blocks", s"$snap/sim_blocks")) ++
-      mergedLabels.map(_ => "cluster_labels" ->
-        Channel(Seq(s"$snap/cluster_labels"), "", "")) ++
-      bloomRel.map(p => "bloom" -> Channel(Seq(p), "", "")), base)
+    // same replay contract as the text/vector/media appends: an exact
+    // at-least-once redelivery of an already-folded batch is a no-op
+    // (re-folding would duplicate fingerprint/band rows and inflate
+    // the bloom's estItems), partial overlap means the caller skipped
+    // screenBatch and is refused
+    if (appendGuard("append", batch, "doc_id",
+        channel(s, indexDir, "fingerprints"))) {
+      // merged labels are computed EAGERLY (localCheckpoint) before the
+      // new snapshot stages: the merge must see the pre-append band index
+      val mergedLabels =
+        if (prior.contains("cluster_labels"))
+          Some(incrementalClusters(s, indexDir, batch).localCheckpoint())
+        else None
+      val snap = beginSnap(indexDir)
+      Dedup.toBandRowsPublic(s, batch)
+        .write.mode(SaveMode.Overwrite).partitionBy("band")
+        .parquet(s"$indexDir/$snap/band_keys")
+      maybeCrash("band_keys")
+      fingerprints(batch)
+        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$snap/fingerprints")
+      maybeCrash("fingerprints")
+      Dedup.simBlocks(Dedup.simhash60(batch))
+        .write.mode(SaveMode.Overwrite).partitionBy("b")
+        .parquet(s"$indexDir/$snap/sim_blocks")
+      maybeCrash("sim_blocks")
+      mergedLabels.foreach(_.write.mode(SaveMode.Overwrite)
+        .parquet(s"$indexDir/$snap/cluster_labels"))
+      maybeCrash("cluster_labels")
+      val fpPaths = prior("fingerprints").paths ++
+        relIfData(indexDir, s"$snap/fingerprints")
+      val mergedFps = s.read.parquet(fpPaths.map(p => s"$indexDir/$p"): _*)
+        .select(col("fp"))
+      val bloomRel = writeBloomInto(s, mergedFps, indexDir, snap)
+      def appended(name: String, rel: String) =
+        name -> prior(name).copy(paths = prior(name).paths ++ relIfData(indexDir, rel))
+      commitSnap(indexDir, snap, prior - "bloom" ++ Map(
+        appended("band_keys", s"$snap/band_keys"),
+        appended("fingerprints", s"$snap/fingerprints"),
+        appended("sim_blocks", s"$snap/sim_blocks")) ++
+        mergedLabels.map(_ => "cluster_labels" ->
+          Channel(Seq(s"$snap/cluster_labels"), "", "")) ++
+        bloomRel.map(p => "bloom" -> Channel(Seq(p), "", "")), base)
+    }
   }
 
   /** q133's containment screen fed from the stored band index: the

@@ -294,6 +294,23 @@ class IndexStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] { ops.IndexStore.vacuum(idx, retain = 0) }
   }
 
+  test("dedup append skips an exact redelivery idempotently, refuses partial overlap") {
+    val idx = tmp("dreplay")
+    ops.IndexStore.write(spark, df(docs), idx)
+    ops.IndexStore.append(spark, idx, df(batch))
+    val hist = ops.IndexStore.history(idx)
+    val fps = ops.IndexStore.channel(spark, idx, "fingerprints").count()
+    ops.IndexStore.append(spark, idx, df(batch)) // at-least-once redelivery
+    assert(ops.IndexStore.history(idx) == hist,
+      "exact replay must not commit a new snapshot")
+    assert(ops.IndexStore.channel(spark, idx, "fingerprints").count() == fps,
+      "exact replay must not duplicate fingerprint rows")
+    val e = intercept[IllegalArgumentException] {
+      ops.IndexStore.append(spark, idx, df(batch ++ Seq(8L -> "wholly new words")))
+    }
+    assert(e.getMessage.contains("partial overlap"), e.getMessage)
+  }
+
   test("concurrent writers: first committer wins, the loser fails loudly, nothing is lost") {
     val idx = tmp("occ")
     ops.IndexStore.writeText(spark, df(docs), idx)
