@@ -607,6 +607,34 @@ object ScaleProbe {
           ops.IndexStore.history(idxDir).head, "doc_lens").count()
       }
     }
+
+    // batch retrieval at probe scale (round 7): q144's claim is that a
+    // query batch costs ONE pruned postings read, not one per query —
+    // compare two single-query lookups against the one batched lookup
+    // over the same two probes (steady-state: store built first, each
+    // lookup timed on its second run after a warm-up pass).
+    if (only.exists(_.contains("bm25_batch"))) {
+      val idxDir = s"$dst/bm25_batch_store"
+      rmRf(new java.io.File(idxDir))
+      timeNamed("bb_store_build") {
+        ops.IndexStore.writeText(spark, Core.table(spark, dst, "documents"), idxDir); 1L
+      }
+      val t1 = ops.TextOps.qtermsOfExtreme(spark, dst, useMax = false)
+      val t2 = ops.TextOps.qtermsOfExtreme(spark, dst, useMax = true)
+      def single(ts: Seq[String]) = {
+        import spark.implicits._
+        ops.IndexStore.bm25FromStore(spark, idxDir, ts)
+          .orderBy($"score".desc, $"doc_id").limit(20).count()
+      }
+      single(t1); single(t2) // warm-up
+      timeNamed("bb_single_q1")(single(t1))
+      timeNamed("bb_single_q2")(single(t2))
+      val batch = Seq(1 -> t1, 2 -> t2)
+      ops.IndexStore.bm25BatchFromStore(spark, idxDir, batch).count() // warm-up
+      timeNamed("bb_batch_2q") {
+        ops.IndexStore.bm25BatchFromStore(spark, idxDir, batch).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -873,6 +873,41 @@ object IndexStore {
     TextOps.bm25RankDl(pruned, qdf, stats)
   }
 
+  /** BATCH retrieval from the text channel — the serving shape where
+    * queries arrive many at a time: ONE term-pruned postings read
+    * covers the whole batch (the pushed `In` filter carries the union
+    * of all queries' terms, O(Σ df) rows total), a tiny broadcast
+    * (qid, term) frame expands shared terms onto every query using
+    * them, scoring groups by (qid, doc_id) with the exact single-query
+    * arithmetic (decimal sums are order-independent, so each qid's
+    * scores are BIT-EQUAL to running it alone through
+    * [[bm25FromStore]] — TextIndexSpec pins it), and the top-k cut is
+    * a qid-PARTITIONED rank window over the matched rows — never an
+    * unpartitioned corpus window. Output: (qid, rank, doc_id, n_hit,
+    * score), ordered. */
+  def bm25BatchFromStore(s: SparkSession, indexDir: String,
+      queries: Seq[(Int, Seq[String])], k: Int = 20): DataFrame = {
+    import s.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val pruned = channel(s, indexDir, "postings")
+      .filter($"term".isin(allTerms: _*))
+    val qframe = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("qid", "term")
+    val stats = channel(s, indexDir, "stats")
+      .select($"n_docs",
+        ($"sum_dl".cast("double") / $"n_docs".cast("double")).as("avgdl"))
+    val qdf = pruned.groupBy($"term").agg(count(lit(1)).as("df"))
+    val scored = TextOps.bm25RankDlBatch(
+      pruned.join(broadcast(qframe), Seq("term")), qdf, stats)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"score".desc, $"doc_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"qid", $"rank", $"doc_id", $"n_hit", $"score")
+      .orderBy($"qid", $"rank")
+  }
+
   // ---------------------------------------------------------------
   // vector channel family
   // ---------------------------------------------------------------
@@ -929,6 +964,41 @@ object IndexStore {
         prior("cells").copy(paths =
           prior("cells").paths ++ relIfData(indexDir, s"$snap/cells"))), base)
     }
+  }
+
+  /** Refresh the store's IVF model from its own cells — the
+    * maintenance op the frozen-centroid append contract defers to.
+    * Appends assign under the SNAPSHOT model (IVF semantics), so as
+    * the corpus drifts the cells grow unbalanced and k stays sized
+    * for the original corpus; retrain reads the stored vectors back,
+    * trains a fresh Lloyd model on the standard md5-gated sample
+    * (k re-sized ~√corpus), reassigns every vector, and commits both
+    * channels as one compaction-class transaction — O(corpus), run as
+    * scheduled maintenance like [[compact]], crash-free under the same
+    * stage-then-flip protocol. The refresh is equivalent to
+    * rebuilding from the stored vectors (same trainer, same sample
+    * gate); VectorIndexSpec pins the semantics — membership preserved
+    * exactly, k re-sized, every stored assignment the exact argmax of
+    * the refreshed model. The rewrite
+    * also collapses an append-fragmented cells channel to one path,
+    * so a retrain doubles as the vector family's compaction. */
+  def retrainVectors(s: SparkSession, indexDir: String): Unit = {
+    val (base, prior) = baseRequired(indexDir)
+    val stored = channel(s, indexDir, "cells")
+      .select(col("vec_id"), col("label"), col("unit"))
+      .localCheckpoint()
+    val cents = Similarity.lloydTrain(stored.select(col("vec_id"), col("unit")))
+      .localCheckpoint()
+    val snap = beginSnap(indexDir)
+    cents.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$snap/centroids")
+    maybeCrash("centroids")
+    assignCells(stored, cents)
+      .write.mode(SaveMode.Overwrite).partitionBy("cid")
+      .parquet(s"$indexDir/$snap/cells")
+    maybeCrash("cells")
+    commitSnap(indexDir, snap, prior -- Seq("centroids", "cells") ++ Map(
+      "centroids" -> Channel(Seq(s"$snap/centroids"), "", ""),
+      "cells" -> Channel(Seq(s"$snap/cells"), "cid", "")), base)
   }
 
   // ---------------------------------------------------------------

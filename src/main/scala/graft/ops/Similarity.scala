@@ -110,7 +110,7 @@ object Similarity {
     * (sim desc, cid asc): one row per vector leaves each map task. A
     * window/row_number argmin would shuffle AND sort corpus × k rows on
     * every use (VERDICT r1 "what's wrong" #3). */
-  private[ops] def nearestCell(df: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def nearestCell(df: DataFrame, cents: DataFrame): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     df.join(broadcast(cents))
@@ -134,51 +134,63 @@ object Similarity {
     * sees ~250k). */
   private[graft] def ivfCentroids(s: SparkSession, dir: String): DataFrame =
     memo(s, s"similarity.ivfCentroids:$dir") {
-      import s.implicits._
-      val all = normalized(s, dir)
-      val TrainGate = 8192 // of 65536
-      val gated = all.filter(
-        conv(substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
-          .cast("long") < TrainGate)
-      val trainN = gated.count()
-      // cell count grows ~√corpus (the standard IVF sizing): probe
-      // work per query is nprobe·n/k, so a FIXED k degrades linearly
-      // with corpus growth — the 100× probe measured exactly that
-      // (10 effective cells of 200k vectors → billions of joined
-      // rows; SCALE.md "Measured")
-      val nEst = trainN * (65536.0 / TrainGate)
-      val k = math.max(16, math.sqrt(nEst / 64).toInt)
-      val train =
-        if (trainN < 10000) all
-        else {
-          // materialize the small sample once for the 3 iterations;
-          // re-alias after localCheckpoint (constraint exprIds)
-          val t = gated.localCheckpoint()
-          t.select(t.columns.map(c => col(c).as(c)): _*)
-        }
-      // deterministic init: k hash-ranked vectors (mod-step picking
-      // collapses when ids repeat in offset blocks — TakeOrdered of
-      // the md5 ranking is stable under any id layout; the k smallest
-      // md5s are inside the gate, so init is sample-independent)
-      var centroids = train
-        .withColumn("h", md5($"vec_id".cast("string")))
-        .orderBy($"h", $"vec_id").limit(k)
-        .select($"vec_id".as("cid"), $"unit".as("cvec"))
-      // 3 Lloyd iterations: assign → element-wise mean → renormalize.
-      // The mean is the fixed-width VectorMeanD partial aggregate
-      // (num_cells × 520-byte buffers), not a posexplode of
-      // corpus × dim rows.
-      val vmeanD = udaf(VectorMeanD)
-      for (_ <- 0 until 3) {
-        val means = nearestCell(train, centroids)
-          .groupBy($"cid").agg(vmeanD($"unit").as("raw"))
-        centroids = means
-          .withColumn("nrm", sqrt(graft.functions.DotProduct.dot_fast($"raw", $"raw")))
-          .select($"cid", transform($"raw", x => x / $"nrm").as("cvec"))
-          .localCheckpoint()   // truncate per-iteration lineage growth
-      }
-      centroids
+      lloydTrain(normalized(s, dir))
     }
+
+  /** The Lloyd/k-means training core over an ARBITRARY (vec_id, unit)
+    * frame — shared by the session model ([[ivfCentroids]]) and the
+    * store's model refresh (IndexStore.retrainVectors). The sample
+    * gate, init ranking and iteration count are deterministic per
+    * vector set; the float means are aggregation-order-sensitive at
+    * the ulp level, so equivalence pins on the trained model are
+    * SEMANTIC (assignment-argmax), not bit-level. */
+  private[graft] def lloydTrain(all: DataFrame): DataFrame = {
+    val s = all.sparkSession
+    import s.implicits._
+    graft.functions.DotProduct.register(s)
+    val TrainGate = 8192 // of 65536
+    val gated = all.filter(
+      conv(substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
+        .cast("long") < TrainGate)
+    val trainN = gated.count()
+    // cell count grows ~√corpus (the standard IVF sizing): probe
+    // work per query is nprobe·n/k, so a FIXED k degrades linearly
+    // with corpus growth — the 100× probe measured exactly that
+    // (10 effective cells of 200k vectors → billions of joined
+    // rows; SCALE.md "Measured")
+    val nEst = trainN * (65536.0 / TrainGate)
+    val k = math.max(16, math.sqrt(nEst / 64).toInt)
+    val train =
+      if (trainN < 10000) all
+      else {
+        // materialize the small sample once for the 3 iterations;
+        // re-alias after localCheckpoint (constraint exprIds)
+        val t = gated.localCheckpoint()
+        t.select(t.columns.map(c => col(c).as(c)): _*)
+      }
+    // deterministic init: k hash-ranked vectors (mod-step picking
+    // collapses when ids repeat in offset blocks — TakeOrdered of
+    // the md5 ranking is stable under any id layout; the k smallest
+    // md5s are inside the gate, so init is sample-independent)
+    var centroids = train
+      .withColumn("h", md5($"vec_id".cast("string")))
+      .orderBy($"h", $"vec_id").limit(k)
+      .select($"vec_id".as("cid"), $"unit".as("cvec"))
+    // 3 Lloyd iterations: assign → element-wise mean → renormalize.
+    // The mean is the fixed-width VectorMeanD partial aggregate
+    // (num_cells × 520-byte buffers), not a posexplode of
+    // corpus × dim rows.
+    val vmeanD = udaf(VectorMeanD)
+    for (_ <- 0 until 3) {
+      val means = nearestCell(train, centroids)
+        .groupBy($"cid").agg(vmeanD($"unit").as("raw"))
+      centroids = means
+        .withColumn("nrm", sqrt(graft.functions.DotProduct.dot_fast($"raw", $"raw")))
+        .select($"cid", transform($"raw", x => x / $"nrm").as("cvec"))
+        .localCheckpoint()   // truncate per-iteration lineage growth
+    }
+    centroids
+  }
 
   val catalog: Map[String, Q] = Map(
 

@@ -24,6 +24,27 @@ class TextIndexSpec extends SparkSpec {
       s"store route diverges from session route:\n  q114=${a.take(3)}\n  q139=${b.take(3)}")
   }
 
+  test("bm25BatchFromStore: each qid bit-equal to its single-query lookup") {
+    // the batched read shares one pruned postings scan across queries;
+    // because the score sum is exact decimal (order-independent), each
+    // query's results must be BIT-EQUAL to running it alone
+    val idx = ops.TextOps.textStore(spark, dir)
+    val t1 = ops.TextOps.qtermsOfExtreme(spark, dir, useMax = false)
+    val t2 = ops.TextOps.qtermsOfExtreme(spark, dir, useMax = true)
+    val batch = ops.IndexStore.bm25BatchFromStore(spark, idx,
+      Seq(1 -> t1, 2 -> t2)).collect()
+    assert(batch.length == 40, s"expected 2 × top-20, got ${batch.length}")
+    for ((qid, terms) <- Seq(1 -> t1, 2 -> t2)) {
+      val single = ops.IndexStore.bm25FromStore(spark, idx, terms)
+        .orderBy($"score".desc, $"doc_id").limit(20)
+        .select($"doc_id", $"n_hit", $"score").collect().toSeq
+      val fromBatch = batch.filter(_.getInt(0) == qid).sortBy(_.getInt(1))
+        .map(r => org.apache.spark.sql.Row(r.get(2), r.get(3), r.get(4))).toSeq
+      assert(fromBatch == single,
+        s"qid=$qid batch route diverges from single-query route")
+    }
+  }
+
   test("writeText(corpus) ≡ writeText(90%) + appendText(10%) on query results") {
     val docs = Core.table(spark, dir, "documents")
     val gate = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)

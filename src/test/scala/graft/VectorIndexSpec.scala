@@ -46,6 +46,56 @@ class VectorIndexSpec extends SparkSpec {
     assert(ra.nonEmpty && ra == rb, "append-maintained store ANN diverges")
   }
 
+  test("retrainVectors: model refreshed, assignments exact, no vector lost") {
+    // appends assign under the FROZEN snapshot model; retrain is the
+    // deferred maintenance op: re-train Lloyd on the stored vectors,
+    // reassign everything, one transaction. (Float partial-aggregation
+    // order makes two training runs ulp-different, so the pin is
+    // SEMANTIC, not bit-level: membership preserved, k re-sized for
+    // the full corpus, and every stored assignment the exact argmax of
+    // the refreshed model.)
+    val vecs = ops.Similarity.normalized(spark, dir)
+    val cents = ops.Similarity.ivfCentroids(spark, dir)
+    val gate = conv(substring(md5($"vec_id".cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    val rolled = tmp("retrain")
+    ops.IndexStore.writeVectors(spark, vecs.filter(gate < 58982L), cents, rolled)
+    ops.IndexStore.appendVectors(spark, rolled, vecs.filter(gate >= 58982L))
+    val idsBefore = ops.IndexStore.channel(spark, rolled, "cells")
+      .select($"vec_id")
+    val nBefore = idsBefore.count()
+    ops.IndexStore.retrainVectors(spark, rolled)
+    val cells = ops.IndexStore.channel(spark, rolled, "cells")
+    // membership preserved exactly
+    assert(cells.count() == nBefore &&
+      cells.select($"vec_id").except(idsBefore).isEmpty &&
+      idsBefore.except(cells.select($"vec_id")).isEmpty,
+      "retrain must preserve the stored vector set")
+    // every assignment is the argmax of the RETRAINED centroids —
+    // deterministic given the stored model, whatever floats training
+    // produced
+    val newCents = ops.IndexStore.channel(spark, rolled, "centroids")
+    val reassigned = graft.ops.Similarity.nearestCell(
+      cells.select($"vec_id", $"unit"), newCents)
+      .select($"vec_id", $"cid".as("want"))
+    val wrong = cells.select($"vec_id", $"cid")
+      .join(reassigned, Seq("vec_id"))
+      .filter($"cid" =!= $"want").count()
+    assert(wrong == 0, s"$wrong stored assignments are not the model argmax")
+    // the retrained store answers lookups, and its cells are one path
+    // again (retrain doubles as the vector family's compaction)
+    val q = ops.Similarity.queryBatch(spark, dir, vecs)
+    assert(ops.IndexStore.annFromStore(spark, rolled, q).count() > 0)
+    val cur = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$rolled/_current")).trim
+    val manifest = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$rolled/$cur/_manifest.json"))
+    val cellPaths = """"cells": \{"paths": \[([^\]]*)\]""".r
+      .findFirstMatchIn(manifest).get.group(1)
+    assert(!cellPaths.contains(","),
+      s"retrain must collapse cells to ONE path: $cellPaths")
+  }
+
   test("probed cell ids reach the cells read as a partition filter") {
     val idx = ops.Similarity.vectorStore(spark, dir)
     val q = ops.Similarity.queryBatch(spark, dir,
