@@ -184,6 +184,15 @@ object ScaleProbe {
       // first run also pays the once-per-JVM writeText (reported
       // inside the timing here, separately in bench's warm phase)
       "q139_bm25_store",
+      // q144: a 2-query batch served from ONE union-pruned postings
+      // read (store already built by the q139 entry above); the rank
+      // window is qid-partitioned over matched rows only
+      "q144_bm25_batch_store",
+      // q143: the versioned store's stats timeline — the first run
+      // pays the once-per-JVM 3-fold ingest build (write + 2 appends,
+      // reported inside the timing here, separately in bench's warm
+      // phase); the second-run block below times the pure read
+      "q143_store_time_travel",
       // q115: both retrieval channels are bounded TakeOrdereds (the
       // rank windows see only the retrieved 100 rows); the semantic
       // side is one broadcast-1-vector dot pass over the corpus
@@ -238,6 +247,10 @@ object ScaleProbe {
       // rows; block-join fan-out is Σ occupancy² over 4 × 2^15
       // buckets; verify is one integer op per candidate
       "q128_simhash_join",
+      // q141: q128's pigeonhole machinery over byte-shingle payload
+      // fingerprints — same Σ occupancy² block-join class, fingerprint
+      // is row-local codegen over the binary column
+      "q141_multimodal_neardup",
       // q133: q32's exact shape with two divisions — candidates from
       // the memoized LSH pairs, shingle sets joined as arrays
       "q133_containment",
@@ -251,7 +264,8 @@ object ScaleProbe {
     // writes are paid by the listed runs above, so these time the PURE
     // store-fed lookups — the steady-state cost a deployment sees per
     // query
-    for (q <- Seq("q139_bm25_store", "q140_ann_store")
+    for (q <- Seq("q139_bm25_store", "q140_ann_store",
+           "q144_bm25_batch_store", "q143_store_time_travel")
          if only.forall(_.contains(q))) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dst).count()
