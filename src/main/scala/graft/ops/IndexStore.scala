@@ -156,11 +156,6 @@ object IndexStore {
     parseManifest(root, cur)
   }
 
-  /** Channel map for WRITERS: an uninitialized root is an empty store,
-    * anything initialized resolves through the manifest. */
-  private def channelsForWrite(root: String): Map[String, Channel] =
-    if (currentSnapOpt(root).isEmpty) Map.empty else channels(root)
-
   /** (base snapshot, channel map) for a WRITER's transaction — the
     * pointer is read ONCE and the pair is the transaction's optimistic
     * base: [[commitSnap]] refuses to publish if the pointer has moved
@@ -394,6 +389,10 @@ object IndexStore {
     * present are carried forward untouched). */
   def write(s: SparkSession, docs: DataFrame, out: String): Unit = {
     graft.functions.BloomFuncs.register(s)
+    require(!docs.isEmpty,
+      "write: empty docs frame — an index store cannot be initialized " +
+        "from zero rows (its parquet channels would be schema-less and " +
+        "every later screen/append would fail); index a non-empty corpus")
     val (base, prior) = baseForWrite(out)
     val snap = beginSnap(out)
     Dedup.toBandRowsPublic(s, docs)
@@ -503,6 +502,8 @@ object IndexStore {
     * the state [[incrementalClusters]] maintains per batch, so a
     * rolling corpus never re-clusters itself from scratch. */
   def writeClusters(s: SparkSession, docs: DataFrame, out: String): Unit = {
+    require(!docs.isEmpty,
+      "writeClusters: empty docs frame — see write()")
     val (base, prior) = baseForWrite(out)
     val snap = beginSnap(out)
     Dedup.clusterLabelsFor(s, docs)
@@ -656,8 +657,14 @@ object IndexStore {
     * payload: binary). */
   def writeMedia(s: SparkSession, payloads: DataFrame, out: String): Unit = {
     val (base, prior) = baseForWrite(out)
+    val printable = Dedup.simhash60Bytes(payloads).localCheckpoint()
+    require(!printable.isEmpty,
+      "writeMedia: no fingerprintable payloads (empty frame, or every " +
+        "payload shorter than one byte-shingle window) — a channel-less " +
+        "store would wedge every later append/screen; initialize with " +
+        "at least one fingerprintable payload")
     val snap = beginSnap(out)
-    Dedup.simBlocks(Dedup.simhash60Bytes(payloads))
+    Dedup.simBlocks(printable)
       .write.mode(SaveMode.Overwrite).partitionBy("b")
       .parquet(s"$out/$snap/media_sim_blocks")
     maybeCrash("media_sim_blocks")
@@ -670,10 +677,15 @@ object IndexStore {
     * like the text/vector appends). */
   def appendMedia(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
     val (base, prior) = baseRequired(indexDir)
-    if (appendGuard("appendMedia", batch, "doc_id",
+    // the guard sees only the FINGERPRINTABLE rows (payloads shorter
+    // than one shingle window produce no fingerprint and are never
+    // stored): a batch id the channel cannot hold must not block its
+    // own redelivery, and a batch with nothing storable is a no-op
+    val printable = Dedup.simhash60Bytes(batch).localCheckpoint()
+    if (appendGuard("appendMedia", printable, "doc_id",
         channel(s, indexDir, "media_sim_blocks"))) {
       val snap = beginSnap(indexDir)
-      Dedup.simBlocks(Dedup.simhash60Bytes(batch))
+      Dedup.simBlocks(printable)
         .write.mode(SaveMode.Overwrite).partitionBy("b")
         .parquet(s"$indexDir/$snap/media_sim_blocks")
       maybeCrash("media_sim_blocks")
@@ -733,7 +745,7 @@ object IndexStore {
   def writeText(s: SparkSession, docs: DataFrame, out: String): Unit = {
     val (base, prior) = baseForWrite(out)
     val snap = beginSnap(out)
-    val chs = writeTextInto(s, TextOps.postingsFor(docs), out, snap, None)
+    val chs = writeTextInto(s, docs, out, snap, None)
     // an EMPTY doc frame (a streaming bootstrap's first micro-batch
     // can be empty) must not commit part-file-less parquet paths — a
     // later read of such a path cannot infer a schema and the store
@@ -753,7 +765,15 @@ object IndexStore {
     * stream forever; the caller skips it idempotently instead (the
     * store already holds the fold, so skip ≡ exactly-once). PARTIAL
     * overlap still fails loudly — that is a screening bug, not a
-    * replay. Cost: the stored side is filtered to the batch's
+    * replay. An EMPTY batch (or one whose rows all screened out
+    * upstream) is also a no-op — folding it would commit a snapshot,
+    * rewrite cluster labels and re-aggregate the bloom for zero new
+    * data, which on a duplicate-heavy stream degenerates to O(corpus)
+    * work per tick. The `batch` the caller passes must be ID-COMPLETE
+    * against `stored` — every batch id that the append would record
+    * must be able to witness its own overlap on redelivery (the media
+    * family passes its FINGERPRINTABLE rows for exactly this reason).
+    * Cost: the stored side is filtered to the batch's
     * [min, max] id range before the semi-join, so parquet row-group
     * stats prune the scan to overlapping row groups only — O(batch)
     * row groups for the monotone ids of a rolling ingest, never an
@@ -763,7 +783,7 @@ object IndexStore {
     val b = batch.agg(countDistinct(col(idCol)).as("n"),
       min(col(idCol)).as("lo"), max(col(idCol)).as("hi")).head()
     val n = b.getLong(0)
-    if (n == 0) true
+    if (n == 0) false
     else {
       val overlap = batch.select(col(idCol)).distinct()
         .join(stored.select(col(idCol))
@@ -798,7 +818,7 @@ object IndexStore {
         channel(s, indexDir, "doc_lens"))) {
       val st = channel(s, indexDir, "stats").head()
       val snap = beginSnap(indexDir)
-      val chs = writeTextInto(s, TextOps.postingsFor(batch), indexDir, snap,
+      val chs = writeTextInto(s, batch, indexDir, snap,
         Some((st.getAs[Long]("n_docs"), st.getAs[Long]("sum_dl"))))
       def appended(name: String) =
         name -> prior(name).copy(paths = prior(name).paths ++
@@ -813,11 +833,21 @@ object IndexStore {
     * returns their (single-path) channel entries. One tokenization
     * pass feeds all three (the postings plan re-tokenizes the corpus
     * per consumer otherwise — a measured double scan at store-write
-    * time). */
-  private def writeTextInto(s: SparkSession, postings0: DataFrame,
+    * time). `doc_lens` is ID-COMPLETE over the input docs (a
+    * letterless doc gets a dl=0 row via the left join) — it is the
+    * membership channel the append replay guard reads, and a doc the
+    * append recorded but the channel omitted would make that doc's
+    * exact redelivery unrecognizable (misread as partial overlap,
+    * wedging the stream). The stats census still counts only INDEXED
+    * docs (dl > 0 — the q143 oracle's WHERE clause). */
+  private def writeTextInto(s: SparkSession, docs: DataFrame,
       root: String, snap: String, priorStats: Option[(Long, Long)]): Map[String, Channel] = {
-    val postings = postings0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docLens = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val postings = TextOps.postingsFor(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docLens = docs.select(col("doc_id"))
+      .join(postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       postings.join(docLens, Seq("doc_id"))
@@ -828,8 +858,11 @@ object IndexStore {
       docLens.write.mode(SaveMode.Overwrite).parquet(s"$root/$snap/doc_lens")
       maybeCrash("doc_lens")
       // stats channel: exact long merge (prior + batch) — the 1-row
-      // collect is the whole cross-channel coupling
-      val b = docLens.agg(count(lit(1)).as("n"), sum(col("dl")).as("sd")).head()
+      // collect is the whole cross-channel coupling. Only INDEXED docs
+      // (dl > 0) enter the census: the id-complete dl=0 rows exist for
+      // the membership guard, not for BM25's N/avgdl
+      val b = docLens.filter(col("dl") > 0)
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("sd")).head()
       val (bn, bsd) = (b.getLong(0), if (b.isNullAt(1)) 0L else b.getLong(1))
       val (n, sd) = priorStats match {
         case Some((pn, psd)) => (pn + bn, psd + bsd)
@@ -891,9 +924,11 @@ object IndexStore {
     val allTerms = queries.flatMap(_._2).distinct
     val pruned = channel(s, indexDir, "postings")
       .filter($"term".isin(allTerms: _*))
+    // distinct across ENTRIES too: a qid listed twice (or a term
+    // repeated across its entries) must not double-count contributions
     val qframe = queries
-      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
-      .toDF("qid", "term")
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .distinct.toDF("qid", "term")
     val stats = channel(s, indexDir, "stats")
       .select($"n_docs",
         ($"sum_dl".cast("double") / $"n_docs".cast("double")).as("avgdl"))
@@ -931,6 +966,10 @@ object IndexStore {
     * write+append. */
   def writeVectors(s: SparkSession, vectors: DataFrame,
       centroids: DataFrame, out: String): Unit = {
+    require(!vectors.isEmpty && !centroids.isEmpty,
+      "writeVectors: empty vectors or centroids frame — a channel-less " +
+        "store would wedge every later append/lookup; train and write a " +
+        "non-empty model")
     val (base, prior) = baseForWrite(out)
     val snap = beginSnap(out)
     centroids.write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/centroids")

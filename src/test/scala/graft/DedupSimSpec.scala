@@ -869,11 +869,19 @@ class DedupSimSpec extends SparkSpec {
       payloads(Seq(20L -> (probe(1)._2 + "z")))).as[Long].collect().toSet
     assert(flagged2 == Set(20L), s"twin of appended payload not flagged: $flagged2")
     // an exact redelivery of the same batch is an idempotent no-op
-    // (at-least-once micro-batch replay) — no new snapshot committed
+    // (at-least-once micro-batch replay) — no new snapshot committed.
+    // The replayed batch ALSO carries a sub-window payload (2 bytes <
+    // the 4-byte shingle window): it produces no fingerprint and is
+    // never stored, so the guard must judge overlap on the
+    // FINGERPRINTABLE rows only — counting it would misread the exact
+    // replay as partial overlap and wedge the stream
     val hist = ops.IndexStore.history(out)
-    ops.IndexStore.appendMedia(spark, out, payloads(probe.filter(_._1 == 11L)))
+    val replay = payloads(probe.filter(_._1 == 11L) ++ Seq(12L -> "xy"))
+    ops.IndexStore.appendMedia(spark, out, replay)
     assert(ops.IndexStore.history(out) == hist,
       "exact replay must not commit a new snapshot")
+    ops.IndexStore.appendMedia(spark, out, replay) // and again
+    assert(ops.IndexStore.history(out) == hist)
     // a PARTIAL overlap (one stored id + one new) is a screening bug
     // and still fails loudly
     intercept[IllegalArgumentException] {

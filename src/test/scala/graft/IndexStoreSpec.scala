@@ -294,6 +294,35 @@ class IndexStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] { ops.IndexStore.vacuum(idx, retain = 0) }
   }
 
+  test("empty initial writes are refused loudly, never commit channel-less stores") {
+    // a store initialized from zero rows commits no readable channel
+    // (parquet cannot infer a schema from a part-file-less dir), and
+    // every later append/screen would crash on the missing channel
+    // with no recovery path — refuse at the source instead (writeText
+    // alone keeps its empty bootstrap: the text ingest loop is the one
+    // that may legitimately open on an empty micro-batch)
+    val empty = df(Seq.empty)
+    val e1 = intercept[IllegalArgumentException] {
+      ops.IndexStore.write(spark, empty, tmp("ew"))
+    }
+    assert(e1.getMessage.contains("empty docs frame"))
+    intercept[IllegalArgumentException] {
+      ops.IndexStore.writeClusters(spark, empty, tmp("ewc"))
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      ops.IndexStore.writeMedia(spark,
+        empty.select($"doc_id", $"text".cast("binary").as("payload")),
+        tmp("ewm"))
+    }
+    assert(e2.getMessage.contains("fingerprintable"))
+    val e3 = intercept[IllegalArgumentException] {
+      ops.IndexStore.writeVectors(spark,
+        Seq.empty[(Long, String, Seq[Double])].toDF("vec_id", "label", "unit"),
+        Seq.empty[(Long, Seq[Double])].toDF("cid", "cvec"), tmp("ewv"))
+    }
+    assert(e3.getMessage.contains("empty vectors or centroids"))
+  }
+
   test("dedup append skips an exact redelivery idempotently, refuses partial overlap") {
     val idx = tmp("dreplay")
     ops.IndexStore.write(spark, df(docs), idx)

@@ -132,6 +132,42 @@ class TextIndexSpec extends SparkSpec {
     assert(ops.IndexStore.channel(spark, idx, "doc_lens").count() == 4)
   }
 
+  test("a letterless doc cannot wedge replay: doc_lens is id-complete") {
+    // a doc with zero [a-z] tokens emits no postings, but the
+    // membership channel must still record it (dl=0) — otherwise an
+    // exact redelivery of a batch containing it reads as PARTIAL
+    // overlap and the stream wedges on the very guard built to
+    // unwedge it. The stats census still counts only indexed docs.
+    val idx = tmp("letterless")
+    ops.IndexStore.writeText(spark,
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), idx)
+    val batch = Seq((3L, "delta gamma"), (4L, "12345 !!!"))
+      .toDF("doc_id", "text")
+    ops.IndexStore.appendText(spark, idx, batch)
+    val hist = ops.IndexStore.history(idx)
+    ops.IndexStore.appendText(spark, idx, batch) // exact redelivery
+    assert(ops.IndexStore.history(idx) == hist,
+      "redelivery of a batch with a letterless doc must be a no-op")
+    val dls = ops.IndexStore.channel(spark, idx, "doc_lens")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dls == Map(1L -> 2L, 3L -> 2L, 4L -> 0L),
+      s"doc_lens must be id-complete with dl=0 for letterless docs: $dls")
+    val st = ops.IndexStore.channel(spark, idx, "stats").head()
+    assert(st.getAs[Long]("n_docs") == 2L && st.getAs[Long]("sum_dl") == 4L,
+      "stats must census only INDEXED (dl > 0) docs")
+  }
+
+  test("an empty append on an initialized store is a no-op, not a snapshot") {
+    val idx = tmp("emptyappend")
+    ops.IndexStore.writeText(spark,
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), idx)
+    val hist = ops.IndexStore.history(idx)
+    ops.IndexStore.appendText(spark, idx,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(ops.IndexStore.history(idx) == hist,
+      "an empty fold must not commit a snapshot")
+  }
+
   test("an empty bootstrap batch does not wedge the store") {
     // a streaming ingest loop's opening micro-batch can be empty; the
     // bootstrap write must not commit part-file-less parquet paths a
