@@ -648,6 +648,30 @@ object ScaleProbe {
       timeNamed("bb_batch_2q") {
         ops.IndexStore.bm25BatchFromStore(spark, idxDir, batch).count()
       }
+      // width-8: the amortization claim is about BATCH WIDTH — at
+      // width 2 a warm batch only matches two warm singles (each
+      // lookup's fixed cost ≈ its pruned-read cost at this store
+      // size); the fixed per-call costs (job scheduling, stats read,
+      // scan setup, rank pass) amortize as width grows while the
+      // union read grows only with NEW terms
+      locally {
+        import spark.implicits._
+        val docs = Core.table(spark, dst, "documents")
+        val ids = docs.orderBy($"doc_id").limit(8)
+          .select($"doc_id").as[Long].collect()
+        val termSets = ids.map { id =>
+          id -> "[a-z]+".r.findAllIn(docs.filter($"doc_id" === id)
+            .select(lower($"text")).head().getString(0)).toSeq.distinct }
+        termSets.foreach { case (_, ts) => single(ts) } // warm-up
+        timeNamed("bb_singles_8q") {
+          termSets.map { case (_, ts) => single(ts) }.sum
+        }
+        val batch8 = termSets.zipWithIndex.map { case ((_, ts), i) => (i + 1) -> ts }.toSeq
+        ops.IndexStore.bm25BatchFromStore(spark, idxDir, batch8).count() // warm-up
+        timeNamed("bb_batch_8q") {
+          ops.IndexStore.bm25BatchFromStore(spark, idxDir, batch8).count()
+        }
+      }
     }
     spark.stop()
   }

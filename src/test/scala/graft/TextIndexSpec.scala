@@ -84,6 +84,30 @@ class TextIndexSpec extends SparkSpec {
       s"term filter not pushed to the postings scan:\n${scanLine.take(800)}")
   }
 
+  test("batch lookup: union In filter pushed, doc_lens absent, window qid-partitioned") {
+    // the batch route inherits every single-route plan property: the
+    // UNION of all queries' terms arrives as one pushed In filter on
+    // the postings scan, the per-corpus-row doc_lens channel never
+    // appears, and the top-k window partitions by qid (bounded per
+    // query, never a single-task corpus sort)
+    val idx = tmp("bpush")
+    ops.IndexStore.writeText(spark, Core.table(spark, dir, "documents"), idx)
+    val df = ops.IndexStore.bm25BatchFromStore(spark, idx,
+      Seq(1 -> Seq("the", "spark"), 2 -> Seq("data", "spark")))
+    val plan = df.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("postings"))
+      .mkString("\n")
+    assert(scanLine.contains("PushedFilters: [In(term, ["),
+      s"union term filter not pushed to the postings scan:\n${scanLine.take(800)}")
+    assert(!plan.contains("doc_lens"),
+      s"batch lookup plan scans doc_lens — O(corpus) per batch:\n${plan.take(800)}")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val unpart = df.queryExecution.sparkPlan
+      .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(unpart.isEmpty, "batch top-k window must be qid-partitioned")
+  }
+
   test("lookup never touches the corpus: no doc_lens scan, stats read is 1 row") {
     // the O(Σ df) claim: dl rides inside the pruned postings rows and
     // (N, avgdl) is the persisted 1-row stats channel, so the ONLY
