@@ -933,6 +933,14 @@ object IndexStore {
       .select($"n_docs",
         ($"sum_dl".cast("double") / $"n_docs".cast("double")).as("avgdl"))
     val qdf = pruned.groupBy($"term").agg(count(lit(1)).as("df"))
+    // Deliberately TWO exchanges, not one: pre-partitioning the raw
+    // matched rows by qid alone would satisfy both the aggregation's
+    // and the window's distributions in a single shuffle, but it
+    // serializes each query's whole matched-row volume into one task
+    // (measured at 100×: width-2 batch 5.2 → 17.9 s). The (qid, doc)
+    // agg exchange keeps the heavy sum spread across all partitions;
+    // the window's qid exchange then moves only the AGGREGATED frame
+    // (one row per matched doc per query).
     val scored = TextOps.bm25RankDlBatch(
       pruned.join(broadcast(qframe), Seq("term")), qdf, stats)
     val w = org.apache.spark.sql.expressions.Window
