@@ -64,22 +64,43 @@ object ByteSimHash60 {
 
   def compute(payload: Array[Byte], n: Int): Long = {
     if (payload.length < n) return SimHash60.Empty
-    // ISO-8859-1 is a byte<->char bijection: the window key preserves
-    // the raw bytes exactly, so distinctness is true byte equality
-    val seen = new java.util.HashSet[String]()
     val ones = new Array[Int](60)
     var cnt = 0
     val md = SimHash60.digest.get()
-    var i = 0
-    while (i + n <= payload.length) {
-      val key = new String(payload, i, n, java.nio.charset.StandardCharsets.ISO_8859_1)
-      if (seen.add(key)) {
-        cnt += 1
-        md.reset()
-        md.update(payload, i, n)
-        SimHash60.accumulate(md.digest(), ones)
+    // distinctness key per window: for n ≤ 8 the raw bytes pack
+    // losslessly into one Long — a boxed-Long set instead of a
+    // per-window String decode (a 10 MB payload would otherwise
+    // allocate ~10M strings on this row-local hot path); wider
+    // windows (n > 8, never used by the engine's fingerprints) fall
+    // back to the byte-exact ISO-8859-1 string key
+    if (n <= 8) {
+      val seen = new java.util.HashSet[java.lang.Long]()
+      var i = 0
+      while (i + n <= payload.length) {
+        var key = 0L
+        var j = 0
+        while (j < n) { key = (key << 8) | (payload(i + j) & 0xffL); j += 1 }
+        if (seen.add(key)) {
+          cnt += 1
+          md.reset()
+          md.update(payload, i, n)
+          SimHash60.accumulate(md.digest(), ones)
+        }
+        i += 1
       }
-      i += 1
+    } else {
+      val seen = new java.util.HashSet[String]()
+      var i = 0
+      while (i + n <= payload.length) {
+        val key = new String(payload, i, n, java.nio.charset.StandardCharsets.ISO_8859_1)
+        if (seen.add(key)) {
+          cnt += 1
+          md.reset()
+          md.update(payload, i, n)
+          SimHash60.accumulate(md.digest(), ones)
+        }
+        i += 1
+      }
     }
     SimHash60.majority(ones, cnt)
   }

@@ -429,9 +429,13 @@ object IndexStore {
   def screenBatch(s: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
     import s.implicits._
     graft.functions.BloomFuncs.register(s)
+    // ONE pointer resolution for the whole screen: per-channel
+    // channel() calls would each re-read the pointer, and a concurrent
+    // append committing between them pairs a stale bloom with newer
+    // fingerprints — an under-flagging torn read. Every channel below
+    // resolves through this one manifest.
     val m = channels(indexDir)
-    val bandIdx = channel(s, indexDir, "band_keys")
-    val fpIdx = channel(s, indexDir, "fingerprints").select($"fp")
+    val fpIdx = channelFrom(s, indexDir, m, "fingerprints").select($"fp")
     val bfp = fingerprints(batch)
     // exact screen: bloom prefilter (narrow, broadcast bits) → exact
     // semi-join only for sketch hits; a store past the
@@ -447,9 +451,15 @@ object IndexStore {
       .join(fpIdx, Seq("fp"), "left_semi")
       .select($"doc_id")
     // near screen: incoming band rows semi-join the stored band index
-    val nearHits = Dedup.toBandRowsPublic(s, batch)
-      .join(bandIdx, Seq("band", "band_key"), "left_semi")
-      .select($"doc_id").distinct()
+    // (a store whose corpus produced no band rows has no channel —
+    // nothing stored to collide with, so the near screen is empty)
+    val nearHits = m.get("band_keys") match {
+      case Some(_) => Dedup.toBandRowsPublic(s, batch)
+        .join(channelFrom(s, indexDir, m, "band_keys"),
+          Seq("band", "band_key"), "left_semi")
+        .select($"doc_id").distinct()
+      case None => batch.select($"doc_id").limit(0)
+    }
     batch.select($"doc_id")
       .join(exactHits.withColumn("ex", lit(1)), Seq("doc_id"), "left")
       .join(nearHits.withColumn("nr", lit(1)), Seq("doc_id"), "left")
@@ -471,7 +481,10 @@ object IndexStore {
     * access beyond the store. */
   def screenBatchSim(s: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
     import s.implicits._
-    val stored = channel(s, indexDir, "sim_blocks")
+    val m = channels(indexDir)
+    if (!m.contains("sim_blocks"))
+      return batch.select(col("doc_id")).limit(0)
+    val stored = channelFrom(s, indexDir, m, "sim_blocks")
       .select($"b", $"bv", $"sim".as("corpus_sim"))
     Dedup.simBlocks(Dedup.simhash60(batch))
       .join(stored, Seq("b", "bv"))
@@ -531,8 +544,9 @@ object IndexStore {
   def incrementalClusters(s: SparkSession, indexDir: String,
       batch: DataFrame): DataFrame = {
     import s.implicits._
-    val storedBands = channel(s, indexDir, "band_keys")
-    val storedLabels = channel(s, indexDir, "cluster_labels")
+    val m = channels(indexDir)
+    val storedBands = channelFrom(s, indexDir, m, "band_keys")
+    val storedLabels = channelFrom(s, indexDir, m, "cluster_labels")
     val batchBands = Dedup.toBandRowsPublic(s, batch)
     val crossE = batchBands
       .join(storedBands.select($"doc_id".as("cid"), $"band", $"band_key"),
@@ -611,17 +625,25 @@ object IndexStore {
       mergedLabels.foreach(_.write.mode(SaveMode.Overwrite)
         .parquet(s"$indexDir/$snap/cluster_labels"))
       maybeCrash("cluster_labels")
-      val fpPaths = prior("fingerprints").paths ++
+      val fpPaths = prior.get("fingerprints").map(_.paths).getOrElse(Seq.empty) ++
         relIfData(indexDir, s"$snap/fingerprints")
       val mergedFps = s.read.parquet(fpPaths.map(p => s"$indexDir/$p"): _*)
         .select(col("fp"))
       val bloomRel = writeBloomInto(s, mergedFps, indexDir, snap)
-      def appended(name: String, rel: String) =
-        name -> prior(name).copy(paths = prior(name).paths ++ relIfData(indexDir, rel))
-      commitSnap(indexDir, snap, prior - "bloom" ++ Map(
-        appended("band_keys", s"$snap/band_keys"),
-        appended("fingerprints", s"$snap/fingerprints"),
-        appended("sim_blocks", s"$snap/sim_blocks")) ++
+      // prior.get, not prior(): a corpus whose docs produced no band /
+      // simhash rows has those channels dropped at write, and the
+      // first append that DOES produce them must create the entries
+      def appended(name: String, rel: String, partBy: String) = {
+        val fresh = relIfData(indexDir, rel)
+        name -> prior.get(name)
+          .map(ch => ch.copy(paths = ch.paths ++ fresh))
+          .getOrElse(Channel(fresh, partBy, ""))
+      }
+      commitSnap(indexDir, snap, prior - "bloom" ++ Seq(
+        appended("band_keys", s"$snap/band_keys", "band"),
+        appended("fingerprints", s"$snap/fingerprints", ""),
+        appended("sim_blocks", s"$snap/sim_blocks", "b"))
+        .filter(_._2.paths.nonEmpty).toMap ++
         mergedLabels.map(_ => "cluster_labels" ->
           Channel(Seq(s"$snap/cluster_labels"), "", "")) ++
         bloomRel.map(p => "bloom" -> Channel(Seq(p), "", "")), base)
@@ -820,11 +842,19 @@ object IndexStore {
       val snap = beginSnap(indexDir)
       val chs = writeTextInto(s, batch, indexDir, snap,
         Some((st.getAs[Long]("n_docs"), st.getAs[Long]("sum_dl"))))
-      def appended(name: String) =
-        name -> prior(name).copy(paths = prior(name).paths ++
-          chs(name).paths.flatMap(relIfData(indexDir, _)))
+      // prior.get, not prior(): a degenerate bootstrap (all-letterless
+      // opening batch) commits doc_lens+stats but drops the data-less
+      // postings channel, and the first real append must CREATE it
+      // rather than crash on the missing key
+      def appended(name: String) = {
+        val fresh = chs(name).paths.flatMap(relIfData(indexDir, _))
+        name -> prior.get(name)
+          .map(ch => ch.copy(paths = ch.paths ++ fresh))
+          .getOrElse(chs(name).copy(paths = fresh))
+      }
       commitSnap(indexDir, snap,
-        prior ++ Map(appended("postings"), appended("doc_lens")) +
+        prior ++ Seq(appended("postings"), appended("doc_lens"))
+          .filter(_._2.paths.nonEmpty).toMap +
           ("stats" -> chs("stats")), base)
     }
   }
@@ -897,9 +927,12 @@ object IndexStore {
   def bm25FromStore(s: SparkSession, indexDir: String,
       terms: Seq[String]): DataFrame = {
     import s.implicits._
-    val pruned = channel(s, indexDir, "postings")
+    // one pointer resolution: postings and stats must come from the
+    // SAME snapshot, or a concurrent append skews N/avgdl vs the read
+    val m = channels(indexDir)
+    val pruned = channelFrom(s, indexDir, m, "postings")
       .filter($"term".isin(terms: _*))
-    val stats = channel(s, indexDir, "stats")
+    val stats = channelFrom(s, indexDir, m, "stats")
       .select($"n_docs",
         ($"sum_dl".cast("double") / $"n_docs".cast("double")).as("avgdl"))
     val qdf = pruned.groupBy($"term").agg(count(lit(1)).as("df"))
@@ -922,14 +955,15 @@ object IndexStore {
       queries: Seq[(Int, Seq[String])], k: Int = 20): DataFrame = {
     import s.implicits._
     val allTerms = queries.flatMap(_._2).distinct
-    val pruned = channel(s, indexDir, "postings")
+    val m = channels(indexDir)
+    val pruned = channelFrom(s, indexDir, m, "postings")
       .filter($"term".isin(allTerms: _*))
     // distinct across ENTRIES too: a qid listed twice (or a term
     // repeated across its entries) must not double-count contributions
     val qframe = queries
       .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .distinct.toDF("qid", "term")
-    val stats = channel(s, indexDir, "stats")
+    val stats = channelFrom(s, indexDir, m, "stats")
       .select($"n_docs",
         ($"sum_dl".cast("double") / $"n_docs".cast("double")).as("avgdl"))
     val qdf = pruned.groupBy($"term").agg(count(lit(1)).as("df"))
@@ -1270,7 +1304,11 @@ object IndexStore {
       nprobe: Int = 4, k: Int = 5): DataFrame = {
     import s.implicits._
     graft.functions.DotProduct.register(s)
-    val cents = channel(s, indexDir, "centroids")
+    // one pointer resolution: centroids and cells must come from the
+    // SAME snapshot (a retrain commits both together; mixing a new
+    // model with old cells would probe the wrong partitions)
+    val m = channels(indexDir)
+    val cents = channelFrom(s, indexDir, m, "centroids")
     val probed = queries
       .join(broadcast(cents))
       .withColumn("sim", graft.functions.DotProduct.dot_fast($"unit", $"cvec"))
@@ -1281,7 +1319,7 @@ object IndexStore {
       .select($"vec_id".as("qid"), $"unit".as("qunit"), $"cid")
       .localCheckpoint()
     val cids = probed.select($"cid").distinct().as[Long].collect()
-    val cells = channel(s, indexDir, "cells")
+    val cells = channelFrom(s, indexDir, m, "cells")
       .filter($"cid".isin(cids: _*))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"qid").orderBy($"cos".desc, $"vid")

@@ -192,6 +192,29 @@ object Similarity {
     centroids
   }
 
+  /** Reciprocal-rank fusion of a lexical and a semantic top list —
+    * (doc_id, lex_rank) ⊕ (doc_id, sem_rank) → top-20 by
+    * Σ 1/(60+rank), rnd4'd before the cut. ONE definition shared by
+    * q115 (session retrieval) and q142 (store-fed retrieval): the
+    * store route's contract is "indistinguishable fusion", so the
+    * arithmetic must be structurally incapable of drifting between
+    * the two. (Inside the select, the 1/(60+rank) terms read the
+    * INPUT columns — still nullable from the full-outer join — so a
+    * one-sided doc contributes only its present modality; the
+    * coalesced 0-rank columns are display output.) */
+  private def rrfFuse(lexTop: DataFrame, semTop: DataFrame): DataFrame = {
+    val s = lexTop.sparkSession
+    import s.implicits._
+    lexTop.join(semTop, Seq("doc_id"), "full")
+      .select($"doc_id",
+        coalesce($"lex_rank", lit(0)).cast("long").as("lex_rank"),
+        coalesce($"sem_rank", lit(0)).cast("long").as("sem_rank"),
+        rnd4(coalesce(lit(1.0) / (lit(60) + $"lex_rank"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + $"sem_rank"), lit(0.0))).as("rrf"))
+      .orderBy($"rrf".desc, $"doc_id")
+      .limit(20)
+  }
+
   val catalog: Map[String, Q] = Map(
 
     // ---- embedding-cosine near-duplicate pairs: hyperplane-signature
@@ -480,14 +503,7 @@ object Similarity {
         val semTop = IndexStore.annFromStore(s, vectorStore(s, dir),
             qv, nprobe = 4, k = 100)
           .select($"vid".as("doc_id"), $"rn".cast("int").as("sem_rank"))
-        lexTop.join(semTop, Seq("doc_id"), "full")
-          .select($"doc_id",
-            coalesce($"lex_rank", lit(0)).cast("long").as("lex_rank"),
-            coalesce($"sem_rank", lit(0)).cast("long").as("sem_rank"),
-            rnd4(coalesce(lit(1.0) / (lit(60) + $"lex_rank"), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(60) + $"sem_rank"), lit(0.0))).as("rrf"))
-          .orderBy($"rrf".desc, $"doc_id")
-          .limit(20)
+        rrfFuse(lexTop, semTop)
       },
       None),
 
@@ -781,14 +797,7 @@ object Similarity {
           .withColumn("sem_rank",
             row_number().over(Window.orderBy($"cos".desc, $"doc_id")))
           .select($"doc_id", $"sem_rank")
-        lexTop.join(semTop, Seq("doc_id"), "full")
-          .select($"doc_id",
-            coalesce($"lex_rank", lit(0)).cast("long").as("lex_rank"),
-            coalesce($"sem_rank", lit(0)).cast("long").as("sem_rank"),
-            rnd4(coalesce(lit(1.0) / (lit(60) + $"lex_rank"), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(60) + $"sem_rank"), lit(0.0))).as("rrf"))
-          .orderBy($"rrf".desc, $"doc_id")
-          .limit(20)
+        rrfFuse(lexTop, semTop)
       },
       Some(s"""WITH $oracleEx,
         ${TextOps.oBm25Ctes},

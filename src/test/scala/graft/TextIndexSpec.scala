@@ -181,6 +181,22 @@ class TextIndexSpec extends SparkSpec {
       "stats must census only INDEXED (dl > 0) docs")
   }
 
+  test("q143 timeline: one version per POPULATED doc_id%3 slice (empty residue commits nothing)") {
+    // committed version ⇔ non-empty fold: residue 1 is empty here, so
+    // the store holds two snapshots and the query emits two versions —
+    // the same sequence the oracle derives from the same slicing
+    // (a fixed 1..3 numbering would desynchronize engine and oracle)
+    val fdir = tmp("q143edge")
+    Seq((0L, "alpha beta"), (3L, "gamma"),
+        (2L, "delta epsilon zeta"), (5L, "eta"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$fdir/documents.parquet")
+    val rows = SparkEntry.queries("q143_store_time_travel")(spark, fdir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1, 2L, 3L), (2, 4L, 7L)),
+      s"per-populated-slice cumulative census mismatch: $rows")
+  }
+
   test("an empty append on an initialized store is a no-op, not a snapshot") {
     val idx = tmp("emptyappend")
     ops.IndexStore.writeText(spark,
