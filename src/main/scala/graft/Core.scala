@@ -77,14 +77,37 @@ object Core {
   def rnd4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
   def oRnd4(e: String): String = s"(floor(($e) * 10000 + 0.5) / 10000.0)"
 
-  /** Collision-free per-JVM tag for a derived store path: the SOURCE
-    * path sanitized in full (the 32-bit hashCode it replaces could
-    * alias two distinct dirs) plus the PID, so two harness JVMs
+  /** Collision-free per-JVM path for a derived store, WITH stale
+    * reclaim: the SOURCE path sanitized in full (a 32-bit hashCode
+    * could alias two distinct dirs) plus the PID, so two harness JVMs
     * running against the same sfDir (bench + probe) never write/read
-    * the same store directory concurrently. */
-  def storeTag(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "") +
-      "_p" + ProcessHandle.current().pid()
+    * the same store directory concurrently. The PID suffix's side
+    * effect — every new JVM builds a fresh corpus-sized store — would
+    * leak tmpdir space run after run, so before returning the path
+    * this deletes same-(prefix, corpus) stores left by pids that are
+    * no longer alive: each corpus keeps at most one store per LIVE
+    * JVM. A live pid's store is never touched (the pid is parsed from
+    * the name and checked against the process table; unparseable
+    * names are skipped, never deleted). */
+  def jvmStorePath(prefix: String, dir: String, suffix: String = ""): String = {
+    val tmp = sys.props("java.io.tmpdir")
+    val base = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
+    val stem = s"${prefix}_${base}_p"
+    val myPid = ProcessHandle.current().pid()
+    Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(stem))
+      .filter { f =>
+        "_p(\\d+)".r.findAllMatchIn(f.getName).toSeq.lastOption.exists { m =>
+          val pid = m.group(1).toLong
+          pid != myPid && {
+            val oh = ProcessHandle.of(pid)
+            !(oh.isPresent && oh.get().isAlive)
+          }
+        }
+      }
+      .foreach(graft.ops.IndexStore.deleteRec)
+    s"$tmp/$stem$myPid$suffix"
+  }
 
   private val rowCounts =
     scala.collection.concurrent.TrieMap.empty[(String, String), Long]

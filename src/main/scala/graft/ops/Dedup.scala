@@ -647,8 +647,7 @@ object Dedup {
         val gate = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
           .cast("long")
         val slice = table(s, dir, "documents").filter(gate < gateLt)
-        val idx = s"${sys.props("java.io.tmpdir")}/graft_incc_" +
-          s"${graft.Core.storeTag(dir)}_g$gateLt"
+        val idx = graft.Core.jvmStorePath("graft_incc", dir, s"_g$gateLt")
         IndexStore.write(s, slice, idx)
         IndexStore.writeClusters(s, slice, idx)
         idx

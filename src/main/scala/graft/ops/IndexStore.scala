@@ -1147,8 +1147,7 @@ object IndexStore {
         maybeCrash(name)
         name -> ch.copy(paths = Seq(s"$snap/bloom/fingerprints.bloom"))
       } else {
-        val df = ch.paths.map(p => s.read.parquet(s"$root/$p"))
-          .reduce(_ unionByName _)
+        val df = channelFrom(s, root, prior, name)
         val bytes = ch.paths.map(p => dirBytes(new java.io.File(s"$root/$p"))).sum
         val target = compactTargetBytes(s)
         val parts = math.max(1L, (bytes + target - 1) / target).toInt

@@ -851,8 +851,7 @@ object Similarity {
   private[graft] def vectorStore(s: SparkSession, dir: String): String =
     vectorStores.synchronized {
       vectorStores.getOrElseUpdate(dir, {
-        val idx = s"${sys.props("java.io.tmpdir")}/graft_vec_" +
-          graft.Core.storeTag(dir)
+        val idx = graft.Core.jvmStorePath("graft_vec", dir)
         IndexStore.writeVectors(s, normalized(s, dir),
           ivfCentroids(s, dir), idx)
         idx

@@ -215,6 +215,30 @@ object StreamingOps {
     *
     * Usage: `.writeStream.foreachBatch { (b, _) =>
     *   StreamingOps.ingestAndMaintain(spark, indexDir, b); () }`. */
+  /** Retry a store mutation that loses a first-committer-wins race —
+    * the AVAILABILITY half of the OCC contract. The deployment the
+    * scaladocs bless (out-of-band compact on a maintenance schedule
+    * against a live ingest loop) makes an occasional loss NORMAL
+    * operation, and an uncaught ConcurrentModificationException would
+    * propagate out of foreachBatch and terminate the streaming query;
+    * a retry simply re-reads the store (the loser's staged files are
+    * inert) and re-commits against the new state. Bounded attempts —
+    * a store losing every retry indicates a runaway writer, which
+    * SHOULD surface. */
+  private def withOccRetry[T](attempts: Int = 3)(body: => T): T =
+    try body catch {
+      case e: java.util.ConcurrentModificationException =>
+        if (attempts <= 1) throw e
+        withOccRetry(attempts - 1)(body)
+    }
+
+  /** Best-effort in-loop maintenance: a compaction that loses an OCC
+    * race is simply skipped — the gate re-fires on the next fold, and
+    * maintenance must never take the ingest stream down. */
+  private def compactBestEffort(s: SparkSession, dir: String): Unit =
+    try { graft.ops.IndexStore.compactIfFragmented(s, dir); () }
+    catch { case _: java.util.ConcurrentModificationException => () }
+
   def ingestAndMaintain(s: SparkSession, indexDir: String,
       batch: DataFrame): DataFrame = {
     val decisions = graft.ops.IndexStore.screenBatch(s, indexDir, batch)
@@ -222,8 +246,8 @@ object StreamingOps {
     val kept = batch.join(
       decisions.filter(col("decision") === "keep").select(col("doc_id")),
       Seq("doc_id"), "left_semi")
-    graft.ops.IndexStore.append(s, indexDir, kept)
-    graft.ops.IndexStore.compactIfFragmented(s, indexDir)
+    withOccRetry() { graft.ops.IndexStore.append(s, indexDir, kept) }
+    compactBestEffort(s, indexDir)
     decisions
   }
 
@@ -251,8 +275,8 @@ object StreamingOps {
     * the gated loop ≡ one-shot too. */
   def ingestAndMaintainText(s: SparkSession, textIndexDir: String,
       batch: DataFrame): Unit = {
-    graft.ops.IndexStore.appendText(s, textIndexDir, batch)
-    graft.ops.IndexStore.compactIfFragmented(s, textIndexDir); ()
+    withOccRetry() { graft.ops.IndexStore.appendText(s, textIndexDir, batch) }
+    compactBestEffort(s, textIndexDir)
   }
 
   final case class VecRow(vec_id: Long, label: String, unit: Seq[Double])
@@ -273,8 +297,8 @@ object StreamingOps {
     * writeVectors on channels and on annFromStore results. */
   def ingestAndMaintainVectors(s: SparkSession, vecIndexDir: String,
       batch: DataFrame): Unit = {
-    graft.ops.IndexStore.appendVectors(s, vecIndexDir, batch)
-    graft.ops.IndexStore.compactIfFragmented(s, vecIndexDir); ()
+    withOccRetry() { graft.ops.IndexStore.appendVectors(s, vecIndexDir, batch) }
+    compactBestEffort(s, vecIndexDir)
   }
 
   final case class SessionSeq(user_id: Long, session_id: Long,

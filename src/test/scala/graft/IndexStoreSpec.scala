@@ -340,6 +340,23 @@ class IndexStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("partial overlap"), e.getMessage)
   }
 
+  test("ingest loop survives an OCC loss: the losing fold retries and lands") {
+    // the deployment the docs bless — out-of-band maintenance racing a
+    // live ingest loop — makes an occasional first-committer-wins loss
+    // NORMAL; the loop must retry against the new state, not die
+    val idx = tmp("occ-retry")
+    ops.IndexStore.writeText(spark, df(docs), idx)
+    ops.IndexStore.raceBeforeCommit = Some(() =>
+      ops.IndexStore.appendText(spark, idx, df(batch2)))
+    try streaming.StreamingOps.ingestAndMaintainText(spark, idx, df(batch))
+    finally ops.IndexStore.raceBeforeCommit = None
+    // both the rival's fold and the retried fold are present
+    assert(ops.IndexStore.channel(spark, idx, "doc_lens").count() == 7,
+      "the retried fold must land on top of the rival's commit")
+    assert(ops.IndexStore.channel(spark, idx, "stats").head()
+      .getAs[Long]("n_docs") == 7L)
+  }
+
   test("concurrent writers: first committer wins, the loser fails loudly, nothing is lost") {
     val idx = tmp("occ")
     ops.IndexStore.writeText(spark, df(docs), idx)
