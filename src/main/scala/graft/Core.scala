@@ -97,13 +97,13 @@ object Core {
     Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(stem))
       .filter { f =>
-        "_p(\\d+)".r.findAllMatchIn(f.getName).toSeq.lastOption.exists { m =>
-          val pid = m.group(1).toLong
-          pid != myPid && {
-            val oh = ProcessHandle.of(pid)
-            !(oh.isPresent && oh.get().isAlive)
-          }
-        }
+        "_p(\\d+)".r.findAllMatchIn(f.getName).toSeq.lastOption
+          .flatMap(m => scala.util.Try {
+            val pid = m.group(1).toLong
+            val oh = ProcessHandle.of(pid) // may reject out-of-range pids
+            pid != myPid && !(oh.isPresent && oh.get().isAlive)
+          }.toOption)
+          .contains(true)
       }
       .foreach(graft.ops.IndexStore.deleteRec)
     s"$tmp/$stem$myPid$suffix"

@@ -188,6 +188,37 @@ object StreamingOps {
     df.select(incoming.columns.map(col): _*)
   }
 
+  /** Retry a store mutation that loses a first-committer-wins race —
+    * the AVAILABILITY half of the OCC contract. The deployment the
+    * scaladocs bless (out-of-band compact on a maintenance schedule
+    * against a live ingest loop) makes an occasional loss NORMAL
+    * operation, and an uncaught ConcurrentModificationException would
+    * propagate out of foreachBatch and terminate the streaming query;
+    * a retry re-reads the store (the loser's staged files are inert)
+    * and re-commits against the new state. Bounded attempts — a store
+    * losing every retry indicates a runaway writer, which SHOULD
+    * surface. Only the OCC loss shape is retried: a reader racing an
+    * out-of-band VACUUM is a different failure (FileNotFound inside a
+    * Spark task) whose mitigation is the vacuum retention window
+    * (`vacuum(root, retain ≥ 2)` / `graft.store.vacuumRetain`) — the
+    * documented discipline for any store with readers outside the
+    * maintenance job, this loop included. */
+  private def withOccRetry[T](attempts: Int = 3)(body: => T): T =
+    try body catch {
+      case e: java.util.ConcurrentModificationException =>
+        if (attempts <= 1) throw e
+        withOccRetry(attempts - 1)(body)
+    }
+
+  /** Best-effort in-loop maintenance: a compaction that loses an OCC
+    * race is simply skipped — the gate re-fires on the next fold, and
+    * maintenance must never take the ingest stream down. (Anything
+    * other than the OCC loss still surfaces: swallowing arbitrary
+    * failures would mask real corruption.) */
+  private def compactBestEffort(s: SparkSession, dir: String): Unit =
+    try { graft.ops.IndexStore.compactIfFragmented(s, dir); () }
+    catch { case _: java.util.ConcurrentModificationException => () }
+
   /** Continuous corpus ingestion with ROLLING index maintenance — the
     * `foreachBatch` body that closes the loop between the read side
     * (`IndexStore.screenBatch`) and the write side
@@ -215,38 +246,23 @@ object StreamingOps {
     *
     * Usage: `.writeStream.foreachBatch { (b, _) =>
     *   StreamingOps.ingestAndMaintain(spark, indexDir, b); () }`. */
-  /** Retry a store mutation that loses a first-committer-wins race —
-    * the AVAILABILITY half of the OCC contract. The deployment the
-    * scaladocs bless (out-of-band compact on a maintenance schedule
-    * against a live ingest loop) makes an occasional loss NORMAL
-    * operation, and an uncaught ConcurrentModificationException would
-    * propagate out of foreachBatch and terminate the streaming query;
-    * a retry simply re-reads the store (the loser's staged files are
-    * inert) and re-commits against the new state. Bounded attempts —
-    * a store losing every retry indicates a runaway writer, which
-    * SHOULD surface. */
-  private def withOccRetry[T](attempts: Int = 3)(body: => T): T =
-    try body catch {
-      case e: java.util.ConcurrentModificationException =>
-        if (attempts <= 1) throw e
-        withOccRetry(attempts - 1)(body)
-    }
-
-  /** Best-effort in-loop maintenance: a compaction that loses an OCC
-    * race is simply skipped — the gate re-fires on the next fold, and
-    * maintenance must never take the ingest stream down. */
-  private def compactBestEffort(s: SparkSession, dir: String): Unit =
-    try { graft.ops.IndexStore.compactIfFragmented(s, dir); () }
-    catch { case _: java.util.ConcurrentModificationException => () }
-
   def ingestAndMaintain(s: SparkSession, indexDir: String,
       batch: DataFrame): DataFrame = {
-    val decisions = graft.ops.IndexStore.screenBatch(s, indexDir, batch)
-      .localCheckpoint()
-    val kept = batch.join(
-      decisions.filter(col("decision") === "keep").select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
-    withOccRetry() { graft.ops.IndexStore.append(s, indexDir, kept) }
+    // the retry re-runs the WHOLE screen+fold, not just the append:
+    // losing the race means another writer advanced the store, and
+    // stale keep/drop decisions could admit a doc whose twin the rival
+    // just committed — re-screening against the advanced store keeps
+    // the screen contract (and makes id overlap with the rival's fold
+    // impossible, so the retried append cannot hit the overlap guard)
+    val decisions = withOccRetry() {
+      val d = graft.ops.IndexStore.screenBatch(s, indexDir, batch)
+        .localCheckpoint()
+      val kept = batch.join(
+        d.filter(col("decision") === "keep").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      graft.ops.IndexStore.append(s, indexDir, kept)
+      d
+    }
     compactBestEffort(s, indexDir)
     decisions
   }

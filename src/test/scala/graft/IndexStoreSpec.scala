@@ -357,6 +357,25 @@ class IndexStoreSpec extends SparkSpec {
       .getAs[Long]("n_docs") == 7L)
   }
 
+  test("dedup ingest retry RE-SCREENS: a twin committed by a rival mid-fold is not admitted") {
+    // losing the OCC race means the store advanced; replaying stale
+    // keep/drop decisions could admit a doc whose exact twin the rival
+    // just committed — the retry must re-run the screen, not just the
+    // append
+    val idx = tmp("rescreen")
+    ops.IndexStore.write(spark, df(docs), idx)
+    val rival = df(Seq(6L -> "brand new unique content"))
+    val incoming = df(Seq(7L -> "brand new unique content"))
+    ops.IndexStore.raceBeforeCommit = Some(() =>
+      ops.IndexStore.append(spark, idx, rival))
+    val dec = try streaming.StreamingOps.ingestAndMaintain(spark, idx, incoming)
+      finally ops.IndexStore.raceBeforeCommit = None
+    assert(dec.filter($"decision" === "drop_exact").count() == 1,
+      "retry must re-screen against the advanced store")
+    assert(ops.IndexStore.channel(spark, idx, "fingerprints").count() == 4,
+      "store must hold docs ∪ rival only — the twin was not folded")
+  }
+
   test("concurrent writers: first committer wins, the loser fails loudly, nothing is lost") {
     val idx = tmp("occ")
     ops.IndexStore.writeText(spark, df(docs), idx)
