@@ -89,6 +89,11 @@ object Core {
     * JVM. A live pid's store is never touched (the pid is parsed from
     * the name and checked against the process table; unparseable
     * names are skipped, never deleted). */
+  private lazy val pidMax: Long =
+    scala.util.Try(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/sys/kernel/pid_max")).trim.toLong)
+      .getOrElse(4194304L)
+
   def jvmStorePath(prefix: String, dir: String, suffix: String = ""): String = {
     val tmp = sys.props("java.io.tmpdir")
     val base = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+", "")
@@ -100,8 +105,15 @@ object Core {
         "_p(\\d+)".r.findAllMatchIn(f.getName).toSeq.lastOption
           .flatMap(m => scala.util.Try {
             val pid = m.group(1).toLong
-            val oh = ProcessHandle.of(pid) // may reject out-of-range pids
-            pid != myPid && !(oh.isPresent && oh.get().isAlive)
+            // out-of-range pids are SKIPPED, not deleted: on Linux
+            // ProcessHandle.of(hugePid) returns empty (not-alive) even
+            // though no such process can exist — a foreign tmpdir
+            // entry must never be reclaimed on that basis
+            if (pid > pidMax) false
+            else {
+              val oh = ProcessHandle.of(pid)
+              pid != myPid && !(oh.isPresent && oh.get().isAlive)
+            }
           }.toOption)
           .contains(true)
       }

@@ -426,15 +426,20 @@ object IndexStore {
     * the bloom is a no-false-negative prefilter, so every true exact
     * dup reaches the fingerprint semi-join and sketch false positives
     * are eliminated there. */
-  def screenBatch(s: SparkSession, indexDir: String, batch: DataFrame): DataFrame = {
+  def screenBatch(s: SparkSession, indexDir: String, batch: DataFrame): DataFrame =
+    screenBatchFrom(s, indexDir, channels(indexDir), batch)
+
+  /** [[screenBatch]] against a CALLER-RESOLVED manifest — ONE pointer
+    * resolution for the whole screen: per-channel channel() calls
+    * would each re-read the pointer, and a concurrent append
+    * committing between them pairs a stale bloom with newer
+    * fingerprints — an under-flagging torn read. [[screenAndFold]]
+    * passes its transaction's own manifest so screen and fold share
+    * one base. */
+  private def screenBatchFrom(s: SparkSession, indexDir: String,
+      m: Map[String, Channel], batch: DataFrame): DataFrame = {
     import s.implicits._
     graft.functions.BloomFuncs.register(s)
-    // ONE pointer resolution for the whole screen: per-channel
-    // channel() calls would each re-read the pointer, and a concurrent
-    // append committing between them pairs a stale bloom with newer
-    // fingerprints — an under-flagging torn read. Every channel below
-    // resolves through this one manifest.
-    val m = channels(indexDir)
     val fpIdx = channelFrom(s, indexDir, m, "fingerprints").select($"fp")
     val bfp = fingerprints(batch)
     // exact screen: bloom prefilter (narrow, broadcast bits) → exact
@@ -542,9 +547,12 @@ object IndexStore {
     * bit-identical to re-running CC on everything (DedupSimSpec pins
     * it against catalog q45). */
   def incrementalClusters(s: SparkSession, indexDir: String,
-      batch: DataFrame): DataFrame = {
+      batch: DataFrame): DataFrame =
+    incrementalClustersFrom(s, indexDir, channels(indexDir), batch)
+
+  private def incrementalClustersFrom(s: SparkSession, indexDir: String,
+      m: Map[String, Channel], batch: DataFrame): DataFrame = {
     import s.implicits._
-    val m = channels(indexDir)
     val storedBands = channelFrom(s, indexDir, m, "band_keys")
     val storedLabels = channelFrom(s, indexDir, m, "cluster_labels")
     val batchBands = Dedup.toBandRowsPublic(s, batch)
@@ -595,20 +603,26 @@ object IndexStore {
     * `write(corpus ∪ batch)`: DedupSimSpec pins set equality on every
     * parquet channel and decision equality on both screens. */
   def append(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
-    graft.functions.BloomFuncs.register(s)
     val (base, prior) = baseRequired(indexDir)
+    appendFrom(s, indexDir, base, prior, batch)
+  }
+
+  private def appendFrom(s: SparkSession, indexDir: String,
+      base: Option[String], prior: Map[String, Channel],
+      batch: DataFrame): Unit = {
+    graft.functions.BloomFuncs.register(s)
     // same replay contract as the text/vector/media appends: an exact
     // at-least-once redelivery of an already-folded batch is a no-op
     // (re-folding would duplicate fingerprint/band rows and inflate
     // the bloom's estItems), partial overlap means the caller skipped
     // screenBatch and is refused
     if (appendGuard("append", batch, "doc_id",
-        channel(s, indexDir, "fingerprints"))) {
+        channelFrom(s, indexDir, prior, "fingerprints"))) {
       // merged labels are computed EAGERLY (localCheckpoint) before the
       // new snapshot stages: the merge must see the pre-append band index
       val mergedLabels =
         if (prior.contains("cluster_labels"))
-          Some(incrementalClusters(s, indexDir, batch).localCheckpoint())
+          Some(incrementalClustersFrom(s, indexDir, prior, batch).localCheckpoint())
         else None
       val snap = beginSnap(indexDir)
       Dedup.toBandRowsPublic(s, batch)
@@ -647,6 +661,36 @@ object IndexStore {
         mergedLabels.map(_ => "cluster_labels" ->
           Channel(Seq(s"$snap/cluster_labels"), "", "")) ++
         bloomRel.map(p => "bloom" -> Channel(Seq(p), "", "")), base)
+    }
+  }
+
+  /** The ingest loop's read-modify-write as ONE transaction:
+    * decisions screened against base snapshot B, fold committed only
+    * if the pointer still names B. Screening and folding through
+    * separate pointer reads leaves an UNDETECTABLE window — a rival
+    * landing between the screen's resolution and the append's base
+    * read passes the OCC check while the decisions are stale, silently
+    * admitting a doc whose twin the rival just committed. Capturing
+    * the base ONCE before the screen turns any rival commit anywhere
+    * in the fold into a detected ConcurrentModificationException the
+    * caller retries (re-screening against the advanced store). The
+    * checkpointed decisions frame is released if the fold fails, so a
+    * lost race does not strand executor storage across retries.
+    * Returns the decisions frame (kept docs folded). */
+  def screenAndFold(s: SparkSession, indexDir: String,
+      batch: DataFrame): DataFrame = {
+    val (base, prior) = baseRequired(indexDir)
+    val decisions = screenBatchFrom(s, indexDir, prior, batch)
+      .localCheckpoint()
+    try {
+      val kept = batch.join(
+        decisions.filter(col("decision") === "keep").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      appendFrom(s, indexDir, base, prior, kept)
+      decisions
+    } catch { case t: Throwable =>
+      scala.util.Try(decisions.unpersist(blocking = false))
+      throw t
     }
   }
 

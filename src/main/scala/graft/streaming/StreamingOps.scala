@@ -248,20 +248,15 @@ object StreamingOps {
     *   StreamingOps.ingestAndMaintain(spark, indexDir, b); () }`. */
   def ingestAndMaintain(s: SparkSession, indexDir: String,
       batch: DataFrame): DataFrame = {
-    // the retry re-runs the WHOLE screen+fold, not just the append:
-    // losing the race means another writer advanced the store, and
-    // stale keep/drop decisions could admit a doc whose twin the rival
-    // just committed — re-screening against the advanced store keeps
-    // the screen contract (and makes id overlap with the rival's fold
-    // impossible, so the retried append cannot hit the overlap guard)
+    // screenAndFold is the single-base transaction: the screen and the
+    // fold share ONE captured base, so a rival landing ANYWHERE in the
+    // read-modify-write — including between screen and append, a
+    // window separate pointer reads could not detect — raises the OCC
+    // loss, and the retry re-screens against the advanced store (stale
+    // keep decisions must never admit a doc whose twin the rival just
+    // committed)
     val decisions = withOccRetry() {
-      val d = graft.ops.IndexStore.screenBatch(s, indexDir, batch)
-        .localCheckpoint()
-      val kept = batch.join(
-        d.filter(col("decision") === "keep").select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-      graft.ops.IndexStore.append(s, indexDir, kept)
-      d
+      graft.ops.IndexStore.screenAndFold(s, indexDir, batch)
     }
     compactBestEffort(s, indexDir)
     decisions
