@@ -109,7 +109,7 @@ object Core {
             // ProcessHandle.of(hugePid) returns empty (not-alive) even
             // though no such process can exist — a foreign tmpdir
             // entry must never be reclaimed on that basis
-            if (pid > pidMax) false
+            if (pid >= pidMax) false // pid_max is EXCLUSIVE (proc(5))
             else {
               val oh = ProcessHandle.of(pid)
               pid != myPid && !(oh.isPresent && oh.get().isAlive)

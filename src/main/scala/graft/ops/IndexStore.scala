@@ -624,6 +624,11 @@ object IndexStore {
         if (prior.contains("cluster_labels"))
           Some(incrementalClustersFrom(s, indexDir, prior, batch).localCheckpoint())
         else None
+      // from here on a failure (crash injection, lost OCC race) must
+      // release the corpus-sized label checkpoint — each retry builds
+      // a fresh one, and stranded MEMORY_AND_DISK blocks would pile up
+      // until driver GC otherwise
+      try {
       val snap = beginSnap(indexDir)
       Dedup.toBandRowsPublic(s, batch)
         .write.mode(SaveMode.Overwrite).partitionBy("band")
@@ -661,8 +666,26 @@ object IndexStore {
         mergedLabels.map(_ => "cluster_labels" ->
           Channel(Seq(s"$snap/cluster_labels"), "", "")) ++
         bloomRel.map(p => "bloom" -> Channel(Seq(p), "", "")), base)
+      } catch { case t: Throwable =>
+        mergedLabels.foreach(releaseCheckpoint)
+        throw t
+      }
     }
   }
+
+  /** Release the executor blocks behind a localCheckpoint'ed frame.
+    * Dataset.unpersist is a NO-OP for checkpoints — the checkpoint
+    * persists its RDD directly, never registering with the
+    * CacheManager that unpersist consults — so the blocks are dropped
+    * through the plan's LogicalRDD. Best-effort: an unrecognized plan
+    * shape just falls back to ContextCleaner reclamation. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    scala.util.Try {
+      df.queryExecution.logical.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+      }; ()
+    }
 
   /** The ingest loop's read-modify-write as ONE transaction:
     * decisions screened against base snapshot B, fold committed only
@@ -689,7 +712,7 @@ object IndexStore {
       appendFrom(s, indexDir, base, prior, kept)
       decisions
     } catch { case t: Throwable =>
-      scala.util.Try(decisions.unpersist(blocking = false))
+      releaseCheckpoint(decisions)
       throw t
     }
   }

@@ -220,10 +220,11 @@ object StreamingOps {
     catch { case _: java.util.ConcurrentModificationException => () }
 
   /** Continuous corpus ingestion with ROLLING index maintenance — the
-    * `foreachBatch` body that closes the loop between the read side
-    * (`IndexStore.screenBatch`) and the write side
-    * (`IndexStore.append`). Each micro-batch is screened against the
-    * CURRENT store — so a doc admitted in micro-batch 1 correctly
+    * `foreachBatch` body around `IndexStore.screenAndFold`, the
+    * SINGLE-BASE screen+append transaction (composing screenBatch and
+    * append as separate calls would leave an undetectable window
+    * between their two pointer reads). Each micro-batch is screened
+    * against the CURRENT store — so a doc admitted in micro-batch 1 correctly
     * blocks its twin arriving in micro-batch 3, which the stateless
     * screens above cannot do (their index is frozen at stream start) —
     * and the keepers are folded into every channel (bands,
