@@ -510,6 +510,94 @@ object ScaleProbe {
       }
     }
 
+    // label-delta write volume (round 8): a labeled store's fold must
+    // WRITE O(batch-driven changes) label rows per micro-batch — the
+    // round-7 fold rewrote the O(corpus) artifact every time. Probe:
+    // cluster the 50% slice once, fold four 12.5% batches, and report
+    // each fold's delta row count against the resolved corpus size.
+    if (only.exists(_.contains("label_delta"))) {
+      val docs = Core.table(spark, dst, "documents")
+      val idxDir = s"$dst/index_store_label_delta"
+      rmRf(new java.io.File(idxDir))
+      timeNamed("label_delta_snapshot_write") {
+        val corpus = docs.filter(gate(col("doc_id")) < 32768L)
+        ops.IndexStore.write(spark, corpus, idxDir)
+        ops.IndexStore.writeClusters(spark, corpus, idxDir)
+        corpus.count()
+      }
+      def lastLabelPath(): String = {
+        val cur = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(idxDir, "_current")).trim
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+          java.nio.file.Files.readString(
+            java.nio.file.Paths.get(idxDir, cur, "_manifest.json")))
+        val it = node.get("channels").get("cluster_labels").get("paths").elements()
+        var last = ""; while (it.hasNext) last = it.next().asText()
+        last
+      }
+      for (i <- 0 until 4) {
+        val lo = 32768L + i * 8192L
+        timeNamed(s"label_delta_fold_$i") {
+          ops.IndexStore.append(spark, idxDir,
+            docs.filter(gate(col("doc_id")) >= lo &&
+              gate(col("doc_id")) < lo + 8192L))
+          1L
+        }
+        val deltaRows = spark.read.parquet(s"$idxDir/${lastLabelPath()}").count()
+        val corpusRows = ops.IndexStore.channel(spark, idxDir, "cluster_labels").count()
+        println(s"PROBE label_delta_rows_$i            " +
+          s"$deltaRows delta rows vs $corpusRows resolved corpus labels")
+      }
+    }
+
+    // media channel lifecycle at probe scale (round 8): the newest
+    // family gets the same operational evidence as bands/postings/
+    // cells — write + appends (fragmenting), screen A/B around
+    // compact, and the store-fed pair report.
+    if (only.exists(_.contains("media_store"))) {
+      val payloads = Core.table(spark, dst, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val idxDir = s"$dst/index_store_media"
+      rmRf(new java.io.File(idxDir))
+      val probeB = payloads.filter(gate(col("doc_id")) >= 58982L)
+      timeNamed("media_store_write") {
+        ops.IndexStore.writeMedia(spark,
+          payloads.filter(gate(col("doc_id")) < 39321L), idxDir)
+        1L
+      }
+      for (i <- 0 until 3) {
+        val lo = 39321L + i * 6553L
+        val hi = if (i == 2) 58982L else lo + 6553L
+        timeNamed(s"media_append_$i") {
+          ops.IndexStore.appendMedia(spark, idxDir,
+            payloads.filter(gate(col("doc_id")) >= lo &&
+              gate(col("doc_id")) < hi))
+          1L
+        }
+      }
+      def partFilesM(dir: java.io.File): Long =
+        Option(dir.listFiles()).getOrElse(Array.empty).map(f =>
+          if (f.isDirectory) partFilesM(f)
+          else if (f.getName.startsWith("part-")) 1L else 0L).sum
+      println(s"PROBE media_files_fragmented         " +
+        partFilesM(new java.io.File(idxDir)))
+      Core.clearCaches(spark)
+      timeNamed("media_screen_fragmented") {
+        ops.IndexStore.screenBatchMedia(spark, idxDir, probeB).count()
+      }
+      timeNamed("media_compact") { ops.IndexStore.compact(spark, idxDir); 1L }
+      timeNamed("media_vacuum") { ops.IndexStore.vacuum(idxDir).size.toLong }
+      println(s"PROBE media_files_compacted          " +
+        partFilesM(new java.io.File(idxDir)))
+      Core.clearCaches(spark)
+      timeNamed("media_screen_compacted") {
+        ops.IndexStore.screenBatchMedia(spark, idxDir, probeB).count()
+      }
+      timeNamed("media_pairs_from_store") {
+        ops.IndexStore.mediaPairsFromStore(spark, idxDir).count()
+      }
+    }
+
     // q138's candidate-bound regime gate at the designed worst case
     // (VERDICT r6 next #2): on the twin-dense probe corpus the exact
     // set-similarity join's measured bound Σ C(prefix-df, 2) exceeds

@@ -338,7 +338,13 @@ object Dedup {
         .select($"v".as("u"), $"m".as("v"))
         .unionByName(ssMin.select($"u", $"m".as("v")))
         .distinct()
+      val superseded = e
       e = ckpt(ss)
+      // the superseded round's checkpoint is dead once the new one
+      // materializes (ckpt is eager) — released here, or every CC run
+      // would strand one MEMORY_AND_DISK edge frame per round until
+      // driver GC (the final round's stays: the returned labels read it)
+      IndexStore.releaseCheckpoint(superseded)
       // exact order-independent fingerprint of the materialized
       // checkpoint: star-forest fixed points reproduce themselves, so
       // equal consecutive fingerprints end the loop
@@ -1226,12 +1232,20 @@ object Dedup {
             graft.functions.WordShingles.word_shingles(lower($"text"), 3))).as("w"))
         val dfw = toks.groupBy($"w").agg(count(lit(1)).as("dfw"))
         val sizes = toks.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        // persisted across gate + join: the gate's candidate-bound agg
+        // and the self-join both consume `prefix`, and without the
+        // cache the gate's honest price was a full second evaluation
+        // of the shingle/rank plan (measured at sf0.1: 0.87 → 1.48 s
+        // isolated). The narrow (doc_id, h, rk, n) frame is exactly
+        // what both consumers need; released in the finally below.
         val prefix = toks.join(dfw, Seq("w"))
           .withColumn("rk", row_number().over(
             Window.partitionBy($"doc_id").orderBy($"dfw", $"w")))
           .join(sizes, Seq("doc_id"))
-          .filter($"rk" <= $"n" - expr("(3*n + 4) div 5") + 1)
           .select($"doc_id", xxhash64($"w").as("h"), $"rk", $"n")
+          .filter($"rk" <= $"n" - expr("(3*n + 4) div 5") + 1)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
         // positional filter (PPJoin): a qualifying pair's FIRST shared
         // shingle under the global (df, w) order has the smallest rank
         // among shared shingles in BOTH docs, so the c−1 remaining
@@ -1241,6 +1255,8 @@ object Dedup {
         // true pair — dropping them is completeness-preserving and
         // cuts the pre-distinct candidate stream 3.4× on the 100×
         // twin corpus (3.85B → 1.12B rows, measured)
+        // the gate's agg doubles as the cache materialization — the
+        // join below reads the persisted blocks, not the plan
         ppjoinCandidateGate(s, prefix)
         val cand = prefix.as("a").join(prefix.as("b"),
             $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
@@ -1254,6 +1270,9 @@ object Dedup {
         // na/nb are cardinalities, invariant under the coding)
         graft.functions.SortedIntersectCount.register(s)
         val sets = codedSets(s, dir)
+        // the verified pair set is materialized EAGERLY (it is tiny —
+        // pairs above the 0.6 threshold) so the persisted prefix can
+        // be released before the query returns, not at session GC
         cand
           .join(sets.select($"doc_id".as("id_a"), $"ws".as("wsa")), Seq("id_a"))
           .join(sets.select($"doc_id".as("id_b"), $"ws".as("wsb")), Seq("id_b"))
@@ -1264,6 +1283,8 @@ object Dedup {
           .select($"id_a", $"id_b", $"inter",
             ($"na" + $"nb" - $"inter").as("un"))
           .orderBy($"id_a", $"id_b")
+          .localCheckpoint()
+        } finally prefix.unpersist(blocking = true)
       },
       Some(s"""$oracleCtes,
         sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1),

@@ -290,7 +290,26 @@ object IndexStore {
     val ch = m.getOrElse(name, throw new IllegalStateException(
       s"index store at $root has no '$name' channel " +
         s"(present: ${m.keys.toSeq.sorted.mkString(", ")})"))
-    ch.paths.map(p => s.read.parquet(s"$root/$p")).reduce(_ unionByName _)
+    val frames = ch.paths.map(p => s.read.parquet(s"$root/$p"))
+    // cluster_labels is the one LAST-WRITER-WINS channel: a rolling
+    // fold appends a label DELTA (only labels the merge changed plus
+    // the batch's new docs — O(batch-driven changes) rows, never the
+    // corpus), so the path list is ordered oldest → newest and a doc's
+    // label is its row in the NEWEST path that mentions it. Resolution
+    // is one partial-aggregatable hash agg (max_by over the path
+    // ordinal — each path holds a doc at most once, so no ties);
+    // single-path stores (fresh writeClusters, post-compact) skip it
+    // entirely. Every reader goes through here, so superseded rows are
+    // structurally unobservable; [[compact]] materializes the resolved
+    // view back to one path.
+    if (name == "cluster_labels" && frames.size > 1)
+      frames.zipWithIndex
+        .map { case (df, i) =>
+          df.select(col("doc_id"), col("cluster_id"), lit(i).as("_src")) }
+        .reduce(_ unionByName _)
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("cluster_id"), col("_src")).as("cluster_id"))
+    else frames.reduce(_ unionByName _)
   }
 
   /** The store's COMMITTED snapshot timeline, oldest → newest (the
@@ -321,14 +340,21 @@ object IndexStore {
     * retention window no longer covers `snap`; a vacuumed or
     * never-committed version is refused by name, never misread. */
   def channelAt(s: SparkSession, root: String, snap: String,
-      name: String): DataFrame = {
+      name: String): DataFrame =
+    channelFrom(s, root, manifestAt(root, snap), name)
+
+  /** The committed snapshot `snap`'s manifest — the validated entry
+    * point for every pinned-version read (time travel, and the
+    * paired-version hybrid route that must hold ONE version of a
+    * store across multiple channel reads). */
+  private def manifestAt(root: String, snap: String): Map[String, Channel] = {
     val committed = history(root)
     if (!committed.contains(snap))
       throw new IllegalStateException(
         s"index store at $root has no committed snapshot '$snap' " +
           s"(vacuumed or never committed; committed history: " +
           s"${committed.mkString(", ")})")
-    channelFrom(s, root, parseManifest(root, snap), name)
+    parseManifest(root, snap)
   }
 
   private[graft] def hasChannel(root: String, name: String): Boolean =
@@ -364,23 +390,96 @@ object IndexStore {
     s.conf.getOption("graft.bloom.maxItems").map(_.toLong)
       .getOrElse(64L * 1024 * 1024)
 
+  /** Blob name contract: `fingerprints.c<capacity>.n<estItems>.bloom`.
+    * CAPACITY is the `bloom_agg` sizing parameter (a power of two on a
+    * doubling schedule) — it fixes the sketch's bit count AND hash
+    * count, so two blobs built at the same capacity are structurally
+    * compatible and their bitwise OR is EXACTLY the blob of the union
+    * (insertion sets bits; set union = bit union). estItems is the
+    * exact running count of inserted rows, merge-updated per append.
+    * Both ride in the manifest-recorded file name, so the steady-state
+    * fold needs no side lookup to know whether it can OR-merge. */
+  private val BloomBlobName = """fingerprints\.c(\d+)\.n(\d+)\.bloom""".r
+
+  private def nextPow2(x: Long): Long = {
+    var p = 1024L; while (p < x) p <<= 1; p
+  }
+
+  /** Test-visible counter: how many times an append re-aggregated the
+    * blob from the fingerprint CHANNEL (the O(corpus-rows) scan the
+    * OR-merge amortizes away). Steady-state folds must not move it. */
+  @volatile private[graft] var bloomRebuilds: Long = 0L
+
+  /** Build + stage the blob for `fps` at `capacity`; returns its rel
+    * path. */
+  private def stageBloom(s: SparkSession, fps: DataFrame, root: String,
+      snap: String, capacity: Long, estItems: Long): Option[String] = {
+    val bits = fps.selectExpr(s"bloom_agg(xxhash64(fp), ${capacity}L) AS b")
+      .head().getAs[Array[Byte]]("b")
+    val rel = s"$snap/bloom/fingerprints.c$capacity.n$estItems.bloom"
+    new java.io.File(s"$root/$snap/bloom").mkdirs()
+    Files.write(Paths.get(s"$root/$rel"), bits)
+    Some(rel)
+  }
+
   /** Aggregate the bloom blob over a fingerprint frame into the
-    * staging snapshot; returns the blob's rel path, or None past the
-    * gate (the manifest entry is simply omitted then — a lingering
-    * undersized sketch would degrade its FP rate, so crossing the gate
-    * on append DROPS the channel). */
+    * staging snapshot at the doubling-schedule capacity (2× headroom
+    * worst case, so FPP stays at or under the sizing design point —
+    * Spark's 3% default — until estItems crosses capacity); returns
+    * the blob's rel path, or None past the gate (the manifest entry is
+    * simply omitted then — a lingering undersized sketch would degrade
+    * its FP rate, so crossing the gate on append DROPS the channel). */
   private def writeBloomInto(s: SparkSession, fps: DataFrame,
       root: String, snap: String): Option[String] = {
     val n0 = fps.count()
-    val n = math.max(1024L, n0)
-    if (n0 > 0 && n <= bloomMaxItems(s)) {
-      val bits = fps.selectExpr(s"bloom_agg(xxhash64(fp), ${n}L) AS b")
-        .head().getAs[Array[Byte]]("b")
-      new java.io.File(s"$root/$snap/bloom").mkdirs()
-      Files.write(Paths.get(s"$root/$snap/bloom/fingerprints.bloom"), bits)
-      Some(s"$snap/bloom/fingerprints.bloom")
-    } else None
+    if (n0 > 0 && n0 <= bloomMaxItems(s))
+      stageBloom(s, fps, root, snap, nextPow2(math.max(1024L, n0)), n0)
+    else None
   }
+
+  /** The fold's bloom maintenance, O(batch) in the steady state: build
+    * the BATCH's blob at the stored blob's capacity and bitwise
+    * OR-merge the two (exact — see [[BloomBlobName]]), touching no
+    * stored fingerprint row. The fingerprint-CHANNEL re-agg the
+    * round-7 fold paid EVERY append now runs only when estItems
+    * crosses the capacity (a doubling-schedule rebuild at
+    * nextPow2(newN) — amortized O(1) rebuilds per corpus doubling,
+    * each restoring the ≤ 3% FPP design point with ≥ 1× headroom) or
+    * when the blob name predates this contract. Crossing
+    * `graft.bloom.maxItems` drops the channel, as before; a store
+    * with no blob (past the gate) never re-creates one on append. */
+  private def mergeBloomInto(s: SparkSession, root: String,
+      prior: Map[String, Channel], batchFps: DataFrame, batchN: Long,
+      mergedFps: () => DataFrame, snap: String): Option[String] =
+    prior.get("bloom").flatMap { ch =>
+      val fileName = Paths.get(ch.paths.head).getFileName.toString
+      fileName match {
+        case BloomBlobName(_, n) if n.toLong + batchN > bloomMaxItems(s) =>
+          None // gate crossing: channel dropped
+        case BloomBlobName(c, n) if n.toLong + batchN <= c.toLong =>
+          val cap = c.toLong
+          val newEst = n.toLong + batchN
+          val batchBits = batchFps
+            .selectExpr(s"bloom_agg(xxhash64(fp), ${cap}L) AS b")
+            .head().getAs[Array[Byte]]("b")
+          val merged = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(
+              Files.readAllBytes(Paths.get(s"$root/${ch.paths.head}"))))
+          merged.mergeInPlace(org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(batchBits)))
+          val bos = new java.io.ByteArrayOutputStream()
+          merged.writeTo(bos)
+          val rel = s"$snap/bloom/fingerprints.c$cap.n$newEst.bloom"
+          new java.io.File(s"$root/$snap/bloom").mkdirs()
+          Files.write(Paths.get(s"$root/$rel"), bos.toByteArray)
+          Some(rel)
+        case _ =>
+          // capacity crossing (or a pre-contract blob name): the one
+          // re-agg, at doubled capacity
+          bloomRebuilds += 1
+          writeBloomInto(s, mergedFps(), root, snap)
+      }
+    }
 
   private val dedupChannels = Seq("band_keys", "fingerprints", "sim_blocks", "bloom")
 
@@ -524,8 +623,11 @@ object IndexStore {
       "writeClusters: empty docs frame — see write()")
     val (base, prior) = baseForWrite(out)
     val snap = beginSnap(out)
-    Dedup.clusterLabelsFor(s, docs)
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/cluster_labels")
+    val labels = Dedup.clusterLabelsFor(s, docs)
+    try labels.write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/cluster_labels")
+    // the CC run's final-round checkpoint is only needed until the
+    // labels land in parquet
+    finally releaseCheckpoint(labels)
     maybeCrash("cluster_labels")
     commitSnap(out, snap,
       prior + ("cluster_labels" -> Channel(Seq(s"$snap/cluster_labels"), "", "")),
@@ -550,8 +652,15 @@ object IndexStore {
       batch: DataFrame): DataFrame =
     incrementalClustersFrom(s, indexDir, channels(indexDir), batch)
 
-  private def incrementalClustersFrom(s: SparkSession, indexDir: String,
-      m: Map[String, Channel], batch: DataFrame): DataFrame = {
+  /** The supernode contraction both label-merge views share: CC over
+    * one node per stored cluster id plus the batch docs, with
+    * batch↔corpus edges contracted onto the stored cluster label.
+    * Returns (comp, storedLabels): `comp` labels every supernode and
+    * batch doc with its merged component min; because a stored label
+    * IS the min doc_id of its members, that min equals the
+    * full-recompute min. */
+  private def superMerge(s: SparkSession, indexDir: String,
+      m: Map[String, Channel], batch: DataFrame): (DataFrame, DataFrame) = {
     import s.implicits._
     val storedBands = channelFrom(s, indexDir, m, "band_keys")
     val storedLabels = channelFrom(s, indexDir, m, "cluster_labels")
@@ -567,7 +676,13 @@ object IndexStore {
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b")).distinct()
     val nodes = batch.select($"doc_id")
       .unionByName(storedLabels.select($"cluster_id".as("doc_id")).distinct())
-    val comp = Dedup.connectedComponents(nodes, crossE.unionByName(bb))
+    (Dedup.connectedComponents(nodes, crossE.unionByName(bb)), storedLabels)
+  }
+
+  private def incrementalClustersFrom(s: SparkSession, indexDir: String,
+      m: Map[String, Channel], batch: DataFrame): DataFrame = {
+    import s.implicits._
+    val (comp, storedLabels) = superMerge(s, indexDir, m, batch)
     val remap = comp.select($"doc_id".as("old_lbl"), $"cluster_id".as("new_lbl"))
     val corpusPart = storedLabels
       .join(remap, storedLabels("cluster_id") === remap("old_lbl"), "left")
@@ -575,6 +690,36 @@ object IndexStore {
         coalesce($"new_lbl", storedLabels("cluster_id")).as("cluster_id"))
     val batchPart = comp.join(batch.select($"doc_id"), Seq("doc_id"), "left_semi")
     corpusPart.unionByName(batchPart.select($"doc_id", $"cluster_id"))
+  }
+
+  /** The fold's label DELTA — what the merge CHANGED, not the merged
+    * corpus: labels for (a) every batch doc and (b) every stored doc
+    * whose cluster's label moved (its old cluster id remapped to a
+    * smaller component min). O(batch-driven changes) rows — a fold
+    * whose batch touches nothing beyond itself writes exactly its own
+    * docs — where the round-7 fold rewrote the O(corpus) artifact
+    * every micro-batch. Unchanged docs are simply NOT re-written;
+    * the last-writer-wins read in [[channelFrom]] resolves them from
+    * older paths, so resolved(store after fold) is bit-identical to
+    * the full [[incrementalClustersFrom]] merge: a corpus doc is
+    * either in a changed cluster (delta row = its coalesce(new, old)
+    * with new ≠ old) or not (no row; resolution keeps old = its
+    * coalesce result, since comp maps an untouched supernode to
+    * itself). DedupSimSpec pins the equality across multiple folds
+    * and after compact. */
+  private def labelDeltaFrom(s: SparkSession, indexDir: String,
+      m: Map[String, Channel], batch: DataFrame): DataFrame = {
+    import s.implicits._
+    val (comp, storedLabels) = superMerge(s, indexDir, m, batch)
+    // comp rows with cluster_id ≠ doc_id are moved supernodes (batch
+    // ids never match a stored cluster_id — appends are disjoint)
+    val remapChanged = comp.filter($"cluster_id" =!= $"doc_id")
+      .select($"doc_id".as("old_lbl"), $"cluster_id".as("new_lbl"))
+    val changedCorpus = storedLabels
+      .join(remapChanged, storedLabels("cluster_id") === remapChanged("old_lbl"))
+      .select(storedLabels("doc_id"), $"new_lbl".as("cluster_id"))
+    val batchPart = comp.join(batch.select($"doc_id"), Seq("doc_id"), "left_semi")
+    changedCorpus.unionByName(batchPart.select($"doc_id", $"cluster_id"))
   }
 
   /** Fold an accepted batch into EVERY dedup channel in O(batch) work —
@@ -586,15 +731,21 @@ object IndexStore {
     *  - band_keys / fingerprints / sim_blocks: the batch's new files
     *    land in the staging snapshot and the manifest carries the
     *    prior paths forward (copy-free list append).
-    *  - cluster_labels (when present): replaced by the
-    *    [[incrementalClusters]] merge — the artifact is O(corpus) rows
-    *    but producing it is O(batch + clusters) (a label-remap join,
-    *    never a re-cluster).
-    *  - bloom: re-aggregated from the merged fingerprint CHANNEL — a
-    *    scan of (doc_id, fp) rows, no document text — so estItems
-    *    tracks the true count and the FP rate stays at its design
-    *    point instead of degrading as the corpus grows past the
-    *    original sketch's capacity.
+    *  - cluster_labels (when present): a DELTA path is appended — only
+    *    the labels the [[incrementalClusters]] merge CHANGED plus the
+    *    batch's new docs, O(batch-driven changes) rows (the supernode
+    *    contraction's compute shape, now also its write shape).
+    *    Readers resolve last-writer-wins through the path list
+    *    ([[channelFrom]]); [[compact]] collapses the deltas back to
+    *    one materialized file.
+    *  - bloom: OR-merged in O(batch) — the batch's own blob is built
+    *    at the stored blob's recorded capacity and bitwise-ORed in
+    *    (exact: same capacity ⇒ same bits ⇒ union of insertions), so
+    *    the steady-state fold never scans the fingerprint channel.
+    *    estItems crossing the capacity triggers the one
+    *    doubling-schedule re-agg (restoring the FPP design point);
+    *    crossing `graft.bloom.maxItems` drops the channel
+    *    ([[mergeBloomInto]]).
     *
     * The whole fold is ONE snapshot transaction: a crash anywhere
     * before the pointer flip leaves readers on the previous consistent
@@ -616,18 +767,29 @@ object IndexStore {
     // (re-folding would duplicate fingerprint/band rows and inflate
     // the bloom's estItems), partial overlap means the caller skipped
     // screenBatch and is refused
-    if (appendGuard("append", batch, "doc_id",
-        channelFrom(s, indexDir, prior, "fingerprints"))) {
-      // merged labels are computed EAGERLY (localCheckpoint) before the
-      // new snapshot stages: the merge must see the pre-append band index
-      val mergedLabels =
-        if (prior.contains("cluster_labels"))
-          Some(incrementalClustersFrom(s, indexDir, prior, batch).localCheckpoint())
-        else None
-      // from here on a failure (crash injection, lost OCC race) must
-      // release the corpus-sized label checkpoint — each retry builds
-      // a fresh one, and stranded MEMORY_AND_DISK blocks would pile up
-      // until driver GC otherwise
+    appendGuard("append", batch, "doc_id",
+        channelFrom(s, indexDir, prior, "fingerprints")).foreach { batchN =>
+      // the label DELTA is computed EAGERLY (localCheckpoint) before
+      // the new snapshot stages: the merge must see the pre-append
+      // band index. O(batch-driven changes) rows — the fold's write
+      // cost now matches its compute shape (round 7 wrote the merged
+      // O(corpus) artifact here every micro-batch).
+      val labelDelta =
+        if (prior.contains("cluster_labels")) Some {
+          val plan = labelDeltaFrom(s, indexDir, prior, batch)
+          val d = plan.localCheckpoint()
+          // the supernode CC's final-round edge checkpoint feeds `plan`
+          // only until the delta materializes — release it here, not at
+          // driver GC. Surgical: `batch` may itself ride on a live
+          // checkpoint (screenAndFold's decisions frame, still needed
+          // by the channel writes below and returned to the caller),
+          // so only RDDs NOT reachable from the batch plan are dropped.
+          releaseCheckpointExcept(plan, batch)
+          d
+        } else None
+      // released on EVERY exit: a failure (crash injection, lost OCC
+      // race) must not strand blocks across retries, and after a
+      // successful commit the parquet delta holds the rows
       try {
       val snap = beginSnap(indexDir)
       Dedup.toBandRowsPublic(s, batch)
@@ -641,14 +803,15 @@ object IndexStore {
         .write.mode(SaveMode.Overwrite).partitionBy("b")
         .parquet(s"$indexDir/$snap/sim_blocks")
       maybeCrash("sim_blocks")
-      mergedLabels.foreach(_.write.mode(SaveMode.Overwrite)
+      labelDelta.foreach(_.write.mode(SaveMode.Overwrite)
         .parquet(s"$indexDir/$snap/cluster_labels"))
       maybeCrash("cluster_labels")
       val fpPaths = prior.get("fingerprints").map(_.paths).getOrElse(Seq.empty) ++
         relIfData(indexDir, s"$snap/fingerprints")
-      val mergedFps = s.read.parquet(fpPaths.map(p => s"$indexDir/$p"): _*)
+      def mergedFps() = s.read.parquet(fpPaths.map(p => s"$indexDir/$p"): _*)
         .select(col("fp"))
-      val bloomRel = writeBloomInto(s, mergedFps, indexDir, snap)
+      val bloomRel = mergeBloomInto(s, indexDir, prior, fingerprints(batch),
+        batchN, () => mergedFps(), snap)
       // prior.get, not prior(): a corpus whose docs produced no band /
       // simhash rows has those channels dropped at write, and the
       // first append that DOES produce them must create the entries
@@ -663,13 +826,11 @@ object IndexStore {
         appended("fingerprints", s"$snap/fingerprints", ""),
         appended("sim_blocks", s"$snap/sim_blocks", "b"))
         .filter(_._2.paths.nonEmpty).toMap ++
-        mergedLabels.map(_ => "cluster_labels" ->
-          Channel(Seq(s"$snap/cluster_labels"), "", "")) ++
+        labelDelta.map(_ => appended("cluster_labels",
+          s"$snap/cluster_labels", "")._2)
+          .map("cluster_labels" -> _) ++
         bloomRel.map(p => "bloom" -> Channel(Seq(p), "", "")), base)
-      } catch { case t: Throwable =>
-        mergedLabels.foreach(releaseCheckpoint)
-        throw t
-      }
+      } finally labelDelta.foreach(releaseCheckpoint)
     }
   }
 
@@ -679,10 +840,25 @@ object IndexStore {
     * CacheManager that unpersist consults — so the blocks are dropped
     * through the plan's LogicalRDD. Best-effort: an unrecognized plan
     * shape just falls back to ContextCleaner reclamation. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[ops] def releaseCheckpoint(df: DataFrame): Unit =
     scala.util.Try {
       df.queryExecution.logical.collect {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+      }; ()
+    }
+
+  /** [[releaseCheckpoint]] minus every RDD reachable from `keep`'s
+    * plan — for plans that COMPOSE a dead internal checkpoint with a
+    * caller-owned live one. */
+  private def releaseCheckpointExcept(df: DataFrame, keep: DataFrame): Unit =
+    scala.util.Try {
+      val keepIds = keep.queryExecution.logical.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }.toSet
+      df.queryExecution.logical.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD
+            if !keepIds.contains(lr.rdd.id) =>
           lr.rdd.unpersist(false)
       }; ()
     }
@@ -747,19 +923,25 @@ object IndexStore {
   def writeMedia(s: SparkSession, payloads: DataFrame, out: String): Unit = {
     val (base, prior) = baseForWrite(out)
     val printable = Dedup.simhash60Bytes(payloads).localCheckpoint()
-    require(!printable.isEmpty,
-      "writeMedia: no fingerprintable payloads (empty frame, or every " +
-        "payload shorter than one byte-shingle window) — a channel-less " +
-        "store would wedge every later append/screen; initialize with " +
-        "at least one fingerprintable payload")
-    val snap = beginSnap(out)
-    Dedup.simBlocks(printable)
-      .write.mode(SaveMode.Overwrite).partitionBy("b")
-      .parquet(s"$out/$snap/media_sim_blocks")
-    maybeCrash("media_sim_blocks")
-    commitSnap(out, snap, (prior + ("media_sim_blocks" ->
-      Channel(relIfData(out, s"$snap/media_sim_blocks"), "b", "")))
-      .filter(_._2.paths.nonEmpty), base)
+    // released on EVERY exit (the require below included): the
+    // checkpoint holds the batch's fingerprint blocks in executor
+    // storage, and a long-lived serving session would otherwise carry
+    // one stranded frame per media write until driver GC
+    try {
+      require(!printable.isEmpty,
+        "writeMedia: no fingerprintable payloads (empty frame, or every " +
+          "payload shorter than one byte-shingle window) — a channel-less " +
+          "store would wedge every later append/screen; initialize with " +
+          "at least one fingerprintable payload")
+      val snap = beginSnap(out)
+      Dedup.simBlocks(printable)
+        .write.mode(SaveMode.Overwrite).partitionBy("b")
+        .parquet(s"$out/$snap/media_sim_blocks")
+      maybeCrash("media_sim_blocks")
+      commitSnap(out, snap, (prior + ("media_sim_blocks" ->
+        Channel(relIfData(out, s"$snap/media_sim_blocks"), "b", "")))
+        .filter(_._2.paths.nonEmpty), base)
+    } finally releaseCheckpoint(printable)
   }
 
   /** O(batch) append into the media channel (disjointness enforced
@@ -769,19 +951,23 @@ object IndexStore {
     // the guard sees only the FINGERPRINTABLE rows (payloads shorter
     // than one shingle window produce no fingerprint and are never
     // stored): a batch id the channel cannot hold must not block its
-    // own redelivery, and a batch with nothing storable is a no-op
+    // own redelivery, and a batch with nothing storable is a no-op.
+    // Guard read through the transaction's base manifest (single-base
+    // discipline), checkpoint released on every exit.
     val printable = Dedup.simhash60Bytes(batch).localCheckpoint()
-    if (appendGuard("appendMedia", printable, "doc_id",
-        channel(s, indexDir, "media_sim_blocks"))) {
-      val snap = beginSnap(indexDir)
-      Dedup.simBlocks(printable)
-        .write.mode(SaveMode.Overwrite).partitionBy("b")
-        .parquet(s"$indexDir/$snap/media_sim_blocks")
-      maybeCrash("media_sim_blocks")
-      commitSnap(indexDir, snap, prior + ("media_sim_blocks" ->
-        prior("media_sim_blocks").copy(paths = prior("media_sim_blocks").paths ++
-          relIfData(indexDir, s"$snap/media_sim_blocks"))), base)
-    }
+    try {
+      if (appendGuard("appendMedia", printable, "doc_id",
+          channelFrom(s, indexDir, prior, "media_sim_blocks")).isDefined) {
+        val snap = beginSnap(indexDir)
+        Dedup.simBlocks(printable)
+          .write.mode(SaveMode.Overwrite).partitionBy("b")
+          .parquet(s"$indexDir/$snap/media_sim_blocks")
+        maybeCrash("media_sim_blocks")
+        commitSnap(indexDir, snap, prior + ("media_sim_blocks" ->
+          prior("media_sim_blocks").copy(paths = prior("media_sim_blocks").paths ++
+            relIfData(indexDir, s"$snap/media_sim_blocks"))), base)
+      }
+    } finally releaseCheckpoint(printable)
   }
 
   /** Batch payloads whose byte-shingle fingerprint sits within Hamming
@@ -797,6 +983,18 @@ object IndexStore {
       .select($"doc_id").distinct()
       .orderBy($"doc_id")
   }
+
+  /** All near-dup payload pairs reconstructed from the STORED media
+    * channel alone — the media sibling of [[pairsFromStore]] (q141's
+    * pair machinery, q128's first-match block join, over the persisted
+    * block-partitioned fingerprints): a cold session reports payload
+    * twins without re-reading or re-fingerprinting any payload bytes.
+    * Same (b, bv) self-join + exact bit_count verify as the catalog
+    * query, so the pair set is IDENTICAL to running q141 over the
+    * store's corpus (DedupSimSpec pins it, appends and compaction
+    * included). */
+  def mediaPairsFromStore(s: SparkSession, indexDir: String): DataFrame =
+    Dedup.pigeonholePairs(channel(s, indexDir, "media_sim_blocks"))
 
   // ---------------------------------------------------------------
   // text channel family
@@ -868,25 +1066,27 @@ object IndexStore {
     * row groups for the monotone ids of a rolling ingest, never an
     * unconditional full-channel read. */
   private def appendGuard(op: String, batch: DataFrame, idCol: String,
-      stored: DataFrame): Boolean = {
+      stored: DataFrame): Option[Long] = {
     val b = batch.agg(countDistinct(col(idCol)).as("n"),
       min(col(idCol)).as("lo"), max(col(idCol)).as("hi")).head()
     val n = b.getLong(0)
-    if (n == 0) false
+    if (n == 0) None
     else {
       val overlap = batch.select(col(idCol)).distinct()
         .join(stored.select(col(idCol))
             .filter(col(idCol).between(lit(b.get(1)), lit(b.get(2)))),
           Seq(idCol), "left_semi")
         .count()
-      if (overlap == n) false
+      if (overlap == n) None
       else {
         require(overlap == 0,
           s"$op: $overlap of $n batch ${idCol}(s) already present in the " +
             "store — partial overlap is a screening bug (appends must be " +
             "pre-screened disjoint batches); an exact replay is skipped " +
             "idempotently, a mixed batch is refused")
-        true
+        // the distinct-id count rides along: Some(n) = proceed with n
+        // new ids (the vec_stats merge reuses it instead of re-counting)
+        Some(n)
       }
     }
   }
@@ -903,9 +1103,15 @@ object IndexStore {
   def appendText(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
     val (base, prior) = baseForWrite(indexDir)
     if (!prior.contains("doc_lens")) writeText(s, batch, indexDir)
+    // guard + stats read through the transaction's OWN base manifest
+    // (`prior`), not a fresh pointer resolution: a rival committing
+    // between two resolutions would hand this append a torn view that
+    // only commitSnap's OCC check happens to reject — the reads and
+    // the base must be one snapshot by construction, as appendFrom /
+    // screenAndFold already do (and it saves a redundant manifest read)
     else if (appendGuard("appendText", batch, "doc_id",
-        channel(s, indexDir, "doc_lens"))) {
-      val st = channel(s, indexDir, "stats").head()
+        channelFrom(s, indexDir, prior, "doc_lens")).isDefined) {
+      val st = channelFrom(s, indexDir, prior, "stats").head()
       val snap = beginSnap(indexDir)
       val chs = writeTextInto(s, batch, indexDir, snap,
         Some((st.getAs[Long]("n_docs"), st.getAs[Long]("sum_dl"))))
@@ -992,11 +1198,21 @@ object IndexStore {
     * postings rows plus one stats row — NEVER the corpus, at any
     * corpus size. */
   def bm25FromStore(s: SparkSession, indexDir: String,
-      terms: Seq[String]): DataFrame = {
-    import s.implicits._
+      terms: Seq[String]): DataFrame =
     // one pointer resolution: postings and stats must come from the
     // SAME snapshot, or a concurrent append skews N/avgdl vs the read
-    val m = channels(indexDir)
+    bm25From(s, indexDir, channels(indexDir), terms)
+
+  /** [[bm25FromStore]] pinned to the committed snapshot `snap` — the
+    * lexical half of a paired-version hybrid read (vacuumed or
+    * uncommitted versions are refused by name). */
+  def bm25FromStoreAt(s: SparkSession, indexDir: String, snap: String,
+      terms: Seq[String]): DataFrame =
+    bm25From(s, indexDir, manifestAt(indexDir, snap), terms)
+
+  private def bm25From(s: SparkSession, indexDir: String,
+      m: Map[String, Channel], terms: Seq[String]): DataFrame = {
+    import s.implicits._
     val pruned = channelFrom(s, indexDir, m, "postings")
       .filter($"term".isin(terms: _*))
     val stats = channelFrom(s, indexDir, m, "stats")
@@ -1021,15 +1237,34 @@ object IndexStore {
   def bm25BatchFromStore(s: SparkSession, indexDir: String,
       queries: Seq[(Int, Seq[String])], k: Int = 20): DataFrame = {
     import s.implicits._
-    val allTerms = queries.flatMap(_._2).distinct
-    val m = channels(indexDir)
-    val pruned = channelFrom(s, indexDir, m, "postings")
-      .filter($"term".isin(allTerms: _*))
     // distinct across ENTRIES too: a qid listed twice (or a term
     // repeated across its entries) must not double-count contributions
     val qframe = queries
       .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
       .distinct.toDF("qid", "term")
+    bm25BatchFrom(s, indexDir, channels(indexDir), qframe, k, None)
+  }
+
+  /** Frame-generic batch core (qid of any key type — the hybrid batch
+    * route keys by the query DOC id), optionally pinned to a committed
+    * snapshot and optionally excluding each query's own doc (`exclude`:
+    * (qid, self_id) rows, anti-joined BEFORE the rank window so ranks
+    * stay contiguous — the single hybrid route's exclude-then-rank
+    * order). */
+  private[graft] def bm25BatchFromStoreAt(s: SparkSession, indexDir: String,
+      snap: String, qframe: DataFrame, k: Int,
+      exclude: Option[DataFrame]): DataFrame =
+    bm25BatchFrom(s, indexDir, manifestAt(indexDir, snap), qframe, k, exclude)
+
+  private def bm25BatchFrom(s: SparkSession, indexDir: String,
+      m: Map[String, Channel], qframe: DataFrame, k: Int,
+      exclude: Option[DataFrame]): DataFrame = {
+    import s.implicits._
+    // the union of all queries' terms drives ONE pruned postings read;
+    // the collect is bounded by the driver-known query batch
+    val allTerms = qframe.select($"term").distinct().as[String].collect().toSeq
+    val pruned = channelFrom(s, indexDir, m, "postings")
+      .filter($"term".isin(allTerms: _*))
     val stats = channelFrom(s, indexDir, m, "stats")
       .select($"n_docs",
         ($"sum_dl".cast("double") / $"n_docs".cast("double")).as("avgdl"))
@@ -1042,8 +1277,13 @@ object IndexStore {
     // agg exchange keeps the heavy sum spread across all partitions;
     // the window's qid exchange then moves only the AGGREGATED frame
     // (one row per matched doc per query).
-    val scored = TextOps.bm25RankDlBatch(
+    val scored0 = TextOps.bm25RankDlBatch(
       pruned.join(broadcast(qframe), Seq("term")), qdf, stats)
+    val scored = exclude.map { e =>
+      scored0.join(broadcast(e),
+        scored0("qid") === e("qid") && scored0("doc_id") === e("self_id"),
+        "left_anti")
+    }.getOrElse(scored0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"qid").orderBy($"score".desc, $"doc_id")
     scored.withColumn("rank", row_number().over(w))
@@ -1087,10 +1327,28 @@ object IndexStore {
       .write.mode(SaveMode.Overwrite).partitionBy("cid")
       .parquet(s"$out/$snap/cells")
     maybeCrash("cells")
-    commitSnap(out, snap, prior -- Seq("centroids", "cells") ++ (Map(
+    commitSnap(out, snap, prior -- Seq("centroids", "cells", "vec_stats") ++ (Map(
       "centroids" -> Channel(relIfData(out, s"$snap/centroids"), "", ""),
       "cells" -> Channel(relIfData(out, s"$snap/cells"), "cid", ""))
-      .filter(_._2.paths.nonEmpty)), base)
+      .filter(_._2.paths.nonEmpty)) ++ locally {
+        val n = vectors.count()
+        writeVecStats(s, out, snap, n, centroids.count(), n)
+      }, base)
+  }
+
+  /** Stage the vector family's 1-row census (`vec_stats`: n_vecs, k,
+    * n_at_train) into `snap` — the stored state [[retrainIfDrifted]]'s
+    * growth check reads (the text family's `stats` pattern): n_vecs is
+    * merge-updated per append with exact long arithmetic; k and
+    * n_at_train are fixed by the last train, so "has the corpus
+    * outgrown the model" is a 1-row read, never a corpus count at
+    * gate time. */
+  private def writeVecStats(s: SparkSession, root: String, snap: String,
+      nVecs: Long, k: Long, nAtTrain: Long): Map[String, Channel] = {
+    import s.implicits._
+    Seq((nVecs, k, nAtTrain)).toDF("n_vecs", "k", "n_at_train")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/$snap/vec_stats")
+    Map("vec_stats" -> Channel(Seq(s"$snap/vec_stats"), "", ""))
   }
 
   /** O(batch) append: assign under the stored centroids, stage into
@@ -1100,17 +1358,32 @@ object IndexStore {
   def appendVectors(s: SparkSession, indexDir: String,
       batch: DataFrame): Unit = {
     val (base, prior) = baseRequired(indexDir)
-    if (appendGuard("appendVectors", batch, "vec_id",
-        channel(s, indexDir, "cells"))) {
-      val cents = channel(s, indexDir, "centroids")
+    // guard + centroid reads through the transaction's base manifest
+    // (same single-base discipline as appendText)
+    appendGuard("appendVectors", batch, "vec_id",
+        channelFrom(s, indexDir, prior, "cells")).foreach { batchN =>
+      val cents = channelFrom(s, indexDir, prior, "centroids")
       val snap = beginSnap(indexDir)
       assignCells(batch, cents)
         .write.mode(SaveMode.Overwrite).partitionBy("cid")
         .parquet(s"$indexDir/$snap/cells")
       maybeCrash("cells")
+      // vec_stats merge: exact long arithmetic over the guard's count
+      // (a pre-vec_stats store backfills its census once, from the
+      // channels this transaction already resolved)
+      val (pn, pk, pt) = prior.get("vec_stats") match {
+        case Some(_) =>
+          val st = channelFrom(s, indexDir, prior, "vec_stats").head()
+          (st.getAs[Long]("n_vecs"), st.getAs[Long]("k"),
+            st.getAs[Long]("n_at_train"))
+        case None =>
+          val n0 = channelFrom(s, indexDir, prior, "cells").count()
+          (n0, channelFrom(s, indexDir, prior, "centroids").count(), n0)
+      }
       commitSnap(indexDir, snap, prior + ("cells" ->
         prior("cells").copy(paths =
-          prior("cells").paths ++ relIfData(indexDir, s"$snap/cells"))), base)
+          prior("cells").paths ++ relIfData(indexDir, s"$snap/cells"))) ++
+        writeVecStats(s, indexDir, snap, pn + batchN, pk, pt), base)
     }
   }
 
@@ -1132,21 +1405,33 @@ object IndexStore {
     * so a retrain doubles as the vector family's compaction. */
   def retrainVectors(s: SparkSession, indexDir: String): Unit = {
     val (base, prior) = baseRequired(indexDir)
-    val stored = channel(s, indexDir, "cells")
+    val stored = channelFrom(s, indexDir, prior, "cells")
       .select(col("vec_id"), col("label"), col("unit"))
       .localCheckpoint()
-    val cents = Similarity.lloydTrain(stored.select(col("vec_id"), col("unit")))
-      .localCheckpoint()
-    val snap = beginSnap(indexDir)
-    cents.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$snap/centroids")
-    maybeCrash("centroids")
-    assignCells(stored, cents)
-      .write.mode(SaveMode.Overwrite).partitionBy("cid")
-      .parquet(s"$indexDir/$snap/cells")
-    maybeCrash("cells")
-    commitSnap(indexDir, snap, prior -- Seq("centroids", "cells") ++ Map(
-      "centroids" -> Channel(Seq(s"$snap/centroids"), "", ""),
-      "cells" -> Channel(Seq(s"$snap/cells"), "cid", "")), base)
+    // both checkpoints released on EVERY exit — `stored` is a
+    // CORPUS-sized frame, and a crash-injected or OCC-losing retrain
+    // (or a plain success, in a long-lived serving session) must not
+    // strand MEMORY_AND_DISK blocks until driver GC
+    try {
+      // lloydTrain returns an already-checkpointed model frame — no
+      // second checkpoint here, just ownership of the release
+      val cents = Similarity.lloydTrain(stored.select(col("vec_id"), col("unit")))
+      try {
+        val snap = beginSnap(indexDir)
+        cents.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$snap/centroids")
+        maybeCrash("centroids")
+        assignCells(stored, cents)
+          .write.mode(SaveMode.Overwrite).partitionBy("cid")
+          .parquet(s"$indexDir/$snap/cells")
+        maybeCrash("cells")
+        commitSnap(indexDir, snap, prior -- Seq("centroids", "cells", "vec_stats") ++ Map(
+          "centroids" -> Channel(Seq(s"$snap/centroids"), "", ""),
+          "cells" -> Channel(Seq(s"$snap/cells"), "cid", "")) ++ locally {
+            val n = stored.count()
+            writeVecStats(s, indexDir, snap, n, cents.count(), n)
+          }, base)
+      } finally releaseCheckpoint(cents)
+    } finally releaseCheckpoint(stored)
   }
 
   // ---------------------------------------------------------------
@@ -1207,12 +1492,16 @@ object IndexStore {
     val rewritten = prior.map { case (name, ch) =>
       if (name == "bloom") {
         // the blob is a single file — carry its bytes into the new
-        // snapshot so the old one becomes fully unreferenced
+        // snapshot so the old one becomes fully unreferenced. The
+        // BASENAME carries the (capacity, estItems) contract and must
+        // survive the copy, or the next fold would misread the sketch
+        // as pre-contract and pay a spurious channel re-agg.
         val bytes = Files.readAllBytes(Paths.get(s"$root/${ch.paths.head}"))
+        val blobName = Paths.get(ch.paths.head).getFileName.toString
         new java.io.File(s"$root/$snap/bloom").mkdirs()
-        Files.write(Paths.get(s"$root/$snap/bloom/fingerprints.bloom"), bytes)
+        Files.write(Paths.get(s"$root/$snap/bloom/$blobName"), bytes)
         maybeCrash(name)
-        name -> ch.copy(paths = Seq(s"$snap/bloom/fingerprints.bloom"))
+        name -> ch.copy(paths = Seq(s"$snap/bloom/$blobName"))
       } else {
         val df = channelFrom(s, root, prior, name)
         val bytes = ch.paths.map(p => dirBytes(new java.io.File(s"$root/$p"))).sum
@@ -1269,6 +1558,16 @@ object IndexStore {
   def vacuum(root: String, retain: Int = 1,
       stagingGraceMs: Long = 24L * 3600 * 1000): Seq[String] = {
     require(retain >= 1, s"vacuum: retain must be >= 1, got $retain")
+    // validate BEFORE taking the commit lock: withCommitLock opens the
+    // lock file with CREATE, so an uninitialized root would otherwise
+    // die on the lock open (NoSuchFileException) instead of the loud
+    // "not an index store" refusal every other entry point gives —
+    // and would leave a stray _commitlock in a directory that never
+    // was a store. The locked region re-checks via history().
+    currentSnapOpt(root).getOrElse(throw new IllegalStateException(
+      s"$root is not an index store: no _current snapshot pointer " +
+        "(nothing to vacuum; refusing to create lock files in a " +
+        "foreign directory)"))
     // the reachability walk + deletes run under the SAME lock commits
     // publish under: an unlocked vacuum could see a committing writer
     // mid-publication (snapshot dir renamed, pointer not yet flipped),
@@ -1351,6 +1650,82 @@ object IndexStore {
     }
   }
 
+  /** Drift gate for IN-LOOP vector-store maintenance — the vector
+    * family's sibling of [[compactIfFragmented]], closing the "retrain
+    * exists but nothing measures WHEN" gap: appends assign under the
+    * FROZEN snapshot model, so without a trigger the cells drift
+    * unbalanced and k stays sized for the corpus the model was trained
+    * on, until an operator remembers to run [[retrainVectors]]. Two
+    * measured signals, both from STORED state only (no corpus scan at
+    * gate time):
+    *
+    *  - GROWTH: `vec_stats.n_vecs > factor × vec_stats.n_at_train`
+    *    (conf `graft.store.retrainGrowthFactor`, default 4.0; ≤ 0
+    *    disables) — k is sized ~√n at train, so a corpus several
+    *    times its training size is running a model with ~√factor too
+    *    few cells (mean occupancy, and thus per-probe scan cost, up
+    *    by the same factor). One 1-row parquet read.
+    *  - SKEW: max-cell rows > factor × mean-cell rows over the
+    *    occupied `cid=…` partition dirs (conf
+    *    `graft.store.retrainSkewFactor`, default 8.0; ≤ 0 disables) —
+    *    a drifted append stream piles into few cells, and the hot
+    *    cell's occupancy is what an nprobe lookup actually pays.
+    *    Occupancy comes from the parquet FOOTERS (exact per-file
+    *    record counts, a metadata read over the cells dirs — no Spark
+    *    job, no data pages touched) — the same "measure from the
+    *    store's own layout" move as [[compactIfFragmented]]'s
+    *    manifest check. Checked only
+    *    once the corpus has grown ≥ 25% past n_at_train: a static
+    *    store whose data is INTRINSICALLY clustered would otherwise
+    *    re-fire every tick, paying O(corpus) each time for a model
+    *    retraining cannot improve.
+    *
+    * Past either threshold the gate runs [[retrainVectors]] (k
+    * re-sized, cells rebalanced, fragmentation collapsed — and
+    * n_at_train reset, which re-arms both checks) and returns true.
+    * Wired best-effort into the streaming vector loop exactly like the
+    * compaction gate. Honest trade: an in-loop retrain stalls that
+    * micro-batch for an O(corpus) rebuild, amortized O(corpus /
+    * growth-window) per batch; zero-stall deployments disable the
+    * gate and schedule retrainVectors out-of-band. */
+  def retrainIfDrifted(s: SparkSession, root: String): Boolean = {
+    val growthF = s.conf.getOption("graft.store.retrainGrowthFactor")
+      .map(_.toDouble).getOrElse(4.0)
+    val skewF = s.conf.getOption("graft.store.retrainSkewFactor")
+      .map(_.toDouble).getOrElse(8.0)
+    if (growthF <= 0 && skewF <= 0) return false
+    val m = channels(root)
+    if (!m.contains("vec_stats") || !m.contains("cells")) return false
+    val st = channelFrom(s, root, m, "vec_stats").head()
+    val (n, nTrain) = (st.getAs[Long]("n_vecs"), st.getAs[Long]("n_at_train"))
+    val grown = growthF > 0 && n > (growthF * nTrain).toLong
+    val skewed = skewF > 0 && n * 4 > nTrain * 5 && locally {
+      val cellRows = m("cells").paths
+        .flatMap(p => Option(new java.io.File(s"$root/$p").listFiles())
+          .getOrElse(Array.empty).toSeq)
+        .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+        .groupBy(_.getName)
+        .map { case (_, dirs) => dirs.map(parquetFooterRows).sum }
+      cellRows.size >= 2 &&
+        cellRows.max.toDouble > skewF * (cellRows.sum.toDouble / cellRows.size)
+    }
+    if (grown || skewed) { retrainVectors(s, root); true } else false
+  }
+
+  /** Exact record count under `f` from parquet footers alone — byte
+    * sizes lie for small files (fixed footer overhead swamps row
+    * volume), footers do not. */
+  private def parquetFooterRows(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).map(parquetFooterRows).sum
+    else if (f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getPath),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    } else 0L
+
   private def assignCells(vectors: DataFrame, cents: DataFrame): DataFrame = {
     graft.functions.DotProduct.register(vectors.sparkSession)
     Similarity.nearestCell(vectors, cents)
@@ -1367,13 +1742,23 @@ object IndexStore {
     * window), so results are bit-identical to q39 given the same
     * centroids and query batch (VectorIndexSpec pins it). */
   def annFromStore(s: SparkSession, indexDir: String, queries: DataFrame,
-      nprobe: Int = 4, k: Int = 5): DataFrame = {
-    import s.implicits._
-    graft.functions.DotProduct.register(s)
+      nprobe: Int = 4, k: Int = 5): DataFrame =
     // one pointer resolution: centroids and cells must come from the
     // SAME snapshot (a retrain commits both together; mixing a new
     // model with old cells would probe the wrong partitions)
-    val m = channels(indexDir)
+    annFrom(s, indexDir, channels(indexDir), queries, nprobe, k)
+
+  /** [[annFromStore]] pinned to the committed snapshot `snap` — the
+    * semantic half of a paired-version hybrid read. */
+  def annFromStoreAt(s: SparkSession, indexDir: String, snap: String,
+      queries: DataFrame, nprobe: Int = 4, k: Int = 5): DataFrame =
+    annFrom(s, indexDir, manifestAt(indexDir, snap), queries, nprobe, k)
+
+  private def annFrom(s: SparkSession, indexDir: String,
+      m: Map[String, Channel], queries: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    import s.implicits._
+    graft.functions.DotProduct.register(s)
     val cents = channelFrom(s, indexDir, m, "centroids")
     val probed = queries
       .join(broadcast(cents))

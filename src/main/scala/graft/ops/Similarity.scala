@@ -160,13 +160,16 @@ object Similarity {
     // rows; SCALE.md "Measured")
     val nEst = trainN * (65536.0 / TrainGate)
     val k = math.max(16, math.sqrt(nEst / 64).toInt)
-    val train =
-      if (trainN < 10000) all
+    // ownedSample: the checkpoint WE created (released after the
+    // loop). Never release `all`'s own plan — a caller like
+    // retrainVectors passes a checkpointed frame it still needs.
+    val (train, ownedSample) =
+      if (trainN < 10000) (all, None)
       else {
         // materialize the small sample once for the 3 iterations;
         // re-alias after localCheckpoint (constraint exprIds)
         val t = gated.localCheckpoint()
-        t.select(t.columns.map(c => col(c).as(c)): _*)
+        (t.select(t.columns.map(c => col(c).as(c)): _*), Some(t))
       }
     // deterministic init: k hash-ranked vectors (mod-step picking
     // collapses when ids repeat in offset blocks — TakeOrdered of
@@ -181,14 +184,23 @@ object Similarity {
     // (num_cells × 520-byte buffers), not a posexplode of
     // corpus × dim rows.
     val vmeanD = udaf(VectorMeanD)
-    for (_ <- 0 until 3) {
+    for (i <- 0 until 3) {
+      val prev = centroids
       val means = nearestCell(train, centroids)
         .groupBy($"cid").agg(vmeanD($"unit").as("raw"))
       centroids = means
         .withColumn("nrm", sqrt(graft.functions.DotProduct.dot_fast($"raw", $"raw")))
         .select($"cid", transform($"raw", x => x / $"nrm").as("cvec"))
         .localCheckpoint()   // truncate per-iteration lineage growth
+      // the superseded iteration's checkpoint (ours from i-1; never
+      // the init frame) is dead the moment the new one materializes —
+      // unreleased, every training run stranded 2 intermediate
+      // MEMORY_AND_DISK frames until driver GC
+      if (i > 0) IndexStore.releaseCheckpoint(prev)
     }
+    ownedSample.foreach(IndexStore.releaseCheckpoint)
+    // the RETURNED frame stays checkpointed — the session route memoizes
+    // it for the JVM; retrainVectors releases it when its transaction ends
     centroids
   }
 
@@ -213,6 +225,93 @@ object Similarity {
           coalesce(lit(1.0) / (lit(60) + $"sem_rank"), lit(0.0))).as("rrf"))
       .orderBy($"rrf".desc, $"doc_id")
       .limit(20)
+  }
+
+  /** [[rrfFuse]] keyed by (qid, doc_id) with a per-qid top-20 window —
+    * the batch serving shape. The fusion arithmetic is copied term for
+    * term from rrfFuse (nullable input ranks inside the 1/(60+rank)
+    * terms, coalesced display columns, rnd4 before the cut), so each
+    * qid's fused rows are exactly what rrfFuse would emit for that
+    * query alone — HybridStoreSpec pins it against the single route. */
+  private def rrfFuseBatch(lexTop: DataFrame, semTop: DataFrame): DataFrame = {
+    val s = lexTop.sparkSession
+    import s.implicits._
+    lexTop.join(semTop, Seq("qid", "doc_id"), "full")
+      .select($"qid", $"doc_id",
+        coalesce($"lex_rank", lit(0)).cast("long").as("lex_rank"),
+        coalesce($"sem_rank", lit(0)).cast("long").as("sem_rank"),
+        rnd4(coalesce(lit(1.0) / (lit(60) + $"lex_rank"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + $"sem_rank"), lit(0.0))).as("rrf"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"rrf".desc, $"doc_id")))
+      .filter($"rn" <= 20).drop("rn")
+      .orderBy($"qid", $"rrf".desc, $"doc_id")
+  }
+
+  /** One-query hybrid route over EXPLICITLY PINNED store versions —
+    * the fix for the cross-store consistency gap (VERDICT r7 missing
+    * #3): q142's round-7 spelling resolved the text and vector store
+    * pointers independently, so with concurrent ingest the lexical and
+    * semantic halves could answer from different corpus states. Here
+    * the caller resolves (textSnap, vecSnap) ONCE — normally
+    * `IndexStore.history(root).last` for each — and every channel read
+    * of the route goes through those committed manifests, so one
+    * hybrid answer reads one version of each store no matter what
+    * commits mid-flight (HybridStoreSpec injects a concurrent append
+    * between the two sides and pins the output). `selfId` is the
+    * querying doc, excluded from both top lists before ranking. */
+  private[graft] def hybridSingleAt(s: SparkSession, dir: String,
+      textSnap: String, vecSnap: String, selfId: Long,
+      terms: Seq[String]): DataFrame = {
+    import s.implicits._
+    val lexTop = IndexStore.bm25FromStoreAt(s,
+        TextOps.textStore(s, dir), textSnap, terms)
+      .filter($"doc_id" =!= selfId)
+      .orderBy($"score".desc, $"doc_id").limit(100)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy($"score".desc, $"doc_id")))
+      .select($"doc_id", $"lex_rank")
+    val qv = normalized(s, dir)
+      .filter($"vec_id" === selfId).select($"vec_id", $"unit")
+    val semTop = IndexStore.annFromStoreAt(s, vectorStore(s, dir), vecSnap,
+        qv, nprobe = 4, k = 100)
+      .select($"vid".as("doc_id"), $"rn".cast("int").as("sem_rank"))
+    rrfFuse(lexTop, semTop)
+  }
+
+  /** qid-keyed BATCH hybrid serving (catalog q145): N queries answered
+    * by ONE union-pruned postings read (q144's batch shape, self
+    * excluded before the per-qid rank window) plus ONE probed cells
+    * read (annFromStore's queries frame is already batched), fused per
+    * qid by [[rrfFuseBatch]] — on a real cluster that is two jobs and
+    * two index scans for the whole batch where N single routes pay
+    * 2N. Store versions are resolved once up front and PINNED across
+    * both sides ([[hybridSingleAt]]'s paired-version contract), so
+    * every query in the batch answers from the same (text, vector)
+    * corpus state. Per-qid output ≡ the single pinned route
+    * (HybridStoreSpec). */
+  private[graft] def hybridBatchFromStore(s: SparkSession, dir: String,
+      queries: Seq[(Long, Seq[String])]): DataFrame = {
+    import s.implicits._
+    val tRoot = TextOps.textStore(s, dir)
+    val vRoot = vectorStore(s, dir)
+    val tSnap = IndexStore.history(tRoot).last
+    val vSnap = IndexStore.history(vRoot).last
+    val qframe = queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .distinct.toDF("qid", "term")
+    val exclude = queries.map { case (qid, _) => (qid, qid) }
+      .toDF("qid", "self_id")
+    val lex = IndexStore.bm25BatchFromStoreAt(s, tRoot, tSnap, qframe,
+        k = 100, exclude = Some(exclude))
+      .select($"qid", $"doc_id", $"rank".cast("int").as("lex_rank"))
+    val qids = queries.map(_._1)
+    val qv = normalized(s, dir)
+      .filter($"vec_id".isin(qids: _*)).select($"vec_id", $"unit")
+    val sem = IndexStore.annFromStoreAt(s, vRoot, vSnap, qv,
+        nprobe = 4, k = 100)
+      .select($"qid", $"vid".as("doc_id"), $"rn".cast("int").as("sem_rank"))
+    rrfFuseBatch(lex, sem)
   }
 
   val catalog: Map[String, Q] = Map(
@@ -481,29 +580,47 @@ object Similarity {
     // q115 re-scores the corpus per query. Differences from q115 are
     // the semantic candidates only (IVF nprobe recall vs exact scan —
     // the documented ANN trade, same as q39 vs q36); the lexical ranks
-    // are bit-identical to q115's. No oracle (the semantic side
-    // inherits q39/q140's float-trained centroids); HybridStoreSpec
-    // pins the fusion against a driver-side recomputation from the two
-    // individually-pinned store lookups, and the lexical side against
-    // the session route. ----
+    // are bit-identical to q115's. Both store versions are resolved
+    // ONCE up front and pinned across the whole route
+    // ([[hybridSingleAt]]) — one hybrid answer reads one committed
+    // version of each store even under concurrent ingest. No oracle
+    // (the semantic side inherits q39/q140's float-trained centroids);
+    // HybridStoreSpec pins the fusion against a driver-side
+    // recomputation from the two individually-pinned store lookups,
+    // the lexical side against the session route, and the pinned reads
+    // against an injected mid-route append. ----
     "q142_hybrid_store" -> Q(
       (s, dir) => {
         import s.implicits._
-        val minDoc = table(s, dir, "documents").agg(min($"doc_id").as("qid"))
-        val lexTop = IndexStore.bm25FromStore(s,
-            TextOps.textStore(s, dir), TextOps.qtermsOf(s, dir))
-          .join(broadcast(minDoc), $"doc_id" =!= $"qid")
-          .orderBy($"score".desc, $"doc_id").limit(100)
-          .withColumn("lex_rank",
-            row_number().over(Window.orderBy($"score".desc, $"doc_id")))
-          .select($"doc_id", $"lex_rank")
-        val qv = normalized(s, dir)
-          .join(broadcast(minDoc), $"vec_id" === $"qid")
-          .select($"vec_id", $"unit")
-        val semTop = IndexStore.annFromStore(s, vectorStore(s, dir),
-            qv, nprobe = 4, k = 100)
-          .select($"vid".as("doc_id"), $"rn".cast("int").as("sem_rank"))
-        rrfFuse(lexTop, semTop)
+        val tRoot = TextOps.textStore(s, dir)
+        val vRoot = vectorStore(s, dir)
+        val minId = table(s, dir, "documents")
+          .agg(min($"doc_id")).head().getLong(0) // 1-row bounded head
+        hybridSingleAt(s, dir,
+          IndexStore.history(tRoot).last, IndexStore.history(vRoot).last,
+          minId, TextOps.qtermsOf(s, dir))
+      },
+      None),
+
+    // ---- BATCH hybrid serving: q144 gave the text channel its batch
+    // shape; this composes it with the (already-batched) IVF route
+    // into a qid-keyed hybrid batch — one union-pruned postings read +
+    // one probed cells read for N queries, rrfFuse per qid, store
+    // versions pinned as a pair. Queries are the two corpus-extreme
+    // term probes (q144's lexical pair) anchored at the two smallest
+    // query-batch doc ids. No oracle (inherits q142's reasons);
+    // HybridStoreSpec pins per-qid output ≡ the single pinned route,
+    // whose lexical side q139's oracle covers. ----
+    "q145_hybrid_batch_store" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val qids = queryBatch(s, dir, normalized(s, dir))
+          .select($"vec_id").orderBy($"vec_id")
+          .limit(2).as[Long].collect().toSeq // bounded: 2 driver-known qids
+        val terms = Seq(
+          TextOps.qtermsOfExtreme(s, dir, useMax = false),
+          TextOps.qtermsOfExtreme(s, dir, useMax = true))
+        hybridBatchFromStore(s, dir, qids.zip(terms))
       },
       None),
 

@@ -310,6 +310,13 @@ object StreamingOps {
   def ingestAndMaintainVectors(s: SparkSession, vecIndexDir: String,
       batch: DataFrame): Unit = {
     withOccRetry() { graft.ops.IndexStore.appendVectors(s, vecIndexDir, batch) }
+    // drift gate before the fragmentation gate: a retrain REWRITES the
+    // cells channel (collapsing fragmentation as a side effect), so
+    // firing it first saves the compaction a redundant O(corpus) pass
+    // on the tick where both trip. Same best-effort contract: an OCC
+    // loss skips this tick's maintenance, never takes ingest down.
+    try { graft.ops.IndexStore.retrainIfDrifted(s, vecIndexDir); () }
+    catch { case _: java.util.ConcurrentModificationException => () }
     compactBestEffort(s, vecIndexDir)
   }
 

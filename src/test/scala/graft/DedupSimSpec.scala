@@ -1098,4 +1098,86 @@ class DedupSimSpec extends SparkSpec {
         s"$sf: ${n} query ids ≥ cap ${ops.Similarity.MaxQueryBatch} — cap now binds, oracle desyncs")
     }
   }
+
+  test("label fold writes batch-proportional DELTAS; resolved labels ≡ full merge across folds and compact") {
+    import org.apache.spark.sql.functions.{conv, substring, md5 => smd5}
+    val dir = "/root/testdata/sf0.001"
+    val docs = Core.table(spark, dir, "documents")
+    val gate = conv(substring(smd5($"doc_id".cast("string")), 1, 4), 16, 10).cast("long")
+    val c1 = docs.filter(gate < 39321L)
+    val b1 = docs.filter(gate >= 39321L && gate < 52428L)
+    val b2 = docs.filter(gate >= 52428L)
+    val rolled = java.nio.file.Files.createTempDirectory("graft-lblA").toString
+    ops.IndexStore.write(spark, c1, rolled)
+    ops.IndexStore.writeClusters(spark, c1, rolled)
+    def labelPaths(): Seq[String] = {
+      val cur = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(rolled, "_current")).trim
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        java.nio.file.Files.readString(
+          java.nio.file.Paths.get(rolled, cur, "_manifest.json")))
+      val it = node.get("channels").get("cluster_labels").get("paths").elements()
+      val out = Seq.newBuilder[String]
+      while (it.hasNext) out += it.next().asText()
+      out.result()
+    }
+    def resolved(): Map[Long, Long] =
+      ops.IndexStore.channel(spark, rolled, "cluster_labels")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = resolved()
+    ops.IndexStore.append(spark, rolled, b1)
+    val after = resolved()
+    // the fold's write is EXACTLY what changed: batch docs + members
+    // of clusters the merge relabeled — never the unchanged corpus
+    val paths = labelPaths()
+    assert(paths.size == 2, s"expected initial + one delta path, got $paths")
+    val delta = spark.read.parquet(s"$rolled/${paths.last}")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val expected = after.filter { case (d, l) => before.get(d) != Some(l) }.toSet
+    assert(delta == expected,
+      s"delta is not the changed-label set: extra=${(delta -- expected).take(5)} missing=${(expected -- delta).take(5)}")
+    assert(delta.size < after.size,
+      "delta rewrote the corpus-sized artifact (the round-7 weak)")
+    // second fold, then the end-to-end pin: resolved labels after two
+    // folds ≡ one CC over the full corpus (bit-identical label sets)
+    ops.IndexStore.append(spark, rolled, b2)
+    assert(labelPaths().size == 3, "second fold must append its own delta")
+    val fresh = java.nio.file.Files.createTempDirectory("graft-lblB").toString
+    ops.IndexStore.write(spark, docs, fresh)
+    ops.IndexStore.writeClusters(spark, docs, fresh)
+    val want = ops.IndexStore.channel(spark, fresh, "cluster_labels")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolved() == want, "rolled labels diverge from full merge")
+    // compact collapses the deltas to ONE materialized path; the
+    // resolved view is unchanged
+    ops.IndexStore.compact(spark, rolled)
+    assert(labelPaths().size == 1, "compact must collapse label deltas")
+    assert(resolved() == want, "labels changed across compact")
+  }
+
+  test("mediaPairsFromStore ≡ q141 pairs over the store corpus, through appends and compact") {
+    def payloads(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text").select($"doc_id", $"text".cast("binary").as("payload"))
+    val corpus = Seq(1L -> noisyPayload(7919L, 900),
+      2L -> (noisyPayload(7919L, 900) + "xyz"), // twin of 1
+      3L -> noisyPayload(104729L, 900))
+    val batch = Seq(11L -> noisyPayload(31337L, 900),
+      12L -> (noisyPayload(31337L, 900) + "q")) // twin of 11
+    val out = java.nio.file.Files.createTempDirectory("graft-mediapairs").toString
+    ops.IndexStore.writeMedia(spark, payloads(corpus), out)
+    ops.IndexStore.appendMedia(spark, out, payloads(batch))
+    // the store-fed pair report equals the catalog query run over the
+    // same payload corpus — no payload byte is re-read by the store route
+    val qdir = docsDir(corpus ++ batch)
+    def want = SparkEntry.queries("q141_multimodal_neardup")(spark, qdir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def got = ops.IndexStore.mediaPairsFromStore(spark, out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val w = want
+    assert(w.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (11L, 12L)),
+      s"fixture drifted: $w")
+    assert(got == w, s"store pairs ${got} != corpus pairs ${w}")
+    ops.IndexStore.compact(spark, out)
+    assert(got == w, s"store pairs diverged after compact: ${got}")
+  }
 }

@@ -66,4 +66,73 @@ class HybridStoreSpec extends SparkSpec {
       s"lexical ranks diverge between store and session hybrid: " +
         diverged.map(id => s"$id: ${store(id)} vs ${session(id)}").mkString(", "))
   }
+
+  test("q145 batch hybrid: per-qid output ≡ the single pinned route, bit-equal") {
+    val got = SparkEntry.queries("q145_hybrid_batch_store")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    val qids = ops.Similarity.queryBatch(spark, dir,
+        ops.Similarity.normalized(spark, dir))
+      .select($"vec_id").orderBy($"vec_id").limit(2).as[Long].collect().toSeq
+    val terms = Seq(
+      ops.TextOps.qtermsOfExtreme(spark, dir, useMax = false),
+      ops.TextOps.qtermsOfExtreme(spark, dir, useMax = true))
+    val tSnap = ops.IndexStore.history(ops.TextOps.textStore(spark, dir)).last
+    val vSnap = ops.IndexStore.history(ops.Similarity.vectorStore(spark, dir)).last
+    assert(qids.size == 2 && got.map(_._1).distinct.sorted == qids.sorted)
+    for ((qid, ts) <- qids.zip(terms)) {
+      val single = ops.Similarity.hybridSingleAt(spark, dir, tSnap, vSnap, qid, ts)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      val batch = got.filter(_._1 == qid)
+        .map { case (_, d, l, sr, f) => (d, l, sr, f) }
+      assert(single.nonEmpty && batch == single,
+        s"qid $qid: batch route diverges from single pinned route:\n" +
+          s"  batch=${batch.take(5)}\n  single=${single.take(5)}")
+    }
+  }
+
+  test("paired-version pinning: a concurrent append cannot tear a pinned hybrid read") {
+    // own tiny stores (never the session-memoized ones — appends here
+    // must not pollute other suites)
+    val tIdx = java.nio.file.Files.createTempDirectory("graft-hyb-t").toString
+    val vIdx = java.nio.file.Files.createTempDirectory("graft-hyb-v").toString
+    val docs = Seq(1L -> "alpha beta gamma", 2L -> "beta gamma delta delta",
+      3L -> "unrelated words entirely").toDF("doc_id", "text")
+    ops.IndexStore.writeText(spark, docs, tIdx)
+    def unitAt(t: Double) = Seq(math.cos(t), math.sin(t))
+    val vecs = (1 to 12).map(i => (i.toLong, "l", unitAt(i * 0.5)))
+      .toDF("vec_id", "label", "unit")
+    val cents = Seq((0L, unitAt(0)), (1L, unitAt(2)), (2L, unitAt(4)))
+      .toDF("cid", "cvec")
+    ops.IndexStore.writeVectors(spark, vecs, cents, vIdx)
+    // resolve the version PAIR once — the route contract under test
+    val tSnap = ops.IndexStore.history(tIdx).last
+    val vSnap = ops.IndexStore.history(vIdx).last
+    val terms = Seq("beta", "gamma")
+    val qv = vecs.filter($"vec_id" === 1L).select($"vec_id", $"unit")
+    val lex1 = ops.IndexStore.bm25FromStoreAt(spark, tIdx, tSnap, terms)
+      .collect().toSeq
+    // a rival ingest lands BETWEEN the lexical and semantic reads —
+    // exactly the window that tore the round-7 route
+    ops.IndexStore.appendText(spark, tIdx,
+      Seq(9L -> "beta beta gamma gamma beta").toDF("doc_id", "text"))
+    ops.IndexStore.appendVectors(spark, vIdx,
+      Seq((99L, "l", unitAt(0.51))).toDF("vec_id", "label", "unit"))
+    val sem1 = ops.IndexStore.annFromStoreAt(spark, vIdx, vSnap, qv, 4, 5)
+      .collect().toSeq
+    // the pinned pair still answers from the pre-append state on BOTH
+    // sides: re-reads at the pinned versions are bit-identical...
+    assert(ops.IndexStore.bm25FromStoreAt(spark, tIdx, tSnap, terms)
+      .collect().toSeq == lex1, "pinned lexical read moved under the append")
+    assert(sem1.forall(_.getLong(2) != 99L),
+      "pinned semantic read saw the rival's vector")
+    // ...while the LIVE routes see the rival's folds (the pin is doing
+    // real work, not reading a store that never changed)
+    assert(ops.IndexStore.bm25FromStore(spark, tIdx, terms)
+      .collect().toSeq != lex1, "live lexical lookup should see the append")
+    assert(ops.IndexStore.annFromStore(spark, vIdx, qv, 4, 5)
+      .collect().exists(_.getLong(2) == 99L),
+      "live semantic lookup should see the appended vector")
+  }
 }

@@ -415,4 +415,123 @@ class IndexStoreSpec extends SparkSpec {
     assert(reclaimed == Seq(staging.head.getName), s"got $reclaimed")
     assert(!staging.head.exists())
   }
+
+  test("vacuum refuses a non-store directory loudly, creating no lock file") {
+    // withCommitLock opens the lock file with CREATE, so validation
+    // must run BEFORE the lock: an uninitialized root gets the loud
+    // "not an index store" refusal, not a NoSuchFileException from the
+    // lock open — and no stray _commitlock in a foreign directory
+    val dir = tmp("notastore")
+    val e = intercept[IllegalStateException] { ops.IndexStore.vacuum(dir) }
+    assert(e.getMessage.contains("not an index store"), e.getMessage)
+    assert(!new java.io.File(dir, "_commitlock").exists(),
+      "vacuum left a lock file in a directory that is not a store")
+    intercept[IllegalStateException] { ops.IndexStore.vacuum(s"$dir/never-created") }
+  }
+
+  private def assertNoNewPersistedRdds[T](tag: String)(body: => T): T = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r = body
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"$tag stranded persisted RDD blocks: $leaked")
+    r
+  }
+
+  test("maintenance ops release their checkpoints on success AND failure paths") {
+    // localCheckpoint persists its RDD outside the CacheManager, so a
+    // forgotten release strands MEMORY_AND_DISK blocks until driver GC
+    // — corpus-sized for retrainVectors. Every store op that
+    // checkpoints must leave the persistent-RDD map exactly as found.
+    val vecs = (1 to 60).map(i => (i.toLong, s"l${i % 3}",
+      Seq(math.cos(i * 0.7), math.sin(i * 0.7))))
+      .toDF("vec_id", "label", "unit")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(-1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("cid", "cvec")
+    val vidx = tmp("ckpt-vec")
+    ops.IndexStore.writeVectors(spark, vecs, cents, vidx)
+    assertNoNewPersistedRdds("retrainVectors (success)") {
+      ops.IndexStore.retrainVectors(spark, vidx)
+    }
+    assertNoNewPersistedRdds("retrainVectors (crash-injected)") {
+      ops.IndexStore.crashAfterChannel = Some("centroids")
+      try intercept[RuntimeException] { ops.IndexStore.retrainVectors(spark, vidx) }
+      finally ops.IndexStore.crashAfterChannel = None
+    }
+    def noisy(seed: Long) = {
+      var x = seed
+      (0 until 400).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ('a' + math.floorMod(x >>> 33, 26L).toInt).toChar
+      }.mkString
+    }
+    val midx = tmp("ckpt-media")
+    assertNoNewPersistedRdds("writeMedia") {
+      ops.IndexStore.writeMedia(spark,
+        Seq(1L -> noisy(7L), 2L -> noisy(11L)).toDF("doc_id", "payload")
+          .withColumn("payload", $"payload".cast("binary")), midx)
+    }
+    assertNoNewPersistedRdds("appendMedia (success + exact-replay skip)") {
+      val b = Seq(3L -> noisy(13L)).toDF("doc_id", "payload")
+        .withColumn("payload", $"payload".cast("binary"))
+      ops.IndexStore.appendMedia(spark, midx, b)
+      ops.IndexStore.appendMedia(spark, midx, b) // replay: guard-skip path
+    }
+    val didx = tmp("ckpt-dedup")
+    ops.IndexStore.write(spark, df(docs), didx)
+    ops.IndexStore.writeClusters(spark, df(docs), didx)
+    assertNoNewPersistedRdds("append (label delta, success)") {
+      ops.IndexStore.append(spark, didx, df(batch.filter(_._1 == 4L)))
+    }
+    assertNoNewPersistedRdds("append (label delta, crash-injected)") {
+      ops.IndexStore.crashAfterChannel = Some("sim_blocks")
+      try intercept[RuntimeException] {
+        ops.IndexStore.append(spark, didx, df(Seq(9L -> "unrelated fresh words")))
+      } finally ops.IndexStore.crashAfterChannel = None
+    }
+  }
+
+  test("bloom OR-merge: steady-state folds skip the fp-channel scan; blob ≡ fresh build; capacity crossing rebuilds once") {
+    def docsOf(r: Range) = r.map(i =>
+      (i.toLong, s"unique document number $i carrying words w${i}a w${i}b")).toDF("doc_id", "text")
+    def blobName(idx: String) =
+      ops.IndexStore.bloomBlob(idx).get.getFileName.toString
+    val rolled = tmp("ormerge"); val fresh = tmp("ormerge-fresh")
+    ops.IndexStore.write(spark, docsOf(1 to 300), rolled)
+    assert(blobName(rolled) == "fingerprints.c1024.n300.bloom", blobName(rolled))
+    val r0 = ops.IndexStore.bloomRebuilds
+    ops.IndexStore.append(spark, rolled, docsOf(301 to 400))
+    ops.IndexStore.append(spark, rolled, docsOf(401 to 500))
+    assert(ops.IndexStore.bloomRebuilds == r0,
+      "steady-state fold re-aggregated the blob from the fingerprint channel")
+    // the OR of (300 + 100 + 100) at capacity 1024 is BIT-EQUAL to one
+    // build over all 500 — insertion order never matters in a bitset
+    ops.IndexStore.write(spark, docsOf(1 to 500), fresh)
+    assert(blobName(rolled) == "fingerprints.c1024.n500.bloom", blobName(rolled))
+    assert(blobName(fresh) == blobName(rolled))
+    assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(ops.IndexStore.bloomBlob(rolled).get),
+        java.nio.file.Files.readAllBytes(ops.IndexStore.bloomBlob(fresh).get)),
+      "OR-merged blob diverges from a fresh build at the same capacity")
+    // estItems crossing the capacity: exactly ONE re-agg, at 2048
+    ops.IndexStore.append(spark, rolled, docsOf(501 to 1100))
+    assert(ops.IndexStore.bloomRebuilds == r0 + 1,
+      "capacity crossing must rebuild exactly once")
+    assert(blobName(rolled) == "fingerprints.c2048.n1100.bloom", blobName(rolled))
+    // screens stay exact through merge and rebuild alike
+    val fresh2 = tmp("ormerge-fresh2")
+    ops.IndexStore.write(spark, docsOf(1 to 1100), fresh2)
+    val probe = docsOf(1050 to 1200)
+    val da = ops.IndexStore.screenBatch(spark, rolled, probe).collect().toSeq
+    val db = ops.IndexStore.screenBatch(spark, fresh2, probe).collect().toSeq
+    assert(da == db, "screen decisions diverged across bloom maintenance")
+    // compact carries the (capacity, estItems)-bearing name forward —
+    // losing it would make the next fold misread the blob as
+    // pre-contract and pay a spurious rebuild
+    val bytesBefore = java.nio.file.Files.readAllBytes(
+      ops.IndexStore.bloomBlob(rolled).get)
+    ops.IndexStore.compact(spark, rolled)
+    assert(blobName(rolled) == "fingerprints.c2048.n1100.bloom", blobName(rolled))
+    assert(java.util.Arrays.equals(bytesBefore,
+      java.nio.file.Files.readAllBytes(ops.IndexStore.bloomBlob(rolled).get)))
+  }
 }

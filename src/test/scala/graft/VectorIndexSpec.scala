@@ -109,4 +109,69 @@ class VectorIndexSpec extends SparkSpec {
         scanLine.contains("cid#"),
       s"cid filter not applied at the partition level:\n${scanLine.take(800)}")
   }
+
+  test("retrainIfDrifted: growth and skew fire the retrain; a no-drift stream never retrains") {
+    def unitAt(theta: Double) = Seq(math.cos(theta), math.sin(theta))
+    // 24 vectors spread evenly around the circle, 3-cell model
+    val base = (0 until 24).map(i =>
+      (i.toLong, "l", unitAt(i * 2 * math.Pi / 24))).toDF("vec_id", "label", "unit")
+    val cents = Seq((0L, unitAt(0)), (1L, unitAt(2 * math.Pi / 3)),
+      (2L, unitAt(4 * math.Pi / 3))).toDF("cid", "cvec")
+
+    def cellSkew(idx: String): Double = {
+      val counts = ops.IndexStore.channel(spark, idx, "cells")
+        .groupBy($"cid").count().collect().map(_.getLong(1).toDouble)
+      counts.max / (counts.sum / counts.length)
+    }
+    def vecStats(idx: String) = {
+      val r = ops.IndexStore.channel(spark, idx, "vec_stats").head()
+      (r.getAs[Long]("n_vecs"), r.getAs[Long]("k"), r.getAs[Long]("n_at_train"))
+    }
+
+    // no-drift: evenly-spread small appends at DEFAULT thresholds —
+    // the gate must never fire (model stays the written one)
+    val calm = tmp("calm")
+    ops.IndexStore.writeVectors(spark, base, cents, calm)
+    for (b <- 0 until 2) {
+      val batch = (0 until 6).map(i => (100L + b * 10 + i, "l",
+        unitAt((i * 4 + b) * 2 * math.Pi / 24 + 0.1))).toDF("vec_id", "label", "unit")
+      streaming.StreamingOps.ingestAndMaintainVectors(spark, calm, batch)
+    }
+    assert(vecStats(calm) == ((36L, 3L, 24L)),
+      s"no-drift stream must keep the trained model, got ${vecStats(calm)}")
+
+    // growth: corpus past factor × n_at_train → retrain re-sizes k and
+    // resets n_at_train (re-arming the gate)
+    val grow = tmp("grow")
+    ops.IndexStore.writeVectors(spark, base, cents, grow)
+    try {
+      spark.conf.set("graft.store.retrainGrowthFactor", "1.5")
+      val batch = (0 until 14).map(i => (200L + i, "l",
+        unitAt(i * 2 * math.Pi / 14 + 0.05))).toDF("vec_id", "label", "unit")
+      streaming.StreamingOps.ingestAndMaintainVectors(spark, grow, batch)
+      val (n, k, nt) = vecStats(grow)
+      assert(n == 38L && nt == 38L,
+        s"growth gate must retrain (n_at_train reset to the corpus), got ($n, $k, $nt)")
+      assert(!ops.IndexStore.retrainIfDrifted(spark, grow),
+        "a just-retrained store must not immediately re-fire")
+    } finally spark.conf.unset("graft.store.retrainGrowthFactor")
+
+    // skew: a drifted stream piling into one cell → max/mean over the
+    // threshold → retrain rebalances the cells
+    val skew = tmp("skew")
+    ops.IndexStore.writeVectors(spark, base, cents, skew)
+    try {
+      spark.conf.set("graft.store.retrainSkewFactor", "1.6")
+      val drifted = (0 until 9).map(i => (300L + i, "l",
+        unitAt(0.02 * i))).toDF("vec_id", "label", "unit") // all into cell 0
+      ops.IndexStore.appendVectors(spark, skew, drifted)
+      val skewBefore = cellSkew(skew)
+      assert(skewBefore > 1.6, s"fixture degenerate: skew $skewBefore not over threshold")
+      assert(ops.IndexStore.retrainIfDrifted(spark, skew), "skew gate must fire")
+      val (n, _, nt) = vecStats(skew)
+      assert(n == 33L && nt == 33L)
+      assert(cellSkew(skew) < skewBefore,
+        s"retrain must rebalance cells: ${cellSkew(skew)} !< $skewBefore")
+    } finally spark.conf.unset("graft.store.retrainSkewFactor")
+  }
 }
