@@ -29,6 +29,7 @@ object SparkEntry {
       ops.Hygiene.catalog ++
       ops.Training.catalog ++
       ops.Similarity.catalog ++
+      ops.Selection.catalog ++
       ops.Subquery.catalog ++
       ops.Skew.catalog ++
       ops.Formats.catalog ++

@@ -1,0 +1,384 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Core._
+
+/** Data-selection & corpus-governance operators over `documents` —
+  * the "which data do we train on, and is it drifting" tier of a
+  * training-data pipeline (north-star LLM-pipeline surface; the
+  * reference stops at format conversion, unified_code.py:246–293).
+  *
+  *  - DSIR importance resampling (q146): hashed-unigram importance
+  *    weights toward a target domain (Xie et al., NeurIPS'23 "Data
+  *    Selection for Language Models via Importance Resampling")
+  *  - trained log-odds quality classifier (q147): Naive-Bayes token
+  *    weights from curated-vs-crawl seed labels, the counting-only
+  *    spelling of the fastText quality filters used by CCNet/DCLM
+  *  - co-occurrence triangle census (q148): degree-ordered triangle
+  *    counting (Suri & Vassilvitskii, WWW'11 "Counting triangles and
+  *    the curse of the last reducer") over the word-adjacency graph
+  *  - PSI drift monitor (q149): population-stability-index of each
+  *    source's length distribution against the curated anchor — the
+  *    "alert before the corpus mix rots" gate
+  *  - content-defined chunking (q150): Rabin-style boundary detection
+  *    (the md5-gram spelling, engine-portable) + chunk-hash dedup
+  *    accounting, the storage-dedup estimate for a snapshotted corpus
+  *
+  * Scale shapes: every model here is COUNTING — bucket/token/bin/chunk
+  * frequencies reduced by partial-agged groupBys — then broadcast back
+  * as a small model frame; no query shuffles more than one narrow
+  * corpus pass, and nothing ranks an unbounded frame (top-k outputs
+  * are TakeOrdered, caps are count thresholds, never global windows).
+  */
+object Selection {
+
+  private val D = DecimalType(28, 12)
+
+  /** (doc_id, source, tok) — one row per token, the shared scan for
+    * the selection family (q146 buckets it, q147 weighs it). Same
+    * tokenizer as the TextOps family: split on single spaces,
+    * lowercased, empties dropped. */
+  private[ops] def toks(s: SparkSession, dir: String): DataFrame =
+    memo(s, s"selection.toks:$dir") {
+      fanOut(s, table(s, dir, "documents"))
+        .select(col("doc_id"), col("source"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+    }
+
+  private val oToks =
+    """toks AS (SELECT doc_id, source, tok
+        FROM (SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents)
+        WHERE len(tok) > 0)"""
+
+  /** The curated seed sources — the "target domain sample" for DSIR
+    * (q146) and the positive class for the quality classifier (q147).
+    * A real pipeline points this at its wiki/books slice. */
+  private val Curated = Seq("src0", "src1", "src2")
+  private val oCurated = Curated.map("'" + _ + "'").mkString("(", ",", ")")
+
+  /** Token → feature bucket, engine-portable: md5 prefix as uint16
+    * mod 256 (q48's gate idiom). DSIR's hashed n-gram feature space —
+    * hashing bounds the model at 256 rows no matter the vocabulary. */
+  private def bucket(c: Column): Column =
+    conv(substring(md5(c), 1, 4), 16, 10).cast("long") % 256
+  private val oBucket = "CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % 256"
+
+  /** Degree-ordered triangle census of an undirected edge list
+    * (columns `a`, `b`, canonical a<b, distinct). Returns one row per
+    * node that closes at least one triangle: (tok, deg, triangles,
+    * clustering_coeff).
+    *
+    * The Suri–Vassilvitskii orientation: every edge points from its
+    * lower (degree, name) endpoint to the higher, so each triangle is
+    * generated EXACTLY once — as a wedge at its lowest corner — and
+    * the wedge fan-out per node is bounded by its ORIENTED out-degree
+    * (≤ √(2m) after orientation), not its raw degree. That is what
+    * kills "the curse of the last reducer" at 100 TB: a celebrity
+    * node of degree 10⁷ contributes no wedges at all unless both
+    * neighbors out-rank it. All joins are equi-joins (wedge join on
+    * the center, closure as a semi-join on the (v,w) key). */
+  private[ops] def triangleStats(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), Seq("b"))
+    // orient low (deg, name) → high (deg, name)
+    val up = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(up, col("a")).otherwise(col("b")).as("u"),
+      when(up, col("b")).otherwise(col("a")).as("v"),
+      when(up, col("db")).otherwise(col("da")).as("dv"))
+    val o1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val o2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    val wedges = o1.join(o2, Seq("u"))
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+      .select(col("u"), col("v1").as("v"), col("v2").as("w"))
+    val closing = oriented.select(col("u").as("v"), col("v").as("w"))
+    val triangles = wedges.join(closing, Seq("v", "w"), "left_semi")
+    triangles
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+      .join(deg, Seq("node"))
+      .select(col("node").as("tok"), col("deg"), col("triangles"),
+        rnd4(col("triangles") * 2.0 / (col("deg") * (col("deg") - lit(1))))
+          .as("clustering_coeff"))
+  }
+
+  val catalog: Map[String, Q] = Map(
+
+    // ---- DSIR importance resampling (Xie et al., NeurIPS'23): score
+    // every raw doc by how much more likely its hashed bag-of-unigrams
+    // is under the target domain's distribution than under the raw
+    // pool's, and keep the top slice. Both distributions are 256-bucket
+    // Laplace-smoothed counts — two map-side-combined aggs over the
+    // same token pass — so the "model" is a 256-row broadcast and the
+    // per-doc weight is one more partial-agged groupBy(doc_id): tokens
+    // of a doc are co-located after the explode, so the shuffle moves
+    // one row per doc, not one per token. Selection is TakeOrdered
+    // (top-100), never a global window. Log-weights sum through
+    // decimal(28,12) so partition order can't move the hash. ----
+    "q146_dsir_selection" -> Q(
+      (s, dir) => {
+        val bt = toks(s, dir).withColumn("b", bucket(col("tok")))
+        val rc = bt.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
+        val tc = bt.filter(col("source").isin(Curated: _*))
+          .groupBy(col("b")).agg(count(lit(1)).as("c_t"))
+        val tot = bt.agg(
+          count(lit(1)).as("n_r"),
+          sum(when(col("source").isin(Curated: _*), 1L).otherwise(0L)).as("n_t"))
+        val model = rc.join(tc, Seq("b"), "left").crossJoin(broadcast(tot))
+          .select(col("b"),
+            log(((coalesce(col("c_t"), lit(0L)) + lit(1.0)) / (col("n_t") + lit(256.0))) /
+              ((col("c_r") + lit(1.0)) / (col("n_r") + lit(256.0)))).as("w"))
+        bt.join(broadcast(model), Seq("b"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(rnd4(sum(col("w").cast(D)).cast("double")).as("li_weight"))
+          .orderBy(col("li_weight").desc, col("doc_id"))
+          .limit(100)
+      },
+      Some(s"""WITH $oToks,
+        bt AS (SELECT doc_id, source, $oBucket AS b FROM toks),
+        rc AS (SELECT b, count(*) AS c_r FROM bt GROUP BY 1),
+        tc AS (SELECT b, count(*) AS c_t FROM bt WHERE source IN $oCurated GROUP BY 1),
+        tot AS (SELECT count(*) AS n_r,
+                       sum(CASE WHEN source IN $oCurated THEN 1 ELSE 0 END) AS n_t FROM bt),
+        model AS (SELECT b,
+            ln(((coalesce(c_t, 0) + 1.0) / (n_t + 256.0)) /
+               ((c_r + 1.0) / (n_r + 256.0))) AS w
+          FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot)
+        SELECT doc_id, source,
+          ${oRnd4("cast(sum(cast(w as decimal(28,12))) as double)")} AS li_weight
+        FROM bt JOIN model USING (b)
+        GROUP BY doc_id, source
+        ORDER BY li_weight DESC, doc_id LIMIT 100""")),
+
+    // ---- trained log-odds quality classifier: Naive-Bayes token
+    // weights from seed labels (curated sources positive, the rest
+    // negative), each doc scored by the mean weight of its feature
+    // tokens. This is the counting-only core of the fastText-style
+    // quality filters (CCNet's, DCLM's): training IS one groupBy(tok)
+    // with two conditional sums, so "retrain on today's corpus" costs
+    // one narrow pass. Features are tokens with total count ≥ 5 — a
+    // count threshold, not a rank, so no global window caps the vocab
+    // — and the weight frame broadcasts (bounded: hash-cap the vocab
+    // at real scale the q146 way if it outgrows the broadcast). ----
+    "q147_quality_classifier" -> Q(
+      (s, dir) => {
+        val t = toks(s, dir)
+          .withColumn("pos", col("source").isin(Curated: _*).cast("long"))
+        val cnts = t.groupBy(col("tok")).agg(
+          sum(col("pos")).as("c_pos"),
+          sum(lit(1L) - col("pos")).as("c_neg"))
+        val feats = cnts.filter(col("c_pos") + col("c_neg") >= 5)
+        val tot = feats.agg(sum(col("c_pos")).as("t_pos"),
+          sum(col("c_neg")).as("t_neg"), count(lit(1)).as("v"))
+        val weights = feats.crossJoin(broadcast(tot))
+          .select(col("tok"),
+            log(((col("c_pos") + lit(0.5)) / (col("t_pos") + lit(0.5) * col("v"))) /
+              ((col("c_neg") + lit(0.5)) / (col("t_neg") + lit(0.5) * col("v")))).as("w"))
+        t.join(broadcast(weights), Seq("tok"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_feat_toks"),
+            rnd4(sum(col("w").cast(D)).cast("double") / count(lit(1))).as("nb_score"))
+          .withColumn("pred_curated", (col("nb_score") > 0).cast("int"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $oToks,
+        t AS (SELECT doc_id, source, tok,
+                CASE WHEN source IN $oCurated THEN 1 ELSE 0 END AS pos FROM toks),
+        cnts AS (SELECT tok, sum(pos) AS c_pos, sum(1 - pos) AS c_neg
+                 FROM t GROUP BY 1),
+        feats AS (SELECT * FROM cnts WHERE c_pos + c_neg >= 5),
+        tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg, count(*) AS v FROM feats),
+        weights AS (SELECT tok,
+            ln(((c_pos + 0.5) / (t_pos + 0.5 * v)) /
+               ((c_neg + 0.5) / (t_neg + 0.5 * v))) AS w
+          FROM feats CROSS JOIN tot),
+        scored AS (SELECT doc_id, source, count(*) AS n_feat_toks,
+            ${oRnd4("cast(sum(cast(w as decimal(28,12))) as double) / count(*)")} AS nb_score
+          FROM t JOIN weights USING (tok) GROUP BY 1, 2)
+        SELECT doc_id, source, n_feat_toks, nb_score,
+          CAST(nb_score > 0 AS INT) AS pred_curated
+        FROM scored ORDER BY doc_id""")),
+
+    // ---- co-occurrence triangle census: build the word-adjacency
+    // graph (edges = unordered adjacent-token pairs whose count is
+    // ≥ 1.1× the mean pair count — the threshold is an integer
+    // cross-multiply against two 1-row totals, so both engines cut
+    // identically and the graph sparsifies as the corpus grows), then
+    // count triangles per node with the degree-ordered wedge join
+    // (see triangleStats). Output: the 20 most triangle-dense tokens
+    // with their local clustering coefficient — the "which terms form
+    // cliques" signal used for template/boilerplate discovery. ----
+    "q148_cooccur_triangles" -> Q(
+      (s, dir) => {
+        val prs = TextOps.bigramRows(s, dir)
+          .select(col("w1"), element_at(split(col("pr"), " "), 2).as("w2"))
+          .filter(col("w1") =!= col("w2"))
+          .select(least(col("w1"), col("w2")).as("a"),
+            greatest(col("w1"), col("w2")).as("b"))
+        val pc = prs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+        val tot = pc.agg(sum(col("c")).as("total"), count(lit(1)).as("ntypes"))
+        val edges = pc.crossJoin(broadcast(tot))
+          .filter(col("c") * col("ntypes") * 10 >= col("total") * 11)
+          .select(col("a"), col("b"))
+        triangleStats(edges)
+          .orderBy(col("triangles").desc, col("tok"))
+          .limit(20)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        adj AS (SELECT least(ws[i], ws[i+1]) AS a, greatest(ws[i], ws[i+1]) AS b
+                FROM (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS i FROM toks)
+                WHERE ws[i] <> ws[i+1]),
+        pc AS (SELECT a, b, count(*) AS c FROM adj GROUP BY 1, 2),
+        tot AS (SELECT sum(c) AS total, count(*) AS ntypes FROM pc),
+        edges AS (SELECT a, b FROM pc CROSS JOIN tot
+                  WHERE c * ntypes * 10 >= total * 11),
+        deg AS (SELECT node, count(*) AS deg FROM
+                  (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+                GROUP BY 1),
+        oriented AS (SELECT
+            CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS u,
+            CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS v,
+            CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS dv
+          FROM edges e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+        wedges AS (SELECT o1.u, o1.v AS v, o2.v AS w
+          FROM oriented o1 JOIN oriented o2 USING (u)
+          WHERE (o1.dv, o1.v) < (o2.dv, o2.v)),
+        tris AS (SELECT u, v, w FROM wedges
+          WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.u = wedges.v AND o.v = wedges.w)),
+        per_node AS (SELECT node, count(*) AS triangles FROM
+            (SELECT u AS node FROM tris
+             UNION ALL SELECT v FROM tris
+             UNION ALL SELECT w FROM tris)
+          GROUP BY 1)
+        SELECT node AS tok, deg, triangles,
+          ${oRnd4("triangles * 2.0 / (deg * (deg - 1))")} AS clustering_coeff
+        FROM per_node JOIN deg USING (node)
+        ORDER BY triangles DESC, tok LIMIT 20""")),
+
+    // ---- PSI drift monitor: population stability index of each
+    // source's doc-length distribution against the curated anchor
+    // src0. Fixed width-100 bins capped at 5 (engine-identical
+    // arithmetic, no quantile estimation), 0.5-smoothed proportions so
+    // empty bins contribute finite terms, contributions summed through
+    // decimal. The whole monitor is two tiny (source, bin) aggs + a
+    // 6-row-per-source explode of the canonical bin set — the shuffle
+    // carries O(sources × bins) rows, so this runs per-ingest-batch at
+    // any corpus size. PSI ≥ 0.25 is the conventional "investigate"
+    // line; the monitor reports the number, the pipeline gates on it
+    // (same division of labor as q110's adaptive quality gate). ----
+    "q149_psi_drift" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            least(floor(col("n_chars") / 100), lit(5L)).as("bin"))
+        val ref = docs.filter(col("source") === "src0")
+          .groupBy(col("bin")).agg(count(lit(1)).as("c_ref"))
+        val refTot = docs.filter(col("source") === "src0")
+          .agg(count(lit(1)).as("n_ref"))
+        val curCnt = docs.filter(col("source") =!= "src0")
+          .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c_cur"))
+        val curTot = docs.filter(col("source") =!= "src0")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_cur"))
+        val grid = curTot.select(col("source"), col("n_cur"),
+            explode(sequence(lit(0L), lit(5L))).as("bin"))
+          .join(curCnt, Seq("source", "bin"), "left")
+          .join(broadcast(ref), Seq("bin"), "left")
+          .crossJoin(broadcast(refTot))
+        val pc = (coalesce(col("c_cur"), lit(0L)) + lit(0.5)) / (col("n_cur") + lit(3.0))
+        val pr = (coalesce(col("c_ref"), lit(0L)) + lit(0.5)) / (col("n_ref") + lit(3.0))
+        grid.select(col("source"), col("n_cur"), ((pc - pr) * log(pc / pr)).as("term"))
+          .groupBy(col("source"))
+          .agg(max(col("n_cur")).as("n_docs"),
+            rnd4(sum(col("term").cast(D)).cast("double")).as("psi_nchars"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, source,
+                 least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin FROM documents),
+        ref AS (SELECT bin, count(*) AS c_ref FROM docs WHERE source = 'src0' GROUP BY 1),
+        ref_tot AS (SELECT count(*) AS n_ref FROM docs WHERE source = 'src0'),
+        cur_cnt AS (SELECT source, bin, count(*) AS c_cur FROM docs
+                    WHERE source <> 'src0' GROUP BY 1, 2),
+        cur_tot AS (SELECT source, count(*) AS n_cur FROM docs
+                    WHERE source <> 'src0' GROUP BY 1),
+        grid AS (SELECT t.source, t.n_cur, g.bin, c.c_cur, r.c_ref, rt.n_ref
+          FROM cur_tot t
+          CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bin) g
+          LEFT JOIN cur_cnt c ON c.source = t.source AND c.bin = g.bin
+          LEFT JOIN ref r ON r.bin = g.bin
+          CROSS JOIN ref_tot rt),
+        terms AS (SELECT source, n_cur,
+            ((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0)
+             - (coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))
+            * ln(((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0))
+                 / ((coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))) AS term
+          FROM grid)
+        SELECT source, max(n_cur) AS n_docs,
+          ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")} AS psi_nchars
+        FROM terms GROUP BY source ORDER BY source""")),
+
+    // ---- content-defined chunking + chunk-hash dedup accounting:
+    // Rabin-style boundaries spelled engine-portably — position i ends
+    // a chunk when the md5 of the trailing 8-gram falls in 1/32 of the
+    // hash space (expected chunk ≈ 32 chars; the production path
+    // swaps in the RollingHash codegen expression, q44's, which
+    // computes the same sliding window without per-position string
+    // allocation — boundary semantics identical, hash family differs,
+    // which is why the CATALOG spelling stays md5: DuckDB can replay
+    // it). Unlike fixed-width chunking, an insertion early in a doc
+    // shifts no boundary after the next content match — that is what
+    // makes chunk-hash dedup robust to near-duplicate drift. All
+    // per-doc work is ONE row-local array pipeline (sequence → filter
+    // → boundary list → substring transform), no shuffle until the
+    // chunk-hash groupBy, which is the report's only exchange. ----
+    "q150_cdc_chunks" -> Q(
+      (s, dir) => {
+        val docs = fanOut(s, table(s, dir, "documents"))
+          .withColumn("bs", expr(
+            """if(length(text) < 8, array(),
+                 filter(sequence(8, length(text)),
+                   i -> cast(conv(substr(md5(cast(substr(text, i-7, 8) as binary)), 1, 4), 16, 10) as int) % 32 = 0))"""))
+          .withColumn("ends", expr(
+            "array_distinct(concat(bs, array(length(text))))"))
+          .withColumn("chunk", explode(expr(
+            """transform(ends, (e, i) ->
+                 substr(text, if(i = 0, 0, ends[i-1]) + 1, e - if(i = 0, 0, ends[i-1])))""")))
+        docs.select(col("source"), col("chunk"), md5(col("chunk").cast("binary")).as("h"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_chunks"),
+            countDistinct(col("h")).as("n_distinct"),
+            sum(length(col("chunk"))).as("total_chars"),
+            rnd4(sum(length(col("chunk"))).cast("double") / count(lit(1))).as("avg_chunk_len"))
+          .withColumn("dedup_ratio",
+            rnd4(col("n_distinct").cast("double") / col("n_chunks")))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH pos AS (SELECT doc_id, source, text,
+                 unnest(generate_series(8, len(text))) AS i FROM documents),
+        bounds AS (SELECT doc_id, i AS e FROM pos
+                   WHERE CAST('0x' || substr(md5(substr(text, i-7, 8)), 1, 4) AS INT) % 32 = 0),
+        ends AS (SELECT DISTINCT doc_id, e FROM
+                   (SELECT doc_id, e FROM bounds
+                    UNION ALL SELECT doc_id, len(text) FROM documents)),
+        chunks AS (SELECT d.source,
+            substr(d.text,
+                   coalesce(lag(e.e) OVER (PARTITION BY e.doc_id ORDER BY e.e), 0) + 1,
+                   e.e - coalesce(lag(e.e) OVER (PARTITION BY e.doc_id ORDER BY e.e), 0))
+              AS chunk
+          FROM ends e JOIN documents d USING (doc_id))
+        SELECT source, count(*) AS n_chunks,
+          count(DISTINCT md5(chunk)) AS n_distinct,
+          sum(len(chunk)) AS total_chars,
+          ${oRnd4("cast(sum(len(chunk)) as double) / count(*)")} AS avg_chunk_len,
+          ${oRnd4("cast(count(DISTINCT md5(chunk)) as double) / count(*)")} AS dedup_ratio
+        FROM chunks GROUP BY source ORDER BY source"""))
+  )
+}
