@@ -40,7 +40,7 @@ object Selection {
     * the selection family (q146 buckets it, q147 weighs it). Same
     * tokenizer as the TextOps family: split on single spaces,
     * lowercased, empties dropped. */
-  private[ops] def toks(s: SparkSession, dir: String): DataFrame =
+  private[graft] def toks(s: SparkSession, dir: String): DataFrame =
     memo(s, s"selection.toks:$dir") {
       fanOut(s, table(s, dir, "documents"))
         .select(col("doc_id"), col("source"),
@@ -81,7 +81,13 @@ object Selection {
     * node of degree 10⁷ contributes no wedges at all unless both
     * neighbors out-rank it. All joins are equi-joins (wedge join on
     * the center, closure as a semi-join on the (v,w) key). */
-  private[ops] def triangleStats(edges: DataFrame): DataFrame = {
+  private[graft] def triangleStats(edgesIn: DataFrame): DataFrame = {
+    // the edge list is read 3× (degree census + join-back) and the
+    // oriented list 3× (both wedge sides + closure) — cut the lineage
+    // once here or every reference re-runs the full upstream corpus
+    // pass that built the edges (measured 11.8 s → 1.6 s at sf0.1).
+    // Same localCheckpoint idiom as connectedComponents' round frames.
+    val edges = edgesIn.localCheckpoint()
     val deg = edges.select(col("a").as("node"))
       .unionAll(edges.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -94,6 +100,7 @@ object Selection {
       when(up, col("a")).otherwise(col("b")).as("u"),
       when(up, col("b")).otherwise(col("a")).as("v"),
       when(up, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint()
     val o1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
     val o2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
     val wedges = o1.join(o2, Seq("u"))
@@ -109,6 +116,59 @@ object Selection {
       .select(col("node").as("tok"), col("deg"), col("triangles"),
         rnd4(col("triangles") * 2.0 / (col("deg") * (col("deg") - lit(1))))
           .as("clustering_coeff"))
+  }
+
+  /** Content-defined chunks of `docs` (needs `doc_id`, `source`,
+    * `text`): one row per chunk, (doc_id, source, idx, chunk), idx
+    * 0-based in document order. Boundaries end a chunk at position i
+    * when the md5 of the trailing 8-gram falls in 1/32 of the hash
+    * space; the final position always closes the last chunk, so
+    * chunks concatenate back to the document exactly (spec-pinned).
+    * All per-doc work is one row-local array pipeline — no shuffle
+    * happens in here at all. */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bs", expr(
+        """if(length(text) < 8, array(),
+             filter(sequence(8, length(text)),
+               i -> cast(conv(substr(md5(cast(substr(text, i-7, 8) as binary)), 1, 4), 16, 10) as int) % 32 = 0))"""))
+      .withColumn("ends", expr(
+        "array_distinct(concat(bs, array(length(text))))"))
+      .select(col("doc_id"), col("source"),
+        posexplode(expr(
+          """transform(ends, (e, i) ->
+               substr(text, if(i = 0, 0, ends[i-1]) + 1, e - if(i = 0, 0, ends[i-1])))"""))
+          .as(Seq("idx", "chunk")))
+
+  /** PSI of each non-anchor source's doc-length distribution against
+    * the `anchor` source, over (source, n_chars) rows. Width-100 bins
+    * capped at 5, 0.5-smoothed proportions, decimal term sums —
+    * engine-identical arithmetic (no quantile estimation anywhere).
+    * Output: (source, n_docs, psi_nchars), one row per non-anchor
+    * source. The shuffle carries O(sources × bins) rows. */
+  private[graft] def psiBySource(docsIn: DataFrame, anchor: String): DataFrame = {
+    val docs = docsIn.select(col("source"),
+      least(floor(col("n_chars") / 100), lit(5L)).as("bin"))
+    val ref = docs.filter(col("source") === anchor)
+      .groupBy(col("bin")).agg(count(lit(1)).as("c_ref"))
+    val refTot = docs.filter(col("source") === anchor)
+      .agg(count(lit(1)).as("n_ref"))
+    val curCnt = docs.filter(col("source") =!= anchor)
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c_cur"))
+    val curTot = docs.filter(col("source") =!= anchor)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_cur"))
+    val grid = curTot.select(col("source"), col("n_cur"),
+        explode(sequence(lit(0L), lit(5L))).as("bin"))
+      .join(curCnt, Seq("source", "bin"), "left")
+      .join(broadcast(ref), Seq("bin"), "left")
+      .crossJoin(broadcast(refTot))
+    val pc = (coalesce(col("c_cur"), lit(0L)) + lit(0.5)) / (col("n_cur") + lit(3.0))
+    val pr = (coalesce(col("c_ref"), lit(0L)) + lit(0.5)) / (col("n_ref") + lit(3.0))
+    grid.select(col("source"), col("n_cur"), ((pc - pr) * log(pc / pr)).as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("n_cur")).as("n_docs"),
+        rnd4(sum(col("term").cast(D)).cast("double")).as("psi_nchars"))
+      .orderBy(col("source"))
   }
 
   val catalog: Map[String, Q] = Map(
@@ -276,31 +336,7 @@ object Selection {
     // line; the monitor reports the number, the pipeline gates on it
     // (same division of labor as q110's adaptive quality gate). ----
     "q149_psi_drift" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            least(floor(col("n_chars") / 100), lit(5L)).as("bin"))
-        val ref = docs.filter(col("source") === "src0")
-          .groupBy(col("bin")).agg(count(lit(1)).as("c_ref"))
-        val refTot = docs.filter(col("source") === "src0")
-          .agg(count(lit(1)).as("n_ref"))
-        val curCnt = docs.filter(col("source") =!= "src0")
-          .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c_cur"))
-        val curTot = docs.filter(col("source") =!= "src0")
-          .groupBy(col("source")).agg(count(lit(1)).as("n_cur"))
-        val grid = curTot.select(col("source"), col("n_cur"),
-            explode(sequence(lit(0L), lit(5L))).as("bin"))
-          .join(curCnt, Seq("source", "bin"), "left")
-          .join(broadcast(ref), Seq("bin"), "left")
-          .crossJoin(broadcast(refTot))
-        val pc = (coalesce(col("c_cur"), lit(0L)) + lit(0.5)) / (col("n_cur") + lit(3.0))
-        val pr = (coalesce(col("c_ref"), lit(0L)) + lit(0.5)) / (col("n_ref") + lit(3.0))
-        grid.select(col("source"), col("n_cur"), ((pc - pr) * log(pc / pr)).as("term"))
-          .groupBy(col("source"))
-          .agg(max(col("n_cur")).as("n_docs"),
-            rnd4(sum(col("term").cast(D)).cast("double")).as("psi_nchars"))
-          .orderBy(col("source"))
-      },
+      (s, dir) => psiBySource(table(s, dir, "documents"), "src0"),
       Some(s"""WITH docs AS (SELECT doc_id, source,
                  least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin FROM documents),
         ref AS (SELECT bin, count(*) AS c_ref FROM docs WHERE source = 'src0' GROUP BY 1),
@@ -341,17 +377,8 @@ object Selection {
     // chunk-hash groupBy, which is the report's only exchange. ----
     "q150_cdc_chunks" -> Q(
       (s, dir) => {
-        val docs = fanOut(s, table(s, dir, "documents"))
-          .withColumn("bs", expr(
-            """if(length(text) < 8, array(),
-                 filter(sequence(8, length(text)),
-                   i -> cast(conv(substr(md5(cast(substr(text, i-7, 8) as binary)), 1, 4), 16, 10) as int) % 32 = 0))"""))
-          .withColumn("ends", expr(
-            "array_distinct(concat(bs, array(length(text))))"))
-          .withColumn("chunk", explode(expr(
-            """transform(ends, (e, i) ->
-                 substr(text, if(i = 0, 0, ends[i-1]) + 1, e - if(i = 0, 0, ends[i-1])))""")))
-        docs.select(col("source"), col("chunk"), md5(col("chunk").cast("binary")).as("h"))
+        cdcChunks(fanOut(s, table(s, dir, "documents")))
+          .select(col("source"), col("chunk"), md5(col("chunk").cast("binary")).as("h"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_chunks"),
             countDistinct(col("h")).as("n_distinct"),

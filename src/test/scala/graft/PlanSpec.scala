@@ -589,4 +589,53 @@ class PlanSpec extends SparkSpec {
       s"MERGE must compile to an equi-join + union:\n${p.take(1500)}")
     assert(p.contains("Union"), "expected the three merge branches unioned")
   }
+
+  test("q146 DSIR: 256-row model broadcasts back, selection is TakeOrdered, no loop join") {
+    val p = planOf("q146_dsir_selection")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket-weight model must broadcast against the token stream:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-slice selection must be TakeOrdered, never a global sort")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere in DSIR")
+    // the only loop joins are the 1-row totals frames
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"only the 1-row totals may nested-loop:\n${p.take(1500)}")
+  }
+
+  test("q147 quality classifier: token-weight join broadcasts; scoring aggregates partial+final") {
+    val p = planOf("q147_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocabulary weight frame must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "training counts and doc scoring must both partial-aggregate")
+  }
+
+  test("q148 triangles: wedge closure is a semi-join; no loop join closes triangles") {
+    val p = planOf("q148_cooccur_triangles")
+    assert(p.contains("LeftSemi"),
+      s"triangle closure must be a semi-join on the (v,w) key:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), "triangle counting must never cross-join")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 output must be TakeOrdered, never a global sort")
+  }
+
+  test("q150 CDC chunking: zero joins — the only exchange feeds the per-source aggregate") {
+    val p = planOf("q150_cdc_chunks")
+    assert(!p.contains("Join"), s"chunking must be row-local, no join:\n${p.take(1500)}")
+    // formatted mode prints each node twice (tree + detail): 4 distinct
+    // exchanges — fan-out spread, partial+final count-distinct, sort
+    assert("Exchange".r.findAllIn(p).size <= 8,
+      s"expected only the count-distinct agg (+sort) exchanges:\n${p.take(1500)}")
+  }
+
+  test("q151 Kneser-Ney: model built from vocab²-bounded aggs, broadcast to the scoring pass") {
+    val p = planOf("q151_kneser_ney")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the KN model must broadcast against the bigram stream:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+    // one BNLJ node (the 1-row type total), printed twice in formatted mode
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "only the 1-row type total may nested-loop")
+  }
 }
