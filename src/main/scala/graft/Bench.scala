@@ -29,7 +29,8 @@ object Bench {
     val warmBreakdown =
       safeWarm(ops.Dedup.warm(spark, sfDir)) ++
         safeWarm(ops.Similarity.warm(spark, sfDir)) ++
-        safeWarm(ops.TextOps.warm(spark, sfDir))
+        safeWarm(ops.TextOps.warm(spark, sfDir)) ++
+        safeWarm(ops.Selection.warm(spark, sfDir))
     val warmSec = warmBreakdown.map(_._2).sum
     // SPARK_GRAFT_BENCH_ONLY=q77_lm_quality,q83_token_windows times a
     // subset in an otherwise-identical session — for separating a

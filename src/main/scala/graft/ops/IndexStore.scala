@@ -481,12 +481,46 @@ object IndexStore {
       }
     }
 
-  private val dedupChannels = Seq("band_keys", "fingerprints", "sim_blocks", "bloom")
+  private val dedupChannels =
+    Seq("band_keys", "fingerprints", "sim_blocks", "bloom", "mix_census")
+
+  /** The governance census of a batch — Selection.lenBins (source ×
+    * length-bin counts, O(sources × 6) rows): the sufficient statistic
+    * the PSI drift monitor (q149) needs, persisted per fold so "is the
+    * corpus mix rotting" is answerable from the store alone, at any
+    * committed version, without rescanning corpus text. None when the
+    * frame doesn't carry the governance columns. */
+  private def censusOf(batch: DataFrame): Option[DataFrame] = {
+    val cols = batch.columns.toSet
+    if (cols.contains("source") && cols.contains("n_chars"))
+      Some(Selection.lenBins(batch))
+    else None
+  }
+
+  /** [[censusOf]] for a context that has COMMITTED to governance (a
+    * `governed = true` write, or any fold into a store that already
+    * has the channel): a missing column is a loud refusal, never a
+    * silent hole in the drift timeline. */
+  private def censusRequired(op: String, batch: DataFrame): DataFrame =
+    censusOf(batch).getOrElse(throw new IllegalStateException(
+      s"$op: this store is GOVERNED (mix_census channel) but the frame " +
+        "carries no (source, n_chars) columns — folding it would silently " +
+        "hole the drift timeline; carry the governance columns or build " +
+        "the store ungoverned"))
 
   /** Persist the dedup index of `docs` under `out` (one snapshot
     * transaction; any cluster_labels / other-family channels already
-    * present are carried forward untouched). */
-  def write(s: SparkSession, docs: DataFrame, out: String): Unit = {
+    * present are carried forward untouched). `governed = true` opts
+    * the store into the governance census: the write records
+    * `mix_census` (Selection.lenBins of `docs` — requires the
+    * (source, n_chars) columns) and EVERY later fold must extend it,
+    * making the store's history a drift timeline
+    * ([[driftFromStore]]/[[driftFromStoreAt]], q152). Explicit
+    * opt-in, not column sniffing: screens and folds legitimately run
+    * on bare (doc_id, text) frames, and a store that silently became
+    * governed would refuse them. */
+  def write(s: SparkSession, docs: DataFrame, out: String,
+      governed: Boolean = false): Unit = {
     graft.functions.BloomFuncs.register(s)
     require(!docs.isEmpty,
       "write: empty docs frame — an index store cannot be initialized " +
@@ -509,13 +543,23 @@ object IndexStore {
       .write.mode(SaveMode.Overwrite).partitionBy("b")
       .parquet(s"$out/$snap/sim_blocks")
     maybeCrash("sim_blocks")
+    // a governed write initializes the census; every later fold must
+    // extend it (the append refuses column-less batches rather than
+    // silently holing the governance timeline)
+    val censusRel = if (governed) Some {
+      val c = censusRequired("write", docs)
+      c.write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/mix_census")
+      maybeCrash("mix_census")
+      "mix_census" -> Channel(relIfData(out, s"$snap/mix_census"), "", "")
+    } else None
     val bloomRel = writeBloomInto(s, fps, out, snap)
     // data-less parquet dirs (an empty corpus write) are not committed
     // — a later read of a part-file-less path cannot infer a schema
-    commitSnap(out, snap, prior -- dedupChannels ++ Map(
+    commitSnap(out, snap, prior -- dedupChannels ++ (Map(
       "band_keys" -> Channel(relIfData(out, s"$snap/band_keys"), "band", ""),
       "fingerprints" -> Channel(relIfData(out, s"$snap/fingerprints"), "", ""),
-      "sim_blocks" -> Channel(relIfData(out, s"$snap/sim_blocks"), "b", ""))
+      "sim_blocks" -> Channel(relIfData(out, s"$snap/sim_blocks"), "b", "")) ++
+      censusRel)
       .filter(_._2.paths.nonEmpty) ++
       bloomRel.map(p => "bloom" -> Channel(Seq(p), "", "")), base)
   }
@@ -806,6 +850,14 @@ object IndexStore {
       labelDelta.foreach(_.write.mode(SaveMode.Overwrite)
         .parquet(s"$indexDir/$snap/cluster_labels"))
       maybeCrash("cluster_labels")
+      // governed stores extend the census every fold; the batch's bin
+      // counts are additive, so readers just sum across the path list
+      val census = if (prior.contains("mix_census"))
+        Some(censusRequired("append", batch))
+      else None
+      census.foreach(_.write.mode(SaveMode.Overwrite)
+        .parquet(s"$indexDir/$snap/mix_census"))
+      maybeCrash("mix_census")
       val fpPaths = prior.get("fingerprints").map(_.paths).getOrElse(Seq.empty) ++
         relIfData(indexDir, s"$snap/fingerprints")
       def mergedFps() = s.read.parquet(fpPaths.map(p => s"$indexDir/$p"): _*)
@@ -829,6 +881,9 @@ object IndexStore {
         labelDelta.map(_ => appended("cluster_labels",
           s"$snap/cluster_labels", "")._2)
           .map("cluster_labels" -> _) ++
+        census.map(_ => appended("mix_census",
+          s"$snap/mix_census", "")._2)
+          .map("mix_census" -> _) ++
         bloomRel.map(p => "bloom" -> Channel(Seq(p), "", "")), base)
       } finally labelDelta.foreach(releaseCheckpoint)
     }
@@ -909,6 +964,25 @@ object IndexStore {
       Dedup.connectedComponents(
         table(s, dir, "documents").select(col("doc_id")),
         pairsFromStore(s, indexDir)))
+
+  /** q149's PSI drift monitor fed from the governed store's census
+    * channel alone: per-fold (source, bin, n) rows are additive, so
+    * the cumulative distribution is one O(sources × bins × folds)
+    * sum — drift is answerable from the store at any corpus size
+    * without rescanning a byte of text. Bit-identical to the session
+    * route over the same corpus (Selection.psiBySource shares the
+    * whole arithmetic; SelectionSpec pins it). */
+  def driftFromStore(s: SparkSession, indexDir: String,
+      anchor: String): DataFrame =
+    Selection.psiFromBins(channel(s, indexDir, "mix_census"), anchor)
+
+  /** [[driftFromStore]] AS OF a committed version — the store's
+    * governance history is a drift TIMELINE: each snapshot's manifest
+    * reaches exactly the census folds committed by then, so "when did
+    * the mix start rotting" is a walk over [[history]] (q152). */
+  def driftFromStoreAt(s: SparkSession, indexDir: String, snap: String,
+      anchor: String): DataFrame =
+    Selection.psiFromBins(channelAt(s, indexDir, snap, "mix_census"), anchor)
 
   // ---------------------------------------------------------------
   // media channel family

@@ -140,23 +140,37 @@ object Selection {
                substr(text, if(i = 0, 0, ends[i-1]) + 1, e - if(i = 0, 0, ends[i-1])))"""))
           .as(Seq("idx", "chunk")))
 
-  /** PSI of each non-anchor source's doc-length distribution against
-    * the `anchor` source, over (source, n_chars) rows. Width-100 bins
-    * capped at 5, 0.5-smoothed proportions, decimal term sums —
-    * engine-identical arithmetic (no quantile estimation anywhere).
-    * Output: (source, n_docs, psi_nchars), one row per non-anchor
-    * source. The shuffle carries O(sources × bins) rows. */
-  private[graft] def psiBySource(docsIn: DataFrame, anchor: String): DataFrame = {
-    val docs = docsIn.select(col("source"),
-      least(floor(col("n_chars") / 100), lit(5L)).as("bin"))
-    val ref = docs.filter(col("source") === anchor)
-      .groupBy(col("bin")).agg(count(lit(1)).as("c_ref"))
-    val refTot = docs.filter(col("source") === anchor)
-      .agg(count(lit(1)).as("n_ref"))
-    val curCnt = docs.filter(col("source") =!= anchor)
-      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("c_cur"))
-    val curTot = docs.filter(col("source") =!= anchor)
-      .groupBy(col("source")).agg(count(lit(1)).as("n_cur"))
+  /** The PSI monitor's length-distribution census: one (source, bin,
+    * n) row per populated bin — width-100 bins capped at 5 (fixed,
+    * engine-identical arithmetic, no quantile estimation). This tiny
+    * frame IS the monitor's sufficient statistic: the index store
+    * persists exactly these rows per ingest fold (`mix_census`
+    * channel), so drift is computable from the store without ever
+    * rescanning the corpus. */
+  private[graft] def lenBins(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        least(floor(col("n_chars") / 100), lit(5L)).as("bin"))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("n"))
+
+  /** PSI of each non-anchor source against the `anchor` source, from
+    * census rows (source, bin, n) — additive across folds, so the
+    * input may carry one row per (source, bin) per ingest batch (the
+    * store route) or exactly one (the session route): the first agg
+    * collapses either to identical totals, and everything downstream
+    * is the same arithmetic, so store-fed drift is bit-identical to a
+    * session recomputation (SelectionSpec pins it). 0.5-smoothed
+    * proportions so empty bins contribute finite terms; contributions
+    * summed through decimal. Output: (source, n_docs, psi_nchars). */
+  private[graft] def psiFromBins(binsIn: DataFrame, anchor: String): DataFrame = {
+    val bins = binsIn.groupBy(col("source"), col("bin")).agg(sum(col("n")).as("n"))
+    val ref = bins.filter(col("source") === anchor)
+      .select(col("bin"), col("n").as("c_ref"))
+    val refTot = bins.filter(col("source") === anchor)
+      .agg(sum(col("n")).as("n_ref"))
+    val curCnt = bins.filter(col("source") =!= anchor)
+      .select(col("source"), col("bin"), col("n").as("c_cur"))
+    val curTot = bins.filter(col("source") =!= anchor)
+      .groupBy(col("source")).agg(sum(col("n")).as("n_cur"))
     val grid = curTot.select(col("source"), col("n_cur"),
         explode(sequence(lit(0L), lit(5L))).as("bin"))
       .join(curCnt, Seq("source", "bin"), "left")
@@ -170,6 +184,51 @@ object Selection {
         rnd4(sum(col("term").cast(D)).cast("double")).as("psi_nchars"))
       .orderBy(col("source"))
   }
+
+  /** PSI of each non-anchor source's doc-length distribution against
+    * the `anchor` source, over (source, n_chars) rows — the session
+    * (one-shot) route: census + PSI in one plan. */
+  private[graft] def psiBySource(docsIn: DataFrame, anchor: String): DataFrame =
+    psiFromBins(lenBins(docsIn), anchor)
+
+  /** Once-per-JVM GOVERNED dedup store built as a 3-fold ingest
+    * timeline (doc_id % 3 slices, q143's slicing): the initial write
+    * carries (source, n_chars), so every fold appends a `mix_census`
+    * delta and the store's history is a drift timeline q152 reads
+    * back. Same memo discipline as Dedup.snapshotStore /
+    * TextOps.versionedTextStore — the rolling store exists before an
+    * audit query arrives; rebuilding it inside the query would time
+    * the ingest, not the monitor. */
+  private val governedStores =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def governedStore(s: SparkSession, dir: String): String =
+    governedStores.synchronized {
+      governedStores.getOrElseUpdate(dir, {
+        val idx = jvmStorePath("graft_gov", dir)
+        val docs = table(s, dir, "documents")
+        // committed version ⇔ non-empty fold (q143's rule): the
+        // bootstrap write defers to the first populated residue,
+        // append skips empty batches — history stays dense
+        var initialized = false
+        for (r <- 0 to 2) {
+          val slice = docs.filter(col("doc_id") % 3 === r)
+          if (!initialized) {
+            if (!slice.isEmpty) {
+              IndexStore.write(s, slice, idx, governed = true); initialized = true
+            }
+          } else IndexStore.append(s, idx, slice)
+        }
+        require(initialized,
+          s"governedStore: documents table at $dir is empty — the drift timeline is undefined")
+        idx
+      })
+    }
+
+  /** Bench warm phase: force-build the memoized governed store so its
+    * one-time ingest cost is attributed here, not to whichever
+    * governance query runs it first. */
+  def warm(s: SparkSession, dir: String): Seq[(String, Double)] = Seq(
+    timedBuild("selection.governedStore") { governedStore(s, dir); () })
 
   val catalog: Map[String, Q] = Map(
 
@@ -406,6 +465,58 @@ object Selection {
           sum(len(chunk)) AS total_chars,
           ${oRnd4("cast(sum(len(chunk)) as double) / count(*)")} AS avg_chunk_len,
           ${oRnd4("cast(count(DISTINCT md5(chunk)) as double) / count(*)")} AS dedup_ratio
-        FROM chunks GROUP BY source ORDER BY source"""))
+        FROM chunks GROUP BY source ORDER BY source""")),
+
+    // ---- drift TIMELINE from the governed store: the q149 monitor
+    // answered from persisted state alone, at every committed version.
+    // Each ingest fold appended an O(sources × 6) `mix_census` delta;
+    // bin counts are additive, so the cumulative distribution at
+    // version v is one tiny sum over the folds v's manifest reaches —
+    // "when did source X start drifting off the curated anchor" is a
+    // manifest walk + arithmetic, NEVER a corpus rescan (the census at
+    // 100 TB is the same few hundred rows). ORACLE-CHECKED: DuckDB
+    // rebuilds each version's cumulative census from raw documents
+    // under the same doc_id%3 slicing (q143's dense-version rule) and
+    // recomputes the identical smoothed PSI. ----
+    "q152_drift_timeline" -> Q(
+      (s, dir) => {
+        val idx = governedStore(s, dir)
+        IndexStore.history(idx).zipWithIndex.map { case (snap, i) =>
+          IndexStore.driftFromStoreAt(s, idx, snap, "src0")
+            .select(lit(i + 1).as("version"), col("source"),
+              col("n_docs"), col("psi_nchars"))
+        }.reduce(_ unionByName _).orderBy(col("version"), col("source"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id % 3 AS s, source,
+                 least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin
+               FROM documents),
+        sl AS (SELECT s, CAST(row_number() OVER (ORDER BY s) AS INT) AS version
+               FROM (SELECT DISTINCT s FROM d) t),
+        dv AS (SELECT d.source, d.bin, sl.version AS dver FROM d JOIN sl ON d.s = sl.s),
+        cum AS (SELECT v.version, dv.source, dv.bin, count(*) AS n
+                FROM sl v JOIN dv ON dv.dver <= v.version
+                GROUP BY 1, 2, 3),
+        ref AS (SELECT version, bin, n AS c_ref FROM cum WHERE source = 'src0'),
+        ref_tot AS (SELECT version, sum(n) AS n_ref FROM cum
+                    WHERE source = 'src0' GROUP BY 1),
+        cur_tot AS (SELECT version, source, sum(n) AS n_cur FROM cum
+                    WHERE source <> 'src0' GROUP BY 1, 2),
+        grid AS (SELECT t.version, t.source, t.n_cur, g.bin,
+                   c.n AS c_cur, r.c_ref, rt.n_ref
+          FROM cur_tot t
+          CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bin) g
+          LEFT JOIN cum c ON c.version = t.version AND c.source = t.source
+                         AND c.bin = g.bin
+          LEFT JOIN ref r ON r.version = t.version AND r.bin = g.bin
+          JOIN ref_tot rt ON rt.version = t.version),
+        terms AS (SELECT version, source, n_cur,
+            ((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0)
+             - (coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))
+            * ln(((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0))
+                 / ((coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))) AS term
+          FROM grid)
+        SELECT version, source, max(n_cur) AS n_docs,
+          ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")} AS psi_nchars
+        FROM terms GROUP BY 1, 2 ORDER BY version, source"""))
   )
 }

@@ -108,6 +108,124 @@ class SelectionSpec extends SparkSpec {
     assert(out("shifted") > 0.25, s"shifted PSI should alarm, got ${out("shifted")}")
   }
 
+  // ---- governed store: the census channel IS the monitor's state ----
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-gov-$tag").toString
+
+  /** 30 unique docs over 3 sources with source-distinct length
+    * profiles (s2 deliberately shifted off the anchor s0). */
+  private def govDocs(ids: Range) = ids.map { i =>
+    val src = s"s${i % 3}"
+    val n = (i % 3) match {
+      case 0 => 50L + (i % 5) * 100   // anchor: spread over bins
+      case 1 => 60L + (i % 5) * 100   // clone-ish
+      case 2 => 450L + (i % 2) * 60   // shifted high
+    }
+    (i.toLong, s"unique document number $i with token$i inside", src, n)
+  }.toDF("doc_id", "text", "source", "n_chars")
+
+  test("governed store: drift from the census is bit-identical to session PSI, across folds, versions, and compact") {
+    val idx = tmp("drift")
+    ops.IndexStore.write(spark, govDocs(1 to 10), idx, governed = true)
+    ops.IndexStore.append(spark, idx, govDocs(11 to 20))
+    ops.IndexStore.append(spark, idx, govDocs(21 to 30))
+    val session = ops.Selection.psiBySource(govDocs(1 to 30), "s0").collect().toSeq
+    val store = ops.IndexStore.driftFromStore(spark, idx, "s0").collect().toSeq
+    assert(store == session, "store-fed drift diverged from the session recomputation")
+    // the timeline: version 1 sees only fold 1's census
+    val v1 = ops.IndexStore.history(idx).head
+    assert(ops.IndexStore.driftFromStoreAt(spark, idx, v1, "s0").collect().toSeq ==
+      ops.Selection.psiBySource(govDocs(1 to 10), "s0").collect().toSeq,
+      "version-1 drift must equal the session PSI of fold 1 alone")
+    // compact collapses the census deltas without moving a number
+    ops.IndexStore.compact(spark, idx)
+    assert(ops.IndexStore.driftFromStore(spark, idx, "s0").collect().toSeq == session,
+      "compaction changed the drift report")
+  }
+
+  test("governance is explicit opt-in; a governed store refuses a column-less fold") {
+    // a DEFAULT write is ungoverned even when the frame carries the
+    // governance columns — screens/folds legitimately run on bare
+    // (doc_id, text) frames, and a store that silently became governed
+    // would refuse them (the streaming dedup loop's shape)
+    val bare = tmp("bare")
+    ops.IndexStore.write(spark, govDocs(1 to 10), bare)
+    val e1 = intercept[IllegalStateException] {
+      ops.IndexStore.driftFromStore(spark, bare, "s0").collect()
+    }
+    assert(e1.getMessage.contains("mix_census"))
+    // and an ungoverned store accepts bare folds
+    ops.IndexStore.append(spark, bare,
+      govDocs(11 to 20).select(col("doc_id"), col("text")))
+    // a governed write without the columns is refused outright
+    val e0 = intercept[IllegalStateException] {
+      ops.IndexStore.write(spark,
+        govDocs(1 to 10).select(col("doc_id"), col("text")),
+        tmp("gov0"), governed = true)
+    }
+    assert(e0.getMessage.contains("GOVERNED"))
+    val gov = tmp("gov")
+    ops.IndexStore.write(spark, govDocs(1 to 10), gov, governed = true)
+    val e2 = intercept[IllegalStateException] {
+      ops.IndexStore.append(spark, gov,
+        govDocs(11 to 20).select(col("doc_id"), col("text")))
+    }
+    assert(e2.getMessage.contains("GOVERNED"),
+      s"expected the governance refusal, got: ${e2.getMessage}")
+  }
+
+  test("screenAndFold extends the census with exactly the KEPT docs (the ingest loop's shape)") {
+    val idx = tmp("fold")
+    val seed = govDocs(1 to 10)
+    ops.IndexStore.write(spark, seed, idx, governed = true)
+    // batch: 5 new docs + an exact twin of doc 1 under a fresh id —
+    // the twin must be screened out AND stay out of the census (the
+    // census describes what the store ingested, not what arrived)
+    val twin = govDocs(1 to 1).withColumn("doc_id", lit(999L))
+    val batch = govDocs(11 to 15).unionByName(twin)
+    val dec = ops.IndexStore.screenAndFold(spark, idx, batch)
+    val keptIds = dec.filter(col("decision") === "keep")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!keptIds.contains(999L), "exact twin must not be kept")
+    assert(keptIds.nonEmpty, "fixture degenerate: nothing kept")
+    val kept = batch.filter(col("doc_id").isin(keptIds.toSeq: _*))
+    assert(ops.IndexStore.driftFromStore(spark, idx, "s0").collect().toSeq ==
+      ops.Selection.psiBySource(seed.unionByName(kept), "s0").collect().toSeq,
+      "census after screenAndFold must census seed + kept docs exactly")
+  }
+
+  test("drift read plan touches only the census channel — no corpus scan at any version") {
+    val idx = tmp("plan")
+    ops.IndexStore.write(spark, govDocs(1 to 10), idx, governed = true)
+    ops.IndexStore.append(spark, idx, govDocs(11 to 20))
+    for (snap <- ops.IndexStore.history(idx)) {
+      val p = ops.IndexStore.driftFromStoreAt(spark, idx, snap, "s0")
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("mix_census"), s"expected census scans:\n${p.take(1200)}")
+      assert(!p.contains("documents") &&
+        !p.contains("fingerprints") && !p.contains("band_keys"),
+        s"drift must never rescan the corpus or sibling channels:\n${p.take(1200)}")
+    }
+  }
+
+  test("crash after the census lands keeps readers on the old drift; retry recovers exactly") {
+    val idx = tmp("crash")
+    ops.IndexStore.write(spark, govDocs(1 to 10), idx, governed = true)
+    val before = ops.IndexStore.driftFromStore(spark, idx, "s0").collect().toSeq
+    ops.IndexStore.crashAfterChannel = Some("mix_census")
+    try intercept[RuntimeException] {
+      ops.IndexStore.append(spark, idx, govDocs(11 to 20))
+    } finally ops.IndexStore.crashAfterChannel = None
+    assert(ops.IndexStore.driftFromStore(spark, idx, "s0").collect().toSeq == before,
+      "crashed fold changed the visible drift report")
+    ops.IndexStore.append(spark, idx, govDocs(11 to 20))
+    assert(ops.IndexStore.driftFromStore(spark, idx, "s0").collect().toSeq ==
+      ops.Selection.psiBySource(govDocs(1 to 20), "s0").collect().toSeq,
+      "post-recovery drift must equal the session PSI of the full corpus")
+  }
+
   test("psiBySource is anchor-relative: anchor never appears in the output") {
     val docs = Core.table(spark, dir, "documents").select(col("source"), col("n_chars"))
     val out = ops.Selection.psiBySource(docs, "src0")
