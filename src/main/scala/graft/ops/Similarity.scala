@@ -314,6 +314,30 @@ object Similarity {
     rrfFuseBatch(lex, sem)
   }
 
+  /** The q142 hybrid answer served from the UNIFIED store (q153): one
+    * manifest, one version, both channels — the route cannot split
+    * versions because there is only one pointer to resolve
+    * (IndexStore.retrievalFromUnified resolves it once for both
+    * sides). Ranking/fusion are hybridSingleAt's exact arithmetic, so
+    * output is bit-identical to the paired-store route over the same
+    * corpus (UnifiedStoreSpec pins it). */
+  private[graft] def hybridSingleUnified(s: SparkSession, dir: String,
+      root: String, selfId: Long, terms: Seq[String]): DataFrame = {
+    import s.implicits._
+    val qv = normalized(s, dir)
+      .filter($"vec_id" === selfId).select($"vec_id", $"unit")
+    val (lexRaw, semRaw) =
+      IndexStore.retrievalFromUnified(s, root, terms, qv, nprobe = 4, k = 100)
+    val lexTop = lexRaw.filter($"doc_id" =!= selfId)
+      .orderBy($"score".desc, $"doc_id").limit(100)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy($"score".desc, $"doc_id")))
+      .select($"doc_id", $"lex_rank")
+    val semTop = semRaw
+      .select($"vid".as("doc_id"), $"rn".cast("int").as("sem_rank"))
+    rrfFuse(lexTop, semTop)
+  }
+
   val catalog: Map[String, Q] = Map(
 
     // ---- embedding-cosine near-duplicate pairs: hyperplane-signature
@@ -599,6 +623,27 @@ object Similarity {
         hybridSingleAt(s, dir,
           IndexStore.history(tRoot).last, IndexStore.history(vRoot).last,
           minId, TextOps.qtermsOf(s, dir))
+      },
+      None),
+
+    // ---- hybrid serving from the UNIFIED store: q142's answer, but
+    // the consistency contract moved from caller discipline (resolve
+    // and thread a version PAIR) into the store itself — text and
+    // vector channels live under ONE manifest, folded by atomic
+    // cross-family commits, so one pointer resolution pins both sides
+    // and a split-version read is structurally impossible. No oracle
+    // (q142's rule: the lexical half is covered by the q139/q144
+    // oracles, the IVF half is model-dependent); UnifiedStoreSpec pins
+    // output ≡ q142 bit-identically, per-family reads ≡ the split
+    // stores, crash atomicity between the families, and the pairwise
+    // replay contract. ----
+    "q153_hybrid_unified_store" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val root = unifiedStore(s, dir)
+        val minId = table(s, dir, "documents")
+          .agg(min($"doc_id")).head().getLong(0) // 1-row bounded head
+        hybridSingleUnified(s, dir, root, minId, TextOps.qtermsOf(s, dir))
       },
       None),
 
@@ -955,7 +1000,9 @@ object Similarity {
     timedBuild("similarity.queryIds") { queryIds(s, dir).count(); () },
     // q140's persisted IVF index — built once per JVM in the timed
     // warm phase (the q137/q139 maintained-artifact pattern)
-    timedBuild("similarity.vectorStore") { vectorStore(s, dir); () })
+    timedBuild("similarity.vectorStore") { vectorStore(s, dir); () },
+    // q153's unified text+vector store — 3 atomic cross-family folds
+    timedBuild("similarity.unifiedStore") { unifiedStore(s, dir); () })
 
   /** Once-per-JVM persisted IVF index of the corpus
     * (IndexStore.writeVectors under a deterministic temp path) —
@@ -971,6 +1018,33 @@ object Similarity {
         val idx = graft.Core.jvmStorePath("graft_vec", dir)
         IndexStore.writeVectors(s, normalized(s, dir),
           ivfCentroids(s, dir), idx)
+        idx
+      })
+    }
+
+  /** Once-per-JVM UNIFIED store (q153): the corpus's text AND vector
+    * channels folded under one manifest as a 3-slice ingest timeline
+    * (doc_id/vec_id % 3 — q143's slicing), every fold one atomic
+    * cross-family commit. Holds exactly textStore ∪ vectorStore's
+    * content (same tokenizer, same session-memoized centroids), so
+    * every per-family read is bit-identical to the split stores' and
+    * q153 ≡ q142 (UnifiedStoreSpec pins both). Same memo discipline
+    * as the other rolling stores: built before the audit query
+    * arrives, so the query times the serving route, not the ingest. */
+  private val unifiedStores =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def unifiedStore(s: SparkSession, dir: String): String =
+    unifiedStores.synchronized {
+      unifiedStores.getOrElseUpdate(dir, {
+        val idx = graft.Core.jvmStorePath("graft_uni", dir)
+        val docs = table(s, dir, "documents")
+        val vecs = normalized(s, dir)
+        IndexStore.writeUnified(s, docs.filter(col("doc_id") % 3 === 0),
+          vecs.filter(col("vec_id") % 3 === 0), ivfCentroids(s, dir), idx)
+        for (r <- 1 to 2)
+          IndexStore.appendUnified(s, idx,
+            docs.filter(col("doc_id") % 3 === r),
+            vecs.filter(col("vec_id") % 3 === r))
         idx
       })
     }

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The UNIFIED retrieval store (catalog q153): text and vector
+  * channels under ONE manifest, folded by atomic cross-family
+  * commits. The paired-version hybrid routes (q142/q145) keep the
+  * lexical and semantic sides consistent by caller discipline; the
+  * unified store makes a split-version read structurally impossible —
+  * these pins prove the three properties that claim rests on:
+  * per-family reads bit-identical to the split stores', commit
+  * atomicity ACROSS families under crash injection, and the pairwise
+  * at-least-once replay contract. */
+class UnifiedStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-uni-$tag").toString
+
+  /** Tiny synthetic corpus: docs with distinct token profiles, paired
+    * with 2-d unit vectors spread over 4 axis-aligned centroids. */
+  private def docsOf(ids: Range): DataFrame = ids.map { i =>
+    (i.toLong, s"alpha token$i beta${i % 3} gamma delta${i % 2}")
+  }.toDF("doc_id", "text")
+
+  private def vecsOf(ids: Range): DataFrame = ids.map { i =>
+    val ang = (i % 8) * math.Pi / 4 + 0.1
+    (i.toLong, i % 4, Seq(math.cos(ang), math.sin(ang)))
+  }.toDF("vec_id", "label", "unit")
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def emptyVecs: DataFrame =
+    Seq.empty[(Long, Int, Seq[Double])].toDF("vec_id", "label", "unit")
+
+  private val cents = Seq(
+    (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+    (2L, Seq(-1.0, 0.0)), (3L, Seq(0.0, -1.0))).toDF("cid", "cvec")
+
+  private val terms = Seq("beta1", "delta0")
+
+  private def lex(root: String): Seq[org.apache.spark.sql.Row] =
+    ops.IndexStore.bm25FromStore(spark, root, terms)
+      .orderBy($"score".desc, $"doc_id").collect().toSeq
+  private def ann(root: String, q: Long): Seq[org.apache.spark.sql.Row] =
+    ops.IndexStore.annFromStore(spark, root,
+      vecsOf(q.toInt to q.toInt).select($"vec_id", $"unit"),
+      nprobe = 2, k = 5).collect().toSeq
+
+  test("q153 ≡ q142 bit-identically: the unified store serves the paired-store hybrid answer") {
+    val uni = SparkEntry.queries("q153_hybrid_unified_store")(spark, dir)
+      .collect().toSeq
+    val paired = SparkEntry.queries("q142_hybrid_store")(spark, dir)
+      .collect().toSeq
+    assert(uni.nonEmpty && uni == paired,
+      s"unified hybrid diverged from the paired route:\n  uni=${uni.take(3)}\n  paired=${paired.take(3)}")
+  }
+
+  test("per-family reads from the unified store ≡ the split stores' (postings, stats and cells content-identical)") {
+    val uni = ops.Similarity.unifiedStore(spark, dir)
+    val qterms = ops.TextOps.qtermsOf(spark, dir)
+    val lexUni = ops.IndexStore.bm25FromStore(spark, uni, qterms)
+      .orderBy($"score".desc, $"doc_id").collect().toSeq
+    val lexSplit = ops.IndexStore.bm25FromStore(spark,
+        ops.TextOps.textStore(spark, dir), qterms)
+      .orderBy($"score".desc, $"doc_id").collect().toSeq
+    assert(lexUni.nonEmpty && lexUni == lexSplit,
+      "unified BM25 diverged from the split text store")
+    val minId = Core.table(spark, dir, "documents")
+      .agg(min($"doc_id")).head().getLong(0)
+    val qv = ops.Similarity.normalized(spark, dir)
+      .filter($"vec_id" === minId).select($"vec_id", $"unit")
+    val annUni = ops.IndexStore.annFromStore(spark, uni, qv,
+      nprobe = 4, k = 100).collect().toSeq
+    val annSplit = ops.IndexStore.annFromStore(spark,
+      ops.Similarity.vectorStore(spark, dir), qv,
+      nprobe = 4, k = 100).collect().toSeq
+    assert(annUni.nonEmpty && annUni == annSplit,
+      "unified ANN diverged from the split vector store")
+  }
+
+  test("a crash between the families aborts BOTH: no version ever pairs new postings with old cells") {
+    val root = tmp("crash")
+    ops.IndexStore.writeUnified(spark, docsOf(0 to 5), vecsOf(0 to 5), cents, root)
+    val (lex0, ann0) = (lex(root), ann(root, 0))
+    val h0 = ops.IndexStore.history(root)
+    // crash after the text family is fully staged, before the vector
+    // family: if commits were per-family this is exactly the torn state
+    ops.IndexStore.crashAfterChannel = Some("doc_lens")
+    try intercept[RuntimeException] {
+      ops.IndexStore.appendUnified(spark, root, docsOf(6 to 11), vecsOf(6 to 11))
+    } finally ops.IndexStore.crashAfterChannel = None
+    assert(ops.IndexStore.history(root) == h0,
+      "crashed unified fold committed a snapshot")
+    assert(lex(root) == lex0 && ann(root, 0) == ann0,
+      "crashed unified fold changed a visible read")
+    // the retry folds BOTH families in one commit and lands the exact
+    // both-at-once state
+    ops.IndexStore.appendUnified(spark, root, docsOf(6 to 11), vecsOf(6 to 11))
+    assert(ops.IndexStore.history(root).size == h0.size + 1,
+      "retry must publish exactly one new version")
+    val ref = tmp("crashref")
+    ops.IndexStore.writeUnified(spark, docsOf(0 to 11), vecsOf(0 to 11), cents, ref)
+    assert(lex(root) == lex(ref), "post-retry BM25 diverged from a both-at-once build")
+    assert(ann(root, 0) == ann(ref, 0), "post-retry ANN diverged from a both-at-once build")
+  }
+
+  test("the replay contract is pairwise: exact pair replays skip, half-replayed pairs are refused") {
+    val root = tmp("replay")
+    ops.IndexStore.writeUnified(spark, docsOf(0 to 5), vecsOf(0 to 5), cents, root)
+    ops.IndexStore.appendUnified(spark, root, docsOf(6 to 8), vecsOf(6 to 8))
+    val h = ops.IndexStore.history(root)
+    val (lex0, ann0) = (lex(root), ann(root, 0))
+    // at-least-once redelivery of the SAME pair: idempotent no-op
+    ops.IndexStore.appendUnified(spark, root, docsOf(6 to 8), vecsOf(6 to 8))
+    assert(ops.IndexStore.history(root) == h && lex(root) == lex0 &&
+      ann(root, 0) == ann0, "exact pair replay must be an idempotent skip")
+    // one family replayed, the other new: impossible under atomic
+    // unified commits — a mismatched pairing, refused loudly
+    val e = intercept[IllegalArgumentException] {
+      ops.IndexStore.appendUnified(spark, root, docsOf(6 to 8), vecsOf(9 to 11))
+    }
+    assert(e.getMessage.contains("mismatched"),
+      s"expected the mismatched-pair refusal, got: ${e.getMessage}")
+    assert(ops.IndexStore.history(root) == h,
+      "refused fold must not publish")
+  }
+
+  test("one-sided folds are legal and land the same terminal state; compact preserves both families") {
+    val root = tmp("oneside")
+    ops.IndexStore.writeUnified(spark, docsOf(0 to 5), vecsOf(0 to 5), cents, root)
+    ops.IndexStore.appendUnified(spark, root, docsOf(6 to 11), emptyVecs)
+    ops.IndexStore.appendUnified(spark, root, emptyDocs, vecsOf(6 to 11))
+    val ref = tmp("onesideref")
+    ops.IndexStore.writeUnified(spark, docsOf(0 to 11), vecsOf(0 to 11), cents, ref)
+    assert(lex(root) == lex(ref), "docs-then-vecs folds diverged on BM25")
+    assert(ann(root, 0) == ann(ref, 0), "docs-then-vecs folds diverged on ANN")
+    // compaction is channel-generic: one rewrite collapses BOTH
+    // families' append fragments without moving a number
+    ops.IndexStore.compact(spark, root)
+    assert(lex(root) == lex(ref) && ann(root, 0) == ann(ref, 0),
+      "compaction changed a unified read")
+  }
+
+  test("paired time travel: one pin rewinds BOTH families to the committed version") {
+    val root = tmp("tt")
+    ops.IndexStore.writeUnified(spark, docsOf(0 to 5), vecsOf(0 to 5), cents, root)
+    ops.IndexStore.appendUnified(spark, root, docsOf(6 to 11), vecsOf(6 to 11))
+    val v1 = ops.IndexStore.history(root).head
+    val (l1, a1) = ops.IndexStore.retrievalFromUnifiedAt(spark, root, v1,
+      terms, vecsOf(0 to 0).select($"vec_id", $"unit"), nprobe = 2, k = 5)
+    val ref = tmp("ttref")
+    ops.IndexStore.writeUnified(spark, docsOf(0 to 5), vecsOf(0 to 5), cents, ref)
+    assert(l1.collect().toSeq == lex(ref),
+      "version-1 BM25 must equal a store holding only fold 1")
+    assert(a1.collect().toSeq == ann(ref, 0),
+      "version-1 ANN must equal a store holding only fold 1")
+  }
+}
