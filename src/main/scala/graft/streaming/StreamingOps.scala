@@ -320,6 +320,32 @@ object StreamingOps {
     compactBestEffort(s, vecIndexDir)
   }
 
+  /** Unified-store sibling of [[ingestAndMaintainText]] /
+    * [[ingestAndMaintainVectors]]: fold each micro-batch's (docs,
+    * vectors) PAIR into the unified store as ONE atomic cross-family
+    * commit (IndexStore.appendUnified) — so a hybrid reader racing the
+    * stream can never observe new postings with old cells; the
+    * consistency the paired-version routes (q142/q145) enforce by
+    * caller discipline holds here BY CONSTRUCTION at every micro-batch
+    * boundary (StreamingSpec walks the streamed store's history and
+    * pins that both families' censuses advance together at every
+    * committed version). appendUnified's pairwise guard makes an
+    * at-least-once redelivery of the pair idempotent and refuses a
+    * mismatched pairing; maintenance shares the established order
+    * (drift gate first — a retrain rewrite collapses fragmentation as
+    * a side effect — then the fragmentation gate) and the best-effort
+    * contract (an OCC loss skips the tick's maintenance, never takes
+    * ingest down). */
+  def ingestAndMaintainUnified(s: SparkSession, root: String,
+      docs: DataFrame, vectors: DataFrame): Unit = {
+    withOccRetry() {
+      graft.ops.IndexStore.appendUnified(s, root, docs, vectors)
+    }
+    try { graft.ops.IndexStore.retrainIfDrifted(s, root); () }
+    catch { case _: java.util.ConcurrentModificationException => () }
+    compactBestEffort(s, root)
+  }
+
   final case class SessionSeq(user_id: Long, session_id: Long,
       n_events: Long, seq: String)
   final case class SessState(nextId: Long, lastUs: Long,

@@ -393,6 +393,65 @@ class StreamingSpec extends SparkSpec {
     Core.clearCaches(spark)
   }
 
+  test("streamed ingestAndMaintainUnified ≡ one-shot writeUnified; both families advance together at every version") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic paired fixture (UnifiedStoreSpec's generators):
+    // each id carries a doc AND a vector, so every micro-batch is a
+    // matched (docs, vectors) pair
+    def docsOf(ids: Seq[Long]) = ids.map { i =>
+      (i, s"alpha token$i beta${i % 3} gamma delta${i % 2}")
+    }.toDF("doc_id", "text")
+    def vecsOf(ids: Seq[Long]) = ids.map { i =>
+      val ang = (i % 8) * math.Pi / 4 + 0.1
+      (i, (i % 4).toInt, Seq(math.cos(ang), math.sin(ang)))
+    }.toDF("vec_id", "label", "unit")
+    val cents = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(-1.0, 0.0)), (3L, Seq(0.0, -1.0))).toDF("cid", "cvec")
+    val streamed = java.nio.file.Files.createTempDirectory("graft-unistream").toString
+    ops.IndexStore.writeUnified(spark,
+      docsOf(0L to 5L), vecsOf(0L to 5L), cents, streamed)
+    val stream = MemoryStream[Long]
+    val q = stream.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = b.select(col("value")).as[Long].collect().toSeq.sorted
+        StreamingOps.ingestAndMaintainUnified(spark, streamed,
+          docsOf(ids), vecsOf(ids))
+      }.start()
+    Seq(6L to 11L, 12L to 17L).foreach { b =>
+      stream.addData(b.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val oneShot = java.nio.file.Files.createTempDirectory("graft-unioneshot").toString
+    ops.IndexStore.writeUnified(spark,
+      docsOf(0L to 17L), vecsOf(0L to 17L), cents, oneShot)
+    for (ch <- Seq("postings", "doc_lens", "centroids", "cells")) {
+      val a = ops.IndexStore.channel(spark, streamed, ch)
+      val b = ops.IndexStore.channel(spark, oneShot, ch)
+      assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty,
+        s"channel $ch diverged after streamed unified maintenance")
+    }
+    // the cross-family atomicity the unified stream exists for: at
+    // EVERY committed version both censuses describe the same paired
+    // fold — no version where one family moved alone
+    for (snap <- ops.IndexStore.history(streamed)) {
+      val nDocs = ops.IndexStore.channelAt(spark, streamed, snap, "stats")
+        .head().getAs[Long]("n_docs")
+      val nVecs = ops.IndexStore.channelAt(spark, streamed, snap, "vec_stats")
+        .head().getAs[Long]("n_vecs")
+      assert(nDocs == nVecs,
+        s"version $snap: text census $nDocs != vector census $nVecs — a family moved alone")
+    }
+    // exact pair redelivery (at-least-once restart) is an idempotent skip
+    val h = ops.IndexStore.history(streamed)
+    StreamingOps.ingestAndMaintainUnified(spark, streamed,
+      docsOf(12L to 17L), vecsOf(12L to 17L))
+    assert(ops.IndexStore.history(streamed) == h,
+      "redelivered pair must not publish a new version")
+    Core.clearCaches(spark)
+  }
+
   test("streaming quality gate applies the snapshot thresholds exactly (≡ batch keep set)") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
