@@ -1985,6 +1985,21 @@ object IndexStore {
     (bm25From(s, root, m, terms), annFrom(s, root, m, queries, nprobe, k))
   }
 
+  /** Batch sibling of [[retrievalFromUnified]]: the q145 batch shapes
+    * — ONE union-pruned postings read plus ONE probed cells read serve
+    * the whole query batch — driven from ONE manifest resolution of
+    * the unified store, so every query in the batch answers from the
+    * same committed corpus version without the caller pinning
+    * anything. */
+  def retrievalBatchFromUnified(s: SparkSession, root: String,
+      qframe: DataFrame, kLex: Int, exclude: Option[DataFrame],
+      queries: DataFrame, nprobe: Int = 4,
+      kAnn: Int = 100): (DataFrame, DataFrame) = {
+    val m = channels(root)
+    (bm25BatchFrom(s, root, m, qframe, kLex, exclude),
+      annFrom(s, root, m, queries, nprobe, kAnn))
+  }
+
   /** [[retrievalFromUnified]] AS OF a committed version — time travel
     * for the whole hybrid pair through one pin (the split stores need
     * two). */

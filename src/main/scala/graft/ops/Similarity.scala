@@ -338,6 +338,32 @@ object Similarity {
     rrfFuse(lexTop, semTop)
   }
 
+  /** Batch arm of the unified route: q145's qid-keyed fused retrieval
+    * (one postings read + one cells read for N queries), but both
+    * sides fed by ONE manifest resolution of the unified store
+    * (IndexStore.retrievalBatchFromUnified) — the batch inherits the
+    * structural no-split-versions guarantee without pinning anything.
+    * Per-qid output ≡ q145's paired-store batch over the same corpus
+    * (UnifiedStoreSpec pins it). */
+  private[graft] def hybridBatchFromUnified(s: SparkSession, dir: String,
+      queries: Seq[(Long, Seq[String])]): DataFrame = {
+    import s.implicits._
+    val root = unifiedStore(s, dir)
+    val qframe = queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .distinct.toDF("qid", "term")
+    val exclude = queries.map { case (qid, _) => (qid, qid) }
+      .toDF("qid", "self_id")
+    val qids = queries.map(_._1)
+    val qv = normalized(s, dir)
+      .filter($"vec_id".isin(qids: _*)).select($"vec_id", $"unit")
+    val (lexRaw, semRaw) = IndexStore.retrievalBatchFromUnified(s, root,
+      qframe, kLex = 100, Some(exclude), qv, nprobe = 4, kAnn = 100)
+    val lex = lexRaw.select($"qid", $"doc_id", $"rank".cast("int").as("lex_rank"))
+    val sem = semRaw.select($"qid", $"vid".as("doc_id"), $"rn".cast("int").as("sem_rank"))
+    rrfFuseBatch(lex, sem)
+  }
+
   val catalog: Map[String, Q] = Map(
 
     // ---- embedding-cosine near-duplicate pairs: hyperplane-signature
@@ -728,6 +754,50 @@ object Similarity {
         round(sum(cast(embedding[i+1] as double))/count(*), 6) AS mean_v
         FROM embeddings CROSS JOIN range(64) t(i)
         GROUP BY label, i ORDER BY label, pos""")),
+
+    // ---- Johnson–Lindenstrauss random projection (q154; Achlioptas
+    // '01 "Database-friendly random projections"): reduce the 64-d
+    // embeddings to k=16 dims with a Rademacher ±1 matrix — proj_j =
+    // Σ_i sgn(i,j)·x_i / √k, signs md5-derived per (i, j) so both
+    // engines rebuild the identical matrix (the q48/q146 gate idiom).
+    // JL preserves pairwise distances within (1±ε) at k = O(log n/ε²),
+    // which makes this the standard flop-and-bytes reducer in front of
+    // every embedding op in the catalog: ANN probes, near-dup cosine
+    // and semantic dedup run 4× fewer multiply-adds at dim 16, and a
+    // 100 TB embedding column shrinks to a quarter before it ever
+    // shuffles. Shape: the 1024-row sign grid BROADCASTS; one narrow
+    // partial-agged exchange carries O(n × k) rows — no corpus-sized
+    // shuffle, no UDF; exact decimal sums (order-independent) so the
+    // oracle hash-matches. ----
+    "q154_random_projection" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val grid = s.range(16).select($"id".as("j"))
+          .crossJoin(s.range(64).select($"id".as("i")))
+          .select($"j", $"i",
+            ((conv(substring(md5(concat_ws("_", $"i", $"j")), 1, 4), 16, 10)
+              .cast("long") % 2) * 2 - 1).cast("double").as("sgn"))
+        table(s, dir, "embeddings")
+          .select($"vec_id", posexplode($"embedding").as(Seq("i", "x")))
+          .join(broadcast(grid), Seq("i"))
+          .groupBy($"vec_id", $"j")
+          .agg(sum(($"sgn" * $"x".cast("double")).cast(D)).as("acc"))
+          .select($"vec_id", $"j",
+            rnd4($"acc".cast("double") / 4.0).as("proj"))
+          .orderBy($"vec_id", $"j")
+      },
+      Some(s"""WITH grid AS (
+          SELECT j, i,
+            (CAST('0x' || substr(md5(i || '_' || j), 1, 4) AS BIGINT) % 2) * 2 - 1 AS sgn
+          FROM range(16) tj(j) CROSS JOIN range(64) ti(i)),
+        elems AS (
+          SELECT vec_id, i, cast(embedding[i+1] as double) AS x
+          FROM embeddings CROSS JOIN range(64) ti(i))
+        SELECT e.vec_id, g.j,
+          ${oRnd4("cast(sum(cast(g.sgn * e.x as decimal(30,15))) as double) / 4.0")} AS proj
+        FROM elems e JOIN grid g ON g.i = e.i
+        GROUP BY e.vec_id, g.j
+        ORDER BY vec_id, j""")),
 
     // ---- the ANN pruning layer itself, oracle-checked (VERDICT r2
     // "next round" #4): q37's bucketing assigns each vector an 8-bit

@@ -82,6 +82,22 @@ class UnifiedStoreSpec extends SparkSpec {
       "unified ANN diverged from the split vector store")
   }
 
+  test("batch arm: hybridBatchFromUnified per-qid ≡ q145's paired-store batch") {
+    val qids = ops.Similarity.queryBatch(spark, dir,
+        ops.Similarity.normalized(spark, dir))
+      .select($"vec_id").orderBy($"vec_id")
+      .limit(2).as[Long].collect().toSeq
+    val qterms = Seq(
+      ops.TextOps.qtermsOfExtreme(spark, dir, useMax = false),
+      ops.TextOps.qtermsOfExtreme(spark, dir, useMax = true))
+    val got = ops.Similarity.hybridBatchFromUnified(spark, dir,
+      qids.zip(qterms)).collect().toSeq
+    val want = SparkEntry.queries("q145_hybrid_batch_store")(spark, dir)
+      .collect().toSeq
+    assert(got.nonEmpty && got == want,
+      s"unified batch diverged from the paired-store batch:\n  got=${got.take(3)}\n  want=${want.take(3)}")
+  }
+
   test("a crash between the families aborts BOTH: no version ever pairs new postings with old cells") {
     val root = tmp("crash")
     ops.IndexStore.writeUnified(spark, docsOf(0 to 5), vecsOf(0 to 5), cents, root)
