@@ -426,6 +426,76 @@ object ScaleProbe {
         }
       }
     }
+    // unified store at scale (round 8): build the text + vector
+    // families as ONE rolling store (writeUnified + 3 appendUnified
+    // paired folds — the ingest loop's shape), then time the paired
+    // hybrid read (one manifest resolution feeding both sides) and
+    // the channel-generic compaction over the union. The claim under
+    // test: unification costs nothing at read time — the per-family
+    // lookups are the shared bm25From/annFrom routes, so the pair
+    // read should track the split stores' steady-state lookups
+    // (BM25 ~3.5 s + ANN ~3 s at 100×) while answering from ONE
+    // committed version by construction.
+    if (only.exists(_.contains("unified_store"))) {
+      val idxDir = s"$dst/index_store_unified"
+      rmRf(new java.io.File(idxDir))
+      val docs = Core.table(spark, dst, "documents")
+      val vecs = ops.Similarity.normalized(spark, dst)
+      val cents = ops.Similarity.ivfCentroids(spark, dst)
+      val g = gate(col("doc_id"))
+      val gv = gate(col("vec_id"))
+      timeNamed("unified_write_4fold") {
+        ops.IndexStore.writeUnified(spark, docs.filter(g < 16384L),
+          vecs.filter(gv < 16384L), cents, idxDir)
+        for (i <- 1 to 3) {
+          val lo = i * 16384L
+          val hi = if (i == 3) 65536L else (i + 1) * 16384L
+          ops.IndexStore.appendUnified(spark, idxDir,
+            docs.filter(g >= lo && g < hi),
+            vecs.filter(gv >= lo && gv < hi))
+        }
+        docs.count()
+      }
+      Core.clearCaches(spark)
+      val qterms = ops.TextOps.qtermsOf(spark, dst)
+      val qb = ops.Similarity.queryBatch(spark, dst, vecs)
+      timeNamed("unified_hybrid_pair_read") {
+        val (lex, ann) = ops.IndexStore.retrievalFromUnified(spark,
+          idxDir, qterms, qb, nprobe = 4, k = 100)
+        lex.count() + ann.count()
+      }
+      timeNamed("unified_compact_both") {
+        ops.IndexStore.compact(spark, idxDir); 1L
+      }
+      Core.clearCaches(spark)
+      timeNamed("unified_pair_read_compacted") {
+        val (lex, ann) = ops.IndexStore.retrievalFromUnified(spark,
+          idxDir, qterms, qb, nprobe = 4, k = 100)
+        lex.count() + ann.count()
+      }
+    }
+    // per-family attribution for the unified pair read: time each half
+    // alone against the EXISTING unified store (built by the
+    // unified_store section above) in a fresh session, so the pair
+    // number decomposes into its BM25 and ANN components
+    if (only.exists(_.contains("unified_lookup"))) {
+      val idxDir = s"$dst/index_store_unified"
+      val qterms = ops.TextOps.qtermsOf(spark, dst)
+      val qb = ops.Similarity.queryBatch(spark, dst,
+        ops.Similarity.normalized(spark, dst))
+      timeNamed("unified_bm25_half") {
+        ops.IndexStore.bm25FromStore(spark, idxDir, qterms).count()
+      }
+      timeNamed("unified_ann_half") {
+        ops.IndexStore.annFromStore(spark, idxDir, qb,
+          nprobe = 4, k = 100).count()
+      }
+      timeNamed("unified_pair_again") {
+        val (lex, ann) = ops.IndexStore.retrievalFromUnified(spark,
+          idxDir, qterms, qb, nprobe = 4, k = 100)
+        lex.count() + ann.count()
+      }
+    }
     // store compaction A/B (round 7): build the text channel as ONE
     // write + three appends (the rolling-ingest shape), time a BM25
     // lookup against the fragmented 4-snapshot store, compact, time
