@@ -565,7 +565,10 @@ class PlanSpec extends SparkSpec {
         "cumulative window frame is the calendar-day domain, independent of event volume")),
       "q142_hybrid_store" -> ((1,
         "lex rank window runs over the store lookup's top-100 limit frame; " +
-          "the semantic rank is qid-partitioned inside annFromStore")))
+          "the semantic rank is qid-partitioned inside annFromStore")),
+      "q153_hybrid_unified_store" -> ((1,
+        "q142's exact route over the unified store: the one unpartitioned " +
+          "window is the lex rank over the top-100 limit frame")))
     import org.apache.spark.sql.execution.window.WindowExec
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
       val n = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
