@@ -984,6 +984,51 @@ object IndexStore {
       anchor: String): DataFrame =
     Selection.psiFromBins(channelAt(s, indexDir, snap, "mix_census"), anchor)
 
+  /** Drift of an INCOMING batch against the governed store's anchor
+    * census — the monitor turned PREDICTIVE: q149/q152 ask "has the
+    * mix rotted", this asks "would folding THIS batch rot it" before
+    * a byte of the batch lands. Per non-anchor batch source: PSI of
+    * the batch's length distribution vs the STORED anchor
+    * distribution, read from the mix_census channel alone — one
+    * O(sources × bins) frame plus the batch's own lenBins agg, never
+    * a corpus scan. */
+  def batchDriftVsStore(s: SparkSession, indexDir: String,
+      batch: DataFrame, anchor: String): DataFrame =
+    Selection.psiFromBins(
+      channel(s, indexDir, "mix_census")
+        .filter(col("source") === anchor)
+        .unionByName(
+          Selection.lenBins(batch).filter(col("source") =!= anchor)),
+      anchor)
+
+  /** [[screenAndFold]] behind the drift CIRCUIT BREAKER: batch
+    * sources whose batch-vs-anchor PSI exceeds `maxPsi` are HELD OUT
+    * of the fold — their docs are neither screened nor appended and
+    * the census stays clean — so a poisoned source's tick cannot rot
+    * the rolling store while an operator decides. The q138
+    * discipline: the alert is CODE with a measured bound, and the
+    * report cites the number per source (`held` flag). Anchor-source
+    * docs always fold — they ARE the reference distribution. Returns
+    * (decisions for the admitted docs, per-source drift report). The
+    * report is collected driver-side — bounded at O(sources) rows,
+    * the 1-row-stats-head class — so no checkpoint lingers per
+    * streaming tick. */
+  def screenAndFoldGated(s: SparkSession, indexDir: String,
+      batch: DataFrame, anchor: String,
+      maxPsi: Double = 0.25): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val rep = batchDriftVsStore(s, indexDir, batch, anchor)
+      .select(col("source"), col("n_docs"), col("psi_nchars"),
+        (col("psi_nchars") > maxPsi).as("held"))
+      .as[(String, Long, Double, Boolean)].collect().toSeq
+    val heldSrcs = rep.filter(_._4).map(_._1)
+    val admitted =
+      if (heldSrcs.isEmpty) batch
+      else batch.filter(!col("source").isin(heldSrcs: _*))
+    (screenAndFold(s, indexDir, admitted),
+      rep.toDF("source", "n_docs", "psi_nchars", "held"))
+  }
+
   // ---------------------------------------------------------------
   // media channel family
   // ---------------------------------------------------------------

@@ -195,6 +195,53 @@ class SelectionSpec extends SparkSpec {
       "census after screenAndFold must census seed + kept docs exactly")
   }
 
+  test("drift circuit breaker: a shifted source is held out of the fold, clean sources fold, recovery passes") {
+    val idx = tmp("gate")
+    val seed = (1 to 12).map { i =>
+      (i.toLong, s"seed doc $i tok$i", "s0", 50L + (i % 5) * 100)
+    }.toDF("doc_id", "text", "source", "n_chars")
+    ops.IndexStore.write(spark, seed, idx, governed = true)
+    // batch: a clone-profile source sB (same length bins as the
+    // anchor) + a shifted source sC (every doc lands in the bin the
+    // anchor never populates)
+    val batch = ((21 to 30).map { i =>
+      (i.toLong, s"clone doc $i tok$i", "sB", 60L + (i % 5) * 100)
+    } ++ (31 to 40).map { i =>
+      (i.toLong, s"shift doc $i tok$i", "sC", 520L + (i % 2) * 40)
+    }).toDF("doc_id", "text", "source", "n_chars")
+    // the monitor itself is store-fed: census channel + the batch's
+    // own bins agg, never a sibling channel or corpus scan
+    val mp = ops.IndexStore.batchDriftVsStore(spark, idx, batch, "s0")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(mp.contains("mix_census") && !mp.contains("fingerprints") &&
+      !mp.contains("band_keys"),
+      s"gate must read only the census channel:\n${mp.take(1200)}")
+    val (dec, rep) = ops.IndexStore.screenAndFoldGated(spark, idx, batch, "s0")
+    val held = rep.filter(col("held")).select("source").as[String].collect().toSet
+    assert(held == Set("sC"), s"expected only the shifted source held, got $held")
+    assert(rep.filter(col("source") === "sC").head().getDouble(2) > 0.25,
+      "the report must cite the measured PSI that tripped the hold")
+    val decIds = dec.select("doc_id").as[Long].collect().toSet
+    assert(decIds == (21L to 30L).toSet,
+      s"decisions must cover exactly the admitted docs: $decIds")
+    val censusSrcs = ops.IndexStore.channel(spark, idx, "mix_census")
+      .select("source").distinct().as[String].collect().toSet
+    assert(censusSrcs == Set("s0", "sB"),
+      s"held source contaminated the census: $censusSrcs")
+    // a later CLEAN tick from the held upstream passes the gate —
+    // the hold is per-tick, not a ban
+    val clean = (41 to 50).map { i =>
+      (i.toLong, s"recovered doc $i tok$i", "sC", 70L + (i % 5) * 100)
+    }.toDF("doc_id", "text", "source", "n_chars")
+    val (_, rep2) = ops.IndexStore.screenAndFoldGated(spark, idx, clean, "s0")
+    assert(rep2.filter(col("held")).isEmpty,
+      "a recovered source must pass the gate")
+    assert(ops.IndexStore.channel(spark, idx, "mix_census")
+      .select("source").distinct().count() == 3,
+      "the recovered tick must join the census")
+  }
+
   test("drift read plan touches only the census channel — no corpus scan at any version") {
     val idx = tmp("plan")
     ops.IndexStore.write(spark, govDocs(1 to 10), idx, governed = true)
