@@ -460,6 +460,39 @@ object ScaleProbe {
         }
       }
     }
+    // JL projection A/B (round 8): the relational (oracle) spelling —
+    // posexplode(d) → sign-grid broadcast join (×k) → partial-agged
+    // groupBy — pays n×d×k pre-agg rows and an O(n×k) exchange for
+    // row-local arithmetic; RademacherProject is the same math as one
+    // fused d×k loop per row inside whole-stage codegen. Both sides
+    // produce the identical (vec_id, j, p) relation (PlanSpec pins
+    // sign-for-sign + ulp agreement); this measures what the
+    // expression buys at 100×.
+    if (only.exists(_.contains("projection_ab"))) {
+      graft.functions.RademacherProject.register(spark)
+      val emb = Core.table(spark, dst, "embeddings")
+      timeNamed("projection_relational") {
+        val grid = spark.range(16).select(col("id").as("j"))
+          .crossJoin(spark.range(64).select(col("id").as("i")))
+          .select(col("j"), col("i"),
+            ((conv(substring(md5(concat_ws("_", col("i"), col("j"))), 1, 4), 16, 10)
+              .cast("long") % 2) * 2 - 1).cast("double").as("sgn"))
+        emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .join(broadcast(grid), Seq("i"))
+          .groupBy(col("vec_id"), col("j"))
+          .agg(sum((col("sgn") * col("x").cast("double"))
+            .cast(org.apache.spark.sql.types.DecimalType(30, 15))).as("acc"))
+          .select(col("vec_id"), col("j"),
+            (col("acc").cast("double") / 4.0).as("p"))
+          .agg(count(col("p")), sum(col("p"))).head().getLong(0)
+      }
+      timeNamed("projection_codegen") {
+        emb.select(col("vec_id"),
+            posexplode(graft.functions.RademacherProject.project(
+              col("embedding"), 16)).as(Seq("j", "p")))
+          .agg(count(col("p")), sum(col("p"))).head().getLong(0)
+      }
+    }
     // unified store at scale (round 8): build the text + vector
     // families as ONE rolling store (writeUnified + 3 appendUnified
     // paired folds — the ingest loop's shape), then time the paired

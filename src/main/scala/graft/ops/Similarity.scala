@@ -378,16 +378,18 @@ object Similarity {
     memo(s, s"similarity.projectedUnits:$dir") {
       import s.implicits._
       graft.functions.DotProduct.register(s)
-      projections(s, dir, k = 32)
-        .groupBy($"vec_id")
-        .agg(array_sort(collect_list(struct($"j", $"p"))).as("a"))
-        .select($"vec_id", transform($"a", x => x("p")).as("pvec"))
+      graft.functions.RademacherProject.register(s)
+      // the codegen expression, not the relational spelling: one fused
+      // d×k loop per row vs an n×d explode + grid join + O(n×k)
+      // exchange — measured 21.7 s → 0.48 s at 100× (projection_ab),
+      // identical signs and ulp-level-equal sums (PlanSpec pins both)
+      fanOut(s, table(s, dir, "embeddings"))
+        .select($"vec_id", $"label",
+          graft.functions.RademacherProject.project($"embedding", 32).as("pvec"))
         .withColumn("pnorm",
           sqrt(graft.functions.DotProduct.dot_fast($"pvec", $"pvec")))
         .filter($"pnorm" > 0)
         .withColumn("punit", transform($"pvec", x => x / $"pnorm"))
-        .join(table(s, dir, "embeddings").select($"vec_id", $"label"),
-          Seq("vec_id"))
         .select($"vec_id", $"label", $"punit")
     }
 

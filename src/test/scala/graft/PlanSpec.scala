@@ -328,6 +328,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("RademacherProject compiles into generated code and matches the relational projection") {
+    graft.functions.RademacherProject.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Core.table(spark, dir, "embeddings")
+      .select($"vec_id",
+        graft.functions.RademacherProject.project($"embedding", 16).as("pv"))
+    val cg = withAqeOff(df.queryExecution.explainString(CodegenMode))
+    assert(cg.contains("RademacherProject") || cg.contains("rademacher"),
+      s"rademacher_project missing from generated code:\n${cg.take(800)}")
+    val rows = withCodegenOnly(df.limit(5).as[(Long, Seq[Double])].collect())
+    assert(rows.nonEmpty && rows.forall(_._2.size == 16))
+    // the row-local generated loop must agree with the relational
+    // (oracle) route within summation-order ulp: the expression sums
+    // IEEE doubles in index order, the q154 spelling sums decimals
+    val rel = ops.Similarity.projections(spark, dir, 16)
+      .groupBy($"vec_id")
+      .agg(array_sort(collect_list(struct($"j", $"p"))).as("a"))
+      .select($"vec_id", expr("transform(a, x -> x.p)").as("pv"))
+      .as[(Long, Seq[Double])].collect().toMap
+    rows.foreach { case (id, pv) =>
+      pv.zip(rel(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"vec $id: codegen $a vs relational $b") }
+    }
+    // and the static sign table IS the relational md5 grid, bit for bit
+    val sg = graft.functions.RademacherProject.signs(16, 64)
+    spark.range(16).select($"id".as("j"))
+      .crossJoin(spark.range(64).select($"id".as("i")))
+      .select($"i", $"j",
+        ((conv(substring(md5(concat_ws("_", $"i", $"j")), 1, 4), 16, 10)
+          .cast("long") % 2) * 2 - 1).cast("int").as("sgn"))
+      .as[(Long, Long, Int)].collect()
+      .foreach { case (i, j, s) =>
+        assert(sg((i * 16 + j).toInt) == s.toByte, s"sign mismatch at ($i,$j)") }
+  }
+
   test("q85 ORC round-trip: re-scan prunes to the four written columns, partial+final agg") {
     val p = planOf("q85_orc_roundtrip")
     val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
