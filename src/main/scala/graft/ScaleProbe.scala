@@ -328,6 +328,8 @@ object ScaleProbe {
     // pays the once-per-JVM 3-fold governed ingest (q143's pattern)
     timeForced("q152_drift_timeline", ("source", "psi_nchars"))
     timeForced("q154_random_projection", ("vec_id", "proj"))
+    // q156 rides the same memoized governed store as q152
+    timeForced("q156_drift_gate_report", ("source", "psi_nchars"))
     if (only.forall(_.contains("q88_canonical_dedup"))) {
       val t0 = System.nanoTime()
       // force the normalizer + keeper window: aggregate over BOTH

@@ -517,6 +517,71 @@ object Selection {
           FROM grid)
         SELECT version, source, max(n_cur) AS n_docs,
           ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")} AS psi_nchars
-        FROM terms GROUP BY 1, 2 ORDER BY version, source"""))
+        FROM terms GROUP BY 1, 2 ORDER BY version, source""")),
+
+    // ---- the drift CIRCUIT BREAKER's report, oracle-checked: PSI of
+    // an incoming batch against the GOVERNED STORE's anchor census
+    // (IndexStore.batchDriftVsStore — census read + batch bins agg,
+    // no corpus rescan) plus the held verdict the gate acts on
+    // (screenAndFoldGated holds a source past 0.25 out of the fold —
+    // the hold/fold mechanics are SelectionSpec-pinned; this query is
+    // the read-only monitor, so it is idempotent and shares the
+    // governed store with q152 without mutating its timeline). The
+    // probe batch is deterministic: doc_id % 5 == 0 rows re-sourced
+    // as `probe_shift` with n_chars+480 (five bins to the right —
+    // must trip the gate), and the ANCHOR's own % 40 == 0 rows as
+    // `probe_clone` (a sample of the reference distribution — must
+    // pass; a clone drawn from the whole corpus mix measures ~0.29
+    // against this anchor, which is drift, not noise).
+    // DuckDB recomputes the anchor census from raw documents (the
+    // store's cumulative census after its 3 dense folds IS the whole
+    // table) and the identical smoothed PSI + verdict. ----
+    "q156_drift_gate_report" -> Q(
+      (s, dir) => {
+        val idx = governedStore(s, dir)
+        val docs = table(s, dir, "documents")
+        val batch = docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), lit("probe_shift").as("source"),
+            (col("n_chars") + 480).as("n_chars"))
+          .unionByName(docs
+            .filter(col("doc_id") % 40 === 0 && col("source") === "src0")
+            .select(col("doc_id"), lit("probe_clone").as("source"),
+              col("n_chars")))
+        IndexStore.batchDriftVsStore(s, idx, batch, "src0")
+          .select(col("source"), col("n_docs"), col("psi_nchars"),
+            (col("psi_nchars") > 0.25).as("held"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH batch AS (
+          SELECT 'probe_shift' AS source,
+            least(CAST(floor((n_chars + 480) / 100) AS BIGINT), 5) AS bin
+          FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT 'probe_clone' AS source,
+            least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin
+          FROM documents WHERE doc_id % 40 = 0 AND source = 'src0'),
+        ref AS (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin,
+                  count(*) AS c_ref
+                FROM documents WHERE source = 'src0' GROUP BY 1),
+        ref_tot AS (SELECT count(*) AS n_ref FROM documents WHERE source = 'src0'),
+        cur_cnt AS (SELECT source, bin, count(*) AS c_cur FROM batch GROUP BY 1, 2),
+        cur_tot AS (SELECT source, count(*) AS n_cur FROM batch GROUP BY 1),
+        grid AS (SELECT t.source, t.n_cur, g.bin, c.c_cur, r.c_ref, rt.n_ref
+          FROM cur_tot t
+          CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bin) g
+          LEFT JOIN cur_cnt c ON c.source = t.source AND c.bin = g.bin
+          LEFT JOIN ref r ON r.bin = g.bin
+          CROSS JOIN ref_tot rt),
+        terms AS (SELECT source, n_cur,
+            ((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0)
+             - (coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))
+            * ln(((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0))
+                 / ((coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))) AS term
+          FROM grid),
+        rep AS (SELECT source, max(n_cur) AS n_docs,
+            ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")} AS psi_nchars
+          FROM terms GROUP BY source)
+        SELECT source, n_docs, psi_nchars, psi_nchars > 0.25 AS held
+        FROM rep ORDER BY source"""))
   )
 }
