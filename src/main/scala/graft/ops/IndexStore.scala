@@ -1903,6 +1903,33 @@ object IndexStore {
       .orderBy($"qid", $"rn")
   }
 
+  /** DESCRIBE DETAIL for an index store — the operational surface an
+    * operator (or a maintenance scheduler) reads before deciding to
+    * compact, vacuum or retrain: one row per channel of the LIVE
+    * manifest with its snapshot fan-out (`n_paths` — the append depth
+    * compaction collapses), data-file count, bytes, and recorded
+    * layout contract, plus the store-level version facts. Pure
+    * driver-side metadata walk (manifest + directory listing, no
+    * Spark job) — the same facts compactIfFragmented/retrainIfDrifted
+    * gate on, exposed as a frame. A non-store root is refused loudly
+    * (baseRequired's contract). */
+  def describeStore(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    val (cur, m) = baseRequired(root)
+    val nVersions = history(root).size
+    def dataFiles(f: java.io.File): Long =
+      if (f.isFile) { if (!f.getName.startsWith("_") &&
+        !f.getName.startsWith(".") && !f.getName.endsWith(".crc")) 1L else 0L }
+      else Option(f.listFiles()).getOrElse(Array.empty).map(dataFiles).sum
+    m.toSeq.sortBy(_._1).map { case (name, ch) =>
+      val files = ch.paths.map(p => new java.io.File(s"$root/$p"))
+      (name, ch.paths.size, files.map(dataFiles).sum,
+        files.map(dirBytes).sum, ch.partitionBy, ch.sort,
+        cur.getOrElse(""), nVersions)
+    }.toDF("channel", "n_paths", "n_files", "bytes",
+      "partition_by", "sort", "version", "n_versions")
+  }
+
   // ---------------------------------------------------------------
   // unified retrieval store: text + vector families, ONE manifest
   // ---------------------------------------------------------------

@@ -534,4 +534,36 @@ class IndexStoreSpec extends SparkSpec {
     assert(java.util.Arrays.equals(bytesBefore,
       java.nio.file.Files.readAllBytes(ops.IndexStore.bloomBlob(rolled).get)))
   }
+
+  test("describeStore reports per-channel fan-out and layout; compaction collapses it; non-stores refused") {
+    val idx = tmp("describe")
+    ops.IndexStore.writeText(spark, df(docs), idx)
+    ops.IndexStore.appendText(spark, idx, df(batch))
+    ops.IndexStore.appendText(spark, idx,
+      df(Seq(6L -> "kappa lambda mu nu", 7L -> "xi omicron pi rho")))
+    val d = ops.IndexStore.describeStore(spark, idx).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // three channels, all facts populated
+    assert(d.keySet == Set("postings", "doc_lens", "stats"), d.keySet.toString)
+    // postings fan out one path per fold (the append depth the
+    // compaction gate watches); stats is always rewritten whole
+    assert(d("postings").getInt(1) == 3, "postings should span 3 snapshots")
+    assert(d("doc_lens").getInt(1) == 3)
+    assert(d("stats").getInt(1) == 1)
+    assert(d.values.forall(r => r.getLong(2) > 0 && r.getLong(3) > 0),
+      "file and byte counts must be populated")
+    assert(d("postings").getString(5) == "term,doc_id",
+      "postings row must carry the recorded sort contract")
+    assert(d.values.forall(_.getInt(7) == 3), "3 committed versions")
+    // compaction collapses every channel to one path; the facts the
+    // maintenance gates read are the facts describe reports
+    ops.IndexStore.compact(spark, idx)
+    val c = ops.IndexStore.describeStore(spark, idx).collect()
+    assert(c.forall(_.getInt(1) == 1), "compaction must collapse every channel to one path")
+    assert(c.forall(_.getInt(7) == 4), "compaction publishes one more version")
+    // a foreign directory is refused, never misread
+    intercept[IllegalStateException] {
+      ops.IndexStore.describeStore(spark, tmp("notastore"))
+    }
+  }
 }
