@@ -1608,22 +1608,34 @@ object IndexStore {
   def compact(s: SparkSession, root: String): Unit = {
     val (base, prior) = baseRequired(root)
     val snap = beginSnap(root)
-    val rewritten = prior.map { case (name, ch) =>
+    commitSnap(root, snap, rewriteChannelsInto(s, root, prior, root, snap), base)
+  }
+
+  /** Rewrite every channel of manifest `m` (resolved against
+    * `srcRoot`) into `destRoot/destSnap`, restoring each channel's
+    * contract layout at ~[[compactTargetBytes]] files; returns the
+    * staged single-path channel map. Shared by [[compact]] (srcRoot ==
+    * destRoot: collapse append fragmentation in place) and
+    * [[cloneStoreAt]] (a fresh root: publish a version). */
+  private def rewriteChannelsInto(s: SparkSession, srcRoot: String,
+      m: Map[String, Channel], destRoot: String,
+      destSnap: String): Map[String, Channel] =
+    m.map { case (name, ch) =>
       if (name == "bloom") {
         // the blob is a single file — carry its bytes into the new
         // snapshot so the old one becomes fully unreferenced. The
         // BASENAME carries the (capacity, estItems) contract and must
         // survive the copy, or the next fold would misread the sketch
         // as pre-contract and pay a spurious channel re-agg.
-        val bytes = Files.readAllBytes(Paths.get(s"$root/${ch.paths.head}"))
+        val bytes = Files.readAllBytes(Paths.get(s"$srcRoot/${ch.paths.head}"))
         val blobName = Paths.get(ch.paths.head).getFileName.toString
-        new java.io.File(s"$root/$snap/bloom").mkdirs()
-        Files.write(Paths.get(s"$root/$snap/bloom/$blobName"), bytes)
+        new java.io.File(s"$destRoot/$destSnap/bloom").mkdirs()
+        Files.write(Paths.get(s"$destRoot/$destSnap/bloom/$blobName"), bytes)
         maybeCrash(name)
-        name -> ch.copy(paths = Seq(s"$snap/bloom/$blobName"))
+        name -> ch.copy(paths = Seq(s"$destSnap/bloom/$blobName"))
       } else {
-        val df = channelFrom(s, root, prior, name)
-        val bytes = ch.paths.map(p => dirBytes(new java.io.File(s"$root/$p"))).sum
+        val df = channelFrom(s, srcRoot, m, name)
+        val bytes = ch.paths.map(p => dirBytes(new java.io.File(s"$srcRoot/$p"))).sum
         val target = compactTargetBytes(s)
         val parts = math.max(1L, (bytes + target - 1) / target).toInt
         val shaped =
@@ -1645,12 +1657,32 @@ object IndexStore {
           } else df.repartition(parts)
         val w = shaped.write.mode(SaveMode.Overwrite)
         (if (ch.partitionBy.nonEmpty) w.partitionBy(ch.partitionBy) else w)
-          .parquet(s"$root/$snap/$name")
+          .parquet(s"$destRoot/$destSnap/$name")
         maybeCrash(name)
-        name -> ch.copy(paths = Seq(s"$snap/$name"))
+        name -> ch.copy(paths = Seq(s"$destSnap/$name"))
       }
     }
-    commitSnap(root, snap, rewritten, base)
+
+  /** PUBLISH a committed version of a store to a fresh root — the
+    * operational close of snapshot time travel: [[history]] +
+    * [[channelAt]] read the past in place, `cloneStoreAt` ships it. A
+    * serving fleet gets an immutable single-version store (every
+    * channel compacted to its contract layout, version 1 of the new
+    * root) whose lifetime is independent of the source — the source
+    * can keep folding, compact, even vacuum the cloned version away,
+    * and the clone still serves bit-identical reads (spec-pinned).
+    * Refuses vacuumed or uncommitted versions by name (manifestAt's
+    * contract) and a destination that is already a store (clone
+    * never overwrites — a publish target is born, not replaced). */
+  def cloneStoreAt(s: SparkSession, root: String, snap: String,
+      dest: String): Unit = {
+    val m = manifestAt(root, snap)
+    require(currentSnapOpt(dest).isEmpty,
+      s"cloneStoreAt: $dest is already an index store — a publish " +
+        "target is born, not replaced; clone into a fresh root")
+    val destSnap = beginSnap(dest)
+    commitSnap(dest, destSnap,
+      rewriteChannelsInto(s, root, m, dest, destSnap), None)
   }
 
   /** Delete snapshot directories unreachable from the last `retain`

@@ -566,4 +566,40 @@ class IndexStoreSpec extends SparkSpec {
       ops.IndexStore.describeStore(spark, tmp("notastore"))
     }
   }
+
+  test("cloneStoreAt publishes an immutable version whose life is independent of the source") {
+    val idx = tmp("clone-src")
+    ops.IndexStore.writeText(spark, df(docs), idx)
+    val v1 = ops.IndexStore.history(idx).head
+    ops.IndexStore.appendText(spark, idx, df(batch))
+    val terms = Seq("beta", "zeta")
+    val v1Scores = ops.IndexStore.bm25FromStoreAt(spark, idx, v1, terms)
+      .orderBy($"doc_id").collect().toSeq
+    val dest = tmp("clone-dst")
+    ops.IndexStore.cloneStoreAt(spark, idx, v1, dest)
+    // the clone serves the published version's reads bit-identically,
+    // as ITS OWN current version, in contract layout
+    assert(ops.IndexStore.bm25FromStore(spark, dest, terms)
+      .orderBy($"doc_id").collect().toSeq == v1Scores,
+      "clone diverged from the published version's reads")
+    assert(ops.IndexStore.history(dest).size == 1)
+    assert(ops.IndexStore.describeStore(spark, dest).collect()
+      .forall(_.getInt(1) == 1), "clone channels must be single-path")
+    // the source keeps living: fold, compact, then vacuum the cloned
+    // version AWAY — the clone must not notice
+    ops.IndexStore.appendText(spark, idx, df(Seq(8L -> "sigma tau upsilon")))
+    ops.IndexStore.compact(spark, idx)
+    ops.IndexStore.vacuum(idx, retain = 1)
+    assert(!ops.IndexStore.history(idx).contains(v1),
+      "fixture: vacuum should have dropped the cloned version")
+    assert(ops.IndexStore.bm25FromStore(spark, dest, terms)
+      .orderBy($"doc_id").collect().toSeq == v1Scores,
+      "vacuuming the source broke the published clone")
+    // a publish target is born, not replaced
+    val e = intercept[IllegalArgumentException] {
+      ops.IndexStore.cloneStoreAt(spark, idx,
+        ops.IndexStore.history(idx).last, dest)
+    }
+    assert(e.getMessage.contains("born"), e.getMessage)
+  }
 }
