@@ -84,9 +84,23 @@ def main(sf_dir, out_dir):
             print(f"  (no oracle) {name}: {len(got)} rows")
             continue
         try:
-            want = con.execute(oracle[name]).df()
+            rel = con.sql(oracle[name])
+            duck_types = dict(zip(rel.columns, (str(t) for t in rel.types)))
+            want = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        # Driver-gate fidelity (VERDICT r8 next #2): the driver hashes
+        # TYPED values, so an oracle column DuckDB types as HUGEINT
+        # (e.g. an uncast integer sum()) hash-mismatches Spark's BIGINT
+        # even when every value is equal — and pandas coerces HUGEINT
+        # to float64, which the loose value compare below would mask.
+        # Refuse such oracles outright: the fix is a CAST in the SQL.
+        hug = {c: t for c, t in duck_types.items() if "HUGEINT" in t}
+        if hug:
+            print(f"FAIL {name}: oracle emits HUGEINT column(s) {hug} "
+                  f"(uncast sum()? driver hash is type-sensitive — CAST AS BIGINT)")
             n_fail += 1
             continue
         g, w = canon(got), canon(want)
@@ -96,6 +110,41 @@ def main(sf_dir, out_dir):
             continue
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+            n_fail += 1
+            continue
+        # Canonical dtype-family compare (driver hashes typed values):
+        # int-family vs int-family is fine, but an int column on one
+        # side coerced to float on the other (the HUGEINT→float64
+        # pandas artifact, or an oracle that double-ifies a count) must
+        # fail here the way the driver's hash fails it.
+        def fam(s):
+            if pd.api.types.is_bool_dtype(s): return "bool"
+            if pd.api.types.is_integer_dtype(s): return "int"
+            if pd.api.types.is_float_dtype(s): return "float"
+            if pd.api.types.is_datetime64_any_dtype(s): return "datetime"
+            nn = s.dropna()
+            if nn.empty: return None  # no evidence either way
+            v = nn.iloc[0]
+            import datetime as _dt, decimal as _dec
+            if isinstance(v, bool): return "bool"
+            if isinstance(v, (int, np.integer)): return "int"
+            if isinstance(v, (float, np.floating)): return "float"
+            if isinstance(v, _dec.Decimal): return "decimal"
+            if isinstance(v, (_dt.datetime, _dt.date, pd.Timestamp)): return "datetime"
+            if isinstance(v, (bytes, bytearray)): return "str"  # canon hexes bytes
+            if isinstance(v, (list, np.ndarray)): return "array"
+            return "str"
+        fambad = None
+        for c in g.columns:
+            fg, fw = fam(g[c]), fam(w[c])
+            if fg is not None and fw is not None and fg != fw:
+                fambad = (c, fg, str(g[c].dtype), fw, str(w[c].dtype),
+                          duck_types.get(c, "?"))
+                break
+        if fambad:
+            print(f"FAIL {name}: col {fambad[0]} dtype family spark={fambad[1]}"
+                  f"({fambad[2]}) vs duck={fambad[3]}({fambad[4]}, "
+                  f"DuckDB {fambad[5]}) — driver hash is type-sensitive")
             n_fail += 1
             continue
         bad = None

@@ -70,7 +70,14 @@ case class RademacherProject(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val d = ctx.freshName("d")
-      val sg = ctx.freshName("sg")
+      // the sign table is a generated-class FIELD, fetched lazily on
+      // the first row (and on a dimension change, which real data
+      // never has): the per-row cost of the lookup is a null-compare
+      // + int-compare, not a boxed (Int,Int) key allocation and a
+      // ConcurrentHashMap probe inside the consume path
+      val sg = ctx.addMutableState("byte[]", "rademacherSigns")
+      val sgD = ctx.addMutableState("int", "rademacherSignsD",
+        v => s"$v = -1;")
       val out = ctx.freshName("out")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
@@ -79,7 +86,10 @@ case class RademacherProject(child: Expression, k: Int)
       val get = if (floatInput) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       s"""
          |int $d = $a.numElements();
-         |byte[] $sg = graft.functions.RademacherProject.signs($k, $d);
+         |if ($sg == null || $sgD != $d) {
+         |  $sg = graft.functions.RademacherProject.signs($k, $d);
+         |  $sgD = $d;
+         |}
          |double[] $out = new double[$k];
          |for (int $i = 0; $i < $d; $i++) {
          |  double $x = $get;

@@ -934,6 +934,18 @@ object IndexStore {
   def screenAndFold(s: SparkSession, indexDir: String,
       batch: DataFrame): DataFrame = {
     val (base, prior) = baseRequired(indexDir)
+    screenAndFoldFrom(s, indexDir, base, prior, batch)
+  }
+
+  /** The transaction body of [[screenAndFold]] against a CALLER-HELD
+    * (base, prior) capture — so a gate that must read other channels
+    * of the same store before deciding what to fold (the circuit
+    * breaker's census read) can thread ONE resolution through gate,
+    * screen, and append, keeping the whole read-decide-write inside a
+    * single OCC window. */
+  private def screenAndFoldFrom(s: SparkSession, indexDir: String,
+      base: Option[String], prior: Map[String, Channel],
+      batch: DataFrame): DataFrame = {
     val decisions = screenBatchFrom(s, indexDir, prior, batch)
       .localCheckpoint()
     try {
@@ -994,8 +1006,16 @@ object IndexStore {
     * a corpus scan. */
   def batchDriftVsStore(s: SparkSession, indexDir: String,
       batch: DataFrame, anchor: String): DataFrame =
+    batchDriftVsStoreFrom(s, indexDir, baseRequired(indexDir)._2, batch, anchor)
+
+  /** [[batchDriftVsStore]] against a caller-held manifest — the
+    * gate's census read through the SAME resolution its fold commits
+    * against (single-base discipline; see [[screenAndFoldFrom]]). */
+  private def batchDriftVsStoreFrom(s: SparkSession, indexDir: String,
+      prior: Map[String, Channel], batch: DataFrame,
+      anchor: String): DataFrame =
     Selection.psiFromBins(
-      channel(s, indexDir, "mix_census")
+      channelFrom(s, indexDir, prior, "mix_census")
         .filter(col("source") === anchor)
         .unionByName(
           Selection.lenBins(batch).filter(col("source") =!= anchor)),
@@ -1017,7 +1037,12 @@ object IndexStore {
       batch: DataFrame, anchor: String,
       maxPsi: Double = 0.25): (DataFrame, DataFrame) = {
     import s.implicits._
-    val rep = batchDriftVsStore(s, indexDir, batch, anchor)
+    // ONE (base, prior) capture for the whole gate+fold: the census
+    // the verdict is computed against is the census the fold commits
+    // against — a rival landing anywhere between gate and append is a
+    // detected OCC conflict, never a silently-stale verdict.
+    val (base, prior) = baseRequired(indexDir)
+    val rep = batchDriftVsStoreFrom(s, indexDir, prior, batch, anchor)
       .select(col("source"), col("n_docs"), col("psi_nchars"),
         (col("psi_nchars") > maxPsi).as("held"))
       .as[(String, Long, Double, Boolean)].collect().toSeq
@@ -1025,7 +1050,7 @@ object IndexStore {
     val admitted =
       if (heldSrcs.isEmpty) batch
       else batch.filter(!col("source").isin(heldSrcs: _*))
-    (screenAndFold(s, indexDir, admitted),
+    (screenAndFoldFrom(s, indexDir, base, prior, admitted),
       rep.toDF("source", "n_docs", "psi_nchars", "held"))
   }
 
@@ -2024,7 +2049,10 @@ object IndexStore {
     * mismatched (docs, vectors) pairing, never folded. One-SIDED folds
     * (an empty frame on the other side) are legal: a corpus tick can
     * carry docs whose embeddings lag a model hop behind, and vice
-    * versa — the commit is still a single snapshot. */
+    * versa — the commit is still a single snapshot. The catch-up
+    * delivery for lagged embeddings therefore MUST be shaped as
+    * (empty docs, vectors): resubmitting the original docs alongside
+    * the late vectors reads as a mismatched pairing and is refused. */
   def appendUnified(s: SparkSession, root: String, docs: DataFrame,
       vectors: DataFrame): Unit = {
     val (base, prior) = baseRequired(root)
@@ -2039,7 +2067,11 @@ object IndexStore {
       "appendUnified: one family of the pair is an exact replay and the " +
         "other is new — atomic unified commits make a half-folded pair " +
         "impossible, so this is a mismatched (docs, vectors) pairing, " +
-        "not an at-least-once redelivery; fold the matching pair")
+        "not an at-least-once redelivery. If this is the documented " +
+        "lagging-embeddings catch-up (vectors arriving for docs folded " +
+        "earlier, or vice versa), submit it as a ONE-SIDED fold: the " +
+        "late family's frame paired with an EMPTY frame on the other " +
+        "side — one-sided folds are legal and commit atomically")
     if (textGo.isEmpty && vecGo.isEmpty) return // exact pair replay: skip
     val snap = beginSnap(root)
     val tchs = textGo.map { _ =>

@@ -462,7 +462,7 @@ object Selection {
           FROM ends e JOIN documents d USING (doc_id))
         SELECT source, count(*) AS n_chunks,
           count(DISTINCT md5(chunk)) AS n_distinct,
-          sum(len(chunk)) AS total_chars,
+          CAST(sum(len(chunk)) AS BIGINT) AS total_chars,
           ${oRnd4("cast(sum(len(chunk)) as double) / count(*)")} AS avg_chunk_len,
           ${oRnd4("cast(count(DISTINCT md5(chunk)) as double) / count(*)")} AS dedup_ratio
         FROM chunks GROUP BY source ORDER BY source""")),
@@ -515,7 +515,7 @@ object Selection {
             * ln(((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0))
                  / ((coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))) AS term
           FROM grid)
-        SELECT version, source, max(n_cur) AS n_docs,
+        SELECT version, source, CAST(max(n_cur) AS BIGINT) AS n_docs,
           ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")} AS psi_nchars
         FROM terms GROUP BY 1, 2 ORDER BY version, source""")),
 

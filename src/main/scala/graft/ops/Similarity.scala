@@ -393,6 +393,26 @@ object Similarity {
         .select($"vec_id", $"label", $"punit")
     }
 
+  /** The coarse stage of the q155 two-stage ANN, exposed so the
+    * candidate bound is testable (and reusable by the store-fed
+    * route): per query, the top-`kCand` corpus vectors by projected-
+    * unit cosine — a broadcast of the query projections against the
+    * projected corpus, the ONLY corpus-wide pass of the two-stage
+    * plan, at half of exact's flops and bytes. The fine (exact
+    * decimal) rerank downstream touches |queries| × kCand rows, so
+    * this cut is what keeps the rerank corpus-size-independent. */
+  private[graft] def projectedCandidates(s: SparkSession, units: DataFrame,
+      queryProj: DataFrame, kCand: Int = 100): DataFrame = {
+    import s.implicits._
+    val wC = Window.partitionBy($"qid").orderBy($"psim".desc, $"vid")
+    units.join(broadcast(queryProj), $"qid" =!= $"vec_id")
+      .withColumn("psim", graft.functions.DotProduct.dot_fast($"qp", $"punit"))
+      .withColumn("vid", $"vec_id")
+      .withColumn("crn", row_number().over(wC))
+      .filter($"crn" <= kCand)
+      .select($"qid", $"vid")
+  }
+
   /** Batch arm of the unified route: q145's qid-keyed fused retrieval
     * (one postings read + one cells read for N queries), but both
     * sides fed by ONE manifest resolution of the unified store
@@ -864,16 +884,9 @@ object Similarity {
       (s, dir) => {
         import s.implicits._
         graft.functions.DotProduct.register(s)
-        val p = projectedUnits(s, dir)
-        val qp = queryBatch(s, dir, p)
-          .select($"vec_id".as("qid"), $"punit".as("qp"))
-        val wC = Window.partitionBy($"qid").orderBy($"psim".desc, $"vid")
-        val cand = p.join(broadcast(qp), $"qid" =!= $"vec_id")
-          .withColumn("psim", graft.functions.DotProduct.dot_fast($"qp", $"punit"))
-          .withColumn("vid", $"vec_id")
-          .withColumn("crn", row_number().over(wC))
-          .filter($"crn" <= 100)
-          .select($"qid", $"vid")
+        val cand = projectedCandidates(s, projectedUnits(s, dir),
+          queryBatch(s, dir, projectedUnits(s, dir))
+            .select($"vec_id".as("qid"), $"punit".as("qp")))
         val e = withNorm(s, dir)
         val qe = queryBatch(s, dir, e)
           .select($"vec_id".as("qid"), $"embd".as("qembd"), $"nsq".as("qnsq"))

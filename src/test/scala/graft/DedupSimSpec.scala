@@ -149,7 +149,16 @@ class DedupSimSpec extends SparkSpec {
     assert(mean >= 0.6, s"mean recall@5 through the 32-d coarse pass too low: $mean")
     // and the candidate stage is genuinely bounded: per query at most
     // 100 candidates reach the rerank, so the fine pass never scales
-    // with the corpus
+    // with the corpus — asserted on the candidate frame ITSELF, not
+    // the post-rerank top-5 (which is ≤5 by construction)
+    val units = graft.ops.Similarity.projectedUnits(spark, dir)
+    val qp = graft.ops.Similarity.queryBatch(spark, dir, units)
+      .select($"vec_id".as("qid"), $"punit".as("qp"))
+    val candCounts = graft.ops.Similarity
+      .projectedCandidates(spark, units, qp)
+      .groupBy("qid").count().select("count").as[Long].collect()
+    assert(candCounts.nonEmpty && candCounts.forall(_ <= 100),
+      "coarse stage must cap candidates at 100 per query")
     val counts = SparkEntry.queries("q155_knn_projected")(spark, dir)
       .groupBy("qid").count().select("count").as[Long].collect()
     assert(counts.forall(_ <= 5), "per-query output must stay top-5")
