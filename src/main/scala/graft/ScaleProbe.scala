@@ -224,6 +224,12 @@ object ScaleProbe {
       // exact rerank of |q|×100 candidates — the top-5 needs both
       // passes; first run pays the memoized projection build
       "q155_knn_projected",
+      // q159: q155 answered from the store's proj_units/exact_vecs
+      // channels — the vector store (incl. projections) was already
+      // built by the q140 entry above, so this times the pure
+      // store-fed coarse read + fine rerank; the projected_store
+      // section below isolates the coarse-feed A/B
+      "q159_knn_projected_store",
       // q116: 10 fixed iterations over the checkpointed degree-joined
       // edge list (partitioned by src once — only the small rank side
       // reshuffles per round) + an O(edges) narrow-long contrib
@@ -330,6 +336,14 @@ object ScaleProbe {
     timeForced("q154_random_projection", ("vec_id", "proj"))
     // q156 rides the same memoized governed store as q152
     timeForced("q156_drift_gate_report", ("source", "psi_nchars"))
+    // q157 rides the memoized UNIFIED store (built by q153's entry):
+    // the drift timeline must stay a census walk — corpus-free — on
+    // the single-pointer store exactly as q152 is on the dedup store
+    timeForced("q157_unified_drift_timeline", ("source", "psi_nchars"))
+    // q158's first run pays the once-per-JVM gated-hold ingest
+    // (governed write of the even half + ONE screenAndFoldGated fold
+    // of the odd half with a drifting re-sourced slice)
+    timeForced("q158_gated_hold_census", ("source", "psi_nchars"))
     if (only.forall(_.contains("q88_canonical_dedup"))) {
       val t0 = System.nanoTime()
       // force the normalizer + keeper window: aggregate over BOTH
@@ -494,6 +508,77 @@ object ScaleProbe {
               col("embedding"), 16)).as(Seq("j", "p")))
           .agg(count(col("p")), sum(col("p"))).head().getLong(0)
       }
+    }
+    // projected-ANN store channel (round 9, VERDICT r8 next #7/#8):
+    // the serving claim — a cold session's coarse feed from the stored
+    // proj_units channel (32-d parquet read, zero projection flops)
+    // stays flat vs the session route's corpus-wide work (64-d read +
+    // fused d×k RademacherProject + normalize + cache). The fine stage
+    // is |q|×kCand rows either way; q159 ≡ q155 bit-identity is
+    // spec-pinned at sf0.01 (VectorIndexSpec).
+    if (only.exists(_.contains("projected_store"))) {
+      val idxDir = s"$dst/index_store_projected"
+      rmRf(new java.io.File(idxDir))
+      timeNamed("projected_store_write") {
+        ops.IndexStore.writeProjections(spark, idxDir,
+          ops.Similarity.projectedUnits(spark, dst),
+          ops.Similarity.exactVecs(spark, dst))
+        1L
+      }
+      // cold-session conditions for the A/B: drop the memoized frames
+      // so each side pays its real first-answer cost
+      Core.clearCaches(spark)
+      timeNamed("projected_coarse_session") {
+        ops.Similarity.projectedUnits(spark, dst).count()
+      }
+      Core.clearCaches(spark)
+      timeNamed("projected_coarse_store") {
+        ops.IndexStore.channel(spark, idxDir, "proj_units").count()
+      }
+      val queries = ops.Similarity.queryBatch(spark, dst,
+        Core.table(spark, dst, "embeddings"))
+        .select(col("vec_id"), col("embedding"))
+      timeNamed("projected_ann_store_lookup") {
+        ops.IndexStore.projectedAnnFromStore(spark, idxDir, queries).count()
+      }
+    }
+    // governed UNIFIED fold at scale (round 9): the circuit breaker on
+    // the single-pointer store — gate verdict must stay O(census +
+    // batch-bins agg) while the fold is the usual O(batch) pair
+    // append; the held source's docs AND vectors never land.
+    if (only.exists(_.contains("unified_governed"))) {
+      val idxDir = s"$dst/index_store_unified_gov"
+      rmRf(new java.io.File(idxDir))
+      val docs = Core.table(spark, dst, "documents")
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      val vecs = ops.Similarity.normalized(spark, dst)
+      val cents = ops.Similarity.ivfCentroids(spark, dst)
+      val g = gate(col("doc_id"))
+      val gv = gate(col("vec_id"))
+      timeNamed("unified_gov_write") {
+        ops.IndexStore.writeUnified(spark, docs.filter(g < 32768L),
+          vecs.filter(gv < 32768L), cents, idxDir, governed = true)
+        1L
+      }
+      // one gated tick: a clean quarter of the corpus + a drifted
+      // re-sourced quarter (+480 chars) in the same pair
+      val tick = docs.filter(g >= 32768L && g < 49152L)
+        .unionByName(docs.filter(g >= 49152L)
+          .select(col("doc_id"), col("text"),
+            lit("probe_shift").as("source"),
+            (col("n_chars") + 480).as("n_chars")))
+      val tickVecs = vecs.filter(gv >= 32768L)
+      timeNamed("unified_gov_gate_only") {
+        ops.IndexStore.batchDriftVsStore(spark, idxDir, tick, "src0").count()
+      }
+      timeNamed("unified_gov_gated_fold") {
+        val rep = graft.streaming.StreamingOps.ingestAndMaintainUnifiedGoverned(
+          spark, idxDir, tick, tickVecs, "src0")
+        rep.filter(col("held")).count()
+      }
+      println(s"PROBE unified_gov_census_srcs        " +
+        ops.IndexStore.channel(spark, idxDir, "mix_census")
+          .select(col("source")).distinct().count())
     }
     // unified store at scale (round 8): build the text + vector
     // families as ONE rolling store (writeUnified + 3 appendUnified

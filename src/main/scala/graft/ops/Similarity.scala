@@ -413,6 +413,63 @@ object Similarity {
       .select($"qid", $"vid")
   }
 
+  /** The FINE (exact decimal) rerank stage of the coarse-to-fine ANN —
+    * q35's arithmetic verbatim on the candidate rows only, shared
+    * term-for-term by the session route (q155) and the store-fed route
+    * (IndexStore.projectedAnnFromStore, q159) so the two are
+    * bit-identical by construction. `corpus` must carry
+    * (vec_id, embd, nsq) — withNorm's exact frame or the store's
+    * `exact_vecs` channel (parquet round-trips doubles and decimals
+    * exactly); `qe` carries (qid, qembd, qnsq). */
+  private[graft] def exactRerank(cand: DataFrame, corpus: DataFrame,
+      qe: DataFrame, k: Int = 5): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
+    graft.functions.DotProductExact.register(s)
+    val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid")
+    cand.join(corpus.withColumn("vid", $"vec_id"), Seq("vid"))
+      .join(broadcast(qe), Seq("qid"))
+      .withColumn("cos", dotExact($"qembd", $"embd") / (sqrt($"qnsq") * sqrt($"nsq")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+      .select($"qid", $"rn", $"vid", round($"cos", 4).as("cos"))
+      .orderBy($"qid", $"rn")
+  }
+
+  /** Project raw query embeddings into the coarse space with the SAME
+    * arithmetic [[projectedUnits]] applies to the corpus
+    * (RademacherProject k, fast-double norm, zero-norm rows dropped) —
+    * the query side of both the session and store-fed coarse stages. */
+  private[graft] def projectQueries(s: SparkSession, queries: DataFrame,
+      k: Int): DataFrame = {
+    import s.implicits._
+    graft.functions.DotProduct.register(s)
+    graft.functions.RademacherProject.register(s)
+    queries.select($"vec_id",
+        graft.functions.RademacherProject.project($"embedding", k).as("pvec"))
+      .withColumn("pnorm",
+        sqrt(graft.functions.DotProduct.dot_fast($"pvec", $"pvec")))
+      .filter($"pnorm" > 0)
+      .select($"vec_id".as("qid"),
+        transform($"pvec", x => x / $"pnorm").as("qp"))
+  }
+
+  /** (vec_id, embd, nsq) — the exact-rerank fidelity frame, persisted
+    * as the store's `exact_vecs` channel (IVF-Flat's stored-raw
+    * idiom). */
+  private[graft] def exactVecs(s: SparkSession, dir: String): DataFrame =
+    withNorm(s, dir).select(col("vec_id"), col("embd"), col("nsq"))
+
+  /** Exact query-side frame (qid, qembd, qnsq) from raw embeddings —
+    * withNorm's arithmetic verbatim, for the store-fed fine stage. */
+  private[graft] def exactQueries(s: SparkSession, queries: DataFrame): DataFrame = {
+    import s.implicits._
+    graft.functions.DotProductExact.register(s)
+    queries.select($"vec_id".as("qid"),
+        transform($"embedding", x => x.cast("double")).as("qembd"))
+      .withColumn("qnsq", dotExact($"qembd", $"qembd"))
+  }
+
   /** Batch arm of the unified route: q145's qid-keyed fused retrieval
     * (one postings read + one cells read for N queries), but both
     * sides fed by ONE manifest resolution of the unified store
@@ -890,14 +947,33 @@ object Similarity {
         val e = withNorm(s, dir)
         val qe = queryBatch(s, dir, e)
           .select($"vec_id".as("qid"), $"embd".as("qembd"), $"nsq".as("qnsq"))
-        val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"vid")
-        cand.join(e.withColumn("vid", $"vec_id"), Seq("vid"))
-          .join(broadcast(qe), Seq("qid"))
-          .withColumn("cos", dotExact($"qembd", $"embd") / (sqrt($"qnsq") * sqrt($"nsq")))
-          .withColumn("rn", row_number().over(w))
-          .filter($"rn" <= 5)
-          .select($"qid", $"rn", $"vid", round($"cos", 4).as("cos"))
-          .orderBy($"qid", $"rn")
+        exactRerank(cand, e.select($"vec_id", $"embd", $"nsq"), qe)
+      },
+      None),
+
+    // ---- q155 served from the STORE (q159; VERDICT r8 next #7): the
+    // projected-ANN serving pair persisted as channels of the vector
+    // store (proj_units = the 32-d coarse space at HALF the exact
+    // read's bytes and zero per-session projection flops; exact_vecs
+    // = the rerank fidelity layer, IVF-Flat's stored-raw idiom;
+    // proj_stats = the (k, d, scheme, sign-table-md5) projection
+    // IDENTITY the lookup refuses on mismatch — a query projected
+    // under one sign matrix must never probe candidates projected
+    // under another). A cold session passes raw query embeddings;
+    // both stages run the session route's stage functions verbatim,
+    // so q159 ≡ q155 bit-identically (VectorIndexSpec pins it). The
+    // IVF family's arc (q39 → q140 store channel → q145 batch) now
+    // holds for the projected family too, co-resident in the SAME
+    // store version. No oracle: the coarse top-100 cut is
+    // float-ranked, q36's rule (the fine arithmetic is q155's, which
+    // DedupSimSpec recall-pins against exact q35). ----
+    "q159_knn_projected_store" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val root = vectorStore(s, dir)
+        IndexStore.projectedAnnFromStore(s, root,
+          queryBatch(s, dir, table(s, dir, "embeddings"))
+            .select($"vec_id", $"embedding"))
       },
       None),
 
@@ -1181,7 +1257,13 @@ object Similarity {
     * q140's store: the session-memoized centroids and normalized
     * vectors written as the (centroids, cid-partitioned cells)
     * channels, so store and session routes share one trained model
-    * within a JVM and q140 ≡ q39 bit-identically (VectorIndexSpec). */
+    * within a JVM and q140 ≡ q39 bit-identically (VectorIndexSpec).
+    * Since round 9 the SAME store also carries the projected-ANN
+    * serving pair (proj_units / exact_vecs / proj_stats,
+    * IndexStore.writeProjections) — one store, one version pin, two
+    * semantic routes (IVF-by-cell and projected-by-dimension), so a
+    * batch hybrid can swap its semantic arm without a second pointer
+    * to race. */
   private val vectorStores =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private[graft] def vectorStore(s: SparkSession, dir: String): String =
@@ -1190,6 +1272,8 @@ object Similarity {
         val idx = graft.Core.jvmStorePath("graft_vec", dir)
         IndexStore.writeVectors(s, normalized(s, dir),
           ivfCentroids(s, dir), idx)
+        IndexStore.writeProjections(s, idx, projectedUnits(s, dir),
+          exactVecs(s, dir))
         idx
       })
     }
@@ -1200,9 +1284,14 @@ object Similarity {
     * cross-family commit. Holds exactly textStore ∪ vectorStore's
     * content (same tokenizer, same session-memoized centroids), so
     * every per-family read is bit-identical to the split stores' and
-    * q153 ≡ q142 (UnifiedStoreSpec pins both). Same memo discipline
-    * as the other rolling stores: built before the audit query
-    * arrives, so the query times the serving route, not the ingest. */
+    * q153 ≡ q142 (UnifiedStoreSpec pins both). GOVERNED since round 9
+    * (VERDICT r8 missing #2): the bootstrap and every docs-side fold
+    * extend a `mix_census` channel, so the flagship single-pointer
+    * store carries its own drift timeline (q157 reads it back under
+    * the oracle) and can fold behind the circuit breaker
+    * (IndexStore.appendUnifiedGated). Same memo discipline as the
+    * other rolling stores: built before the audit query arrives, so
+    * the query times the serving route, not the ingest. */
   private val unifiedStores =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private[graft] def unifiedStore(s: SparkSession, dir: String): String =
@@ -1212,7 +1301,8 @@ object Similarity {
         val docs = table(s, dir, "documents")
         val vecs = normalized(s, dir)
         IndexStore.writeUnified(s, docs.filter(col("doc_id") % 3 === 0),
-          vecs.filter(col("vec_id") % 3 === 0), ivfCentroids(s, dir), idx)
+          vecs.filter(col("vec_id") % 3 === 0), ivfCentroids(s, dir), idx,
+          governed = true)
         for (r <- 1 to 2)
           IndexStore.appendUnified(s, idx,
             docs.filter(col("doc_id") % 3 === r),

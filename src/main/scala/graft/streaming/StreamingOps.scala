@@ -367,6 +367,33 @@ object StreamingOps {
     compactBestEffort(s, root)
   }
 
+  /** [[ingestAndMaintainUnified]] behind the drift circuit breaker
+    * (IndexStore.appendUnifiedGated) — the governed tier for the
+    * single-pointer store: each micro-batch pair's sources are
+    * PSI-checked against the stored anchor census, and a source whose
+    * tick would rot the mix is held out of BOTH families (docs AND
+    * their vectors), so a poisoned upstream cannot contaminate either
+    * side of the hybrid store while an operator decides — with the
+    * pair-consistency and census-lockstep guarantees intact at every
+    * committed version (SelectionSpec pins hold, fold, and recovery).
+    * Returns the per-source drift report with the `held` flag — sink
+    * it: what was REFUSED never enters the census, so the report is
+    * the only audit trail of the hold. Same OCC-retry (the retry
+    * recomputes the verdict against the advanced census) and
+    * best-effort maintenance contract as the other four loops. */
+  def ingestAndMaintainUnifiedGoverned(s: SparkSession, root: String,
+      docs: DataFrame, vectors: DataFrame, anchor: String,
+      maxPsi: Double = 0.25): DataFrame = {
+    val rep = withOccRetry() {
+      graft.ops.IndexStore.appendUnifiedGated(s, root, docs, vectors,
+        anchor, maxPsi)
+    }
+    try { graft.ops.IndexStore.retrainIfDrifted(s, root); () }
+    catch { case _: java.util.ConcurrentModificationException => () }
+    compactBestEffort(s, root)
+    rep
+  }
+
   final case class SessionSeq(user_id: Long, session_id: Long,
       n_events: Long, seq: String)
   final case class SessState(nextId: Long, lastUs: Long,

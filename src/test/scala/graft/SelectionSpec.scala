@@ -280,4 +280,45 @@ class SelectionSpec extends SparkSpec {
     // PSI is non-negative by construction (sum of (p-q)ln(p/q) terms)
     assert(out.filter(col("psi_nchars") < 0).count() == 0)
   }
+
+  test("q158 fixture: the gated-hold store holds exactly what an independent gate recompute holds, and the screen keeps every admitted doc") {
+    val idx = ops.Selection.gatedHoldStore(spark, dir)
+    val docs = Core.table(spark, dir, "documents")
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    val batch = odds.filter(col("doc_id") % 10 =!= 1)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .unionByName(odds.filter(col("doc_id") % 10 === 1)
+        .select(col("doc_id"), lit("probe_shift").as("source"),
+          (col("n_chars") + 480).as("n_chars")))
+    // independent recompute of the gate verdict from raw documents —
+    // batchDriftVsStore's arithmetic spelled through the session fns
+    val gateBins = ops.Selection.lenBins(evens).filter(col("source") === "src0")
+      .unionByName(ops.Selection.lenBins(batch).filter(col("source") =!= "src0"))
+    val held = ops.Selection.psiFromBins(gateBins, "src0")
+      .filter(col("psi_nchars") > 0.25)
+      .select(col("source")).as[String].collect().toSet
+    assert(held.contains("probe_shift"),
+      "fixture degenerate: the +480 shift must trip the gate")
+    // the store's membership channel == evens ∪ admitted odds, EXACTLY:
+    // every admitted doc kept (md5-unique texts make the screen a
+    // structural no-op — the q158 oracle's standing assumption), every
+    // held doc absent
+    val admitted = batch.filter(!col("source").isin(held.toSeq: _*))
+    val expected = evens.select(col("doc_id")).as[Long].collect().toSet ++
+      admitted.select(col("doc_id")).as[Long].collect().toSet
+    val stored = ops.IndexStore.channel(spark, idx, "fingerprints")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(stored == expected,
+      s"store membership diverged from the recomputed gate: " +
+        s"missing=${(expected -- stored).take(5)} extra=${(stored -- expected).take(5)}")
+    // the census never saw a held source, and neither does q158's output
+    assert(!ops.IndexStore.channel(spark, idx, "mix_census")
+      .select(col("source")).distinct().as[String].collect().toSet
+      .contains("probe_shift"), "held source contaminated the census")
+    val out = SparkEntry.queries("q158_gated_hold_census")(spark, dir)
+      .select(col("source")).as[String].collect().toSet
+    assert(out.nonEmpty && !out.contains("probe_shift"),
+      "the breaker's refusal must be invisible in the drift read — it never entered the census")
+  }
 }

@@ -175,4 +175,64 @@ class UnifiedStoreSpec extends SparkSpec {
     assert(a1.collect().toSeq == ann(ref, 0),
       "version-1 ANN must equal a store holding only fold 1")
   }
+
+  /** docsOf with governance columns: source-labeled, length-profiled
+    * (120/160/200 chars → bins 1/1/2; +480 shifts every doc to bin 5,
+    * the bin the anchor never populates). */
+  private def gdocs(ids: Range, src: String, shift: Long = 0L): DataFrame =
+    ids.map { i =>
+      (i.toLong, s"alpha token$i beta${i % 3} gamma delta${i % 2}",
+        src, 120L + (i % 3) * 40 + shift)
+    }.toDF("doc_id", "text", "source", "n_chars")
+
+  test("governed unified loop: a drifting source is held out of BOTH families per-tick, and recovers") {
+    val root = tmp("gov")
+    val boot = gdocs(0 to 39, "src0").unionByName(gdocs(40 to 59, "srcA"))
+    ops.IndexStore.writeUnified(spark, boot, vecsOf(0 to 59), cents, root,
+      governed = true)
+    // tick 2: a clean source + a drifted one (+480 chars) in one pair
+    val t2 = gdocs(60 to 79, "srcB").unionByName(gdocs(80 to 99, "srcRot", 480L))
+    val rep2 = streaming.StreamingOps.ingestAndMaintainUnifiedGoverned(
+      spark, root, t2, vecsOf(60 to 99), "src0")
+    assert(rep2.filter($"held").select($"source").as[String].collect().toSet ==
+      Set("srcRot"), "expected exactly the drifted source held")
+    val lens2 = ops.IndexStore.channel(spark, root, "doc_lens")
+      .select($"doc_id").as[Long].collect().toSet
+    assert((60L to 79L).forall(lens2) && !(80L to 99L).exists(lens2),
+      "held source's DOCS must not fold")
+    val cells2 = ops.IndexStore.channel(spark, root, "cells")
+      .select($"vec_id").as[Long].collect().toSet
+    assert((60L to 79L).forall(cells2) && !(80L to 99L).exists(cells2),
+      "held source's VECTORS leaked into the cells — the hold must cover both families")
+    assert(ops.IndexStore.channel(spark, root, "mix_census")
+      .select($"source").distinct().as[String].collect().toSet ==
+      Set("src0", "srcA", "srcB"),
+      "held source contaminated the unified census")
+    // tick 3: the held upstream recovers — same ids (they were never
+    // folded, so there is nothing to replay) at normal lengths
+    val rep3 = streaming.StreamingOps.ingestAndMaintainUnifiedGoverned(
+      spark, root, gdocs(80 to 99, "srcRot"), vecsOf(80 to 99), "src0")
+    assert(rep3.filter($"held").isEmpty, "recovered source must pass the gate")
+    val lens3 = ops.IndexStore.channel(spark, root, "doc_lens")
+      .select($"doc_id").as[Long].collect().toSet
+    val cells3 = ops.IndexStore.channel(spark, root, "cells")
+      .select($"vec_id").as[Long].collect().toSet
+    assert((80L to 99L).forall(lens3) && (80L to 99L).forall(cells3),
+      "recovered tick must fold BOTH families")
+    assert(ops.IndexStore.channel(spark, root, "mix_census")
+      .select($"source").distinct().count() == 4,
+      "recovered tick must join the census")
+  }
+
+  test("the gated fold refuses an ungoverned unified store — no anchor census to hold against") {
+    val root = tmp("ungov")
+    ops.IndexStore.writeUnified(spark, gdocs(0 to 5, "src0"), vecsOf(0 to 5),
+      cents, root)
+    val e = intercept[IllegalArgumentException] {
+      ops.IndexStore.appendUnifiedGated(spark, root,
+        gdocs(6 to 11, "srcA"), vecsOf(6 to 11), "src0")
+    }
+    assert(e.getMessage.contains("mix_census"),
+      s"expected the governance refusal, got: ${e.getMessage}")
+  }
 }

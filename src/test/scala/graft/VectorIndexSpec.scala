@@ -174,4 +174,50 @@ class VectorIndexSpec extends SparkSpec {
         s"retrain must rebalance cells: ${cellSkew(skew)} !< $skewBefore")
     } finally spark.conf.unset("graft.store.retrainSkewFactor")
   }
+
+  test("q159 ≡ q155 bit-identically: projected ANN served from the store channels") {
+    val a = SparkEntry.queries("q155_knn_projected")(spark, dir).collect().toSeq
+    val b = SparkEntry.queries("q159_knn_projected_store")(spark, dir).collect().toSeq
+    assert(a.nonEmpty && a == b,
+      s"store-fed projected ANN diverges from the session route:\n" +
+        s"  q155=${a.take(3)}\n  q159=${b.take(3)}")
+  }
+
+  test("projected channels co-reside with the IVF family under ONE version pin") {
+    val root = ops.Similarity.vectorStore(spark, dir)
+    val chs = ops.IndexStore.describeStore(spark, root)
+      .select($"channel").as[String].collect().toSet
+    assert(Set("centroids", "cells", "vec_stats",
+      "proj_units", "exact_vecs", "proj_stats").subsetOf(chs),
+      s"vector store must carry both semantic routes, got $chs")
+  }
+
+  test("projection identity: a store written under a DIFFERENT sign derivation is refused, never served") {
+    val root = tmp("projskew")
+    val units = (0 until 4).map(i =>
+      (i.toLong, "l", Seq.fill(8)(0.5))).toDF("vec_id", "label", "punit")
+    val fine = (0 until 4).map(i =>
+      (i.toLong, Seq.fill(16)(1.0), 16.0)).toDF("vec_id", "embd", "nsq")
+    ops.IndexStore.writeProjections(spark, root, units, fine)
+    // the untampered store serves (identity check passes)
+    val queries = Seq((9L, Seq.fill(16)(0.5f))).toDF("vec_id", "embedding")
+    ops.IndexStore.projectedAnnFromStore(spark, root, queries).collect()
+    // simulate version skew: a store whose proj_stats records a sign
+    // table THIS build does not derive (an old-derivation writer)
+    val stDir = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(d => new java.io.File(d, "proj_stats"))
+      .filter(_.isDirectory).head
+    val orig = spark.read.parquet(stDir.toString).collect().head
+    ops.IndexStore.deleteRec(stDir)
+    Seq((orig.getAs[Int]("k"), orig.getAs[Int]("d"),
+        orig.getAs[String]("scheme"), "00112233445566778899aabbccddeeff"))
+      .toDF("k", "d", "scheme", "sign_fp")
+      .coalesce(1).write.parquet(stDir.toString)
+    val e = intercept[IllegalArgumentException] {
+      ops.IndexStore.projectedAnnFromStore(spark, root, queries).collect()
+    }
+    assert(e.getMessage.contains("projection identity mismatch") &&
+      e.getMessage.contains("00112233445566778899aabbccddeeff"),
+      s"refusal must name the mismatched identity, got: ${e.getMessage}")
+  }
 }
