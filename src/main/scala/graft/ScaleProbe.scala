@@ -509,6 +509,49 @@ object ScaleProbe {
           .agg(count(col("p")), sum(col("p"))).head().getLong(0)
       }
     }
+    // per-stage attribution for q127 entity resolution (VERDICT r8
+    // next #5): name where the warm-session ER time goes. Stages are
+    // materialized via localCheckpoint so each line times ONE stage:
+    // candidate union+distinct (both blocking channels), the
+    // exact-Jaccard verify join (the ~27M-pair coded-set shuffle — the
+    // corpus is 99-twin-dense by construction, so this is the
+    // documented output-bound wall), CC contraction, and the full
+    // query for reference (its plan re-runs the stages unfused, so
+    // full ≈ sum of stages + survivorship window).
+    if (only.exists(_.contains("q127_stages"))) {
+      val docs = Core.table(spark, dst, "documents")
+      graft.functions.SortedIntersectCount.register(spark)
+      val sets = ops.Dedup.codedSets(spark, dst)
+      var allcCk: org.apache.spark.sql.DataFrame = null
+      timeNamed("q127_stage_candidates") {
+        allcCk = ops.Dedup.lshPairs(spark, dst).select(col("id_a"), col("id_b"))
+          .unionByName(ops.Dedup.snCandidates(spark, dst))
+          .select(least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"))
+          .distinct()
+          .localCheckpoint()
+        allcCk.count()
+      }
+      var edgesCk: org.apache.spark.sql.DataFrame = null
+      timeNamed("q127_stage_verify") {
+        edgesCk = allcCk
+          .join(sets.select(col("doc_id").as("id_a"), col("ws").as("wsa")), Seq("id_a"))
+          .join(sets.select(col("doc_id").as("id_b"), col("ws").as("wsb")), Seq("id_b"))
+          .withColumn("c", graft.functions.SortedIntersectCount
+            .sorted_intersect_count(col("wsa"), col("wsb")))
+          .filter(col("c").cast("double") /
+            (size(col("wsa")) + size(col("wsb")) - col("c")) >= 0.5)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint()
+        edgesCk.count()
+      }
+      timeNamed("q127_stage_cc") {
+        ops.Dedup.connectedComponents(docs.select(col("doc_id")), edgesCk).count()
+      }
+      timeNamed("q127_full_warm") {
+        SparkEntry.queries("q127_entity_resolution")(spark, dst).count()
+      }
+    }
     // projected-ANN store channel (round 9, VERDICT r8 next #7/#8):
     // the serving claim — a cold session's coarse feed from the stored
     // proj_units channel (32-d parquet read, zero projection flops)

@@ -225,7 +225,7 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs: docs sharing ≥1 LSH band bucket. */
-  private[ops] def lshPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def lshPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val b = bandKeys(s, dir)
     b.as("a").join(b.as("b"),
@@ -634,7 +634,7 @@ object Dedup {
     table(s, dir, "documents").select(col("doc_id"),
       substring(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), 1, 24).as("snk"))
 
-  private def snCandidates(s: SparkSession, dir: String): DataFrame =
+  private[graft] def snCandidates(s: SparkSession, dir: String): DataFrame =
     if (graft.Core.tableRows(s, dir, "documents") <= SnWindowMaxDocs)
       snWindowPairs(snKeyed(s, dir))
     else snPairs(snKeyed(s, dir), SnW)

@@ -2326,8 +2326,21 @@ object IndexStore {
     * refused loudly, never served. ONE manifest resolution covers
     * stats + both channels (the torn-read discipline). */
   def projectedAnnFromStore(s: SparkSession, root: String,
-      queries: DataFrame, k: Int = 5, kCand: Int = 100): DataFrame = {
-    val m = channels(root)
+      queries: DataFrame, k: Int = 5, kCand: Int = 100): DataFrame =
+    projectedAnnFrom(s, root, channels(root), queries, k, kCand)
+
+  /** [[projectedAnnFromStore]] AS OF a committed version — the
+    * paired-version hybrid contract's semantic arm: one vector-store
+    * pin covers cells AND proj channels together, so a hybrid batch
+    * can swap its semantic strategy (IVF ↔ projected) without a new
+    * consistency story. */
+  def projectedAnnFromStoreAt(s: SparkSession, root: String, snap: String,
+      queries: DataFrame, k: Int = 5, kCand: Int = 100): DataFrame =
+    projectedAnnFrom(s, root, manifestAt(root, snap), queries, k, kCand)
+
+  private def projectedAnnFrom(s: SparkSession, root: String,
+      m: Map[String, Channel], queries: DataFrame,
+      k: Int, kCand: Int): DataFrame = {
     require(m.contains("proj_stats"),
       s"projectedAnnFromStore: store at $root has no proj_stats channel " +
         "— not a projected-ANN store (writeProjections first)")

@@ -314,6 +314,42 @@ object Similarity {
     rrfFuseBatch(lex, sem)
   }
 
+  /** [[hybridBatchFromStore]] with the semantic arm swapped from the
+    * IVF cells to the projected-ANN channels (q160): both strategies
+    * co-reside in the SAME vector store, so the one (text, vector)
+    * version pair still pins the whole batch — the vector snap covers
+    * cells AND proj channels together, and swapping the route changes
+    * the candidate geometry (prune-by-dimension instead of
+    * prune-by-cell), never the consistency story. The lexical side is
+    * q145's union-pruned batch read verbatim; the semantic side is ONE
+    * store-fed coarse read + one exact rerank for all N queries
+    * (projectedAnnFromStoreAt is already qid-batched; its
+    * qid =!= vec_id condition excludes self). HybridStoreSpec pins the
+    * fusion against a driver-side recomputation and the lexical ranks
+    * against q145's. */
+  private[graft] def hybridBatchProjected(s: SparkSession, dir: String,
+      queries: Seq[(Long, Seq[String])]): DataFrame = {
+    import s.implicits._
+    val tRoot = TextOps.textStore(s, dir)
+    val vRoot = vectorStore(s, dir)
+    val tSnap = IndexStore.history(tRoot).last
+    val vSnap = IndexStore.history(vRoot).last
+    val qframe = queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .distinct.toDF("qid", "term")
+    val exclude = queries.map { case (qid, _) => (qid, qid) }
+      .toDF("qid", "self_id")
+    val lex = IndexStore.bm25BatchFromStoreAt(s, tRoot, tSnap, qframe,
+        k = 100, exclude = Some(exclude))
+      .select($"qid", $"doc_id", $"rank".cast("int").as("lex_rank"))
+    val qids = queries.map(_._1)
+    val qe = table(s, dir, "embeddings")
+      .filter($"vec_id".isin(qids: _*)).select($"vec_id", $"embedding")
+    val sem = IndexStore.projectedAnnFromStoreAt(s, vRoot, vSnap, qe, k = 100)
+      .select($"qid", $"vid".as("doc_id"), $"rn".cast("int").as("sem_rank"))
+    rrfFuseBatch(lex, sem)
+  }
+
   /** The q142 hybrid answer served from the UNIFIED store (q153): one
     * manifest, one version, both channels — the route cannot split
     * versions because there is only one pointer to resolve
@@ -824,6 +860,34 @@ object Similarity {
           TextOps.qtermsOfExtreme(s, dir, useMax = false),
           TextOps.qtermsOfExtreme(s, dir, useMax = true))
         hybridBatchFromStore(s, dir, qids.zip(terms))
+      },
+      None),
+
+    // ---- BATCH hybrid with the PROJECTED semantic arm (q160): q145's
+    // composition with the semantic side routed through the
+    // projected-ANN channels instead of the IVF cells — the catalog's
+    // two store-fed ANN strategies become interchangeable hybrid arms.
+    // Because both strategies live in the SAME vector store version
+    // (q159's co-residence), the paired-version contract is unchanged:
+    // one (text, vector) snap pair pins the lexical read, the coarse
+    // proj_units read, the exact_vecs rerank AND the projection
+    // identity check. Same queries as q145, so the lexical ranks are
+    // directly comparable; the fused output differs exactly where the
+    // candidate geometries differ (prune-by-dimension vs
+    // prune-by-cell). No oracle (inherits q155/q159's float-coarse
+    // rule); HybridStoreSpec pins per-qid fusion against a driver-side
+    // recomputation from the two individually-pinned lookups and the
+    // lexical side against q145's. ----
+    "q160_hybrid_projected_batch" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val qids = queryBatch(s, dir, normalized(s, dir))
+          .select($"vec_id").orderBy($"vec_id")
+          .limit(2).as[Long].collect().toSeq // bounded: 2 driver-known qids
+        val terms = Seq(
+          TextOps.qtermsOfExtreme(s, dir, useMax = false),
+          TextOps.qtermsOfExtreme(s, dir, useMax = true))
+        hybridBatchProjected(s, dir, qids.zip(terms))
       },
       None),
 

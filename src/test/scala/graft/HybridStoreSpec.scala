@@ -92,6 +92,62 @@ class HybridStoreSpec extends SparkSpec {
     }
   }
 
+  test("q160 projected-arm batch: fusion ≡ driver-side recompute from the two pinned lookups; lexical ranks ≡ q145's") {
+    val got = SparkEntry.queries("q160_hybrid_projected_batch")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    val qids = ops.Similarity.queryBatch(spark, dir,
+        ops.Similarity.normalized(spark, dir))
+      .select($"vec_id").orderBy($"vec_id").limit(2).as[Long].collect().toSeq
+    val terms = Seq(
+      ops.TextOps.qtermsOfExtreme(spark, dir, useMax = false),
+      ops.TextOps.qtermsOfExtreme(spark, dir, useMax = true))
+    val tRoot = ops.TextOps.textStore(spark, dir)
+    val vRoot = ops.Similarity.vectorStore(spark, dir)
+    val tSnap = ops.IndexStore.history(tRoot).last
+    val vSnap = ops.IndexStore.history(vRoot).last
+    val qframe = qids.zip(terms)
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .distinct.toDF("qid", "term")
+    val exclude = qids.map(q => (q, q)).toDF("qid", "self_id")
+    val lexm = ops.IndexStore.bm25BatchFromStoreAt(spark, tRoot, tSnap,
+        qframe, k = 100, exclude = Some(exclude)).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Int]("rank").toLong).toMap
+    val semm = ops.IndexStore.projectedAnnFromStoreAt(spark, vRoot, vSnap,
+        Core.table(spark, dir, "embeddings")
+          .filter($"vec_id".isin(qids: _*)).select($"vec_id", $"embedding"),
+        k = 100).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid")) ->
+        r.getAs[Int]("rn").toLong).toMap
+    val keys = lexm.keySet ++ semm.keySet
+    val want = qids.sorted.flatMap { qid =>
+      keys.filter(_._1 == qid).toSeq.map { case k @ (_, id) =>
+        val l = lexm.getOrElse(k, 0L)
+        val sr = semm.getOrElse(k, 0L)
+        val rrf = rnd4((if (l > 0) 1.0 / (60 + l) else 0.0) +
+          (if (sr > 0) 1.0 / (60 + sr) else 0.0))
+        (qid, id, l, sr, rrf)
+      }.sortBy { case (_, id, _, _, rrf) => (-rrf, id) }.take(20)
+    }
+    assert(got.nonEmpty && got == want,
+      s"q160 diverges from recomputed projected-arm fusion:\n" +
+        s"  got=${got.take(5)}\n  want=${want.take(5)}")
+    // the lexical side is q145's read verbatim — shared docs must
+    // carry identical lexical ranks across the two semantic arms
+    val q145lex = SparkEntry.queries("q145_hybrid_batch_store")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .filter(_._2 > 0).toMap
+    val q160lex = got.map { case (q, d, l, _, _) => (q, d) -> l }
+      .filter(_._2 > 0).toMap
+    val shared = q145lex.keySet & q160lex.keySet
+    assert(shared.nonEmpty, "no lexically-ranked doc shared between the two arms")
+    val diverged = shared.filter(k => q145lex(k) != q160lex(k))
+    assert(diverged.isEmpty,
+      s"lexical ranks diverge between IVF-arm and projected-arm batches: $diverged")
+  }
+
   test("paired-version pinning: a concurrent append cannot tear a pinned hybrid read") {
     // own tiny stores (never the session-memoized ones — appends here
     // must not pollute other suites)

@@ -452,6 +452,61 @@ class StreamingSpec extends SparkSpec {
     Core.clearCaches(spark)
   }
 
+  test("streamed governed unified loop: the breaker holds a drifting tick (publishing NOTHING) and admits its recovery") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    def gdocs(rows: Seq[(Long, String, Long)]) = rows.map { case (i, src, sh) =>
+      (i, s"alpha token$i beta${i % 3} gamma delta${i % 2}",
+        src, 120L + (i % 3) * 40 + sh)
+    }.toDF("doc_id", "text", "source", "n_chars")
+    def vecsOf(ids: Seq[Long]) = ids.map { i =>
+      val ang = (i % 8) * math.Pi / 4 + 0.1
+      (i, (i % 4).toInt, Seq(math.cos(ang), math.sin(ang)))
+    }.toDF("vec_id", "label", "unit")
+    val cents = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(-1.0, 0.0)), (3L, Seq(0.0, -1.0))).toDF("cid", "cvec")
+    val root = java.nio.file.Files.createTempDirectory("graft-unigov").toString
+    ops.IndexStore.writeUnified(spark,
+      gdocs((0L to 39L).map((_, "src0", 0L)) ++ (40L to 59L).map((_, "srcA", 0L))),
+      vecsOf(0L to 59L), cents, root, governed = true)
+    val reports = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
+    val stream = MemoryStream[(Long, String, Long)]
+    val q = stream.toDS().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, String, Long)], _: Long) =>
+        val rows = b.collect().toSeq.sortBy(_._1)
+        val rep = StreamingOps.ingestAndMaintainUnifiedGoverned(spark, root,
+          gdocs(rows), vecsOf(rows.map(_._1)), "src0")
+        reports ++= rep.select($"source", $"held").as[(String, Boolean)].collect()
+        ()
+      }.start()
+    // tick 1: a clean source folds
+    stream.addData((60L to 79L).map((_, "srcB", 0L))); q.processAllAvailable()
+    val hAfterClean = ops.IndexStore.history(root)
+    // tick 2: a fully-drifted tick (+480 chars, five bins right) — the
+    // breaker must hold the WHOLE tick and publish no version at all
+    stream.addData((80L to 99L).map((_, "srcRot", 480L))); q.processAllAvailable()
+    assert(ops.IndexStore.history(root) == hAfterClean,
+      "a fully-held tick must not publish a version")
+    // tick 3: the same upstream recovers at normal lengths — same ids
+    // (they were never folded, so nothing replays)
+    stream.addData((80L to 99L).map((_, "srcRot", 0L))); q.processAllAvailable()
+    q.stop()
+    assert(reports.toList == List(
+      ("srcB", false), ("srcRot", true), ("srcRot", false)),
+      s"unexpected gate reports: $reports")
+    val lens = ops.IndexStore.channel(spark, root, "doc_lens")
+      .select($"doc_id").as[Long].collect().toSet
+    val cells = ops.IndexStore.channel(spark, root, "cells")
+      .select($"vec_id").as[Long].collect().toSet
+    assert((60L to 99L).forall(lens) && (60L to 99L).forall(cells),
+      "clean + recovered ticks must fold BOTH families")
+    assert(ops.IndexStore.channel(spark, root, "mix_census")
+      .select($"source").distinct().as[String].collect().toSet ==
+      Set("src0", "srcA", "srcB", "srcRot"),
+      "census must carry exactly the folded sources")
+  }
+
   test("streaming quality gate applies the snapshot thresholds exactly (≡ batch keep set)") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
