@@ -206,6 +206,10 @@ object ScaleProbe {
       // IVF probe — two index reads serve the whole batch; stores
       // already built above, so this times the fused batch lookup
       "q145_hybrid_batch_store",
+      // q160: q145 with the semantic arm on the projected channels —
+      // same two-reads-serve-N shape, the coarse read at half the
+      // exact bytes plus the exact_vecs rerank stream
+      "q160_hybrid_projected_batch",
       // q153: q142's answer from the UNIFIED store — first run pays
       // the once-per-JVM 3-fold paired ingest (reported inside the
       // timing here, separately in bench's warm phase); the
