@@ -264,12 +264,50 @@ object Selection {
       })
     }
 
+  /** Once-per-JVM governed UNIFIED store with ONE gated pair-fold
+    * carrying a drifting source — q158's fixture pattern on the
+    * single-pointer store (q161). Unlike the dedup-family fixture, no
+    * text trickery is needed: [[IndexStore.appendUnifiedGated]] does
+    * not screen (the unified families are retrieval channels, not a
+    * dedup index), so EVERY admitted doc folds by construction and
+    * the census is SQL-recomputable over the REAL corpus texts. Same
+    * even/odd split and probe_shift re-sourcing as q158, so the two
+    * fixtures' censuses — reached through two different store
+    * families and two different gate implementations — must agree
+    * with the same raw-document recomputation. The held source's
+    * VECTORS are excluded too (the unified id space — UnifiedStoreSpec
+    * pins that side; the census only sees docs). */
+  private val gatedUnifiedStores =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def gatedUnifiedStore(s: SparkSession, dir: String): String =
+    gatedUnifiedStores.synchronized {
+      gatedUnifiedStores.getOrElseUpdate(dir, {
+        val idx = jvmStorePath("graft_guni", dir)
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+        val vecs = Similarity.normalized(s, dir)
+        IndexStore.writeUnified(s, docs.filter(col("doc_id") % 2 === 0),
+          vecs.filter(col("vec_id") % 2 === 0),
+          Similarity.ivfCentroids(s, dir), idx, governed = true)
+        val odd = docs.filter(col("doc_id") % 2 === 1)
+        val batch = odd.filter(col("doc_id") % 10 =!= 1)
+          .unionByName(odd.filter(col("doc_id") % 10 === 1)
+            .select(col("doc_id"), col("text"),
+              lit("probe_shift").as("source"),
+              (col("n_chars") + 480).as("n_chars")))
+        IndexStore.appendUnifiedGated(s, idx, batch,
+          vecs.filter(col("vec_id") % 2 === 1), "src0")
+        idx
+      })
+    }
+
   /** Bench warm phase: force-build the memoized governed stores so
     * their one-time ingest cost is attributed here, not to whichever
     * governance query runs them first. */
   def warm(s: SparkSession, dir: String): Seq[(String, Double)] = Seq(
     timedBuild("selection.governedStore") { governedStore(s, dir); () },
-    timedBuild("selection.gatedHoldStore") { gatedHoldStore(s, dir); () })
+    timedBuild("selection.gatedHoldStore") { gatedHoldStore(s, dir); () },
+    timedBuild("selection.gatedUnifiedStore") { gatedUnifiedStore(s, dir); () })
 
   val catalog: Map[String, Q] = Map(
 
@@ -700,6 +738,83 @@ object Selection {
     "q158_gated_hold_census" -> Q(
       (s, dir) => {
         val idx = gatedHoldStore(s, dir)
+        IndexStore.driftFromStore(s, idx, "src0")
+      },
+      Some(s"""WITH evens AS (SELECT source, n_chars FROM documents
+                 WHERE doc_id % 2 = 0),
+        odds AS (SELECT CASE WHEN doc_id % 10 = 1 THEN 'probe_shift'
+                             ELSE source END AS source,
+                        CASE WHEN doc_id % 10 = 1 THEN n_chars + 480
+                             ELSE n_chars END AS n_chars
+                 FROM documents WHERE doc_id % 2 = 1),
+        aref AS (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin,
+                   count(*) AS c_ref
+                 FROM evens WHERE source = 'src0' GROUP BY 1),
+        aref_tot AS (SELECT count(*) AS n_ref FROM evens WHERE source = 'src0'),
+        bb AS (SELECT source, least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin
+               FROM odds WHERE source <> 'src0'),
+        bc AS (SELECT source, bin, count(*) AS c_cur FROM bb GROUP BY 1, 2),
+        bt AS (SELECT source, count(*) AS n_cur FROM bb GROUP BY 1),
+        bgrid AS (SELECT t.source, t.n_cur, g.bin, c.c_cur, r.c_ref, rt.n_ref
+          FROM bt t
+          CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bin) g
+          LEFT JOIN bc c ON c.source = t.source AND c.bin = g.bin
+          LEFT JOIN aref r ON r.bin = g.bin
+          CROSS JOIN aref_tot rt),
+        bterms AS (SELECT source, n_cur,
+            ((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0)
+             - (coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))
+            * ln(((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0))
+                 / ((coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))) AS term
+          FROM bgrid),
+        held AS (SELECT source FROM bterms GROUP BY source
+                 HAVING ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")} > 0.25),
+        folded AS (SELECT source, n_chars FROM evens
+                   UNION ALL
+                   SELECT source, n_chars FROM odds
+                   WHERE source NOT IN (SELECT source FROM held)),
+        f AS (SELECT source,
+                least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin
+              FROM folded),
+        ref AS (SELECT bin, count(*) AS c_ref FROM f
+                WHERE source = 'src0' GROUP BY 1),
+        ref_tot AS (SELECT count(*) AS n_ref FROM f WHERE source = 'src0'),
+        cur_cnt AS (SELECT source, bin, count(*) AS c_cur FROM f
+                    WHERE source <> 'src0' GROUP BY 1, 2),
+        cur_tot AS (SELECT source, count(*) AS n_cur FROM f
+                    WHERE source <> 'src0' GROUP BY 1),
+        grid AS (SELECT t.source, t.n_cur, g.bin, c.c_cur, r.c_ref, rt.n_ref
+          FROM cur_tot t
+          CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bin) g
+          LEFT JOIN cur_cnt c ON c.source = t.source AND c.bin = g.bin
+          LEFT JOIN ref r ON r.bin = g.bin
+          CROSS JOIN ref_tot rt),
+        terms AS (SELECT source, n_cur,
+            ((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0)
+             - (coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))
+            * ln(((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0))
+                 / ((coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))) AS term
+          FROM grid)
+        SELECT source, CAST(max(n_cur) AS BIGINT) AS n_docs,
+          ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")} AS psi_nchars
+        FROM terms GROUP BY source ORDER BY source""")),
+
+    // ---- the UNIFIED breaker's store effect, oracle-checked (q161):
+    // q158 proved the dedup-family gate's state change against raw
+    // documents; this proves the single-pointer store's
+    // (appendUnifiedGated — the round-9 governance close). The fixture
+    // is q158's construction over the SAME even/odd split, but the
+    // unified fold does not screen (retrieval channels, not a dedup
+    // index), so the census is recomputable over the REAL texts with
+    // no fixture trickery at all — the oracle is the recomputation,
+    // verbatim: anchor census at gate time from the even half, the
+    // rnd4'd smoothed PSI verdict per batch source, the held-out drop,
+    // the final cumulative census, and the drift read over it. Two
+    // store families, two gate implementations, one recomputation —
+    // and the held source must be ABSENT from both. ----
+    "q161_unified_gate_census" -> Q(
+      (s, dir) => {
+        val idx = gatedUnifiedStore(s, dir)
         IndexStore.driftFromStore(s, idx, "src0")
       },
       Some(s"""WITH evens AS (SELECT source, n_chars FROM documents

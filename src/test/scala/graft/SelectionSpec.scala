@@ -321,4 +321,45 @@ class SelectionSpec extends SparkSpec {
     assert(out.nonEmpty && !out.contains("probe_shift"),
       "the breaker's refusal must be invisible in the drift read — it never entered the census")
   }
+
+  test("q161 fixture: the UNIFIED gated fold's store membership == an independent gate recompute, across BOTH families") {
+    val idx = ops.Selection.gatedUnifiedStore(spark, dir)
+    val docs = Core.table(spark, dir, "documents")
+    val evens = docs.filter(col("doc_id") % 2 === 0)
+    val odds = docs.filter(col("doc_id") % 2 === 1)
+    val batch = odds.filter(col("doc_id") % 10 =!= 1)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .unionByName(odds.filter(col("doc_id") % 10 === 1)
+        .select(col("doc_id"), lit("probe_shift").as("source"),
+          (col("n_chars") + 480).as("n_chars")))
+    val gateBins = ops.Selection.lenBins(evens).filter(col("source") === "src0")
+      .unionByName(ops.Selection.lenBins(batch).filter(col("source") =!= "src0"))
+    val held = ops.Selection.psiFromBins(gateBins, "src0")
+      .filter(col("psi_nchars") > 0.25)
+      .select(col("source")).as[String].collect().toSet
+    assert(held.contains("probe_shift"),
+      "fixture degenerate: the +480 shift must trip the unified gate")
+    val heldIds = batch.filter(col("source").isin(held.toSeq: _*))
+      .select(col("doc_id")).as[Long].collect().toSet
+    val expected = evens.select(col("doc_id")).as[Long].collect().toSet ++
+      batch.select(col("doc_id")).as[Long].collect().toSet -- heldIds
+    // TEXT family membership: the unified fold does not screen, so
+    // doc_lens must hold exactly evens ∪ admitted odds
+    val lens = ops.IndexStore.channel(spark, idx, "doc_lens")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(lens == expected,
+      s"unified text membership diverged from the recomputed gate: " +
+        s"missing=${(expected -- lens).take(5)} extra=${(lens -- expected).take(5)}")
+    // VECTOR family: no held doc's vector landed (the pair-consistent hold)
+    val cells = ops.IndexStore.channel(spark, idx, "cells")
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(!heldIds.exists(cells),
+      "held source's VECTORS leaked into the unified cells")
+    // the census and the drift read never saw the held source
+    assert(!ops.IndexStore.channel(spark, idx, "mix_census")
+      .select(col("source")).distinct().as[String].collect().toSet
+      .contains("probe_shift"), "held source contaminated the unified census")
+    assert(!SparkEntry.queries("q161_unified_gate_census")(spark, dir)
+      .select(col("source")).as[String].collect().contains("probe_shift"))
+  }
 }
