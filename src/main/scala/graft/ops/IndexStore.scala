@@ -1498,10 +1498,41 @@ object IndexStore {
   /** O(batch) append: assign under the stored centroids, stage into
     * the same cid-partitioned layout. Batch vec_ids must be disjoint
     * from the store — ENFORCED (a re-appended vector would silently
-    * duplicate ANN candidates), mirroring appendText's guard. */
+    * duplicate ANN candidates), mirroring appendText's guard.
+    *
+    * A store that also carries the PROJECTED channels
+    * ([[writeProjections]]) must keep both semantic arms covering the
+    * same corpus — the q159/q160 "interchangeable arms" contract — so
+    * on such a store this append MAINTAINS them in the SAME snapshot
+    * transaction: `raw` carries the batch's raw
+    * (vec_id, label, embedding) rows, which are projected here with
+    * the STORED (k) identity and the exact per-row arithmetic the
+    * bootstrap used (Similarity.projectedUnitsOf / exactVecsOf — bit-
+    * equal to a fresh writeProjections over the union, VectorIndexSpec
+    * pins it), staged as `proj_units`/`exact_vecs` deltas, and
+    * committed atomically with the cells delta; `proj_stats.n_vecs`
+    * merges like vec_stats. A proj-carrying store REFUSES an append
+    * without `raw` (the silent-staleness hole VERDICT r9 #1 named:
+    * the same version would serve the new vectors on the IVF arm and
+    * omit them from the projected arm), and a store WITHOUT the
+    * channels refuses a `raw` the caller expected to be maintained. */
   def appendVectors(s: SparkSession, indexDir: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, raw: Option[DataFrame] = None): Unit = {
     val (base, prior) = baseRequired(indexDir)
+    val hasProj = prior.contains("proj_stats")
+    require(hasProj || raw.isEmpty,
+      "appendVectors: raw embeddings were passed for projected-channel " +
+        s"maintenance, but the store at $indexDir carries no proj_stats " +
+        "channel — nothing would be maintained and the caller's " +
+        "expectation would silently not hold; writeProjections first, " +
+        "or drop the raw frame")
+    require(!hasProj || raw.isDefined,
+      s"appendVectors: the store at $indexDir carries the projected-ANN " +
+        "channels (proj_units/exact_vecs), which this append would leave " +
+        "STALE — the same committed version would serve the new vectors " +
+        "on the IVF arm and silently omit them from the projected arm. " +
+        "Pass raw = Some((vec_id, label, embedding) rows of this batch) " +
+        "so both arms advance in one snapshot transaction")
     // guard + centroid reads through the transaction's base manifest
     // (same single-base discipline as appendText)
     appendGuard("appendVectors", batch, "vec_id",
@@ -1524,11 +1555,65 @@ object IndexStore {
           val n0 = channelFrom(s, indexDir, prior, "cells").count()
           (n0, channelFrom(s, indexDir, prior, "centroids").count(), n0)
       }
+      val projChs = raw.map(r =>
+        appendProjectionsInto(s, indexDir, prior, snap, batch, r))
       commitSnap(indexDir, snap, prior + ("cells" ->
         prior("cells").copy(paths =
           prior("cells").paths ++ relIfData(indexDir, s"$snap/cells"))) ++
-        writeVecStats(s, indexDir, snap, pn + batchN, pk, pt), base)
+        writeVecStats(s, indexDir, snap, pn + batchN, pk, pt) ++
+        projChs.getOrElse(Map.empty), base)
     }
+  }
+
+  /** Stage the projected-channel deltas of an append batch into
+    * `snap` (the transaction [[appendVectors]] commits): verify the
+    * raw frame IS the batch (same vec_id set — a skewed pairing would
+    * commit cells for one corpus and projections for another), verify
+    * this build derives the STORED sign table (the
+    * [[projectedAnnFromStore]] identity gate, applied at write time —
+    * extending a foreign derivation would mix two coarse geometries in
+    * one channel), project with the stored (k), and return the
+    * appended channel entries + merged proj_stats. */
+  private def appendProjectionsInto(s: SparkSession, indexDir: String,
+      prior: Map[String, Channel], snap: String, batch: DataFrame,
+      raw: DataFrame): Map[String, Channel] = {
+    val mism = batch.select(col("vec_id"))
+      .unionByName(raw.select(col("vec_id")))
+      .groupBy(col("vec_id")).count()
+      .filter(col("count") =!= 2).count()
+    require(mism == 0,
+      s"appendVectors: the raw-embedding frame does not carry exactly " +
+        s"this batch's vec_ids ($mism id(s) unmatched) — committing it " +
+        "would advance the IVF cells and the projected channels over " +
+        "DIFFERENT corpora under one version; pass the same batch to both")
+    val st = channelFrom(s, indexDir, prior, "proj_stats").head()
+    val (pk, pd, scheme, fp, pn) = (st.getAs[Int]("k"), st.getAs[Int]("d"),
+      st.getAs[String]("scheme"), st.getAs[String]("sign_fp"),
+      st.getAs[Long]("n_vecs"))
+    val ours = signTableFp(pk, pd)
+    require(scheme == ProjScheme && fp == ours,
+      s"appendVectors: projection identity mismatch — the stored " +
+        s"channels were projected under scheme '$scheme' with sign table " +
+        s"$fp for (k=$pk, d=$pd), but this build derives '$ProjScheme' " +
+        s"with sign table $ours; appending would mix two coarse " +
+        "geometries in one channel. Re-run writeProjections with this " +
+        "build, or append with the build that wrote the store")
+    val units = Similarity.projectedUnitsOf(raw, pk)
+    val fine = Similarity.exactVecsOf(raw)
+    val (bk, bd, fineN) = projIdentityOf("appendVectors", units, fine)
+    require(bk == pk && bd == pd,
+      s"appendVectors: batch projects to (k=$bk, d=$bd) but the store's " +
+        s"identity is (k=$pk, d=$pd) — embedding width changed mid-corpus")
+    units.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$snap/proj_units")
+    maybeCrash("proj_units")
+    fine.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$snap/exact_vecs")
+    maybeCrash("exact_vecs")
+    def appended(name: String) = {
+      val fresh = relIfData(indexDir, s"$snap/$name")
+      name -> prior(name).copy(paths = prior(name).paths ++ fresh)
+    }
+    Map(appended("proj_units"), appended("exact_vecs")) ++
+      writeProjStats(s, indexDir, snap, pk, pd, pn + fineN)
   }
 
   /** Refresh the store's IVF model from its own cells — the
@@ -1965,10 +2050,15 @@ object IndexStore {
     * compact, vacuum or retrain: one row per channel of the LIVE
     * manifest with its snapshot fan-out (`n_paths` — the append depth
     * compaction collapses), data-file count, bytes, and recorded
-    * layout contract, plus the store-level version facts. Pure
-    * driver-side metadata walk (manifest + directory listing, no
-    * Spark job) — the same facts compactIfFragmented/retrainIfDrifted
-    * gate on, exposed as a frame. A non-store root is refused loudly
+    * layout contract, plus the store-level version facts and — for
+    * the 1-row census channels (`stats`, `vec_stats`, `proj_stats`) —
+    * the census CONTENTS as a `facts` string, so an operator can SEE
+    * arm coverage divergence (VERDICT r9 #8: proj_stats.n_vecs next
+    * to vec_stats.n_vecs is exactly the comparison the projected
+    * read's staleness gate enforces). Driver-side metadata walk plus
+    * three at-most-1-row parquet reads — the same facts
+    * compactIfFragmented/retrainIfDrifted/projectedAnnFromStore gate
+    * on, exposed as a frame. A non-store root is refused loudly
     * (baseRequired's contract). */
   def describeStore(s: SparkSession, root: String): DataFrame = {
     import s.implicits._
@@ -1978,13 +2068,18 @@ object IndexStore {
       if (f.isFile) { if (!f.getName.startsWith("_") &&
         !f.getName.startsWith(".") && !f.getName.endsWith(".crc")) 1L else 0L }
       else Option(f.listFiles()).getOrElse(Array.empty).map(dataFiles).sum
+    val censusChannels = Set("stats", "vec_stats", "proj_stats")
     m.toSeq.sortBy(_._1).map { case (name, ch) =>
       val files = ch.paths.map(p => new java.io.File(s"$root/$p"))
+      val facts = if (censusChannels(name)) {
+        val r = channelFrom(s, root, m, name).head()
+        r.schema.fieldNames.map(f => s"$f=${r.getAs[Any](f)}").mkString(" ")
+      } else ""
       (name, ch.paths.size, files.map(dataFiles).sum,
-        files.map(dirBytes).sum, ch.partitionBy, ch.sort,
+        files.map(dirBytes).sum, ch.partitionBy, ch.sort, facts,
         cur.getOrElse(""), nVersions)
     }.toDF("channel", "n_paths", "n_files", "bytes",
-      "partition_by", "sort", "version", "n_versions")
+      "partition_by", "sort", "facts", "version", "n_versions")
   }
 
   // ---------------------------------------------------------------
@@ -2160,9 +2255,14 @@ object IndexStore {
     * vec_id = doc_id, the unified id space) are not folded either —
     * the pair stays consistent under the hold, and the census stays
     * clean. Anchor-source docs always fold (they ARE the reference
-    * distribution); vectors with no doc in this batch (the one-sided
-    * catch-up shape) pass through ungated — their docs were gated
-    * when THEY folded. Returns the per-source drift report
+    * distribution). Vectors whose doc is NOT in this batch are legal
+    * ONLY as the lagging-embeddings catch-up: their doc must already
+    * be stored (it was gated when IT folded) — ENFORCED (ADVICE r9):
+    * a vector whose doc is neither in-batch nor stored has no gated
+    * source on record, so a vectors-LEADING fold would carry a
+    * drifting source's vectors past the breaker ungated and leave the
+    * pair inconsistent when its docs are later held; such orphans are
+    * refused loudly, never folded. Returns the per-source drift report
     * (source, n_docs, psi_nchars, held) — O(sources) rows, collected
     * driver-side like [[screenAndFoldGated]]'s. */
   def appendUnifiedGated(s: SparkSession, root: String,
@@ -2174,6 +2274,26 @@ object IndexStore {
       "appendUnifiedGated: this unified store carries no mix_census " +
         "channel — the drift gate has no stored anchor distribution to " +
         "hold against; bootstrap with writeUnified(..., governed = true)")
+    // orphan gate: every batch vector's doc is in-batch (gated with
+    // this tick) or already stored (gated when it folded) — one
+    // O(batch) anti-join against the batch ids plus one against the
+    // pruned doc_lens id column
+    if (!vectors.isEmpty) {
+      val orphans = vectors.select(col("vec_id"))
+        .join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_anti")
+        .join(channelFrom(s, root, prior, "doc_lens")
+          .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_anti")
+        .count()
+      require(orphans == 0,
+        s"appendUnifiedGated: $orphans batch vector(s) have no doc in " +
+          "this batch and none stored — a vectors-LEADING fold would " +
+          "carry their source past the drift breaker ungated (vectors " +
+          "have no source column) and leave the pair inconsistent if " +
+          "their docs are later held. Fold docs first (or in the same " +
+          "pair); the one-sided vectors catch-up is legal only for docs " +
+          "already folded through this gate")
+    }
     val rep = batchDriftVsStoreFrom(s, root, prior, docs, anchor)
       .select(col("source"), col("n_docs"), col("psi_nchars"),
         (col("psi_nchars") > maxPsi).as("held"))
@@ -2268,17 +2388,25 @@ object IndexStore {
     *    fidelity layer (IVF-Flat's stored-raw-vectors idiom) — the
     *    fine stage touches |queries| × kCand of these rows by vec_id,
     *    never the corpus.
-    *  - `proj_stats`  (k, d, scheme, sign_fp): the projection
+    *  - `proj_stats`  (k, d, scheme, sign_fp, n_vecs): the projection
     *    IDENTITY, vec_stats-style 1-row metadata. The Rademacher
     *    matrix is code-derived, not stored — so the thing that must
     *    never skew silently is the derivation itself: sign_fp pins
     *    the md5 of the exact sign table the writer projected with,
     *    and the lookup refuses when its own derivation of (k, d)
     *    disagrees ([[projectedAnnFromStore]]; the manifest
-    *    format-check idiom applied to model identity).
+    *    format-check idiom applied to model identity). `n_vecs` is the
+    *    channel family's COVERAGE census — the count of `exact_vecs`
+    *    rows, merge-updated by [[appendVectors]]' projected-delta path
+    *    exactly like vec_stats.n_vecs, so "do the projected channels
+    *    still cover the corpus the co-resident IVF cells serve" is a
+    *    two-1-row-read comparison the lookup enforces (the staleness
+    *    refusal, VERDICT r9 #1).
     *
-    * (k, d) are read off the data (punit/embd lengths), so the
-    * recorded identity can never contradict the stored vectors. */
+    * (k, d) are read off the data (punit/embd lengths), UNIFORMITY
+    * ENFORCED over both frames in one agg — a frame with mixed array
+    * widths would otherwise commit an identity that misdescribes part
+    * of the stored vectors (ADVICE r9). */
   def writeProjections(s: SparkSession, root: String,
       units: DataFrame, fineVecs: DataFrame): Unit = {
     import s.implicits._
@@ -2287,8 +2415,7 @@ object IndexStore {
         "a channel-less projected route would wedge every later lookup; " +
         "project a non-empty corpus")
     val (base, prior) = baseForWrite(root)
-    val k = units.select(size(col("punit"))).head().getInt(0)
-    val d = fineVecs.select(size(col("embd"))).head().getInt(0)
+    val (k, d, fineN) = projIdentityOf("writeProjections", units, fineVecs)
     val snap = beginSnap(root)
     units.select(col("vec_id"), col("label"), col("punit"))
       .write.mode(SaveMode.Overwrite).parquet(s"$root/$snap/proj_units")
@@ -2296,17 +2423,45 @@ object IndexStore {
     fineVecs.select(col("vec_id"), col("embd"), col("nsq"))
       .write.mode(SaveMode.Overwrite).parquet(s"$root/$snap/exact_vecs")
     maybeCrash("exact_vecs")
-    Seq((k, d, ProjScheme, signTableFp(k, d)))
-      .toDF("k", "d", "scheme", "sign_fp")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$root/$snap/proj_stats")
-    maybeCrash("proj_stats")
     commitSnap(root, snap,
       prior -- Seq("proj_units", "exact_vecs", "proj_stats") ++ Map(
         "proj_units" -> Channel(Seq(s"$snap/proj_units"), "", ""),
-        "exact_vecs" -> Channel(Seq(s"$snap/exact_vecs"), "", ""),
-        "proj_stats" -> Channel(Seq(s"$snap/proj_stats"), "", "")),
+        "exact_vecs" -> Channel(Seq(s"$snap/exact_vecs"), "", "")) ++
+        writeProjStats(s, root, snap, k, d, fineN),
       base)
+  }
+
+  /** The (k, d, |fineVecs|) identity facts of a projected-channel
+    * frame pair, with WIDTH UNIFORMITY asserted across every row of
+    * both frames (min(size) == max(size), one agg each — ADVICE r9:
+    * identity read off only the first row would silently misdescribe a
+    * mixed-width frame). */
+  private def projIdentityOf(op: String, units: DataFrame,
+      fineVecs: DataFrame): (Int, Int, Long) = {
+    val u = units.agg(min(size(col("punit"))), max(size(col("punit")))).head()
+    require(u.getInt(0) == u.getInt(1),
+      s"$op: non-uniform projected-unit widths (${u.getInt(0)}..${u.getInt(1)}) " +
+        "— a single (k) identity cannot describe this frame; project " +
+        "every vector with one derivation")
+    val f = fineVecs.agg(min(size(col("embd"))), max(size(col("embd"))),
+      count(lit(1))).head()
+    require(f.getInt(0) == f.getInt(1),
+      s"$op: non-uniform exact-vector widths (${f.getInt(0)}..${f.getInt(1)}) " +
+        "— a single (d) identity cannot describe this frame")
+    (u.getInt(0), f.getInt(0), f.getLong(2))
+  }
+
+  /** Stage the projected family's 1-row identity + coverage census
+    * (`proj_stats`) into `snap` — the vec_stats staging pattern. */
+  private def writeProjStats(s: SparkSession, root: String, snap: String,
+      k: Int, d: Int, nVecs: Long): Map[String, Channel] = {
+    import s.implicits._
+    Seq((k, d, ProjScheme, signTableFp(k, d), nVecs))
+      .toDF("k", "d", "scheme", "sign_fp", "n_vecs")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/$snap/proj_stats")
+    maybeCrash("proj_stats")
+    Map("proj_stats" -> Channel(Seq(s"$snap/proj_stats"), "", ""))
   }
 
   /** Coarse-to-fine ANN answered from the store alone — session q155
@@ -2356,6 +2511,27 @@ object IndexStore {
         "in a DIFFERENT random subspace than the queries are projected " +
         "into (silently wrong neighbors); re-run writeProjections with " +
         "this build, or serve with the build that wrote the store")
+    // COVERAGE gate (VERDICT r9 #1, the sign_fp idiom applied to
+    // staleness): on a store where the IVF family co-resides, the
+    // projected channels must cover the same corpus — two 1-row census
+    // reads, compared before a byte of channel data is served. A path
+    // that advanced cells without the projected deltas (appendUnified's
+    // vector-side fold; appendVectors refuses, but an older writer may
+    // not) is refused BY NAME here, never silently served.
+    m.get("vec_stats").foreach { _ =>
+      val nVecs = channelFrom(s, root, m, "vec_stats")
+        .head().getAs[Long]("n_vecs")
+      val nProj = st.getAs[Long]("n_vecs")
+      require(nProj == nVecs,
+        s"projectedAnnFromStore: projected channels are STALE at this " +
+          s"version — exact_vecs covers $nProj vector(s) but the " +
+          s"co-resident IVF family serves $nVecs (vec_stats.n_vecs): a " +
+          "vector fold advanced the cells without the projected deltas. " +
+          "Serving would silently omit the uncovered vectors from this " +
+          "arm while the IVF arm sees them; fold vectors through " +
+          "appendVectors(..., raw = batch embeddings) so both arms " +
+          "advance atomically, or re-run writeProjections")
+    }
     val cand = Similarity.projectedCandidates(s,
       channelFrom(s, root, m, "proj_units"),
       Similarity.projectQueries(s, queries, pk), kCand)

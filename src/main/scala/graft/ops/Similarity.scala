@@ -350,6 +350,24 @@ object Similarity {
     rrfFuseBatch(lex, sem)
   }
 
+  /** The two smallest query-batch ids — the driver-known qid pair the
+    * batch-hybrid entries (q145/q160) zip against the two
+    * corpus-extreme term probes. A degenerate fixture (fewer than two
+    * query-batch rows) fails LOUDLY here: zip would otherwise silently
+    * shrink the batch to one query and the entry would quietly test
+    * half its contract (ADVICE r9). */
+  private def twoQids(s: SparkSession, dir: String): Seq[Long] = {
+    import s.implicits._
+    val qids = queryBatch(s, dir, normalized(s, dir))
+      .select($"vec_id").orderBy($"vec_id")
+      .limit(2).as[Long].collect().toSeq // bounded: 2 driver-known qids
+    require(qids.size == 2,
+      s"batch-hybrid fixture degenerate: expected 2 query-batch ids at " +
+        s"$dir, got ${qids.size} — zip against the 2-element term list " +
+        "would silently shrink the batch instead of failing")
+    qids
+  }
+
   /** The q142 hybrid answer served from the UNIFIED store (q153): one
     * manifest, one version, both channels — the route cannot split
     * versions because there is only one pointer to resolve
@@ -412,22 +430,34 @@ object Similarity {
     * than emitting NaN units. */
   private[graft] def projectedUnits(s: SparkSession, dir: String): DataFrame =
     memo(s, s"similarity.projectedUnits:$dir") {
-      import s.implicits._
-      graft.functions.DotProduct.register(s)
-      graft.functions.RademacherProject.register(s)
       // the codegen expression, not the relational spelling: one fused
       // d×k loop per row vs an n×d explode + grid join + O(n×k)
       // exchange — measured 21.7 s → 0.48 s at 100× (projection_ab),
       // identical signs and ulp-level-equal sums (PlanSpec pins both)
-      fanOut(s, table(s, dir, "embeddings"))
-        .select($"vec_id", $"label",
-          graft.functions.RademacherProject.project($"embedding", 32).as("pvec"))
-        .withColumn("pnorm",
-          sqrt(graft.functions.DotProduct.dot_fast($"pvec", $"pvec")))
-        .filter($"pnorm" > 0)
-        .withColumn("punit", transform($"pvec", x => x / $"pnorm"))
-        .select($"vec_id", $"label", $"punit")
+      projectedUnitsOf(fanOut(s, table(s, dir, "embeddings")), 32)
     }
+
+  /** [[projectedUnits]]'s per-row arithmetic over an ARBITRARY raw
+    * (vec_id, label, embedding) frame — RademacherProject at width `k`,
+    * fast-double norm, zero-norm rows dropped. Factored so the store
+    * APPEND path (IndexStore.appendVectors with raw embeddings)
+    * projects a batch with the exact codegen expressions the bootstrap
+    * projected the corpus with: row-local arithmetic, so an
+    * append-maintained `proj_units` channel is bit-equal to a fresh
+    * writeProjections over the union (VectorIndexSpec pins it). */
+  private[graft] def projectedUnitsOf(raw: DataFrame, k: Int): DataFrame = {
+    val s = raw.sparkSession
+    import s.implicits._
+    graft.functions.DotProduct.register(s)
+    graft.functions.RademacherProject.register(s)
+    raw.select($"vec_id", $"label",
+        graft.functions.RademacherProject.project($"embedding", k).as("pvec"))
+      .withColumn("pnorm",
+        sqrt(graft.functions.DotProduct.dot_fast($"pvec", $"pvec")))
+      .filter($"pnorm" > 0)
+      .withColumn("punit", transform($"pvec", x => x / $"pnorm"))
+      .select($"vec_id", $"label", $"punit")
+  }
 
   /** The coarse stage of the q155 two-stage ANN, exposed so the
     * candidate bound is testable (and reusable by the store-fed
@@ -495,6 +525,19 @@ object Similarity {
     * idiom). */
   private[graft] def exactVecs(s: SparkSession, dir: String): DataFrame =
     withNorm(s, dir).select(col("vec_id"), col("embd"), col("nsq"))
+
+  /** [[exactVecs]]'s per-row arithmetic over an ARBITRARY raw
+    * (vec_id, embedding) frame — withNorm's exact decimal norm,
+    * verbatim — so the store append path stages `exact_vecs` deltas
+    * bit-equal to a fresh writeProjections over the union. */
+  private[graft] def exactVecsOf(raw: DataFrame): DataFrame = {
+    val s = raw.sparkSession
+    import s.implicits._
+    graft.functions.DotProductExact.register(s)
+    raw.withColumn("embd", transform($"embedding", x => x.cast("double")))
+      .withColumn("nsq", dotExact($"embd", $"embd"))
+      .select($"vec_id", $"embd", $"nsq")
+  }
 
   /** Exact query-side frame (qid, qembd, qnsq) from raw embeddings —
     * withNorm's arithmetic verbatim, for the store-fed fine stage. */
@@ -852,14 +895,10 @@ object Similarity {
     // whose lexical side q139's oracle covers. ----
     "q145_hybrid_batch_store" -> Q(
       (s, dir) => {
-        import s.implicits._
-        val qids = queryBatch(s, dir, normalized(s, dir))
-          .select($"vec_id").orderBy($"vec_id")
-          .limit(2).as[Long].collect().toSeq // bounded: 2 driver-known qids
         val terms = Seq(
           TextOps.qtermsOfExtreme(s, dir, useMax = false),
           TextOps.qtermsOfExtreme(s, dir, useMax = true))
-        hybridBatchFromStore(s, dir, qids.zip(terms))
+        hybridBatchFromStore(s, dir, twoQids(s, dir).zip(terms))
       },
       None),
 
@@ -880,14 +919,10 @@ object Similarity {
     // lexical side against q145's. ----
     "q160_hybrid_projected_batch" -> Q(
       (s, dir) => {
-        import s.implicits._
-        val qids = queryBatch(s, dir, normalized(s, dir))
-          .select($"vec_id").orderBy($"vec_id")
-          .limit(2).as[Long].collect().toSeq // bounded: 2 driver-known qids
         val terms = Seq(
           TextOps.qtermsOfExtreme(s, dir, useMax = false),
           TextOps.qtermsOfExtreme(s, dir, useMax = true))
-        hybridBatchProjected(s, dir, qids.zip(terms))
+        hybridBatchProjected(s, dir, twoQids(s, dir).zip(terms))
       },
       None),
 

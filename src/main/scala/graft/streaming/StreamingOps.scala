@@ -306,10 +306,16 @@ object StreamingOps {
     * execute serially per query, so the append needs no locking; the
     * disjoint-batch guard in appendVectors skips an exact at-least-once
     * redelivery idempotently and refuses partial overlap loudly. StreamingSpec pins the streamed store ≡ one-shot
-    * writeVectors on channels and on annFromStore results. */
+    * writeVectors on channels and on annFromStore results.
+    *
+    * `raw` threads the batch's raw (vec_id, label, embedding) rows to
+    * appendVectors' projected-channel maintenance: REQUIRED when the
+    * store carries the projected-ANN channels (both semantic arms
+    * advance in the same snapshot transaction — appendVectors refuses
+    * a proj-carrying store without it), refused when it doesn't. */
   def ingestAndMaintainVectors(s: SparkSession, vecIndexDir: String,
-      batch: DataFrame): Unit = {
-    withOccRetry() { graft.ops.IndexStore.appendVectors(s, vecIndexDir, batch) }
+      batch: DataFrame, raw: Option[DataFrame] = None): Unit = {
+    withOccRetry() { graft.ops.IndexStore.appendVectors(s, vecIndexDir, batch, raw) }
     // drift gate before the fragmentation gate: a retrain REWRITES the
     // cells channel (collapsing fragmentation as a side effect), so
     // firing it first saves the compaction a redundant O(corpus) pass

@@ -224,6 +224,34 @@ class UnifiedStoreSpec extends SparkSpec {
       "recovered tick must join the census")
   }
 
+  test("the gated fold refuses ORPHAN vectors — a vectors-leading fold cannot bypass the breaker") {
+    // ADVICE r9: vectors carry no source column, so a drifting source
+    // could sneak its vectors past the PSI gate by sending them ahead
+    // of its docs. The gate now requires every batch vector's doc to be
+    // in-batch (gated with this tick) or already stored (gated when it
+    // folded); anything else is refused loudly.
+    val root = tmp("orphan")
+    ops.IndexStore.writeUnified(spark, gdocs(0 to 39, "src0"),
+      vecsOf(0 to 39), cents, root, governed = true)
+    val e = intercept[IllegalArgumentException] {
+      ops.IndexStore.appendUnifiedGated(spark, root,
+        gdocs(0 until 0, "srcA"), vecsOf(40 to 49), "src0")
+    }
+    assert(e.getMessage.contains("vectors-LEADING") &&
+      e.getMessage.contains("10"),
+      s"refusal must name the ungated shape and the count, got: ${e.getMessage}")
+    // the LEGAL catch-up shape: docs fold first (through the gate),
+    // their vectors follow one-sided — passes, and lands both families
+    ops.IndexStore.appendUnifiedGated(spark, root,
+      gdocs(40 to 49, "srcA"), emptyVecs, "src0")
+    ops.IndexStore.appendUnifiedGated(spark, root,
+      gdocs(0 until 0, "srcA"), vecsOf(40 to 49), "src0")
+    val cells = ops.IndexStore.channel(spark, root, "cells")
+      .select($"vec_id").as[Long].collect().toSet
+    assert((40L to 49L).forall(cells),
+      "the docs-first catch-up must fold the late vectors")
+  }
+
   test("the gated fold refuses an ungoverned unified store — no anchor census to hold against") {
     val root = tmp("ungov")
     ops.IndexStore.writeUnified(spark, gdocs(0 to 5, "src0"), vecsOf(0 to 5),

@@ -210,8 +210,9 @@ class VectorIndexSpec extends SparkSpec {
     val orig = spark.read.parquet(stDir.toString).collect().head
     ops.IndexStore.deleteRec(stDir)
     Seq((orig.getAs[Int]("k"), orig.getAs[Int]("d"),
-        orig.getAs[String]("scheme"), "00112233445566778899aabbccddeeff"))
-      .toDF("k", "d", "scheme", "sign_fp")
+        orig.getAs[String]("scheme"), "00112233445566778899aabbccddeeff",
+        orig.getAs[Long]("n_vecs")))
+      .toDF("k", "d", "scheme", "sign_fp", "n_vecs")
       .coalesce(1).write.parquet(stDir.toString)
     val e = intercept[IllegalArgumentException] {
       ops.IndexStore.projectedAnnFromStore(spark, root, queries).collect()
@@ -219,5 +220,120 @@ class VectorIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("projection identity mismatch") &&
       e.getMessage.contains("00112233445566778899aabbccddeeff"),
       s"refusal must name the mismatched identity, got: ${e.getMessage}")
+  }
+
+  test("append-maintained projected channels: subset + appendVectors(raw) ≡ the session q155 route on the full corpus") {
+    // the q159 ≡ q155 pin RE-PINNED THROUGH AN APPEND (VERDICT r9 #1):
+    // bootstrap both arms from the even half, fold the odd half through
+    // appendVectors with its raw embeddings — the projected read must
+    // then be bit-identical to the session route over the full corpus
+    // (same per-row arithmetic, and parquet round-trips doubles exactly)
+    val vecs = ops.Similarity.normalized(spark, dir)
+    val raw = Core.table(spark, dir, "embeddings")
+    val cents = ops.Similarity.ivfCentroids(spark, dir)
+    val root = tmp("projroll")
+    val rawEven = raw.filter($"vec_id" % 2 === 0)
+    ops.IndexStore.writeVectors(spark, vecs.filter($"vec_id" % 2 === 0),
+      cents, root)
+    ops.IndexStore.writeProjections(spark, root,
+      ops.Similarity.projectedUnitsOf(rawEven, 32),
+      ops.Similarity.exactVecsOf(rawEven))
+    ops.IndexStore.appendVectors(spark, root,
+      vecs.filter($"vec_id" % 2 === 1),
+      raw = Some(raw.filter($"vec_id" % 2 === 1)))
+    // coverage census advanced in lockstep on BOTH arms — and the
+    // describeStore facts column surfaces the comparison the staleness
+    // gate enforces
+    val facts = ops.IndexStore.describeStore(spark, root)
+      .select($"channel", $"facts").as[(String, String)].collect().toMap
+    val nFull = vecs.count()
+    assert(facts("vec_stats").contains(s"n_vecs=$nFull") &&
+      facts("proj_stats").contains(s"n_vecs=$nFull"),
+      s"coverage census out of lockstep after append: $facts")
+    val q = ops.Similarity.queryBatch(spark, dir, raw)
+      .select($"vec_id", $"embedding")
+    val store = ops.IndexStore.projectedAnnFromStore(spark, root, q)
+      .collect().toSeq
+    val session = SparkEntry.queries("q155_knn_projected")(spark, dir)
+      .collect().toSeq
+    assert(store.nonEmpty && store == session,
+      s"append-maintained projected ANN diverges from the session route:\n" +
+        s"  store=${store.take(3)}\n  q155=${session.take(3)}")
+  }
+
+  test("a proj-carrying store REFUSES an append without raw embeddings; a bare store refuses a raw it cannot maintain") {
+    val vecs = ops.Similarity.normalized(spark, dir)
+    val raw = Core.table(spark, dir, "embeddings")
+    val cents = ops.Similarity.ivfCentroids(spark, dir)
+    val root = tmp("projrefuse")
+    val rawEven = raw.filter($"vec_id" % 2 === 0)
+    ops.IndexStore.writeVectors(spark, vecs.filter($"vec_id" % 2 === 0),
+      cents, root)
+    ops.IndexStore.writeProjections(spark, root,
+      ops.Similarity.projectedUnitsOf(rawEven, 32),
+      ops.Similarity.exactVecsOf(rawEven))
+    val e = intercept[IllegalArgumentException] {
+      ops.IndexStore.appendVectors(spark, root,
+        vecs.filter($"vec_id" % 2 === 1))
+    }
+    assert(e.getMessage.contains("STALE") &&
+      e.getMessage.contains("projected"),
+      s"refusal must name the staleness hazard, got: ${e.getMessage}")
+    // and the inverse: raw on a store with no projected channels is a
+    // silently-unmet expectation — refused by name
+    val bare = tmp("bare")
+    ops.IndexStore.writeVectors(spark, vecs.filter($"vec_id" % 2 === 0),
+      cents, bare)
+    val e2 = intercept[IllegalArgumentException] {
+      ops.IndexStore.appendVectors(spark, bare,
+        vecs.filter($"vec_id" % 2 === 1),
+        raw = Some(raw.filter($"vec_id" % 2 === 1)))
+    }
+    assert(e2.getMessage.contains("proj_stats"),
+      s"refusal must name the missing channel, got: ${e2.getMessage}")
+    // a mismatched (batch, raw) pairing would commit the two arms over
+    // different corpora — refused before a byte lands
+    val e3 = intercept[IllegalArgumentException] {
+      ops.IndexStore.appendVectors(spark, root,
+        vecs.filter($"vec_id" % 2 === 1),
+        raw = Some(raw.filter($"vec_id" % 4 === 1)))
+    }
+    assert(e3.getMessage.contains("vec_ids"),
+      s"refusal must name the skewed pairing, got: ${e3.getMessage}")
+  }
+
+  test("a stale projected channel (cells advanced by a path that cannot maintain it) is REFUSED by name, never served") {
+    // real staleness, produced end-to-end: a unified store gains the
+    // projected channels, then a one-sided vector fold advances the
+    // cells — the projected read must refuse with both coverage counts
+    val raw = Core.table(spark, dir, "embeddings")
+    val vecs = ops.Similarity.normalized(spark, dir)
+    val docs = Core.table(spark, dir, "documents")
+    val cents = ops.Similarity.ivfCentroids(spark, dir)
+    val root = tmp("projstale")
+    ops.IndexStore.writeUnified(spark, docs.filter($"doc_id" % 2 === 0),
+      vecs.filter($"vec_id" % 2 === 0), cents, root)
+    val rawEven = raw.filter($"vec_id" % 2 === 0)
+    ops.IndexStore.writeProjections(spark, root,
+      ops.Similarity.projectedUnitsOf(rawEven, 32),
+      ops.Similarity.exactVecsOf(rawEven))
+    // the serving pair is fresh here: the projected read works
+    val q = ops.Similarity.queryBatch(spark, dir, raw)
+      .select($"vec_id", $"embedding")
+    assert(ops.IndexStore.projectedAnnFromStore(spark, root, q).count() > 0)
+    // one-sided vectors catch-up (legal on the unified store) advances
+    // cells + vec_stats but CANNOT maintain the projected channels
+    ops.IndexStore.appendUnified(spark, root,
+      docs.filter(lit(false)).select($"doc_id", $"text"),
+      vecs.filter($"vec_id" % 2 === 1))
+    val e = intercept[IllegalArgumentException] {
+      ops.IndexStore.projectedAnnFromStore(spark, root, q).collect()
+    }
+    val (nEven, nAll) = (vecs.filter($"vec_id" % 2 === 0).count(), vecs.count())
+    assert(e.getMessage.contains("STALE") &&
+      e.getMessage.contains(nEven.toString) &&
+      e.getMessage.contains(nAll.toString),
+      s"refusal must name both coverage counts ($nEven vs $nAll), " +
+        s"got: ${e.getMessage}")
   }
 }
