@@ -21,9 +21,41 @@ Usage:
 import sys, json, glob, os
 
 
+def cal_clean(b):
+    """Steal-window verdict of a bench artifact: the emitted `clean`
+    flag when present, else derived from the calibration sentinels the
+    same way Bench derives it (max/median of all valid samples ≤ 1.5 —
+    a steal burst shows as one or two samples far above the typical
+    level; max/min would flag honest ~0.3 s probe variance). Returns
+    (clean: bool|None, ratio: float|None)."""
+    c = b.get("calibration") or {}
+    if isinstance(c.get("clean"), bool):
+        return c["clean"], c.get("ratio")
+    vals = sorted(v for v in
+                  ([c.get("first"), c.get("last")] + list(c.get("mid") or []))
+                  if isinstance(v, (int, float)) and v > 0)
+    if len(vals) < 2:
+        return None, None
+    ratio = vals[-1] / vals[len(vals) // 2]
+    return ratio <= 1.5, round(ratio, 3)
+
+
 def bench_regressions(cur_path, prior_path, factor=2.5):
     cur = json.load(open(cur_path))
     prior = json.load(open(prior_path))
+    # refuse a steal-window artifact on EITHER side (VERDICT r9 next
+    # #2): a dirty baseline gates the round against noise, a dirty
+    # current run reads as a regression sweep; both comparisons are
+    # meaningless — re-measure on a clean window instead.
+    dirty = [(p, r) for p, (cl, r) in
+             ((cur_path, cal_clean(cur)), (prior_path, cal_clean(prior)))
+             if cl is False]
+    if dirty:
+        print(json.dumps({"dirty_bench": [
+            {"file": p, "cal_ratio": r} for p, r in dirty],
+            "note": "calibration sentinels mark a steal window "
+                    "(max/median > 1.5); re-run on a clean window"}))
+        return 1
     def cal(b):
         c = b.get("calibration") or {}
         vals = [v for v in (c.get("first"), c.get("last"))

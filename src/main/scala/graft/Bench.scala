@@ -109,7 +109,25 @@ object Bench {
     // heavy new queries degraded under memory pressure. Recording it
     // makes that checkable from the artifacts alone next time.
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
-    val cal = s"""{"first":$calFirst,"mid":[${calMid.mkString(",")}],"last":$calLast}"""
+    // derived CLEAN verdict (VERDICT r9 next #2): a committed baseline
+    // must carry its own steal-window judgment, or the next round's
+    // regression gate compares against a noise artifact (the r9 local
+    // baseline's first sentinel was 1.018 s against a 0.33–0.45 s
+    // band). max/MEDIAN over all sentinels, not max/min: the sentinel
+    // is a ~0.3 s probe whose floor has real variance, so max/min
+    // flags almost any honest run, while a hypervisor-steal window
+    // shows up as one or two samples far above the typical level —
+    // exactly max/median. ≤ 1.5 separates the shipped artifacts: the
+    // r9 driver run (1.20, usable) from the r9 local run (2.52,
+    // steal-window; memory/SCALE.md document the 485/209/351/193 s
+    // spread on this host).
+    val calSamples = (calFirst +: calMid.toSeq :+ calLast).filter(_ > 0).sorted
+    val calRatio =
+      if (calSamples.size >= 2) calSamples.max / calSamples(calSamples.size / 2)
+      else -1.0
+    val calClean =
+      if (calSamples.size >= 2) (calRatio <= 1.5).toString else "null"
+    val cal = s"""{"first":$calFirst,"mid":[${calMid.mkString(",")}],"last":$calLast,"ratio":${math.rint(calRatio * 1000) / 1000},"clean":$calClean}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmSec,"queries_sec":$queriesSec,"heap_mb":$heapMb,"queries":$qs,"warm_breakdown":$wb,"errors":$errJson,"calibration":$cal,"sf":"$sfDir"}"""
     println(json)
     // sbt wraps stdout in [info] prefixes the driver can't parse — also

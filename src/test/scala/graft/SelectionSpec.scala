@@ -322,44 +322,78 @@ class SelectionSpec extends SparkSpec {
       "the breaker's refusal must be invisible in the drift read — it never entered the census")
   }
 
-  test("q161 fixture: the UNIFIED gated fold's store membership == an independent gate recompute, across BOTH families") {
+  test("q161/q162 fixture: the two-fold gated unified store holds, then RECOVERS, exactly what an independent gate recompute says — across BOTH families") {
     val idx = ops.Selection.gatedUnifiedStore(spark, dir)
     val docs = Core.table(spark, dir, "documents")
     val evens = docs.filter(col("doc_id") % 2 === 0)
-    val odds = docs.filter(col("doc_id") % 2 === 1)
-    val batch = odds.filter(col("doc_id") % 10 =!= 1)
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .unionByName(odds.filter(col("doc_id") % 10 === 1)
-        .select(col("doc_id"), lit("probe_shift").as("source"),
-          (col("n_chars") + 480).as("n_chars")))
-    val gateBins = ops.Selection.lenBins(evens).filter(col("source") === "src0")
-      .unionByName(ops.Selection.lenBins(batch).filter(col("source") =!= "src0"))
-    val held = ops.Selection.psiFromBins(gateBins, "src0")
-      .filter(col("psi_nchars") > 0.25)
-      .select(col("source")).as[String].collect().toSet
-    assert(held.contains("probe_shift"),
+    def fold(residue: Int, shift: Long) = {
+      val slice = docs.filter(col("doc_id") % 4 === residue)
+      slice.filter(col("doc_id") % 10 =!= 1)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .unionByName(slice.filter(col("doc_id") % 10 === 1)
+          .select(col("doc_id"), lit("probe_shift").as("source"),
+            (col("n_chars") + shift).as("n_chars")))
+    }
+    val thr = ops.Selection.GatedUnifiedMaxPsi
+    def verdict(batch: org.apache.spark.sql.DataFrame,
+        anchorRows: org.apache.spark.sql.DataFrame): Set[String] =
+      ops.Selection.psiFromBins(
+          ops.Selection.lenBins(anchorRows).filter(col("source") === "src0")
+            .unionByName(ops.Selection.lenBins(batch)
+              .filter(col("source") =!= "src0")), "src0")
+        .filter(col("psi_nchars") > thr)
+        .select(col("source")).as[String].collect().toSet
+    // fold 1: the +480 probe must trip the gate
+    val f1 = fold(1, 480L)
+    val held1 = verdict(f1, evens.select(col("source"), col("n_chars")))
+    assert(held1.contains("probe_shift"),
       "fixture degenerate: the +480 shift must trip the unified gate")
-    val heldIds = batch.filter(col("source").isin(held.toSeq: _*))
-      .select(col("doc_id")).as[Long].collect().toSet
+    val adm1 = f1.filter(!col("source").isin(held1.toSeq: _*))
+    // fold 2: the NORMALIZED probe must pass the same gate, computed
+    // against the census fold 1 left behind — the recovery tick
+    val f2 = fold(3, 0L)
+    val c1Rows = evens.select(col("source"), col("n_chars"))
+      .unionByName(adm1.select(col("source"), col("n_chars")))
+    val held2 = verdict(f2, c1Rows)
+    assert(!held2.contains("probe_shift"),
+      "fixture degenerate: the normalized probe must RECOVER through the gate")
+    val adm2 = f2.filter(!col("source").isin(held2.toSeq: _*))
+    // TEXT family membership: evens ∪ fold-1 admitted ∪ fold-2 admitted
+    val heldIds = f1.filter(col("source").isin(held1.toSeq: _*))
+      .select(col("doc_id")).as[Long].collect().toSet ++
+      f2.filter(col("source").isin(held2.toSeq: _*))
+        .select(col("doc_id")).as[Long].collect().toSet
     val expected = evens.select(col("doc_id")).as[Long].collect().toSet ++
-      batch.select(col("doc_id")).as[Long].collect().toSet -- heldIds
-    // TEXT family membership: the unified fold does not screen, so
-    // doc_lens must hold exactly evens ∪ admitted odds
+      adm1.select(col("doc_id")).as[Long].collect().toSet ++
+      adm2.select(col("doc_id")).as[Long].collect().toSet
     val lens = ops.IndexStore.channel(spark, idx, "doc_lens")
       .select(col("doc_id")).as[Long].collect().toSet
     assert(lens == expected,
       s"unified text membership diverged from the recomputed gate: " +
         s"missing=${(expected -- lens).take(5)} extra=${(lens -- expected).take(5)}")
-    // VECTOR family: no held doc's vector landed (the pair-consistent hold)
+    // VECTOR family: held ticks' vectors never landed; recovered tick's did
     val cells = ops.IndexStore.channel(spark, idx, "cells")
       .select(col("vec_id")).as[Long].collect().toSet
     assert(!heldIds.exists(cells),
       "held source's VECTORS leaked into the unified cells")
-    // the census and the drift read never saw the held source
-    assert(!ops.IndexStore.channel(spark, idx, "mix_census")
-      .select(col("source")).distinct().as[String].collect().toSet
-      .contains("probe_shift"), "held source contaminated the unified census")
-    assert(!SparkEntry.queries("q161_unified_gate_census")(spark, dir)
-      .select(col("source")).as[String].collect().contains("probe_shift"))
+    val probe2Ids = f2.filter(col("source") === "probe_shift")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(probe2Ids.nonEmpty && probe2Ids.forall(cells),
+      "recovered tick's VECTORS must fold with its docs")
+    // census: probe_shift present ONLY via the recovered tick's rows
+    val censusProbeN = ops.IndexStore.channel(spark, idx, "mix_census")
+      .filter(col("source") === "probe_shift")
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(censusProbeN == probe2Ids.size,
+      s"census must carry exactly the recovered tick's probe rows: " +
+        s"$censusProbeN != ${probe2Ids.size}")
+    // and the TIMELINE read (q162) shows the full cycle: absent,
+    // absent (held), present (recovered)
+    val byVersion = SparkEntry.queries("q162_gate_recovery_timeline")(spark, dir)
+      .filter(col("source") === "probe_shift")
+      .select(col("version")).as[Int].collect().toSeq
+    assert(byVersion == Seq(3),
+      s"the recovery timeline must show probe_shift only at version 3, " +
+        s"got versions $byVersion")
   }
 }
