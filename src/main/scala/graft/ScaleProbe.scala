@@ -602,11 +602,25 @@ object ScaleProbe {
     // silently stale.
     if (only.exists(_.contains("projected_append"))) {
       val idxDir = s"$dst/index_store_projappend"
-      rmRf(new java.io.File(idxDir))
+      val bareDir = s"$dst/index_store_projappend_bare"
+      rmRf(new java.io.File(idxDir)); rmRf(new java.io.File(bareDir))
       val vecs = ops.Similarity.normalized(spark, dst)
       val cents = ops.Similarity.ivfCentroids(spark, dst)
       val raw = Core.table(spark, dst, "embeddings")
       val gv = gate(col("vec_id"))
+      // CONTROL: the same bootstrap + fold on a bare IVF store (no
+      // projected channels) — the pre-existing fold cost, so the
+      // projected maintenance INCREMENT is (maintained − bare), not
+      // the whole fold
+      timeNamed("projappend_bare_bootstrap") {
+        ops.IndexStore.writeVectors(spark, vecs.filter(gv < 58982L), cents, bareDir)
+        1L
+      }
+      timeNamed("projappend_bare_fold") {
+        graft.streaming.StreamingOps.ingestAndMaintainVectors(spark, bareDir,
+          vecs.filter(gv >= 58982L))
+        1L
+      }
       timeNamed("projappend_bootstrap_90pct") {
         ops.IndexStore.writeVectors(spark, vecs.filter(gv < 58982L), cents, idxDir)
         ops.IndexStore.writeProjections(spark, idxDir,
@@ -614,15 +628,16 @@ object ScaleProbe {
           ops.Similarity.exactVecsOf(raw.filter(gv < 58982L)))
         1L
       }
-      // the O(batch) fold: the remaining ~10% with raw embeddings
-      // threaded through the ingest loop (both arms, one transaction)
+      // the O(batch) maintained fold: the remaining ~10% with raw
+      // embeddings threaded through the ingest loop (both arms, one
+      // snapshot transaction)
       timeNamed("projappend_fold_10pct") {
         graft.streaming.StreamingOps.ingestAndMaintainVectors(spark, idxDir,
           vecs.filter(gv >= 58982L), raw = Some(raw.filter(gv >= 58982L)))
         1L
       }
-      // the alternative a write-once channel forces after the same
-      // fold: re-project the WHOLE corpus
+      // the alternative a write-once channel forces after EVERY fold:
+      // re-project the WHOLE corpus (grows with corpus, not batch)
       timeNamed("projappend_rewrite_corpus") {
         ops.IndexStore.writeProjections(spark, idxDir,
           ops.Similarity.projectedUnitsOf(raw, 32),

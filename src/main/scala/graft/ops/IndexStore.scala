@@ -1467,9 +1467,7 @@ object IndexStore {
     val snap = beginSnap(out)
     centroids.write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/centroids")
     maybeCrash("centroids")
-    assignCells(vectors, centroids)
-      .write.mode(SaveMode.Overwrite).partitionBy("cid")
-      .parquet(s"$out/$snap/cells")
+    stageCells(assignCells(vectors, centroids), s"$out/$snap/cells")
     maybeCrash("cells")
     commitSnap(out, snap, prior -- Seq("centroids", "cells", "vec_stats") ++ (Map(
       "centroids" -> Channel(relIfData(out, s"$snap/centroids"), "", ""),
@@ -1539,9 +1537,7 @@ object IndexStore {
         channelFrom(s, indexDir, prior, "cells")).foreach { batchN =>
       val cents = channelFrom(s, indexDir, prior, "centroids")
       val snap = beginSnap(indexDir)
-      assignCells(batch, cents)
-        .write.mode(SaveMode.Overwrite).partitionBy("cid")
-        .parquet(s"$indexDir/$snap/cells")
+      stageCells(assignCells(batch, cents), s"$indexDir/$snap/cells")
       maybeCrash("cells")
       // vec_stats merge: exact long arithmetic over the guard's count
       // (a pre-vec_stats store backfills its census once, from the
@@ -1649,9 +1645,7 @@ object IndexStore {
         val snap = beginSnap(indexDir)
         cents.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$snap/centroids")
         maybeCrash("centroids")
-        assignCells(stored, cents)
-          .write.mode(SaveMode.Overwrite).partitionBy("cid")
-          .parquet(s"$indexDir/$snap/cells")
+        stageCells(assignCells(stored, cents), s"$indexDir/$snap/cells")
         maybeCrash("cells")
         commitSnap(indexDir, snap, prior -- Seq("centroids", "cells", "vec_stats") ++ Map(
           "centroids" -> Channel(Seq(s"$snap/centroids"), "", ""),
@@ -1994,6 +1988,24 @@ object IndexStore {
       .select(col("vec_id"), col("label"), col("unit"), col("cid"))
   }
 
+  /** Stage an assigned-cells frame into `dest` in the channel's
+    * contract layout. The frame arrives hash-distributed by vec_id
+    * (nearestCell's agg + join-back), so a bare `partitionBy("cid")`
+    * write emits one file per (writing task × touched cell) — at the
+    * 100× probe a 20k-row DELTA landed ~9k small files, growing the
+    * small-files axis per FOLD instead of per corpus (the exact
+    * degradation compaction exists to absorb, paid eagerly). Cluster
+    * by (cid, vec_id) range first — the [[compact]] idiom: each cell's
+    * rows land contiguous (≈1 file per cell per fold) while a hot cell
+    * still splits across range tasks instead of serializing into one
+    * oversized file. One extra O(rows) exchange per fold buys
+    * O(cells)-not-O(tasks × cells) files on every write path (fold,
+    * bootstrap, retrain, unified pair commit). */
+  private def stageCells(assigned: DataFrame, dest: String): Unit =
+    assigned.repartitionByRange(col("cid"), col("vec_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cid")
+      .parquet(dest)
+
   /** Top-k cosine ANN for a bounded query batch, answered from the
     * stored channels: probe assignment runs against the broadcast
     * centroids; the probed cell ids are collected (bounded —
@@ -2124,9 +2136,7 @@ object IndexStore {
     val tchs = writeTextInto(s, docs, out, snap, None)
     centroids.write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/centroids")
     maybeCrash("centroids")
-    assignCells(vectors, centroids)
-      .write.mode(SaveMode.Overwrite).partitionBy("cid")
-      .parquet(s"$out/$snap/cells")
+    stageCells(assignCells(vectors, centroids), s"$out/$snap/cells")
     maybeCrash("cells")
     val censusRel = if (governed) Some {
       val c = censusRequired("writeUnified", docs)
@@ -2212,9 +2222,7 @@ object IndexStore {
     } else None
     val vchs = vecGo.map { batchN =>
       val cents = channelFrom(s, root, prior, "centroids")
-      assignCells(vectors, cents)
-        .write.mode(SaveMode.Overwrite).partitionBy("cid")
-        .parquet(s"$root/$snap/cells")
+      stageCells(assignCells(vectors, cents), s"$root/$snap/cells")
       maybeCrash("cells")
       val st = channelFrom(s, root, prior, "vec_stats").head()
       writeVecStats(s, root, snap, st.getAs[Long]("n_vecs") + batchN,
