@@ -32,7 +32,8 @@ def cal_clean(b):
     if isinstance(c.get("clean"), bool):
         return c["clean"], c.get("ratio")
     vals = sorted(v for v in
-                  ([c.get("first"), c.get("last")] + list(c.get("mid") or []))
+                  ([c.get("pre"), c.get("first"), c.get("last")]
+                   + list(c.get("mid") or []))
                   if isinstance(v, (int, float)) and v > 0)
     if len(vals) < 2:
         return None, None

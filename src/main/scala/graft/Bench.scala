@@ -26,12 +26,6 @@ object Bench {
     // number (VERDICT r3 "what's wrong" #1).
     def safeWarm(f: => Seq[(String, Double)]): Seq[(String, Double)] =
       try f catch { case _: Throwable => Seq.empty }
-    val warmBreakdown =
-      safeWarm(ops.Dedup.warm(spark, sfDir)) ++
-        safeWarm(ops.Similarity.warm(spark, sfDir)) ++
-        safeWarm(ops.TextOps.warm(spark, sfDir)) ++
-        safeWarm(ops.Selection.warm(spark, sfDir))
-    val warmSec = warmBreakdown.map(_._2).sum
     // SPARK_GRAFT_BENCH_ONLY=q77_lm_quality,q83_token_windows times a
     // subset in an otherwise-identical session — for separating a
     // query's own cost from cross-query cache/GC interference
@@ -63,6 +57,19 @@ object Bench {
           -1.0
         }
       }
+    // "pre" sentinel BEFORE the warm phase: the r10 bench caught a
+    // steal burst that landed entirely inside warm (dedup-store builds
+    // 2–3× with the query sweep clean) — first/mid/last bracket only
+    // the sweep, so a dirty warm phase was invisible to the clean
+    // verdict. Side effect (by design, same as the sweep's warm q01):
+    // the sfDir lineitem scan is page-cached before warm.
+    val calPre = calibrate("pre")
+    val warmBreakdown =
+      safeWarm(ops.Dedup.warm(spark, sfDir)) ++
+        safeWarm(ops.Similarity.warm(spark, sfDir)) ++
+        safeWarm(ops.TextOps.warm(spark, sfDir)) ++
+        safeWarm(ops.Selection.warm(spark, sfDir))
+    val warmSec = warmBreakdown.map(_._2).sum
     val calFirst = calibrate("first")
     // NUMERIC query order (q01…q156), not string order: string sort
     // runs q100–q156 between q09 and q10, so every round's NEWEST
@@ -121,13 +128,14 @@ object Bench {
     // r9 driver run (1.20, usable) from the r9 local run (2.52,
     // steal-window; memory/SCALE.md document the 485/209/351/193 s
     // spread on this host).
-    val calSamples = (calFirst +: calMid.toSeq :+ calLast).filter(_ > 0).sorted
+    val calSamples =
+      (calPre +: calFirst +: calMid.toSeq :+ calLast).filter(_ > 0).sorted
     val calRatio =
       if (calSamples.size >= 2) calSamples.max / calSamples(calSamples.size / 2)
       else -1.0
     val calClean =
       if (calSamples.size >= 2) (calRatio <= 1.5).toString else "null"
-    val cal = s"""{"first":$calFirst,"mid":[${calMid.mkString(",")}],"last":$calLast,"ratio":${math.rint(calRatio * 1000) / 1000},"clean":$calClean}"""
+    val cal = s"""{"pre":$calPre,"first":$calFirst,"mid":[${calMid.mkString(",")}],"last":$calLast,"ratio":${math.rint(calRatio * 1000) / 1000},"clean":$calClean}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmSec,"queries_sec":$queriesSec,"heap_mb":$heapMb,"queries":$qs,"warm_breakdown":$wb,"errors":$errJson,"calibration":$cal,"sf":"$sfDir"}"""
     println(json)
     // sbt wraps stdout in [info] prefixes the driver can't parse — also

@@ -2000,11 +2000,24 @@ object IndexStore {
     * still splits across range tasks instead of serializing into one
     * oversized file. One extra O(rows) exchange per fold buys
     * O(cells)-not-O(tasks × cells) files on every write path (fold,
-    * bootstrap, retrain, unified pair commit). */
-  private def stageCells(assigned: DataFrame, dest: String): Unit =
-    assigned.repartitionByRange(col("cid"), col("vec_id"))
+    * bootstrap, retrain, unified pair commit).
+    *
+    * The frame is checkpointed FIRST: repartitionByRange derives its
+    * boundaries from a sampling pass over the input, which would
+    * otherwise execute the assignment lineage (centroid join + argmax
+    * agg + label join-back) twice per write — measured as a ~2×
+    * unified-fold warm regression when this helper first landed
+    * without it. The checkpoint materializes the assignment once
+    * (MEMORY_AND_DISK, spilling for corpus-sized bootstraps — the same
+    * order of I/O as the exchange it feeds), and is released on every
+    * exit. */
+  private def stageCells(assigned: DataFrame, dest: String): Unit = {
+    val a = assigned.localCheckpoint()
+    try a.repartitionByRange(col("cid"), col("vec_id"))
       .write.mode(SaveMode.Overwrite).partitionBy("cid")
       .parquet(dest)
+    finally releaseCheckpoint(a)
+  }
 
   /** Top-k cosine ANN for a bounded query batch, answered from the
     * stored channels: probe assignment runs against the broadcast
