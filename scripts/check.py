@@ -74,11 +74,26 @@ def bench_regressions(cur_path, prior_path, factor=2.5):
             flagged.append({"query": q, "sec": round(t, 3),
                             "prior_sec": round(t0, 3),
                             "ratio": round(t / t0, 2)})
-    out = {"bench_regressions": flagged, "factor": factor,
+    # WARM phase per-store regressions under the same rule: the warm
+    # phase runs before the first sweep sentinel and spans ~80-120 s,
+    # so a burst can hide between the pre/first brackets — the
+    # per-store breakdown is the finer instrument (floor 1 s: store
+    # builds are multi-job, sub-second entries are memo-count noise)
+    warm_flagged = []
+    for w, t in sorted((cur.get("warm_breakdown") or {}).items()):
+        t0 = (prior.get("warm_breakdown") or {}).get(w)
+        if not isinstance(t0, (int, float)) or t0 <= 0 or t < 0:
+            continue
+        if t > factor * max(t0, 1.0) * adjust:
+            warm_flagged.append({"warm": w, "sec": round(t, 3),
+                                 "prior_sec": round(t0, 3),
+                                 "ratio": round(t / t0, 2)})
+    out = {"bench_regressions": flagged, "warm_regressions": warm_flagged,
+           "factor": factor,
            "calibration_adjust": round(adjust, 3),
            "compared": cur_path + " vs " + prior_path}
     print(json.dumps(out))
-    return 1 if flagged else 0
+    return 1 if (flagged or warm_flagged) else 0
 
 
 if len(sys.argv) > 1 and sys.argv[1] == "--bench":

@@ -61,8 +61,13 @@ object Bench {
     // steal burst that landed entirely inside warm (dedup-store builds
     // 2–3× with the query sweep clean) — first/mid/last bracket only
     // the sweep, so a dirty warm phase was invisible to the clean
-    // verdict. Side effect (by design, same as the sweep's warm q01):
-    // the sfDir lineitem scan is page-cached before warm.
+    // verdict. The sentinel must be ISO-CONDITION with the others to
+    // be comparable, and the first-ever q01 at sfDir pays a cold
+    // lineitem read no later sample pays (measured: 0.64 cold vs a
+    // 0.40 median marked an otherwise-clean run dirty) — so the cold
+    // shot is recorded as `pre_cold` EVIDENCE but excluded from the
+    // verdict; the second, cache-warm shot is the verdict sample.
+    val calPreCold = calibrate("pre_cold")
     val calPre = calibrate("pre")
     val warmBreakdown =
       safeWarm(ops.Dedup.warm(spark, sfDir)) ++
@@ -135,7 +140,7 @@ object Bench {
       else -1.0
     val calClean =
       if (calSamples.size >= 2) (calRatio <= 1.5).toString else "null"
-    val cal = s"""{"pre":$calPre,"first":$calFirst,"mid":[${calMid.mkString(",")}],"last":$calLast,"ratio":${math.rint(calRatio * 1000) / 1000},"clean":$calClean}"""
+    val cal = s"""{"pre_cold":$calPreCold,"pre":$calPre,"first":$calFirst,"mid":[${calMid.mkString(",")}],"last":$calLast,"ratio":${math.rint(calRatio * 1000) / 1000},"clean":$calClean}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmSec,"queries_sec":$queriesSec,"heap_mb":$heapMb,"queries":$qs,"warm_breakdown":$wb,"errors":$errJson,"calibration":$cal,"sf":"$sfDir"}"""
     println(json)
     // sbt wraps stdout in [info] prefixes the driver can't parse — also

@@ -348,6 +348,11 @@ object ScaleProbe {
     // (governed write of the even half + ONE screenAndFoldGated fold
     // of the odd half with a drifting re-sourced slice)
     timeForced("q158_gated_hold_census", ("source", "psi_nchars"))
+    // q161/q162 ride the two-fold gated UNIFIED store (round 10 —
+    // q161's first run pays its bootstrap + both gated pair-folds);
+    // the timeline walk must stay corpus-free like q152/q157's
+    timeForced("q161_unified_gate_census", ("source", "psi_nchars"))
+    timeForced("q162_gate_recovery_timeline", ("source", "psi_nchars"))
     if (only.forall(_.contains("q88_canonical_dedup"))) {
       val t0 = System.nanoTime()
       // force the normalizer + keeper window: aggregate over BOTH
