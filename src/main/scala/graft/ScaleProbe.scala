@@ -216,6 +216,12 @@ object ScaleProbe {
       // unified_store/unified_lookup sections measure the dedicated-
       // session builds and per-family halves
       "q153_hybrid_unified_store",
+      // q164: q160's projected-arm batch hybrid off the UNIFIED store
+      // — one manifest resolution feeds the union-pruned postings
+      // read, the coarse proj_units read and the exact_vecs rerank;
+      // the store (incl. append-maintained proj channels) is the q153
+      // fixture, so this times the pure single-pointer batch lookup
+      "q164_hybrid_projected_unified",
       // q146: two map-side-combined aggs over one token pass + a
       // 256-row broadcast model + TakeOrdered selection — count()
       // cannot prune the scoring (the limit needs the ordered weights)

@@ -350,6 +350,38 @@ object Similarity {
     rrfFuseBatch(lex, sem)
   }
 
+  /** [[hybridBatchProjected]] served from a UNIFIED store (q164): the
+    * projected semantic arm and the q145 lexical batch read both feed
+    * off ONE manifest resolution of the single-pointer store — the
+    * interchangeable-arms contract (q160) on the family where it
+    * matters most, usable because [[IndexStore.appendUnified]] now
+    * maintains the projected channels inside the pair-atomic commit
+    * (VERDICT r10 #1). One snap pins postings, proj_units, exact_vecs,
+    * the projection identity AND the coverage gate together; scoring
+    * and fusion are the split-store route's exact arithmetic, so
+    * per-qid output over the same corpus is bit-identical to q160's
+    * (UnifiedStoreSpec pins it). */
+  private[graft] def hybridBatchProjectedUnified(s: SparkSession,
+      dir: String, root: String,
+      queries: Seq[(Long, Seq[String])]): DataFrame = {
+    import s.implicits._
+    val snap = IndexStore.history(root).last
+    val qframe = queries
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .distinct.toDF("qid", "term")
+    val exclude = queries.map { case (qid, _) => (qid, qid) }
+      .toDF("qid", "self_id")
+    val lex = IndexStore.bm25BatchFromStoreAt(s, root, snap, qframe,
+        k = 100, exclude = Some(exclude))
+      .select($"qid", $"doc_id", $"rank".cast("int").as("lex_rank"))
+    val qids = queries.map(_._1)
+    val qe = table(s, dir, "embeddings")
+      .filter($"vec_id".isin(qids: _*)).select($"vec_id", $"embedding")
+    val sem = IndexStore.projectedAnnFromStoreAt(s, root, snap, qe, k = 100)
+      .select($"qid", $"vid".as("doc_id"), $"rn".cast("int").as("sem_rank"))
+    rrfFuseBatch(lex, sem)
+  }
+
   /** The two smallest query-batch ids — the driver-known qid pair the
     * batch-hybrid entries (q145/q160) zip against the two
     * corpus-extreme term probes. A degenerate fixture (fewer than two
@@ -926,6 +958,27 @@ object Similarity {
       },
       None),
 
+    // ---- q160's projected-arm batch hybrid served from the UNIFIED
+    // store (q164): the interchangeable-arms contract on the
+    // single-pointer family, reachable because appendUnified now
+    // maintains the projected channels inside the pair-atomic commit
+    // (VERDICT r10 #1) — the fixture store is built through TWO
+    // raw-carrying folds, so this entry exercises the maintenance path
+    // end-to-end every run. One manifest resolution pins the lexical
+    // read, the coarse proj_units read, the exact_vecs rerank, the
+    // projection identity AND the coverage gate. No oracle (inherits
+    // q160's float-coarse rule); UnifiedStoreSpec pins per-qid output
+    // ≡ q160 bit-identically over the same corpus. ----
+    "q164_hybrid_projected_unified" -> Q(
+      (s, dir) => {
+        val terms = Seq(
+          TextOps.qtermsOfExtreme(s, dir, useMax = false),
+          TextOps.qtermsOfExtreme(s, dir, useMax = true))
+        hybridBatchProjectedUnified(s, dir, unifiedStore(s, dir),
+          twoQids(s, dir).zip(terms))
+      },
+      None),
+
     // ---- IVF-routed hard-negative mining: q123's semantics down the
     // q39 scale path — candidates come from the anchor's nprobe
     // nearest IVF cells instead of the whole corpus, with the label
@@ -1399,13 +1452,23 @@ object Similarity {
         val idx = graft.Core.jvmStorePath("graft_uni", dir)
         val docs = table(s, dir, "documents")
         val vecs = normalized(s, dir)
+        val raw = table(s, dir, "embeddings")
         IndexStore.writeUnified(s, docs.filter(col("doc_id") % 3 === 0),
           vecs.filter(col("vec_id") % 3 === 0), ivfCentroids(s, dir), idx,
           governed = true)
+        // the projected-ANN channels ride the single-pointer store too
+        // (q164's interchangeable arms): bootstrap slice projected here,
+        // later slices maintained by the folds' raw contract — so the
+        // flagship fixture exercises the pair-atomic proj maintenance
+        // path every session
+        val raw0 = raw.filter(col("vec_id") % 3 === 0)
+        IndexStore.writeProjections(s, idx,
+          projectedUnitsOf(raw0, 32), exactVecsOf(raw0))
         for (r <- 1 to 2)
           IndexStore.appendUnified(s, idx,
             docs.filter(col("doc_id") % 3 === r),
-            vecs.filter(col("vec_id") % 3 === r))
+            vecs.filter(col("vec_id") % 3 === r),
+            raw = Some(raw.filter(col("vec_id") % 3 === r)))
         idx
       })
     }

@@ -362,11 +362,18 @@ object StreamingOps {
     * (drift gate first — a retrain rewrite collapses fragmentation as
     * a side effect — then the fragmentation gate) and the best-effort
     * contract (an OCC loss skips the tick's maintenance, never takes
-    * ingest down). */
+    * ingest down). `raw` threads the batch's raw (vec_id, label,
+    * embedding) rows to appendUnified's projected-channel maintenance:
+    * REQUIRED on a proj-carrying unified store whenever the vectors
+    * side is non-empty (both semantic arms advance in the same
+    * pair-atomic commit), refused when the store carries no proj
+    * channels — the ingestAndMaintainVectors contract on the
+    * single-pointer store. */
   def ingestAndMaintainUnified(s: SparkSession, root: String,
-      docs: DataFrame, vectors: DataFrame): Unit = {
+      docs: DataFrame, vectors: DataFrame,
+      raw: Option[DataFrame] = None): Unit = {
     withOccRetry() {
-      graft.ops.IndexStore.appendUnified(s, root, docs, vectors)
+      graft.ops.IndexStore.appendUnified(s, root, docs, vectors, raw)
     }
     try { graft.ops.IndexStore.retrainIfDrifted(s, root); () }
     catch { case _: java.util.ConcurrentModificationException => () }
@@ -389,10 +396,10 @@ object StreamingOps {
     * best-effort maintenance contract as the other four loops. */
   def ingestAndMaintainUnifiedGoverned(s: SparkSession, root: String,
       docs: DataFrame, vectors: DataFrame, anchor: String,
-      maxPsi: Double = 0.25): DataFrame = {
+      maxPsi: Double = 0.25, raw: Option[DataFrame] = None): DataFrame = {
     val rep = withOccRetry() {
       graft.ops.IndexStore.appendUnifiedGated(s, root, docs, vectors,
-        anchor, maxPsi)
+        anchor, maxPsi, raw)
     }
     try { graft.ops.IndexStore.retrainIfDrifted(s, root); () }
     catch { case _: java.util.ConcurrentModificationException => () }

@@ -409,15 +409,25 @@ class StreamingSpec extends SparkSpec {
     val cents = Seq(
       (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
       (2L, Seq(-1.0, 0.0)), (3L, Seq(0.0, -1.0))).toDF("cid", "cvec")
+    def rawOf(ids: Seq[Long]) = ids.map { i =>
+      val ang = (i % 8) * math.Pi / 4 + 0.1
+      (i, (i % 4).toInt, Seq(math.cos(ang), math.sin(ang)))
+    }.toDF("vec_id", "label", "embedding")
     val streamed = java.nio.file.Files.createTempDirectory("graft-unistream").toString
     ops.IndexStore.writeUnified(spark,
       docsOf(0L to 5L), vecsOf(0L to 5L), cents, streamed)
+    // the streamed store carries the projected channels too, so every
+    // micro-batch exercises the pair-atomic proj maintenance contract
+    // (VERDICT r10 #1): the loop threads each batch's raw embeddings
+    ops.IndexStore.writeProjections(spark, streamed,
+      ops.Similarity.projectedUnitsOf(rawOf((0L to 5L).toSeq), 32),
+      ops.Similarity.exactVecsOf(rawOf((0L to 5L).toSeq)))
     val stream = MemoryStream[Long]
     val q = stream.toDF().writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val ids = b.select(col("value")).as[Long].collect().toSeq.sorted
         StreamingOps.ingestAndMaintainUnified(spark, streamed,
-          docsOf(ids), vecsOf(ids))
+          docsOf(ids), vecsOf(ids), raw = Some(rawOf(ids)))
       }.start()
     Seq(6L to 11L, 12L to 17L).foreach { b =>
       stream.addData(b.toSeq); q.processAllAvailable()
@@ -426,7 +436,11 @@ class StreamingSpec extends SparkSpec {
     val oneShot = java.nio.file.Files.createTempDirectory("graft-unioneshot").toString
     ops.IndexStore.writeUnified(spark,
       docsOf(0L to 17L), vecsOf(0L to 17L), cents, oneShot)
-    for (ch <- Seq("postings", "doc_lens", "centroids", "cells")) {
+    ops.IndexStore.writeProjections(spark, oneShot,
+      ops.Similarity.projectedUnitsOf(rawOf((0L to 17L).toSeq), 32),
+      ops.Similarity.exactVecsOf(rawOf((0L to 17L).toSeq)))
+    for (ch <- Seq("postings", "doc_lens", "centroids", "cells",
+        "proj_units", "exact_vecs")) {
       val a = ops.IndexStore.channel(spark, streamed, ch)
       val b = ops.IndexStore.channel(spark, oneShot, ch)
       assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty,
@@ -434,7 +448,10 @@ class StreamingSpec extends SparkSpec {
     }
     // the cross-family atomicity the unified stream exists for: at
     // EVERY committed version both censuses describe the same paired
-    // fold — no version where one family moved alone
+    // fold — no version where one family moved alone; once the
+    // projected channels exist, their coverage census advances in the
+    // SAME lockstep (no version where the projected arm lags the IVF
+    // arm)
     for (snap <- ops.IndexStore.history(streamed)) {
       val nDocs = ops.IndexStore.channelAt(spark, streamed, snap, "stats")
         .head().getAs[Long]("n_docs")
@@ -442,11 +459,17 @@ class StreamingSpec extends SparkSpec {
         .head().getAs[Long]("n_vecs")
       assert(nDocs == nVecs,
         s"version $snap: text census $nDocs != vector census $nVecs — a family moved alone")
+      if (ops.IndexStore.manifestAt(streamed, snap).contains("proj_stats")) {
+        val nProj = ops.IndexStore.channelAt(spark, streamed, snap, "proj_stats")
+          .head().getAs[Long]("n_vecs")
+        assert(nProj == nVecs,
+          s"version $snap: projected census $nProj != vector census $nVecs — the projected arm lagged")
+      }
     }
     // exact pair redelivery (at-least-once restart) is an idempotent skip
     val h = ops.IndexStore.history(streamed)
     StreamingOps.ingestAndMaintainUnified(spark, streamed,
-      docsOf(12L to 17L), vecsOf(12L to 17L))
+      docsOf(12L to 17L), vecsOf(12L to 17L), raw = Some(rawOf(12L to 17L)))
     assert(ops.IndexStore.history(streamed) == h,
       "redelivered pair must not publish a new version")
     Core.clearCaches(spark)

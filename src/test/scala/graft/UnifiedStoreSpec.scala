@@ -252,6 +252,149 @@ class UnifiedStoreSpec extends SparkSpec {
       "the docs-first catch-up must fold the late vectors")
   }
 
+  /** Raw-embedding twin of [[vecsOf]] (same ids, same geometry, raw
+    * `embedding` column) — the frame the projected-channel maintenance
+    * contract threads through unified folds. */
+  private def rawOf(ids: Range): DataFrame = ids.map { i =>
+    val ang = (i % 8) * math.Pi / 4 + 0.1
+    (i.toLong, i % 4, Seq(math.cos(ang), math.sin(ang)))
+  }.toDF("vec_id", "label", "embedding")
+
+  test("append-maintained projected channels on the UNIFIED store: fold with raw ≡ the session q155 route, census lockstep") {
+    // VERDICT r10 #1: the split vector store learned raw-carrying
+    // appends in r10; the single-pointer store gets the same contract
+    // here — bootstrap both arms from the even half, fold the odd half
+    // through ONE pair-atomic appendUnified(raw), and the projected
+    // read must be bit-identical to the session route over the full
+    // corpus (row-local arithmetic, exact parquet round-trip)
+    val raw = Core.table(spark, dir, "embeddings")
+    val vecs = ops.Similarity.normalized(spark, dir)
+    val docs = Core.table(spark, dir, "documents")
+    val cents = ops.Similarity.ivfCentroids(spark, dir)
+    val root = tmp("projfold")
+    ops.IndexStore.writeUnified(spark, docs.filter($"doc_id" % 2 === 0),
+      vecs.filter($"vec_id" % 2 === 0), cents, root)
+    val rawEven = raw.filter($"vec_id" % 2 === 0)
+    ops.IndexStore.writeProjections(spark, root,
+      ops.Similarity.projectedUnitsOf(rawEven, 32),
+      ops.Similarity.exactVecsOf(rawEven))
+    ops.IndexStore.appendUnified(spark, root,
+      docs.filter($"doc_id" % 2 === 1),
+      vecs.filter($"vec_id" % 2 === 1),
+      raw = Some(raw.filter($"vec_id" % 2 === 1)))
+    // coverage census in lockstep across BOTH semantic arms after the
+    // pair-atomic fold — the comparison the staleness gate enforces
+    val facts = ops.IndexStore.describeStore(spark, root)
+      .select($"channel", $"facts").as[(String, String)].collect().toMap
+    val nFull = vecs.count()
+    assert(facts("vec_stats").contains(s"n_vecs=$nFull") &&
+      facts("proj_stats").contains(s"n_vecs=$nFull"),
+      s"coverage census out of lockstep after the unified fold: $facts")
+    val q = ops.Similarity.queryBatch(spark, dir, raw)
+      .select($"vec_id", $"embedding")
+    val store = ops.IndexStore.projectedAnnFromStore(spark, root, q)
+      .collect().toSeq
+    val session = SparkEntry.queries("q155_knn_projected")(spark, dir)
+      .collect().toSeq
+    assert(store.nonEmpty && store == session,
+      s"unified-fold-maintained projected ANN diverges from the session route:\n" +
+        s"  store=${store.take(3)}\n  q155=${session.take(3)}")
+  }
+
+  test("q164 ≡ q160 bit-identically: the projected-arm batch hybrid served from the append-maintained unified store") {
+    val got = SparkEntry.queries("q164_hybrid_projected_unified")(spark, dir)
+      .collect().toSeq
+    val want = SparkEntry.queries("q160_hybrid_projected_batch")(spark, dir)
+      .collect().toSeq
+    assert(got.nonEmpty && got == want,
+      s"unified projected batch hybrid diverged from the split-store route:\n" +
+        s"  got=${got.take(3)}\n  want=${want.take(3)}")
+  }
+
+  test("the unified raw contract refuses every mispairing by name") {
+    val root = tmp("rawrefuse")
+    ops.IndexStore.writeUnified(spark, docsOf(0 to 5), vecsOf(0 to 5),
+      cents, root)
+    ops.IndexStore.writeProjections(spark, root,
+      ops.Similarity.projectedUnitsOf(rawOf(0 to 5), 32),
+      ops.Similarity.exactVecsOf(rawOf(0 to 5)))
+    // a proj-carrying store refuses a vector-carrying fold without raw
+    val e1 = intercept[IllegalArgumentException] {
+      ops.IndexStore.appendUnified(spark, root, docsOf(6 to 11), vecsOf(6 to 11))
+    }
+    assert(e1.getMessage.contains("STALE") && e1.getMessage.contains("projected"),
+      s"expected the staleness refusal, got: ${e1.getMessage}")
+    // raw paired with an EMPTY vectors side is a mispairing, not a tick
+    val e2 = intercept[IllegalArgumentException] {
+      ops.IndexStore.appendUnified(spark, root, docsOf(6 to 11), emptyVecs,
+        raw = Some(rawOf(6 to 11)))
+    }
+    assert(e2.getMessage.contains("EMPTY vectors"),
+      s"expected the vectors-less-raw refusal, got: ${e2.getMessage}")
+    // a bare store refuses a raw nothing would maintain
+    val bare = tmp("rawbare")
+    ops.IndexStore.writeUnified(spark, docsOf(0 to 5), vecsOf(0 to 5),
+      cents, bare)
+    val e3 = intercept[IllegalArgumentException] {
+      ops.IndexStore.appendUnified(spark, bare, docsOf(6 to 11),
+        vecsOf(6 to 11), raw = Some(rawOf(6 to 11)))
+    }
+    assert(e3.getMessage.contains("proj_stats"),
+      s"expected the missing-channel refusal, got: ${e3.getMessage}")
+    // a skewed (vectors, raw) pairing is refused before a byte lands
+    val e4 = intercept[IllegalArgumentException] {
+      ops.IndexStore.appendUnified(spark, root, docsOf(6 to 11),
+        vecsOf(6 to 11), raw = Some(rawOf(6 to 8)))
+    }
+    assert(e4.getMessage.contains("vec_ids"),
+      s"expected the skewed-pairing refusal, got: ${e4.getMessage}")
+    // docs-only folds are legal with no raw — the vector corpus does
+    // not advance, so coverage cannot skew
+    val h = ops.IndexStore.history(root)
+    ops.IndexStore.appendUnified(spark, root, docsOf(6 to 11), emptyVecs)
+    assert(ops.IndexStore.history(root).size == h.size + 1,
+      "a docs-only fold on a proj-carrying store must commit")
+    // and the legal vector fold advances both arms in one commit
+    ops.IndexStore.appendUnified(spark, root, emptyDocs, vecsOf(6 to 11),
+      raw = Some(rawOf(6 to 11)))
+    val pu = ops.IndexStore.channel(spark, root, "proj_units")
+      .select($"vec_id").as[Long].collect().toSet
+    assert((0L to 11L).forall(pu),
+      "the raw-carrying fold must land the projected deltas")
+  }
+
+  test("the gated hold keeps held vectors out of the PROJ deltas too — no channel of the commit sees a held source") {
+    val root = tmp("govproj")
+    val boot = gdocs(0 to 39, "src0").unionByName(gdocs(40 to 59, "srcA"))
+    ops.IndexStore.writeUnified(spark, boot, vecsOf(0 to 59), cents, root,
+      governed = true)
+    ops.IndexStore.writeProjections(spark, root,
+      ops.Similarity.projectedUnitsOf(rawOf(0 to 59), 32),
+      ops.Similarity.exactVecsOf(rawOf(0 to 59)))
+    val t2 = gdocs(60 to 79, "srcB").unionByName(gdocs(80 to 99, "srcRot", 480L))
+    val rep = ops.IndexStore.appendUnifiedGated(spark, root, t2,
+      vecsOf(60 to 99), "src0", raw = Some(rawOf(60 to 99)))
+    assert(rep.filter($"held").select($"source").as[String].collect().toSet ==
+      Set("srcRot"), "expected exactly the drifted source held")
+    for (ch <- Seq("proj_units", "exact_vecs")) {
+      val ids = ops.IndexStore.channel(spark, root, ch)
+        .select($"vec_id").as[Long].collect().toSet
+      assert((60L to 79L).forall(ids) && !(80L to 99L).exists(ids),
+        s"held source's vectors leaked into $ch — the hold must cover " +
+          "the projected deltas (the q157 discipline)")
+    }
+    // coverage stays in lockstep UNDER the hold, so the projected arm
+    // still serves
+    val facts = ops.IndexStore.describeStore(spark, root)
+      .select($"channel", $"facts").as[(String, String)].collect().toMap
+    assert(facts("vec_stats").contains("n_vecs=80") &&
+      facts("proj_stats").contains("n_vecs=80"),
+      s"coverage census out of lockstep under the hold: $facts")
+    val served = ops.IndexStore.projectedAnnFromStore(spark, root,
+      rawOf(0 to 0).select($"vec_id", $"embedding"), k = 3)
+    assert(served.count() > 0, "the projected arm must serve under the hold")
+  }
+
   test("the gated fold refuses an ungoverned unified store — no anchor census to hold against") {
     val root = tmp("ungov")
     ops.IndexStore.writeUnified(spark, gdocs(0 to 5, "src0"), vecsOf(0 to 5),

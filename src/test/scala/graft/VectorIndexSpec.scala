@@ -302,10 +302,15 @@ class VectorIndexSpec extends SparkSpec {
       s"refusal must name the skewed pairing, got: ${e3.getMessage}")
   }
 
-  test("a stale projected channel (cells advanced by a path that cannot maintain it) is REFUSED by name, never served") {
-    // real staleness, produced end-to-end: a unified store gains the
-    // projected channels, then a one-sided vector fold advances the
-    // cells — the projected read must refuse with both coverage counts
+  test("a stale projected channel (cells advanced by a writer that cannot maintain it) is REFUSED by name, never served") {
+    // the write paths that could once produce staleness are themselves
+    // closed: a proj-carrying unified store now REFUSES a
+    // vector-carrying fold without raw embeddings (r11, the
+    // appendVectors contract on the single-pointer family) — pinned
+    // first. The read-time coverage gate still matters for stores an
+    // OLDER writer advanced (a build without the raw contract); that
+    // skew is simulated the way the identity test simulates a foreign
+    // sign table, and must refuse with both coverage counts.
     val raw = Core.table(spark, dir, "embeddings")
     val vecs = ops.Similarity.normalized(spark, dir)
     val docs = Core.table(spark, dir, "documents")
@@ -321,15 +326,31 @@ class VectorIndexSpec extends SparkSpec {
     val q = ops.Similarity.queryBatch(spark, dir, raw)
       .select($"vec_id", $"embedding")
     assert(ops.IndexStore.projectedAnnFromStore(spark, root, q).count() > 0)
-    // one-sided vectors catch-up (legal on the unified store) advances
-    // cells + vec_stats but CANNOT maintain the projected channels
-    ops.IndexStore.appendUnified(spark, root,
-      docs.filter(lit(false)).select($"doc_id", $"text"),
-      vecs.filter($"vec_id" % 2 === 1))
+    // the one-sided vectors catch-up that USED to rot the channels is
+    // refused at write time now — the store never goes stale this way
+    val ew = intercept[IllegalArgumentException] {
+      ops.IndexStore.appendUnified(spark, root,
+        docs.filter(lit(false)).select($"doc_id", $"text"),
+        vecs.filter($"vec_id" % 2 === 1))
+    }
+    assert(ew.getMessage.contains("STALE") &&
+      ew.getMessage.contains("projected"),
+      s"unified write-time refusal must name the staleness hazard, got: ${ew.getMessage}")
+    // simulate the OLDER writer: vec_stats advanced to the full corpus
+    // without proj deltas (exactly what a pre-contract appendUnified
+    // committed) — the read must refuse with both counts
+    val (nEven, nAll) = (vecs.filter($"vec_id" % 2 === 0).count(), vecs.count())
+    val stDir = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(d => new java.io.File(d, "vec_stats"))
+      .filter(_.isDirectory).head
+    val orig = spark.read.parquet(stDir.toString).collect().head
+    ops.IndexStore.deleteRec(stDir)
+    Seq((nAll, orig.getAs[Long]("k"), orig.getAs[Long]("n_at_train")))
+      .toDF("n_vecs", "k", "n_at_train")
+      .coalesce(1).write.parquet(stDir.toString)
     val e = intercept[IllegalArgumentException] {
       ops.IndexStore.projectedAnnFromStore(spark, root, q).collect()
     }
-    val (nEven, nAll) = (vecs.filter($"vec_id" % 2 === 0).count(), vecs.count())
     assert(e.getMessage.contains("STALE") &&
       e.getMessage.contains(nEven.toString) &&
       e.getMessage.contains(nAll.toString),
