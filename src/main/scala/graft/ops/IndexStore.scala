@@ -484,16 +484,19 @@ object IndexStore {
   private val dedupChannels =
     Seq("band_keys", "fingerprints", "sim_blocks", "bloom", "mix_census")
 
-  /** The governance census of a batch — Selection.lenBins (source ×
-    * length-bin counts, O(sources × 6) rows): the sufficient statistic
-    * the PSI drift monitor (q149) needs, persisted per fold so "is the
-    * corpus mix rotting" is answerable from the store alone, at any
-    * committed version, without rescanning corpus text. None when the
-    * frame doesn't carry the governance columns. */
+  /** The governance census of a batch — Selection.censusBins (source
+    * × feature × bin counts over BOTH marginals, n_chars and
+    * n_tokens; O(sources × features × 6) rows): the sufficient
+    * statistic the PSI drift monitor (q149) needs, persisted per fold
+    * so "is the corpus mix rotting" is answerable from the store
+    * alone, at any committed version, without rescanning corpus text.
+    * None when the frame doesn't carry the governance columns (text
+    * included since round 11 — the token marginal bins over it). */
   private def censusOf(batch: DataFrame): Option[DataFrame] = {
     val cols = batch.columns.toSet
-    if (cols.contains("source") && cols.contains("n_chars"))
-      Some(Selection.lenBins(batch))
+    if (cols.contains("source") && cols.contains("n_chars") &&
+        cols.contains("text"))
+      Some(Selection.censusBins(batch))
     else None
   }
 
@@ -504,9 +507,9 @@ object IndexStore {
   private def censusRequired(op: String, batch: DataFrame): DataFrame =
     censusOf(batch).getOrElse(throw new IllegalStateException(
       s"$op: this store is GOVERNED (mix_census channel) but the frame " +
-        "carries no (source, n_chars) columns — folding it would silently " +
-        "hole the drift timeline; carry the governance columns or build " +
-        "the store ungoverned"))
+        "carries no (source, n_chars, text) columns — folding it would " +
+        "silently hole the drift timeline; carry the governance columns " +
+        "or build the store ungoverned"))
 
   /** Persist the dedup index of `docs` under `out` (one snapshot
     * transaction; any cluster_labels / other-family channels already
@@ -1018,7 +1021,7 @@ object IndexStore {
       channelFrom(s, indexDir, prior, "mix_census")
         .filter(col("source") === anchor)
         .unionByName(
-          Selection.lenBins(batch).filter(col("source") =!= anchor)),
+          Selection.censusBins(batch).filter(col("source") =!= anchor)),
       anchor)
 
   /** [[screenAndFold]] behind the drift CIRCUIT BREAKER: batch
@@ -1042,16 +1045,22 @@ object IndexStore {
     // against — a rival landing anywhere between gate and append is a
     // detected OCC conflict, never a silently-stale verdict.
     val (base, prior) = baseRequired(indexDir)
+    // two-feature gate (round 11): a source is held when EITHER
+    // marginal's PSI trips — psi_max is the greatest of the rnd4'd
+    // per-feature values, so a content shift at constant length
+    // (q163) holds exactly like a length shift
     val rep = batchDriftVsStoreFrom(s, indexDir, prior, batch, anchor)
       .select(col("source"), col("n_docs"), col("psi_nchars"),
-        (col("psi_nchars") > maxPsi).as("held"))
-      .as[(String, Long, Double, Boolean)].collect().toSeq
-    val heldSrcs = rep.filter(_._4).map(_._1)
+        col("psi_ntokens"), col("psi_max"),
+        (col("psi_max") > maxPsi).as("held"))
+      .as[(String, Long, Double, Double, Double, Boolean)].collect().toSeq
+    val heldSrcs = rep.filter(_._6).map(_._1)
     val admitted =
       if (heldSrcs.isEmpty) batch
       else batch.filter(!col("source").isin(heldSrcs: _*))
     (screenAndFoldFrom(s, indexDir, base, prior, admitted),
-      rep.toDF("source", "n_docs", "psi_nchars", "held"))
+      rep.toDF("source", "n_docs", "psi_nchars", "psi_ntokens",
+        "psi_max", "held"))
   }
 
   // ---------------------------------------------------------------
@@ -2141,7 +2150,8 @@ object IndexStore {
     * ([[appendUnifiedGated]]). Vector-side (one-sided) folds leave the
     * census untouched: the mix being governed is the DOC mix. */
   def writeUnified(s: SparkSession, docs: DataFrame, vectors: DataFrame,
-      centroids: DataFrame, out: String, governed: Boolean = false): Unit = {
+      centroids: DataFrame, out: String, governed: Boolean = false,
+      proj: Option[(DataFrame, DataFrame)] = None): Unit = {
     require(!docs.isEmpty && !vectors.isEmpty && !centroids.isEmpty,
       "writeUnified: empty docs, vectors or centroids — a channel-less " +
         "unified store would wedge later folds; bootstrap with a " +
@@ -2159,10 +2169,35 @@ object IndexStore {
       maybeCrash("mix_census")
       "mix_census" -> Channel(relIfData(out, s"$snap/mix_census"), "", "")
     } else None
+    // optional projected-channel bootstrap: the serving pair lands in
+    // the SAME commit as the families it must cover, so no version
+    // ever exists where the IVF arm serves and the projected arm is
+    // absent-then-backfilled (and the version axis the q157 oracle
+    // replays stays the ingest timeline, not a channel-add commit)
+    val projChs = proj.map { case (units, fineVecs) =>
+      require(!units.isEmpty && !fineVecs.isEmpty,
+        "writeUnified: empty projected-units or exact-vectors frame — " +
+          "a channel-less projected route would wedge every later " +
+          "lookup; project a non-empty corpus")
+      val (k, d, fineN) = projIdentityOf("writeUnified", units, fineVecs)
+      units.select(col("vec_id"), col("label"), col("punit"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/proj_units")
+      maybeCrash("proj_units")
+      fineVecs.select(col("vec_id"), col("embd"), col("nsq"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/exact_vecs")
+      maybeCrash("exact_vecs")
+      Map(
+        "proj_units" -> Channel(relIfData(out, s"$snap/proj_units"), "", ""),
+        "exact_vecs" -> Channel(relIfData(out, s"$snap/exact_vecs"), "", ""))
+        .filter(_._2.paths.nonEmpty) ++
+        writeProjStats(s, out, snap, k, d, fineN)
+    }
     val n = vectors.count()
     commitSnap(out, snap,
       prior -- Seq("postings", "doc_lens", "stats",
-        "centroids", "cells", "vec_stats", "mix_census") ++
+        "centroids", "cells", "vec_stats", "mix_census") --
+        (if (proj.isDefined) Seq("proj_units", "exact_vecs", "proj_stats")
+         else Seq.empty) ++
         tchs.filter { case (nm, c) =>
           nm == "stats" || c.paths.exists(p => hasData(s"$out/$p")) } ++
         Map(
@@ -2170,7 +2205,8 @@ object IndexStore {
           "cells" -> Channel(relIfData(out, s"$snap/cells"), "cid", ""))
           .filter(_._2.paths.nonEmpty) ++
         censusRel.filter(_._2.paths.nonEmpty) ++
-        writeVecStats(s, out, snap, n, centroids.count(), n),
+        writeVecStats(s, out, snap, n, centroids.count(), n) ++
+        projChs.getOrElse(Map.empty),
       base)
   }
 
@@ -2371,9 +2407,10 @@ object IndexStore {
     }
     val rep = batchDriftVsStoreFrom(s, root, prior, docs, anchor)
       .select(col("source"), col("n_docs"), col("psi_nchars"),
-        (col("psi_nchars") > maxPsi).as("held"))
-      .as[(String, Long, Double, Boolean)].collect().toSeq
-    val heldSrcs = rep.filter(_._4).map(_._1)
+        col("psi_ntokens"), col("psi_max"),
+        (col("psi_max") > maxPsi).as("held"))
+      .as[(String, Long, Double, Double, Double, Boolean)].collect().toSeq
+    val heldSrcs = rep.filter(_._6).map(_._1)
     val (admittedDocs, admittedVecs, admittedRaw) =
       if (heldSrcs.isEmpty) (docs, vectors, raw)
       else {
@@ -2393,7 +2430,8 @@ object IndexStore {
       else admittedRaw
     appendUnifiedFrom(s, root, base, prior, admittedDocs, admittedVecs,
       rawEff)
-    rep.toDF("source", "n_docs", "psi_nchars", "held")
+    rep.toDF("source", "n_docs", "psi_nchars", "psi_ntokens",
+      "psi_max", "held")
   }
 
   /** The hybrid read pair from a unified store: ONE manifest

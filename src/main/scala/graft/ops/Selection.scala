@@ -140,56 +140,90 @@ object Selection {
                substr(text, if(i = 0, 0, ends[i-1]) + 1, e - if(i = 0, 0, ends[i-1])))"""))
           .as(Seq("idx", "chunk")))
 
-  /** The PSI monitor's length-distribution census: one (source, bin,
-    * n) row per populated bin — width-100 bins capped at 5 (fixed,
-    * engine-identical arithmetic, no quantile estimation). This tiny
-    * frame IS the monitor's sufficient statistic: the index store
-    * persists exactly these rows per ingest fold (`mix_census`
-    * channel), so drift is computable from the store without ever
-    * rescanning the corpus. */
+  /** The PSI monitor's length-distribution census arm: one (source,
+    * bin, n) row per populated bin — width-100 bins capped at 5
+    * (fixed, engine-identical arithmetic, no quantile estimation). */
   private[graft] def lenBins(docs: DataFrame): DataFrame =
     docs.select(col("source"),
         least(floor(col("n_chars") / 100), lit(5L)).as("bin"))
       .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("n"))
 
-  /** PSI of each non-anchor source against the `anchor` source, from
-    * census rows (source, bin, n) — additive across folds, so the
-    * input may carry one row per (source, bin) per ingest batch (the
-    * store route) or exactly one (the session route): the first agg
-    * collapses either to identical totals, and everything downstream
-    * is the same arithmetic, so store-fed drift is bit-identical to a
-    * session recomputation (SelectionSpec pins it). 0.5-smoothed
-    * proportions so empty bins contribute finite terms; contributions
-    * summed through decimal. Output: (source, n_docs, psi_nchars). */
+  /** The token-count census arm (round 11, VERDICT r10 #5): width-16
+    * bins capped at 5 over the whitespace token count — the catalog's
+    * established `split(text, " ")`/`string_split(text, ' ')` parity
+    * spelling, so DuckDB replays it exactly. A source whose LENGTH
+    * distribution holds while its CONTENT shifts (language mix,
+    * tokenization density — q163's space-squashed probe) moves here
+    * and nowhere in [[lenBins]]. */
+  private[graft] def tokBins(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        least(floor(size(split(col("text"), " ")) / 16), lit(5L)).as("bin"))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("n"))
+
+  /** The governance census: BOTH marginals' bin counts under one
+    * additive contract — (source, feature, bin, n) rows, feature ∈
+    * {n_chars, n_tokens}. This tiny frame IS the monitor's sufficient
+    * statistic: the index store persists exactly these rows per
+    * ingest fold (`mix_census` channel), so two-feature drift is
+    * computable from the store without ever rescanning the corpus —
+    * still O(sources × features × bins) per fold. */
+  private[graft] def censusBins(docs: DataFrame): DataFrame =
+    lenBins(docs).select(col("source"), lit("n_chars").as("feature"),
+        col("bin"), col("n"))
+      .unionByName(tokBins(docs).select(col("source"),
+        lit("n_tokens").as("feature"), col("bin"), col("n")))
+
+  /** PSI of each non-anchor source against the `anchor` source, per
+    * census FEATURE, from census rows (source, feature, bin, n) —
+    * additive across folds, so the input may carry one row per
+    * (source, feature, bin) per ingest batch (the store route) or
+    * exactly one (the session route): the first agg collapses either
+    * to identical totals, and everything downstream is the same
+    * arithmetic, so store-fed drift is bit-identical to a session
+    * recomputation (SelectionSpec pins it). 0.5-smoothed proportions
+    * so empty bins contribute finite terms; contributions summed
+    * through decimal, each feature's PSI rnd4'd BEFORE the max so the
+    * gate value is reproducible from the reported per-feature
+    * columns. Output: (source, n_docs, psi_nchars, psi_ntokens,
+    * psi_max) — the breaker gates on psi_max, so a shift on EITHER
+    * marginal holds the source (VERDICT r10 #5: the census was blind
+    * to content drift at constant length). */
   private[graft] def psiFromBins(binsIn: DataFrame, anchor: String): DataFrame = {
-    val bins = binsIn.groupBy(col("source"), col("bin")).agg(sum(col("n")).as("n"))
+    val bins = binsIn.groupBy(col("source"), col("feature"), col("bin"))
+      .agg(sum(col("n")).as("n"))
     val ref = bins.filter(col("source") === anchor)
-      .select(col("bin"), col("n").as("c_ref"))
+      .select(col("feature"), col("bin"), col("n").as("c_ref"))
     val refTot = bins.filter(col("source") === anchor)
-      .agg(sum(col("n")).as("n_ref"))
+      .groupBy(col("feature")).agg(sum(col("n")).as("n_ref"))
     val curCnt = bins.filter(col("source") =!= anchor)
-      .select(col("source"), col("bin"), col("n").as("c_cur"))
+      .select(col("source"), col("feature"), col("bin"), col("n").as("c_cur"))
     val curTot = bins.filter(col("source") =!= anchor)
-      .groupBy(col("source")).agg(sum(col("n")).as("n_cur"))
-    val grid = curTot.select(col("source"), col("n_cur"),
+      .groupBy(col("source"), col("feature")).agg(sum(col("n")).as("n_cur"))
+    val grid = curTot.select(col("source"), col("feature"), col("n_cur"),
         explode(sequence(lit(0L), lit(5L))).as("bin"))
-      .join(curCnt, Seq("source", "bin"), "left")
-      .join(broadcast(ref), Seq("bin"), "left")
-      .crossJoin(broadcast(refTot))
+      .join(curCnt, Seq("source", "feature", "bin"), "left")
+      .join(broadcast(ref), Seq("feature", "bin"), "left")
+      .join(broadcast(refTot), Seq("feature"))
     val pc = (coalesce(col("c_cur"), lit(0L)) + lit(0.5)) / (col("n_cur") + lit(3.0))
     val pr = (coalesce(col("c_ref"), lit(0L)) + lit(0.5)) / (col("n_ref") + lit(3.0))
-    grid.select(col("source"), col("n_cur"), ((pc - pr) * log(pc / pr)).as("term"))
+    grid.select(col("source"), col("feature"), col("n_cur"),
+        ((pc - pr) * log(pc / pr)).as("term"))
+      .groupBy(col("source"), col("feature"))
+      .agg(max(col("n_cur")).as("n_cur"),
+        rnd4(sum(col("term").cast(D)).cast("double")).as("psi"))
       .groupBy(col("source"))
       .agg(max(col("n_cur")).as("n_docs"),
-        rnd4(sum(col("term").cast(D)).cast("double")).as("psi_nchars"))
+        max(when(col("feature") === "n_chars", col("psi"))).as("psi_nchars"),
+        max(when(col("feature") === "n_tokens", col("psi"))).as("psi_ntokens"))
+      .withColumn("psi_max", greatest(col("psi_nchars"), col("psi_ntokens")))
       .orderBy(col("source"))
   }
 
-  /** PSI of each non-anchor source's doc-length distribution against
-    * the `anchor` source, over (source, n_chars) rows — the session
+  /** Per-feature PSI of each non-anchor source against the `anchor`
+    * source, over (source, n_chars, text) rows — the session
     * (one-shot) route: census + PSI in one plan. */
   private[graft] def psiBySource(docsIn: DataFrame, anchor: String): DataFrame =
-    psiFromBins(lenBins(docsIn), anchor)
+    psiFromBins(censusBins(docsIn), anchor)
 
   /** Once-per-JVM GOVERNED dedup store built as a 3-fold ingest
     * timeline (doc_id % 3 slices, q143's slicing): the initial write
@@ -264,16 +298,20 @@ object Selection {
       })
     }
 
-  /** The gated unified fixture's hold line. 0.5, not the production
+  /** The gated unified fixture's hold line. 1.0, not the production
     * default 0.25, because the fixture must also exhibit RECOVERY
     * (q162): the recovered tick's probe_shift rows are a corpus-mix
-    * sample at real lengths, and a mixed-source clone measures
-    * 0.03–0.48 against the src0 anchor across the shipped SFs (q156
-    * measured ~0.29 — real mix heterogeneity, not noise), while the
-    * +480 five-bin shift measures 4–6. The 0.5 line separates the two
-    * at every SF; the breaker's semantics don't depend on where the
-    * line sits, and the oracle replays the same 0.5. */
-  private[graft] val GatedUnifiedMaxPsi = 0.5
+    * sample at real lengths, and under the TWO-FEATURE max gate
+    * (round 11) a mixed-source clone's worst per-feature PSI measures
+    * 0.03–0.70 against the src0 anchor across the shipped SFs
+    * (n_chars up to 0.48; the n_tokens marginal's small-sample draw
+    * reaches 0.6985 at sf0.01 — measured via the oracle replay, both
+    * features), while the engineered +480 five-bin shift measures
+    * 4–6 on n_chars. The 1.0 line separates the two at every SF with
+    * ≥1.4× margin on the pass side and ≥4× on the hold side; the
+    * breaker's semantics don't depend on where the line sits, and the
+    * oracle replays the same 1.0. */
+  private[graft] val GatedUnifiedMaxPsi = 1.0
 
   /** Once-per-JVM governed UNIFIED store whose history is a full
     * hold → RECOVER breaker cycle (q161 reads the final census, q162
@@ -500,29 +538,10 @@ object Selection {
     // (same division of labor as q110's adaptive quality gate). ----
     "q149_psi_drift" -> Q(
       (s, dir) => psiBySource(table(s, dir, "documents"), "src0"),
-      Some(s"""WITH docs AS (SELECT doc_id, source,
-                 least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin FROM documents),
-        ref AS (SELECT bin, count(*) AS c_ref FROM docs WHERE source = 'src0' GROUP BY 1),
-        ref_tot AS (SELECT count(*) AS n_ref FROM docs WHERE source = 'src0'),
-        cur_cnt AS (SELECT source, bin, count(*) AS c_cur FROM docs
-                    WHERE source <> 'src0' GROUP BY 1, 2),
-        cur_tot AS (SELECT source, count(*) AS n_cur FROM docs
-                    WHERE source <> 'src0' GROUP BY 1),
-        grid AS (SELECT t.source, t.n_cur, g.bin, c.c_cur, r.c_ref, rt.n_ref
-          FROM cur_tot t
-          CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bin) g
-          LEFT JOIN cur_cnt c ON c.source = t.source AND c.bin = g.bin
-          LEFT JOIN ref r ON r.bin = g.bin
-          CROSS JOIN ref_tot rt),
-        terms AS (SELECT source, n_cur,
-            ((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0)
-             - (coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))
-            * ln(((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0))
-                 / ((coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))) AS term
-          FROM grid)
-        SELECT source, max(n_cur) AS n_docs,
-          ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")} AS psi_nchars
-        FROM terms GROUP BY source ORDER BY source""")),
+      Some(s"""WITH fa AS (${oFeatRows("documents", "source = 'src0'")}),
+        fc AS (${oFeatRows("documents", "source <> 'src0'")}),
+        ${oFeatPsi("fc", "fa", "q_")}
+        ${oPsiPivot("q_feat")} ORDER BY source""")),
 
     // ---- content-defined chunking + chunk-hash dedup accounting:
     // Rabin-style boundaries spelled engine-portably — position i ends
@@ -587,41 +606,21 @@ object Selection {
         val idx = governedStore(s, dir)
         IndexStore.history(idx).zipWithIndex.map { case (snap, i) =>
           IndexStore.driftFromStoreAt(s, idx, snap, "src0")
-            .select(lit(i + 1).as("version"), col("source"),
-              col("n_docs"), col("psi_nchars"))
+            .select(lit(i + 1).as("version"), col("source"), col("n_docs"),
+              col("psi_nchars"), col("psi_ntokens"), col("psi_max"))
         }.reduce(_ unionByName _).orderBy(col("version"), col("source"))
       },
-      Some(s"""WITH d AS (SELECT doc_id % 3 AS s, source,
-                 least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin
+      Some(s"""WITH d AS (SELECT doc_id % 3 AS s, source, n_chars, text
                FROM documents),
         sl AS (SELECT s, CAST(row_number() OVER (ORDER BY s) AS INT) AS version
                FROM (SELECT DISTINCT s FROM d) t),
-        dv AS (SELECT d.source, d.bin, sl.version AS dver FROM d JOIN sl ON d.s = sl.s),
-        cum AS (SELECT v.version, dv.source, dv.bin, count(*) AS n
-                FROM sl v JOIN dv ON dv.dver <= v.version
-                GROUP BY 1, 2, 3),
-        ref AS (SELECT version, bin, n AS c_ref FROM cum WHERE source = 'src0'),
-        ref_tot AS (SELECT version, sum(n) AS n_ref FROM cum
-                    WHERE source = 'src0' GROUP BY 1),
-        cur_tot AS (SELECT version, source, sum(n) AS n_cur FROM cum
-                    WHERE source <> 'src0' GROUP BY 1, 2),
-        grid AS (SELECT t.version, t.source, t.n_cur, g.bin,
-                   c.n AS c_cur, r.c_ref, rt.n_ref
-          FROM cur_tot t
-          CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bin) g
-          LEFT JOIN cum c ON c.version = t.version AND c.source = t.source
-                         AND c.bin = g.bin
-          LEFT JOIN ref r ON r.version = t.version AND r.bin = g.bin
-          JOIN ref_tot rt ON rt.version = t.version),
-        terms AS (SELECT version, source, n_cur,
-            ((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0)
-             - (coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))
-            * ln(((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0))
-                 / ((coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))) AS term
-          FROM grid)
-        SELECT version, source, CAST(max(n_cur) AS BIGINT) AS n_docs,
-          ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")} AS psi_nchars
-        FROM terms GROUP BY 1, 2 ORDER BY version, source""")),
+        cum AS (SELECT v.version, d.source, d.n_chars, d.text
+                FROM sl v JOIN sl dv ON dv.version <= v.version
+                JOIN d ON d.s = dv.s),
+        fa AS (${oFeatRowsV("cum", "source = 'src0'")}),
+        fc AS (${oFeatRowsV("cum", "source <> 'src0'")}),
+        ${oFeatPsiV("fc", "fa", "q_")}
+        ${oPsiPivotV("q_feat")} ORDER BY version, source""")),
 
     // ---- the drift CIRCUIT BREAKER's report, oracle-checked: PSI of
     // an incoming batch against the GOVERNED STORE's anchor census
@@ -646,46 +645,29 @@ object Selection {
         val docs = table(s, dir, "documents")
         val batch = docs.filter(col("doc_id") % 5 === 0)
           .select(col("doc_id"), lit("probe_shift").as("source"),
-            (col("n_chars") + 480).as("n_chars"))
+            (col("n_chars") + 480).as("n_chars"), col("text"))
           .unionByName(docs
             .filter(col("doc_id") % 40 === 0 && col("source") === "src0")
             .select(col("doc_id"), lit("probe_clone").as("source"),
-              col("n_chars")))
+              col("n_chars"), col("text")))
         IndexStore.batchDriftVsStore(s, idx, batch, "src0")
           .select(col("source"), col("n_docs"), col("psi_nchars"),
-            (col("psi_nchars") > 0.25).as("held"))
+            col("psi_ntokens"), col("psi_max"),
+            (col("psi_max") > 0.25).as("held"))
           .orderBy(col("source"))
       },
       Some(s"""WITH batch AS (
-          SELECT 'probe_shift' AS source,
-            least(CAST(floor((n_chars + 480) / 100) AS BIGINT), 5) AS bin
+          SELECT 'probe_shift' AS source, n_chars + 480 AS n_chars, text
           FROM documents WHERE doc_id % 5 = 0
           UNION ALL
-          SELECT 'probe_clone' AS source,
-            least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin
+          SELECT 'probe_clone', n_chars, text
           FROM documents WHERE doc_id % 40 = 0 AND source = 'src0'),
-        ref AS (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin,
-                  count(*) AS c_ref
-                FROM documents WHERE source = 'src0' GROUP BY 1),
-        ref_tot AS (SELECT count(*) AS n_ref FROM documents WHERE source = 'src0'),
-        cur_cnt AS (SELECT source, bin, count(*) AS c_cur FROM batch GROUP BY 1, 2),
-        cur_tot AS (SELECT source, count(*) AS n_cur FROM batch GROUP BY 1),
-        grid AS (SELECT t.source, t.n_cur, g.bin, c.c_cur, r.c_ref, rt.n_ref
-          FROM cur_tot t
-          CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bin) g
-          LEFT JOIN cur_cnt c ON c.source = t.source AND c.bin = g.bin
-          LEFT JOIN ref r ON r.bin = g.bin
-          CROSS JOIN ref_tot rt),
-        terms AS (SELECT source, n_cur,
-            ((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0)
-             - (coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))
-            * ln(((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0))
-                 / ((coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))) AS term
-          FROM grid),
-        rep AS (SELECT source, max(n_cur) AS n_docs,
-            ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")} AS psi_nchars
-          FROM terms GROUP BY source)
-        SELECT source, n_docs, psi_nchars, psi_nchars > 0.25 AS held
+        fa AS (${oFeatRows("documents", "source = 'src0'")}),
+        fc AS (${oFeatRows("batch")}),
+        ${oFeatPsi("fc", "fa", "q_")},
+        rep AS (${oPsiPivot("q_feat")})
+        SELECT source, n_docs, psi_nchars, psi_ntokens, psi_max,
+          psi_max > 0.25 AS held
         FROM rep ORDER BY source""")),
 
     // ---- drift timeline of the UNIFIED text+vector store (q157):
@@ -708,41 +690,21 @@ object Selection {
         val idx = Similarity.unifiedStore(s, dir)
         IndexStore.history(idx).zipWithIndex.map { case (snap, i) =>
           IndexStore.driftFromStoreAt(s, idx, snap, "src0")
-            .select(lit(i + 1).as("version"), col("source"),
-              col("n_docs"), col("psi_nchars"))
+            .select(lit(i + 1).as("version"), col("source"), col("n_docs"),
+              col("psi_nchars"), col("psi_ntokens"), col("psi_max"))
         }.reduce(_ unionByName _).orderBy(col("version"), col("source"))
       },
-      Some(s"""WITH d AS (SELECT doc_id % 3 AS s, source,
-                 least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin
+      Some(s"""WITH d AS (SELECT doc_id % 3 AS s, source, n_chars, text
                FROM documents),
         sl AS (SELECT s, CAST(row_number() OVER (ORDER BY s) AS INT) AS version
                FROM (SELECT DISTINCT s FROM d) t),
-        dv AS (SELECT d.source, d.bin, sl.version AS dver FROM d JOIN sl ON d.s = sl.s),
-        cum AS (SELECT v.version, dv.source, dv.bin, count(*) AS n
-                FROM sl v JOIN dv ON dv.dver <= v.version
-                GROUP BY 1, 2, 3),
-        ref AS (SELECT version, bin, n AS c_ref FROM cum WHERE source = 'src0'),
-        ref_tot AS (SELECT version, sum(n) AS n_ref FROM cum
-                    WHERE source = 'src0' GROUP BY 1),
-        cur_tot AS (SELECT version, source, sum(n) AS n_cur FROM cum
-                    WHERE source <> 'src0' GROUP BY 1, 2),
-        grid AS (SELECT t.version, t.source, t.n_cur, g.bin,
-                   c.n AS c_cur, r.c_ref, rt.n_ref
-          FROM cur_tot t
-          CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bin) g
-          LEFT JOIN cum c ON c.version = t.version AND c.source = t.source
-                         AND c.bin = g.bin
-          LEFT JOIN ref r ON r.version = t.version AND r.bin = g.bin
-          JOIN ref_tot rt ON rt.version = t.version),
-        terms AS (SELECT version, source, n_cur,
-            ((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0)
-             - (coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))
-            * ln(((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0))
-                 / ((coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))) AS term
-          FROM grid)
-        SELECT version, source, CAST(max(n_cur) AS BIGINT) AS n_docs,
-          ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")} AS psi_nchars
-        FROM terms GROUP BY 1, 2 ORDER BY version, source""")),
+        cum AS (SELECT v.version, d.source, d.n_chars, d.text
+                FROM sl v JOIN sl dv ON dv.version <= v.version
+                JOIN d ON d.s = dv.s),
+        fa AS (${oFeatRowsV("cum", "source = 'src0'")}),
+        fc AS (${oFeatRowsV("cum", "source <> 'src0'")}),
+        ${oFeatPsiV("fc", "fa", "q_")}
+        ${oPsiPivotV("q_feat")} ORDER BY version, source""")),
 
     // ---- the circuit breaker's STORE effect, oracle-checked (q158;
     // VERDICT r8 next #6): q156 put the gate's REPORT under the
@@ -765,64 +727,28 @@ object Selection {
         val idx = gatedHoldStore(s, dir)
         IndexStore.driftFromStore(s, idx, "src0")
       },
-      Some(s"""WITH evens AS (SELECT source, n_chars FROM documents
-                 WHERE doc_id % 2 = 0),
+      Some(s"""WITH evens AS (SELECT source, n_chars,
+                   md5(CAST(doc_id AS VARCHAR)) AS text
+                 FROM documents WHERE doc_id % 2 = 0),
         odds AS (SELECT CASE WHEN doc_id % 10 = 1 THEN 'probe_shift'
                              ELSE source END AS source,
                         CASE WHEN doc_id % 10 = 1 THEN n_chars + 480
-                             ELSE n_chars END AS n_chars
+                             ELSE n_chars END AS n_chars,
+                        md5(CAST(doc_id AS VARCHAR)) AS text
                  FROM documents WHERE doc_id % 2 = 1),
-        aref AS (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin,
-                   count(*) AS c_ref
-                 FROM evens WHERE source = 'src0' GROUP BY 1),
-        aref_tot AS (SELECT count(*) AS n_ref FROM evens WHERE source = 'src0'),
-        bb AS (SELECT source, least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin
-               FROM odds WHERE source <> 'src0'),
-        bc AS (SELECT source, bin, count(*) AS c_cur FROM bb GROUP BY 1, 2),
-        bt AS (SELECT source, count(*) AS n_cur FROM bb GROUP BY 1),
-        bgrid AS (SELECT t.source, t.n_cur, g.bin, c.c_cur, r.c_ref, rt.n_ref
-          FROM bt t
-          CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bin) g
-          LEFT JOIN bc c ON c.source = t.source AND c.bin = g.bin
-          LEFT JOIN aref r ON r.bin = g.bin
-          CROSS JOIN aref_tot rt),
-        bterms AS (SELECT source, n_cur,
-            ((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0)
-             - (coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))
-            * ln(((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0))
-                 / ((coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))) AS term
-          FROM bgrid),
-        held AS (SELECT source FROM bterms GROUP BY source
-                 HAVING ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")} > 0.25),
-        folded AS (SELECT source, n_chars FROM evens
+        aref AS (${oFeatRows("evens", "source = 'src0'")}),
+        bb AS (${oFeatRows("odds", "source <> 'src0'")}),
+        ${oFeatPsi("bb", "aref", "b_")},
+        held AS (SELECT source FROM b_feat GROUP BY source
+                 HAVING max(psi) > 0.25),
+        folded AS (SELECT source, n_chars, text FROM evens
                    UNION ALL
-                   SELECT source, n_chars FROM odds
+                   SELECT source, n_chars, text FROM odds
                    WHERE source NOT IN (SELECT source FROM held)),
-        f AS (SELECT source,
-                least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin
-              FROM folded),
-        ref AS (SELECT bin, count(*) AS c_ref FROM f
-                WHERE source = 'src0' GROUP BY 1),
-        ref_tot AS (SELECT count(*) AS n_ref FROM f WHERE source = 'src0'),
-        cur_cnt AS (SELECT source, bin, count(*) AS c_cur FROM f
-                    WHERE source <> 'src0' GROUP BY 1, 2),
-        cur_tot AS (SELECT source, count(*) AS n_cur FROM f
-                    WHERE source <> 'src0' GROUP BY 1),
-        grid AS (SELECT t.source, t.n_cur, g.bin, c.c_cur, r.c_ref, rt.n_ref
-          FROM cur_tot t
-          CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bin) g
-          LEFT JOIN cur_cnt c ON c.source = t.source AND c.bin = g.bin
-          LEFT JOIN ref r ON r.bin = g.bin
-          CROSS JOIN ref_tot rt),
-        terms AS (SELECT source, n_cur,
-            ((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0)
-             - (coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))
-            * ln(((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0))
-                 / ((coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))) AS term
-          FROM grid)
-        SELECT source, CAST(max(n_cur) AS BIGINT) AS n_docs,
-          ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")} AS psi_nchars
-        FROM terms GROUP BY source ORDER BY source""")),
+        fa AS (${oFeatRows("folded", "source = 'src0'")}),
+        fc AS (${oFeatRows("folded", "source <> 'src0'")}),
+        ${oFeatPsi("fc", "fa", "q_")}
+        ${oPsiPivot("q_feat")} ORDER BY source""")),
 
     // ---- the UNIFIED breaker's store effect, oracle-checked (q161):
     // q158 proved the dedup-family gate's state change against raw
@@ -844,26 +770,10 @@ object Selection {
         IndexStore.driftFromStore(s, idx, "src0")
       },
       Some(s"""WITH $oGatedUniCensus,
-        f AS (SELECT source,
-                least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin
-              FROM c2),
-        ref AS (SELECT bin, count(*) AS c_ref FROM f
-                WHERE source = 'src0' GROUP BY 1),
-        ref_tot AS (SELECT count(*) AS n_ref FROM f WHERE source = 'src0'),
-        cur_cnt AS (SELECT source, bin, count(*) AS c_cur FROM f
-                    WHERE source <> 'src0' GROUP BY 1, 2),
-        cur_tot AS (SELECT source, count(*) AS n_cur FROM f
-                    WHERE source <> 'src0' GROUP BY 1),
-        grid AS (SELECT t.source, t.n_cur, g.bin, c.c_cur, r.c_ref, rt.n_ref
-          FROM cur_tot t
-          CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bin) g
-          LEFT JOIN cur_cnt c ON c.source = t.source AND c.bin = g.bin
-          LEFT JOIN ref r ON r.bin = g.bin
-          CROSS JOIN ref_tot rt),
-        terms AS ($oPsiTerm FROM grid)
-        SELECT source, CAST(max(n_cur) AS BIGINT) AS n_docs,
-          ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")} AS psi_nchars
-        FROM terms GROUP BY source ORDER BY source""")),
+        fa AS (${oFeatRows("c2", "source = 'src0'")}),
+        fc AS (${oFeatRows("c2", "source <> 'src0'")}),
+        ${oFeatPsi("fc", "fa", "q_")}
+        ${oPsiPivot("q_feat")} ORDER BY source""")),
 
     // ---- the breaker's full hold → RECOVER cycle under the oracle
     // (q162; VERDICT r9 #7): q161 proves the terminal census; this
@@ -883,102 +793,214 @@ object Selection {
         val idx = gatedUnifiedStore(s, dir)
         IndexStore.history(idx).zipWithIndex.map { case (snap, i) =>
           IndexStore.driftFromStoreAt(s, idx, snap, "src0")
-            .select(lit(i + 1).as("version"), col("source"),
-              col("n_docs"), col("psi_nchars"))
+            .select(lit(i + 1).as("version"), col("source"), col("n_docs"),
+              col("psi_nchars"), col("psi_ntokens"), col("psi_max"))
         }.reduce(_ unionByName _).orderBy(col("version"), col("source"))
       },
       Some(s"""WITH $oGatedUniCensus,
-        cen AS (SELECT CAST(1 AS INT) AS version, source, n_chars FROM evens
-                UNION ALL SELECT CAST(2 AS INT), source, n_chars FROM c1
-                UNION ALL SELECT CAST(3 AS INT), source, n_chars FROM c2),
-        fb AS (SELECT version, source,
-                 least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin
-               FROM cen),
-        ref AS (SELECT version, bin, count(*) AS c_ref FROM fb
-                WHERE source = 'src0' GROUP BY 1, 2),
-        ref_tot AS (SELECT version, count(*) AS n_ref FROM fb
-                    WHERE source = 'src0' GROUP BY 1),
-        cur_cnt AS (SELECT version, source, bin, count(*) AS c_cur FROM fb
-                    WHERE source <> 'src0' GROUP BY 1, 2, 3),
-        cur_tot AS (SELECT version, source, count(*) AS n_cur FROM fb
-                    WHERE source <> 'src0' GROUP BY 1, 2),
-        grid AS (SELECT t.version, t.source, t.n_cur, g.bin,
-                   c.c_cur, r.c_ref, rt.n_ref
-          FROM cur_tot t
-          CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bin) g
-          LEFT JOIN cur_cnt c ON c.version = t.version
-                             AND c.source = t.source AND c.bin = g.bin
-          LEFT JOIN ref r ON r.version = t.version AND r.bin = g.bin
-          JOIN ref_tot rt ON rt.version = t.version),
-        terms AS (SELECT version, $oPsiBody FROM grid)
-        SELECT version, source, CAST(max(n_cur) AS BIGINT) AS n_docs,
-          ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")} AS psi_nchars
-        FROM terms GROUP BY 1, 2 ORDER BY version, source"""))
+        cen AS (SELECT CAST(1 AS INT) AS version, source, n_chars, text FROM evens
+                UNION ALL SELECT CAST(2 AS INT), source, n_chars, text FROM c1
+                UNION ALL SELECT CAST(3 AS INT), source, n_chars, text FROM c2),
+        fa AS (${oFeatRowsV("cen", "source = 'src0'")}),
+        fc AS (${oFeatRowsV("cen", "source <> 'src0'")}),
+        ${oFeatPsiV("fc", "fa", "q_")}
+        ${oPsiPivotV("q_feat")} ORDER BY version, source""")),
+
+    // ---- the gate the round-10 census was BLIND to, oracle-checked
+    // (q163; VERDICT r10 #5): a source whose LENGTH distribution
+    // matches the anchor while its CONTENT shifts — the probe is the
+    // anchor's own % 40 == 0 rows with every space squashed to '.'
+    // (replace preserves n_chars EXACTLY, so the length marginal sees
+    // a clone: psi_nchars 0.02–0.08 across shipped SFs) but the
+    // whitespace token count collapses to 1 per doc (token bin 0 vs
+    // the anchor's spread: psi_ntokens 3.3–6.1, measured) — HELD by
+    // the two-feature max gate that a length-only census waves
+    // through. probe_clone (the same rows unsquashed) passes BOTH
+    // marginals — the widened gate does not false-positive on the
+    // reference distribution itself. Read-only report against the
+    // governed store's census (q156's idempotent-monitor shape);
+    // DuckDB recomputes censuses, both PSIs and the verdict from raw
+    // documents. ----
+    "q163_content_shift_gate" -> Q(
+      (s, dir) => {
+        val idx = governedStore(s, dir)
+        val docs = table(s, dir, "documents")
+          .filter(col("doc_id") % 40 === 0 && col("source") === "src0")
+        val batch = docs
+          .select(col("doc_id"), lit("probe_squash").as("source"),
+            col("n_chars"), translate(col("text"), " ", ".").as("text"))
+          .unionByName(docs
+            .select(col("doc_id"), lit("probe_clone").as("source"),
+              col("n_chars"), col("text")))
+        IndexStore.batchDriftVsStore(s, idx, batch, "src0")
+          .select(col("source"), col("n_docs"), col("psi_nchars"),
+            col("psi_ntokens"), col("psi_max"),
+            (col("psi_max") > 0.25).as("held"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH batch AS (
+          SELECT 'probe_squash' AS source, n_chars,
+            replace(text, ' ', '.') AS text
+          FROM documents WHERE doc_id % 40 = 0 AND source = 'src0'
+          UNION ALL
+          SELECT 'probe_clone', n_chars, text
+          FROM documents WHERE doc_id % 40 = 0 AND source = 'src0'),
+        fa AS (${oFeatRows("documents", "source = 'src0'")}),
+        fc AS (${oFeatRows("batch")}),
+        ${oFeatPsi("fc", "fa", "q_")},
+        rep AS (${oPsiPivot("q_feat")})
+        SELECT source, n_docs, psi_nchars, psi_ntokens, psi_max,
+          psi_max > 0.25 AS held
+        FROM rep ORDER BY source"""))
   )
 
   /** The smoothed PSI term over a verdict/census grid row — the exact
-    * [[psiFromBins]] arithmetic, shared by every gated-fixture oracle
-    * so the replay cannot drift from itself across queries. */
-  private lazy val oPsiBody: String =
-    """source, n_cur,
-        ((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0)
+    * [[psiFromBins]] arithmetic, shared by every governance oracle so
+    * the replay cannot drift from itself across queries. */
+  private lazy val oPsiExpr: String =
+    """((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0)
          - (coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))
         * ln(((coalesce(c_cur, 0) + 0.5) / (n_cur + 3.0))
-             / ((coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0))) AS term"""
-  private lazy val oPsiTerm: String = s"SELECT $oPsiBody"
+             / ((coalesce(c_ref, 0) + 0.5) / (n_ref + 3.0)))"""
 
-  /** One gate VERDICT replay as a CTE chain: PSI of batch `b`
-    * (source, bin rows) against reference `ref`/`refTot`, sources over
-    * [[GatedUnifiedMaxPsi]] emitted as CTE `out`. */
-  private def oVerdict(b: String, ref: String, refTot: String,
-      out: String): String = s"""
-    ${out}_cnt AS (SELECT source, bin, count(*) AS c_cur FROM $b GROUP BY 1, 2),
-    ${out}_tot AS (SELECT source, count(*) AS n_cur FROM $b GROUP BY 1),
-    ${out}_grid AS (SELECT t.source, t.n_cur, g.bin, c.c_cur, r.c_ref, rt.n_ref
-      FROM ${out}_tot t
+  /** The per-feature rnd4'd PSI (matching [[psiFromBins]]' pre-max
+    * rounding). */
+  private lazy val oPsiAgg: String =
+    oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")
+
+  /** Two-feature census bin rows of a (source, n_chars, text)-shaped
+    * relation — one row per doc per feature, the [[censusBins]]
+    * spelling (n_tokens via the catalog's established
+    * string_split(text, ' ') parity). `where` optionally restricts the
+    * relation. */
+  private def oFeatRows(rel: String, where: String = ""): String = {
+    val w = if (where.isEmpty) "" else s" WHERE $where"
+    s"""SELECT source, 'n_chars' AS feature,
+          least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin FROM $rel$w
+        UNION ALL
+        SELECT source, 'n_tokens',
+          least(CAST(floor(len(string_split(text, ' ')) / 16) AS BIGINT), 5)
+        FROM $rel$w"""
+  }
+
+  /** Per-feature PSI chain over census-row CTEs: `cur` carries the
+    * non-anchor rows (source, feature, bin), `ref` the anchor's rows
+    * (feature, bin). Emits CTEs `${p}grid`/`${p}terms`/`${p}feat`,
+    * where `${p}feat` = (source, feature, n_cur, psi[rnd4]). */
+  private def oFeatPsi(cur: String, ref: String, p: String): String = s"""
+    ${p}ref AS (SELECT feature, bin, count(*) AS c_ref FROM $ref GROUP BY 1, 2),
+    ${p}rt AS (SELECT feature, count(*) AS n_ref FROM $ref GROUP BY 1),
+    ${p}cc AS (SELECT source, feature, bin, count(*) AS c_cur FROM $cur
+               GROUP BY 1, 2, 3),
+    ${p}ct AS (SELECT source, feature, count(*) AS n_cur FROM $cur
+               GROUP BY 1, 2),
+    ${p}grid AS (SELECT t.source, t.feature, t.n_cur, g.bin,
+                   c.c_cur, r.c_ref, rt.n_ref
+      FROM ${p}ct t
       CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bin) g
-      LEFT JOIN ${out}_cnt c ON c.source = t.source AND c.bin = g.bin
-      LEFT JOIN $ref r ON r.bin = g.bin
-      CROSS JOIN $refTot rt),
-    ${out}_terms AS ($oPsiTerm FROM ${out}_grid),
-    $out AS (SELECT source FROM ${out}_terms GROUP BY source
-             HAVING ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")}
-               > $GatedUnifiedMaxPsi)"""
+      LEFT JOIN ${p}cc c ON c.source = t.source AND c.feature = t.feature
+                        AND c.bin = g.bin
+      LEFT JOIN ${p}ref r ON r.feature = t.feature AND r.bin = g.bin
+      JOIN ${p}rt rt ON rt.feature = t.feature),
+    ${p}terms AS (SELECT source, feature, n_cur, $oPsiExpr AS term
+                  FROM ${p}grid),
+    ${p}feat AS (SELECT source, feature, max(n_cur) AS n_cur,
+        $oPsiAgg AS psi
+      FROM ${p}terms GROUP BY 1, 2)"""
+
+  /** The report pivot over a `${p}feat` CTE — per-source n_docs +
+    * per-feature psi columns + the max gate value ([[psiFromBins]]'
+    * output shape). */
+  private def oPsiPivot(feat: String): String = s"""
+    SELECT source, CAST(max(n_cur) AS BIGINT) AS n_docs,
+      max(CASE WHEN feature = 'n_chars' THEN psi END) AS psi_nchars,
+      max(CASE WHEN feature = 'n_tokens' THEN psi END) AS psi_ntokens,
+      greatest(max(CASE WHEN feature = 'n_chars' THEN psi END),
+               max(CASE WHEN feature = 'n_tokens' THEN psi END)) AS psi_max
+    FROM $feat GROUP BY source"""
+
+  /** [[oFeatRows]] with a `version` column threaded through — for the
+    * timeline oracles' cumulative censuses. */
+  private def oFeatRowsV(rel: String, where: String = ""): String = {
+    val w = if (where.isEmpty) "" else s" WHERE $where"
+    s"""SELECT version, source, 'n_chars' AS feature,
+          least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin FROM $rel$w
+        UNION ALL
+        SELECT version, source, 'n_tokens',
+          least(CAST(floor(len(string_split(text, ' ')) / 16) AS BIGINT), 5)
+        FROM $rel$w"""
+  }
+
+  /** [[oFeatPsi]] with the version axis threaded through every CTE —
+    * `${p}feat` = (version, source, feature, n_cur, psi[rnd4]). */
+  private def oFeatPsiV(cur: String, ref: String, p: String): String = s"""
+    ${p}ref AS (SELECT version, feature, bin, count(*) AS c_ref FROM $ref
+                GROUP BY 1, 2, 3),
+    ${p}rt AS (SELECT version, feature, count(*) AS n_ref FROM $ref
+               GROUP BY 1, 2),
+    ${p}cc AS (SELECT version, source, feature, bin, count(*) AS c_cur
+               FROM $cur GROUP BY 1, 2, 3, 4),
+    ${p}ct AS (SELECT version, source, feature, count(*) AS n_cur
+               FROM $cur GROUP BY 1, 2, 3),
+    ${p}grid AS (SELECT t.version, t.source, t.feature, t.n_cur, g.bin,
+                   c.c_cur, r.c_ref, rt.n_ref
+      FROM ${p}ct t
+      CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS bin) g
+      LEFT JOIN ${p}cc c ON c.version = t.version AND c.source = t.source
+                        AND c.feature = t.feature AND c.bin = g.bin
+      LEFT JOIN ${p}ref r ON r.version = t.version AND r.feature = t.feature
+                         AND r.bin = g.bin
+      JOIN ${p}rt rt ON rt.version = t.version AND rt.feature = t.feature),
+    ${p}terms AS (SELECT version, source, feature, n_cur, $oPsiExpr AS term
+                  FROM ${p}grid),
+    ${p}feat AS (SELECT version, source, feature, max(n_cur) AS n_cur,
+        $oPsiAgg AS psi
+      FROM ${p}terms GROUP BY 1, 2, 3)"""
+
+  /** The versioned report pivot over a `${p}feat` CTE. */
+  private def oPsiPivotV(feat: String): String = s"""
+    SELECT version, source, CAST(max(n_cur) AS BIGINT) AS n_docs,
+      max(CASE WHEN feature = 'n_chars' THEN psi END) AS psi_nchars,
+      max(CASE WHEN feature = 'n_tokens' THEN psi END) AS psi_ntokens,
+      greatest(max(CASE WHEN feature = 'n_chars' THEN psi END),
+               max(CASE WHEN feature = 'n_tokens' THEN psi END)) AS psi_max
+    FROM $feat GROUP BY 1, 2"""
+
+  /** One gate VERDICT replay: the [[oFeatPsi]] chain plus the held
+    * set — sources whose MAX per-feature PSI crosses
+    * [[GatedUnifiedMaxPsi]] — as CTE `out`. */
+  private def oVerdict(cur: String, ref: String, out: String): String = s"""
+    ${oFeatPsi(cur, ref, s"${out}_")},
+    $out AS (SELECT source FROM ${out}_feat GROUP BY source
+             HAVING max(psi) > $GatedUnifiedMaxPsi)"""
 
   /** The [[gatedUnifiedStore]] replay every gated-unified oracle
-    * shares: both fold constructions, both gate verdicts (fold 2's
+    * shares: both fold constructions (carrying text — the token
+    * marginal bins over it), both two-feature gate verdicts (fold 2's
     * against the census fold 1 committed), and the cumulative
     * censuses `c1` (post-hold) and `c2` (post-recovery). */
   private lazy val oGatedUniCensus: String = s"""
-    evens AS (SELECT source, n_chars FROM documents WHERE doc_id % 2 = 0),
+    evens AS (SELECT source, n_chars, text FROM documents WHERE doc_id % 2 = 0),
     f1 AS (SELECT CASE WHEN doc_id % 10 = 1 THEN 'probe_shift'
                        ELSE source END AS source,
                   CASE WHEN doc_id % 10 = 1 THEN n_chars + 480
-                       ELSE n_chars END AS n_chars
+                       ELSE n_chars END AS n_chars, text
            FROM documents WHERE doc_id % 4 = 1),
     f2 AS (SELECT CASE WHEN doc_id % 10 = 1 THEN 'probe_shift'
-                       ELSE source END AS source, n_chars
+                       ELSE source END AS source, n_chars, text
            FROM documents WHERE doc_id % 4 = 3),
-    a1 AS (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin,
-             count(*) AS c_ref
-           FROM evens WHERE source = 'src0' GROUP BY 1),
-    a1_tot AS (SELECT count(*) AS n_ref FROM evens WHERE source = 'src0'),
-    b1 AS (SELECT source, least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin
-           FROM f1 WHERE source <> 'src0'),
-    ${oVerdict("b1", "a1", "a1_tot", "held1")},
-    c1 AS (SELECT source, n_chars FROM evens
+    a1 AS (${oFeatRows("evens", "source = 'src0'")}),
+    b1 AS (${oFeatRows("f1", "source <> 'src0'")}),
+    ${oVerdict("b1", "a1", "held1")},
+    c1 AS (SELECT source, n_chars, text FROM evens
            UNION ALL
-           SELECT source, n_chars FROM f1
+           SELECT source, n_chars, text FROM f1
            WHERE source NOT IN (SELECT source FROM held1)),
-    a2 AS (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin,
-             count(*) AS c_ref
-           FROM c1 WHERE source = 'src0' GROUP BY 1),
-    a2_tot AS (SELECT count(*) AS n_ref FROM c1 WHERE source = 'src0'),
-    b2 AS (SELECT source, least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin
-           FROM f2 WHERE source <> 'src0'),
-    ${oVerdict("b2", "a2", "a2_tot", "held2")},
-    c2 AS (SELECT source, n_chars FROM c1
+    a2 AS (${oFeatRows("c1", "source = 'src0'")}),
+    b2 AS (${oFeatRows("f2", "source <> 'src0'")}),
+    ${oVerdict("b2", "a2", "held2")},
+    c2 AS (SELECT source, n_chars, text FROM c1
            UNION ALL
-           SELECT source, n_chars FROM f2
+           SELECT source, n_chars, text FROM f2
            WHERE source NOT IN (SELECT source FROM held2))"""
 }

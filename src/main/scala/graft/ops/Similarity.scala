@@ -1453,17 +1453,18 @@ object Similarity {
         val docs = table(s, dir, "documents")
         val vecs = normalized(s, dir)
         val raw = table(s, dir, "embeddings")
-        IndexStore.writeUnified(s, docs.filter(col("doc_id") % 3 === 0),
-          vecs.filter(col("vec_id") % 3 === 0), ivfCentroids(s, dir), idx,
-          governed = true)
         // the projected-ANN channels ride the single-pointer store too
-        // (q164's interchangeable arms): bootstrap slice projected here,
+        // (q164's interchangeable arms): bootstrap slice projected
+        // INSIDE the bootstrap commit (no channel-add version — the
+        // q157 oracle's version axis stays the 3-fold ingest timeline),
         // later slices maintained by the folds' raw contract — so the
         // flagship fixture exercises the pair-atomic proj maintenance
         // path every session
         val raw0 = raw.filter(col("vec_id") % 3 === 0)
-        IndexStore.writeProjections(s, idx,
-          projectedUnitsOf(raw0, 32), exactVecsOf(raw0))
+        IndexStore.writeUnified(s, docs.filter(col("doc_id") % 3 === 0),
+          vecs.filter(col("vec_id") % 3 === 0), ivfCentroids(s, dir), idx,
+          governed = true,
+          proj = Some((projectedUnitsOf(raw0, 32), exactVecsOf(raw0))))
         for (r <- 1 to 2)
           IndexStore.appendUnified(s, idx,
             docs.filter(col("doc_id") % 3 === r),

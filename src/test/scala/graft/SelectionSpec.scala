@@ -97,15 +97,42 @@ class SelectionSpec extends SparkSpec {
   // ---- psiBySource: identical distribution ≈ 0, shifted >> 0 ----
 
   test("psiBySource: clone of the anchor scores ~0, shifted source trips the 0.25 line") {
-    val anchor = (0 until 600).map(i => ("ref", 40L + (i % 10) * 55))
-    val clone = anchor.map { case (_, n) => ("clone", n) }
-    val shifted = (0 until 600).map(i => ("shifted", 420L + (i % 4) * 60))
-    val docs = (anchor ++ clone ++ shifted).toDF("source", "n_chars")
+    // constant 1-token texts: the token marginal is flat for every
+    // source, so this pins the LENGTH marginal's arithmetic in
+    // isolation (the token marginal has its own test below)
+    val anchor = (0 until 600).map(i => ("ref", 40L + (i % 10) * 55, "t"))
+    val clone = anchor.map { case (_, n, t) => ("clone", n, t) }
+    val shifted = (0 until 600).map(i => ("shifted", 420L + (i % 4) * 60, "t"))
+    val docs = (anchor ++ clone ++ shifted).toDF("source", "n_chars", "text")
     val out = ops.Selection.psiBySource(docs, "ref")
-      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("psi_nchars"), r.getAs[Double]("psi_ntokens"),
+          r.getAs[Double]("psi_max"))).toMap
     assert(out.keySet == Set("clone", "shifted"))
-    assert(math.abs(out("clone")) < 1e-9, s"clone PSI should be 0, got ${out("clone")}")
-    assert(out("shifted") > 0.25, s"shifted PSI should alarm, got ${out("shifted")}")
+    assert(math.abs(out("clone")._1) < 1e-9, s"clone PSI should be 0, got ${out("clone")}")
+    assert(out("shifted")._1 > 0.25, s"shifted PSI should alarm, got ${out("shifted")}")
+    // flat token marginal: ~0 for both, and psi_max reduces to the
+    // length PSI
+    assert(math.abs(out("clone")._2) < 1e-9 && math.abs(out("shifted")._2) < 1e-9)
+    assert(out("shifted")._3 == out("shifted")._1,
+      "psi_max must be the greatest per-feature PSI")
+  }
+
+  test("the token marginal alarms on a content shift the length marginal cannot see (q163's blind spot)") {
+    // identical n_chars distributions; the probe's texts collapse to
+    // ONE whitespace token while the anchor spreads over token bins —
+    // psi_nchars stays ~0, psi_ntokens alarms, psi_max carries it
+    val anchor = (0 until 600).map(i =>
+      ("ref", 300L, Seq.fill(16 + (i % 5) * 16)("w").mkString(" ")))
+    val squash = (0 until 600).map(i =>
+      ("squash", 300L, Seq.fill(16 + (i % 5) * 16)("w").mkString(".")))
+    val docs = (anchor ++ squash).toDF("source", "n_chars", "text")
+    val out = ops.Selection.psiBySource(docs, "ref").head()
+    assert(math.abs(out.getAs[Double]("psi_nchars")) < 1e-9,
+      "length marginal must be blind to the squash")
+    assert(out.getAs[Double]("psi_ntokens") > 0.25,
+      s"token marginal must alarm, got ${out.getAs[Double]("psi_ntokens")}")
+    assert(out.getAs[Double]("psi_max") == out.getAs[Double]("psi_ntokens"))
   }
 
   // ---- governed store: the census channel IS the monitor's state ----
@@ -274,11 +301,13 @@ class SelectionSpec extends SparkSpec {
   }
 
   test("psiBySource is anchor-relative: anchor never appears in the output") {
-    val docs = Core.table(spark, dir, "documents").select(col("source"), col("n_chars"))
+    val docs = Core.table(spark, dir, "documents")
+      .select(col("source"), col("n_chars"), col("text"))
     val out = ops.Selection.psiBySource(docs, "src0")
     assert(out.filter(col("source") === "src0").count() == 0)
     // PSI is non-negative by construction (sum of (p-q)ln(p/q) terms)
-    assert(out.filter(col("psi_nchars") < 0).count() == 0)
+    assert(out.filter(col("psi_nchars") < 0 || col("psi_ntokens") < 0)
+      .count() == 0)
   }
 
   test("q158 fixture: the gated-hold store holds exactly what an independent gate recompute holds, and the screen keeps every admitted doc") {
@@ -286,17 +315,25 @@ class SelectionSpec extends SparkSpec {
     val docs = Core.table(spark, dir, "documents")
     val evens = docs.filter(col("doc_id") % 2 === 0)
     val odds = docs.filter(col("doc_id") % 2 === 1)
+    // the fixture folded md5 texts — the recompute censuses the same
+    // (the token marginal sees 1-token docs on BOTH sides, so the
+    // verdict stays n_chars-driven; the max gate is still what runs)
+    val md5Text = md5(col("doc_id").cast("string")).as("text")
+    val evensM = evens.select(col("doc_id"), col("source"),
+      col("n_chars"), md5Text)
     val batch = odds.filter(col("doc_id") % 10 =!= 1)
-      .select(col("doc_id"), col("source"), col("n_chars"))
+      .select(col("doc_id"), col("source"), col("n_chars"), md5Text)
       .unionByName(odds.filter(col("doc_id") % 10 === 1)
         .select(col("doc_id"), lit("probe_shift").as("source"),
-          (col("n_chars") + 480).as("n_chars")))
+          (col("n_chars") + 480).as("n_chars"), md5Text))
     // independent recompute of the gate verdict from raw documents —
     // batchDriftVsStore's arithmetic spelled through the session fns
-    val gateBins = ops.Selection.lenBins(evens).filter(col("source") === "src0")
-      .unionByName(ops.Selection.lenBins(batch).filter(col("source") =!= "src0"))
+    val gateBins = ops.Selection.censusBins(evensM)
+      .filter(col("source") === "src0")
+      .unionByName(ops.Selection.censusBins(batch)
+        .filter(col("source") =!= "src0"))
     val held = ops.Selection.psiFromBins(gateBins, "src0")
-      .filter(col("psi_nchars") > 0.25)
+      .filter(col("psi_max") > 0.25)
       .select(col("source")).as[String].collect().toSet
     assert(held.contains("probe_shift"),
       "fixture degenerate: the +480 shift must trip the gate")
@@ -329,31 +366,32 @@ class SelectionSpec extends SparkSpec {
     def fold(residue: Int, shift: Long) = {
       val slice = docs.filter(col("doc_id") % 4 === residue)
       slice.filter(col("doc_id") % 10 =!= 1)
-        .select(col("doc_id"), col("source"), col("n_chars"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("text"))
         .unionByName(slice.filter(col("doc_id") % 10 === 1)
           .select(col("doc_id"), lit("probe_shift").as("source"),
-            (col("n_chars") + shift).as("n_chars")))
+            (col("n_chars") + shift).as("n_chars"), col("text")))
     }
     val thr = ops.Selection.GatedUnifiedMaxPsi
     def verdict(batch: org.apache.spark.sql.DataFrame,
         anchorRows: org.apache.spark.sql.DataFrame): Set[String] =
       ops.Selection.psiFromBins(
-          ops.Selection.lenBins(anchorRows).filter(col("source") === "src0")
-            .unionByName(ops.Selection.lenBins(batch)
+          ops.Selection.censusBins(anchorRows).filter(col("source") === "src0")
+            .unionByName(ops.Selection.censusBins(batch)
               .filter(col("source") =!= "src0")), "src0")
-        .filter(col("psi_nchars") > thr)
+        .filter(col("psi_max") > thr)
         .select(col("source")).as[String].collect().toSet
     // fold 1: the +480 probe must trip the gate
     val f1 = fold(1, 480L)
-    val held1 = verdict(f1, evens.select(col("source"), col("n_chars")))
+    val held1 = verdict(f1,
+      evens.select(col("source"), col("n_chars"), col("text")))
     assert(held1.contains("probe_shift"),
       "fixture degenerate: the +480 shift must trip the unified gate")
     val adm1 = f1.filter(!col("source").isin(held1.toSeq: _*))
     // fold 2: the NORMALIZED probe must pass the same gate, computed
     // against the census fold 1 left behind — the recovery tick
     val f2 = fold(3, 0L)
-    val c1Rows = evens.select(col("source"), col("n_chars"))
-      .unionByName(adm1.select(col("source"), col("n_chars")))
+    val c1Rows = evens.select(col("source"), col("n_chars"), col("text"))
+      .unionByName(adm1.select(col("source"), col("n_chars"), col("text")))
     val held2 = verdict(f2, c1Rows)
     assert(!held2.contains("probe_shift"),
       "fixture degenerate: the normalized probe must RECOVER through the gate")
@@ -381,8 +419,10 @@ class SelectionSpec extends SparkSpec {
     assert(probe2Ids.nonEmpty && probe2Ids.forall(cells),
       "recovered tick's VECTORS must fold with its docs")
     // census: probe_shift present ONLY via the recovered tick's rows
+    // one marginal's counts (each doc contributes one row-count per
+    // census feature, so the unfiltered sum would double-count)
     val censusProbeN = ops.IndexStore.channel(spark, idx, "mix_census")
-      .filter(col("source") === "probe_shift")
+      .filter(col("source") === "probe_shift" && col("feature") === "n_chars")
       .agg(sum(col("n"))).head().getLong(0)
     assert(censusProbeN == probe2Ids.size,
       s"census must carry exactly the recovered tick's probe rows: " +
