@@ -18,7 +18,58 @@ Usage:
       any query regressed, so a q127-style regression fails the
       artifact instead of needing a judge diff to spot.
 """
-import sys, json, glob, os
+import sys, json, glob, os, re
+
+
+def qnum_key(name):
+    """Canonical per-query key: the query NUMBER as a string. Local
+    artifacts key `queries` by full name (q01_pricing_summary); the
+    driver wrapper's qt tail lines key by bare number ("1"). Both
+    normalize here so wrapper-vs-local compares line up."""
+    m = re.match(r"q0*(\d+)_", name)
+    return str(int(m.group(1))) if m else str(int(name)) \
+        if name.isdigit() else name
+
+
+def load_bench(path):
+    """Normalize a bench artifact to {queries, warm_breakdown,
+    calibration, shape}. Handles BOTH shapes (VERDICT r10 #2 — the
+    gate silently compared NOTHING on driver-wrapper artifacts):
+
+    - local graft.Bench output: top-level queries/warm_breakdown/
+      calibration maps;
+    - driver wrapper (BENCH_rNN.json): payload under "parsed" (which
+      the driver strips of queries/warm_breakdown), per-query seconds
+      only in the "tail" text's {"qt":{...}} lines — Bench orders
+      those so a head-cut loses the oldest queries first; whatever
+      lines survive are merged (a leading truncated fragment is
+      skipped, never guessed at).
+
+    An artifact that yields NO queries map is a hard error upstream —
+    the gate must refuse it instead of exiting 0 vacuously."""
+    b = json.load(open(path))
+    if isinstance(b.get("queries"), dict) and b["queries"]:
+        qs = {qnum_key(k): v for k, v in b["queries"].items()}
+        return {"queries": qs,
+                "warm_breakdown": b.get("warm_breakdown") or {},
+                "calibration": b.get("calibration") or {},
+                "shape": "local"}
+    parsed = b.get("parsed") or {}
+    qs = {}
+    for line in (b.get("tail") or "").splitlines():
+        line = line.strip()
+        if not line.startswith('{"qt"'):
+            continue
+        try:
+            qs.update(json.loads(line).get("qt") or {})
+        except ValueError:
+            continue  # truncated head fragment
+    qs = {qnum_key(k): v for k, v in qs.items()}
+    return {"queries": qs,
+            "warm_breakdown": parsed.get("warm_breakdown") or {},
+            "calibration": parsed.get("calibration") or
+                           b.get("calibration") or {},
+            "shape": "wrapper"}
 
 
 def cal_clean(b):
@@ -42,8 +93,20 @@ def cal_clean(b):
 
 
 def bench_regressions(cur_path, prior_path, factor=2.5):
-    cur = json.load(open(cur_path))
-    prior = json.load(open(prior_path))
+    cur = load_bench(cur_path)
+    prior = load_bench(prior_path)
+    # an artifact the loader cannot extract a single query timing from
+    # is not comparable — refuse it BY NAME instead of exiting 0 with
+    # zero comparisons (the r10 vacuous-gate bug)
+    empty = [(p, b["shape"]) for p, b in
+             ((cur_path, cur), (prior_path, prior)) if not b["queries"]]
+    if empty:
+        print(json.dumps({"unusable_bench": [
+            {"file": p, "shape": s} for p, s in empty],
+            "note": "no per-query timings recoverable (neither a "
+                    "top-level queries map nor qt tail lines) — "
+                    "the gate refuses to compare nothing"}))
+        return 2
     # refuse a steal-window artifact on EITHER side (VERDICT r9 next
     # #2): a dirty baseline gates the round against noise, a dirty
     # current run reads as a regression sweep; both comparisons are
@@ -88,9 +151,13 @@ def bench_regressions(cur_path, prior_path, factor=2.5):
             warm_flagged.append({"warm": w, "sec": round(t, 3),
                                  "prior_sec": round(t0, 3),
                                  "ratio": round(t / t0, 2)})
+    n_q = len(set(cur["queries"]) & set(prior["queries"]))
+    n_w = len(set(cur["warm_breakdown"]) & set(prior["warm_breakdown"]))
     out = {"bench_regressions": flagged, "warm_regressions": warm_flagged,
            "factor": factor,
            "calibration_adjust": round(adjust, 3),
+           "n_queries_compared": n_q, "n_warm_compared": n_w,
+           "shapes": [cur["shape"], prior["shape"]],
            "compared": cur_path + " vs " + prior_path}
     print(json.dumps(out))
     return 1 if (flagged or warm_flagged) else 0

@@ -66,9 +66,29 @@ object Bench {
     // lineitem read no later sample pays (measured: 0.64 cold vs a
     // 0.40 median marked an otherwise-clean run dirty) — so the cold
     // shot is recorded as `pre_cold` EVIDENCE but excluded from the
-    // verdict; the second, cache-warm shot is the verdict sample.
+    // verdict. The r10 DRIVER artifact showed one warm shot is still
+    // not enough: its second shot (0.628) carried lingering JIT/cache
+    // warmup against a 0.393 sweep median and single-handedly marked
+    // the round's only driver-vs-driver baseline dirty (VERDICT r10
+    // #3). So the sentinel now SELF-STABILIZES: re-shoot until two
+    // consecutive warm samples agree within 20% (bounded at 4 shots),
+    // keep every shot as `pre_shots` evidence, and let the LAST —
+    // stabilized — shot be the verdict sample. Deterministic warmup
+    // converges in 2–3 shots; a real steal window keeps the shots
+    // disagreeing and the run still self-marks dirty, now with the
+    // shot series as proof either way.
     val calPreCold = calibrate("pre_cold")
-    val calPre = calibrate("pre")
+    val preShots = scala.collection.mutable.ListBuffer.empty[Double]
+    def lastTwoAgree: Boolean = preShots.size >= 2 && {
+      val a = preShots(preShots.size - 2)
+      val b = preShots.last
+      a > 0 && b > 0 && math.abs(b - a) / math.max(a, b) <= 0.2
+    }
+    if (only.isEmpty)
+      while (preShots.size < 4 && !lastTwoAgree)
+        preShots += calibrate(s"pre${preShots.size + 1}")
+    else preShots += -1.0
+    val calPre = preShots.last
     val warmBreakdown =
       safeWarm(ops.Dedup.warm(spark, sfDir)) ++
         safeWarm(ops.Similarity.warm(spark, sfDir)) ++
@@ -140,7 +160,7 @@ object Bench {
       else -1.0
     val calClean =
       if (calSamples.size >= 2) (calRatio <= 1.5).toString else "null"
-    val cal = s"""{"pre_cold":$calPreCold,"pre":$calPre,"first":$calFirst,"mid":[${calMid.mkString(",")}],"last":$calLast,"ratio":${math.rint(calRatio * 1000) / 1000},"clean":$calClean}"""
+    val cal = s"""{"pre_cold":$calPreCold,"pre_shots":[${preShots.mkString(",")}],"pre":$calPre,"first":$calFirst,"mid":[${calMid.mkString(",")}],"last":$calLast,"ratio":${math.rint(calRatio * 1000) / 1000},"clean":$calClean}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmSec,"queries_sec":$queriesSec,"heap_mb":$heapMb,"queries":$qs,"warm_breakdown":$wb,"errors":$errJson,"calibration":$cal,"sf":"$sfDir"}"""
     println(json)
     // sbt wraps stdout in [info] prefixes the driver can't parse — also

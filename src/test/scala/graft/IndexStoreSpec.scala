@@ -567,6 +567,45 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("describeStoreTimeline replays the ingest history: per-version rows ≡ describeStoreAt, facts track the folds") {
+    val idx = tmp("timeline")
+    ops.IndexStore.writeText(spark, df(docs), idx)
+    ops.IndexStore.appendText(spark, idx, df(batch))
+    ops.IndexStore.appendText(spark, idx,
+      df(Seq(6L -> "kappa lambda mu nu", 7L -> "xi omicron pi rho")))
+    val snaps = ops.IndexStore.history(idx)
+    val tl = ops.IndexStore.describeStoreTimeline(spark, idx).collect()
+    // one row set per committed version, in history order
+    assert(tl.map(_.getInt(0)).distinct.toSeq == Seq(1, 2, 3))
+    assert(tl.map(r => r.getInt(0) -> r.getString(1)).distinct.sortBy(_._1)
+      .map(_._2).toSeq == snaps, "ver_idx must walk history in order")
+    // the postings fan-out grows one path per fold — "when did the
+    // append depth blow up" is a filter over this one frame
+    val postings = tl.filter(_.getString(2) == "postings")
+      .map(r => r.getInt(0) -> r.getInt(3)).toMap
+    assert(postings == Map(1 -> 1, 2 -> 2, 3 -> 3), postings.toString)
+    // the census facts replay the ingest counts version by version
+    val nDocs = tl.filter(_.getString(2) == "stats").sortBy(_.getInt(0))
+      .map(_.getString(8))
+    assert(nDocs.zip(Seq("n_docs=3", "n_docs=5", "n_docs=7"))
+      .forall { case (got, want) => got.contains(want) }, nDocs.mkString("; "))
+    // each version's slice is describeStoreAt's rows verbatim, and the
+    // last slice is today's describeStore
+    for ((snap, i) <- snaps.zipWithIndex) {
+      // timeline slice (channel..facts, n_versions) ≡ describeStoreAt's
+      // rows minus its own version column
+      val slice = tl.filter(_.getInt(0) == i + 1)
+        .map(_.toSeq.drop(2).toList).toSeq
+      val at = ops.IndexStore.describeStoreAt(spark, idx, snap).collect()
+        .map(r => r.toSeq.take(7).toList :+ r.get(8)).toSeq
+      assert(slice.map(_.toString).sorted == at.map(_.toString).sorted,
+        s"timeline slice ${i + 1} diverged from describeStoreAt")
+    }
+    assert(tl.filter(_.getInt(0) == 3).map(_.getString(2)).sorted.toSeq ==
+      ops.IndexStore.describeStore(spark, idx).collect()
+        .map(_.getString(0)).sorted.toSeq)
+  }
+
   test("cloneStoreAt publishes an immutable version whose life is independent of the source") {
     val idx = tmp("clone-src")
     ops.IndexStore.writeText(spark, df(docs), idx)
