@@ -359,6 +359,10 @@ object ScaleProbe {
     // the timeline walk must stay corpus-free like q152/q157's
     timeForced("q161_unified_gate_census", ("source", "psi_nchars"))
     timeForced("q162_gate_recovery_timeline", ("source", "psi_nchars"))
+    // q163 rides the memoized governed store (q152's fixture): the
+    // two-feature batch gate must stay census-read + batch-local aggs
+    // — the probe batch is the only corpus-text touch, O(|batch|)
+    timeForced("q163_content_shift_gate", ("n_docs", "psi_max"))
     if (only.forall(_.contains("q88_canonical_dedup"))) {
       val t0 = System.nanoTime()
       // force the normalizer + keeper window: aggregate over BOTH
