@@ -974,7 +974,10 @@ object Similarity {
         val terms = Seq(
           TextOps.qtermsOfExtreme(s, dir, useMax = false),
           TextOps.qtermsOfExtreme(s, dir, useMax = true))
-        hybridBatchProjectedUnified(s, dir, unifiedStore(s, dir),
+        // served from the clone PUBLISH (single-path channels), not
+        // the live 3-fold fixture — the textStore serving pattern on
+        // the unified family; content identical by the clone pin
+        hybridBatchProjectedUnified(s, dir, unifiedServingStore(s, dir),
           twoQids(s, dir).zip(terms))
       },
       None),
@@ -1402,7 +1405,10 @@ object Similarity {
     // warm phase (the q137/q139 maintained-artifact pattern)
     timedBuild("similarity.vectorStore") { vectorStore(s, dir); () },
     // q153's unified text+vector store — 3 atomic cross-family folds
-    timedBuild("similarity.unifiedStore") { unifiedStore(s, dir); () })
+    timedBuild("similarity.unifiedStore") { unifiedStore(s, dir); () },
+    // q164's serving publish — a cloneStoreAt channel copy, not a
+    // second ingest (the textStore pattern)
+    timedBuild("similarity.unifiedServing") { unifiedServingStore(s, dir); () })
 
   /** Once-per-JVM persisted IVF index of the corpus
     * (IndexStore.writeVectors under a deterministic temp path) —
@@ -1426,6 +1432,32 @@ object Similarity {
           ivfCentroids(s, dir), idx)
         IndexStore.writeProjections(s, idx, projectedUnits(s, dir),
           exactVecs(s, dir))
+        idx
+      })
+    }
+
+  /** Once-per-JVM unified SERVING store — [[unifiedStore]]'s live
+    * version published through IndexStore.cloneStoreAt (the textStore
+    * pattern, TextOps.textStore): the live fixture's channels span 3
+    * append paths (its 3-fold history IS the q157 oracle's version
+    * axis, so compacting it in place would append a 4th version and
+    * change that walk), and the q164 batch hybrid reads postings +
+    * proj_units + exact_vecs — three channels paying the 3-way
+    * file-group fan-out per batch. The clone re-reads each channel
+    * once and publishes a single-path contract-layout version into a
+    * fresh root: q164's steady lookup drops to q160's single-path
+    * read class, the live store keeps its timeline, and the serving
+    * root carries the SAME committed corpus (cloneStoreAt's pin:
+    * reads are bit-identical — UnifiedStoreSpec's q164 ≡ q160 pin
+    * runs through this clone). */
+  private val unifiedServingStores =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def unifiedServingStore(s: SparkSession, dir: String): String =
+    unifiedServingStores.synchronized {
+      unifiedServingStores.getOrElseUpdate(dir, {
+        val src = unifiedStore(s, dir)
+        val idx = graft.Core.jvmStorePath("graft_unisrv", dir)
+        IndexStore.cloneStoreAt(s, src, IndexStore.history(src).last, idx)
         idx
       })
     }
