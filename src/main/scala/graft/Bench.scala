@@ -71,21 +71,28 @@ object Bench {
     // warmup against a 0.393 sweep median and single-handedly marked
     // the round's only driver-vs-driver baseline dirty (VERDICT r10
     // #3). So the sentinel now SELF-STABILIZES: re-shoot until two
-    // consecutive warm samples agree within 20% (bounded at 4 shots),
+    // consecutive warm samples agree within 10% (bounded at 6 shots),
     // keep every shot as `pre_shots` evidence, and let the LAST —
-    // stabilized — shot be the verdict sample. Deterministic warmup
-    // converges in 2–3 shots; a real steal window keeps the shots
-    // disagreeing and the run still self-marks dirty, now with the
-    // shot series as proof either way.
+    // stabilized — shot be the verdict sample. The first calibration
+    // of this rule (20%/4 shots) measured its residual failure
+    // shape: a DESCENDING series (1.06 → 0.73 → 0.65 against a 0.36
+    // sweep band) "agreed" at 11% while still sliding toward the
+    // band — q01's shots are cheap relative to the corpus caches
+    // they warm, so convergence is slow and a loose band stops early
+    // at an inflated level. 10%/6 lets a warming series keep
+    // descending; a SUSTAINED steal window still stops elevated with
+    // agreeing shots (measured on this host: 2.18/2.17, agreement at
+    // 5× the band — the agreement itself is the steal evidence) and
+    // the max/median verdict catches it.
     val calPreCold = calibrate("pre_cold")
     val preShots = scala.collection.mutable.ListBuffer.empty[Double]
     def lastTwoAgree: Boolean = preShots.size >= 2 && {
       val a = preShots(preShots.size - 2)
       val b = preShots.last
-      a > 0 && b > 0 && math.abs(b - a) / math.max(a, b) <= 0.2
+      a > 0 && b > 0 && math.abs(b - a) / math.max(a, b) <= 0.1
     }
     if (only.isEmpty)
-      while (preShots.size < 4 && !lastTwoAgree)
+      while (preShots.size < 6 && !lastTwoAgree)
         preShots += calibrate(s"pre${preShots.size + 1}")
     else preShots += -1.0
     val calPre = preShots.last
@@ -95,7 +102,25 @@ object Bench {
         safeWarm(ops.TextOps.warm(spark, sfDir)) ++
         safeWarm(ops.Selection.warm(spark, sfDir))
     val warmSec = warmBreakdown.map(_._2).sum
-    val calFirst = calibrate("first")
+    // `first` gets the SAME stabilizer as `pre`: it fires immediately
+    // after the warm phase, where blocking-unpersist churn and fresh
+    // store caches leave the same one-shot transient the pre shots
+    // measured (r11 runs: first 0.77 / 0.67 against 0.39–0.42 sweep
+    // medians marked otherwise-clean sweeps dirty). A descending,
+    // then-agreeing series reads as settling; agreement at an
+    // elevated level reads as steal — either way the shots are
+    // evidence, and the verdict sample is the stabilized one.
+    val firstShots = scala.collection.mutable.ListBuffer.empty[Double]
+    def firstTwoAgree: Boolean = firstShots.size >= 2 && {
+      val a = firstShots(firstShots.size - 2)
+      val b = firstShots.last
+      a > 0 && b > 0 && math.abs(b - a) / math.max(a, b) <= 0.1
+    }
+    if (only.isEmpty)
+      while (firstShots.size < 4 && !firstTwoAgree)
+        firstShots += calibrate(s"first${firstShots.size + 1}")
+    else firstShots += -1.0
+    val calFirst = firstShots.last
     // NUMERIC query order (q01…q156), not string order: string sort
     // runs q100–q156 between q09 and q10, so every round's NEWEST
     // (least-understood) queries execute as one contiguous early
@@ -160,7 +185,7 @@ object Bench {
       else -1.0
     val calClean =
       if (calSamples.size >= 2) (calRatio <= 1.5).toString else "null"
-    val cal = s"""{"pre_cold":$calPreCold,"pre_shots":[${preShots.mkString(",")}],"pre":$calPre,"first":$calFirst,"mid":[${calMid.mkString(",")}],"last":$calLast,"ratio":${math.rint(calRatio * 1000) / 1000},"clean":$calClean}"""
+    val cal = s"""{"pre_cold":$calPreCold,"pre_shots":[${preShots.mkString(",")}],"pre":$calPre,"first_shots":[${firstShots.mkString(",")}],"first":$calFirst,"mid":[${calMid.mkString(",")}],"last":$calLast,"ratio":${math.rint(calRatio * 1000) / 1000},"clean":$calClean}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmSec,"queries_sec":$queriesSec,"heap_mb":$heapMb,"queries":$qs,"warm_breakdown":$wb,"errors":$errJson,"calibration":$cal,"sf":"$sfDir"}"""
     println(json)
     // sbt wraps stdout in [info] prefixes the driver can't parse — also
