@@ -2224,11 +2224,19 @@ object IndexStore {
         writeProjStats(s, out, snap, k, d, fineN)
     }
     val n = vectors.count()
+    // the proj-family channels are ALWAYS dropped from the prior on a
+    // full rewrite, proj passed or not (ADVICE r11): they describe the
+    // corpus being replaced, and carrying them forward under proj=None
+    // would let the count-based coverage gate pass by coincidence
+    // (same vector count, different corpus) and silently serve the OLD
+    // corpus on the projected arm. A proj=None rewrite leaves a store
+    // with no projected route — loud at read time (projectedAnnFromStore
+    // refuses a proj_stats-less store by name); re-run writeProjections
+    // or pass proj to restore it.
     commitSnap(out, snap,
       prior -- Seq("postings", "doc_lens", "stats",
-        "centroids", "cells", "vec_stats", "mix_census") --
-        (if (proj.isDefined) Seq("proj_units", "exact_vecs", "proj_stats")
-         else Seq.empty) ++
+        "centroids", "cells", "vec_stats", "mix_census",
+        "proj_units", "exact_vecs", "proj_stats") ++
         tchs.filter { case (nm, c) =>
           nm == "stats" || c.paths.exists(p => hasData(s"$out/$p")) } ++
         Map(
@@ -2405,13 +2413,27 @@ object IndexStore {
     * (same contract); held vectors are anti-joined out of the raw
     * frame exactly as out of the cells delta, so a held source's rows
     * land in NO channel of the commit. Returns the per-source drift
-    * report (source, n_docs, psi_nchars, held) — O(sources) rows,
-    * collected driver-side like [[screenAndFoldGated]]'s. */
+    * report (source, n_docs, psi_nchars, psi_ntokens, psi_max, held)
+    * — O(sources) rows, collected driver-side like
+    * [[screenAndFoldGated]]'s. */
   def appendUnifiedGated(s: SparkSession, root: String,
       docs: DataFrame, vectors: DataFrame, anchor: String,
       maxPsi: Double = 0.25, raw: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val (base, prior) = baseRequired(root)
+    // CALLER mispairing checked against the caller's ORIGINAL frames,
+    // before the breaker touches anything (ADVICE r11): a raw side
+    // paired with an EMPTY vectors side must be refused here exactly
+    // as loudly as appendUnified refuses it — the rawEff collapse
+    // below exists only for the breaker's own anti-join emptying the
+    // admitted vectors, and must never launder a caller's mispairing
+    // into a silent drop.
+    val vEmptyCaller = vectors.isEmpty
+    require(raw.isEmpty || !vEmptyCaller,
+      "appendUnifiedGated: raw embeddings were passed with an EMPTY " +
+        "vectors side — the projected deltas pair with THIS fold's " +
+        "vectors, so a vectors-less raw frame is a mismatched pairing, " +
+        "not a maintenance tick; fold the raw rows with their vectors")
     require(prior.contains("mix_census"),
       "appendUnifiedGated: this unified store carries no mix_census " +
         "channel — the drift gate has no stored anchor distribution to " +
@@ -2420,7 +2442,7 @@ object IndexStore {
     // this tick) or already stored (gated when it folded) — one
     // O(batch) anti-join against the batch ids plus one against the
     // pruned doc_lens id column
-    if (!vectors.isEmpty) {
+    if (!vEmptyCaller) {
       val orphans = vectors.select(col("vec_id"))
         .join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"),
           "left_anti")

@@ -189,6 +189,20 @@ object Selection {
     * marginal holds the source (VERDICT r10 #5: the census was blind
     * to content drift at constant length). */
   private[graft] def psiFromBins(binsIn: DataFrame, anchor: String): DataFrame = {
+    // format gate (ADVICE r11): a census persisted by a pre-r11 build
+    // is (source, bin, n) — single-marginal, no feature axis. Reading
+    // it through the multi-feature arithmetic would die on a raw
+    // unresolved-column AnalysisException deep inside unionByName;
+    // refuse BY NAME instead (the old-writer staleness convention),
+    // with the migration path in the message.
+    if (!binsIn.columns.contains("feature"))
+      throw new IllegalStateException(
+        "psiFromBins: census rows carry no 'feature' column — this is " +
+          "the pre-r11 single-marginal census format (source, bin, n), " +
+          "which the multi-feature drift arithmetic cannot read. " +
+          "Rebuild the governed store with this build (re-ingest, or " +
+          "re-run the write/fold path so every mix_census delta carries " +
+          "the (source, feature, bin, n) contract)")
     val bins = binsIn.groupBy(col("source"), col("feature"), col("bin"))
       .agg(sum(col("n")).as("n"))
     val ref = bins.filter(col("source") === anchor)

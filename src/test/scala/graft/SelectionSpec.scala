@@ -436,4 +436,18 @@ class SelectionSpec extends SparkSpec {
       s"the recovery timeline must show probe_shift only at version 3, " +
         s"got versions $byVersion")
   }
+
+  test("psiFromBins refuses the pre-r11 single-marginal census format by name (ADVICE r11)") {
+    // a census persisted before the (source, feature, bin, n) contract
+    // carries no feature axis — the arithmetic must refuse it loudly
+    // instead of dying on an unresolved-column AnalysisException
+    val old = Seq(("src0", 1L, 10L), ("srcA", 2L, 5L))
+      .toDF("source", "bin", "n")
+    val e = intercept[IllegalStateException] {
+      ops.Selection.psiFromBins(old, "src0")
+    }
+    assert(e.getMessage.contains("pre-r11") &&
+      e.getMessage.contains("feature"),
+      s"expected the format refusal naming the pre-r11 census, got: ${e.getMessage}")
+  }
 }

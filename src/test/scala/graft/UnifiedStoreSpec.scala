@@ -395,6 +395,50 @@ class UnifiedStoreSpec extends SparkSpec {
     assert(served.count() > 0, "the projected arm must serve under the hold")
   }
 
+  test("the GATED fold refuses a caller's raw+empty-vectors mispairing as loudly as the ungated one (ADVICE r11)") {
+    val root = tmp("gatedmispair")
+    ops.IndexStore.writeUnified(spark, gdocs(0 to 39, "src0"),
+      vecsOf(0 to 39), cents, root, governed = true)
+    ops.IndexStore.writeProjections(spark, root,
+      ops.Similarity.projectedUnitsOf(rawOf(0 to 39), 32),
+      ops.Similarity.exactVecsOf(rawOf(0 to 39)))
+    val h = ops.IndexStore.history(root)
+    // pre-fix this slipped through as a silent raw drop (rawEff
+    // collapsed the mispairing to None); it must refuse BY NAME before
+    // the breaker touches anything
+    val e = intercept[IllegalArgumentException] {
+      ops.IndexStore.appendUnifiedGated(spark, root,
+        gdocs(40 to 49, "srcA"), emptyVecs, "src0",
+        raw = Some(rawOf(40 to 49)))
+    }
+    assert(e.getMessage.contains("EMPTY vectors"),
+      s"expected the vectors-less-raw refusal, got: ${e.getMessage}")
+    assert(ops.IndexStore.history(root) == h, "refused fold must not publish")
+  }
+
+  test("a full REWRITE with proj=None drops the proj-family channels — the stale projected arm can never serve the old corpus (ADVICE r11)") {
+    val root = tmp("rewriteproj")
+    ops.IndexStore.writeUnified(spark, docsOf(0 to 5), vecsOf(0 to 5),
+      cents, root,
+      proj = Some((ops.Similarity.projectedUnitsOf(rawOf(0 to 5), 32),
+        ops.Similarity.exactVecsOf(rawOf(0 to 5)))))
+    // rewrite with a DIFFERENT corpus of the SAME vector count — the
+    // exact coincidence that let the count-based coverage gate pass
+    // while the projected arm served the replaced corpus
+    ops.IndexStore.writeUnified(spark, docsOf(6 to 11), vecsOf(6 to 11),
+      cents, root)
+    val chans = ops.IndexStore.describeStore(spark, root)
+      .select($"channel").as[String].collect().toSet
+    assert(!chans.exists(Set("proj_units", "exact_vecs", "proj_stats")),
+      s"proj-family channels survived a proj=None rewrite: $chans")
+    val e = intercept[IllegalArgumentException] {
+      ops.IndexStore.projectedAnnFromStore(spark, root,
+        rawOf(0 to 0).select($"vec_id", $"embedding"))
+    }
+    assert(e.getMessage.contains("proj_stats"),
+      s"the projected route must refuse by name after the drop, got: ${e.getMessage}")
+  }
+
   test("the gated fold refuses an ungoverned unified store — no anchor census to hold against") {
     val root = tmp("ungov")
     ops.IndexStore.writeUnified(spark, gdocs(0 to 5, "src0"), vecsOf(0 to 5),
