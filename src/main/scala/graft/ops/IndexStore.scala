@@ -1045,22 +1045,24 @@ object IndexStore {
     // against — a rival landing anywhere between gate and append is a
     // detected OCC conflict, never a silently-stale verdict.
     val (base, prior) = baseRequired(indexDir)
-    // two-feature gate (round 11): a source is held when EITHER
+    // three-feature gate (rounds 11-12): a source is held when ANY
     // marginal's PSI trips — psi_max is the greatest of the rnd4'd
     // per-feature values, so a content shift at constant length
-    // (q163) holds exactly like a length shift
+    // (q163) or at constant length AND token count (q166) holds
+    // exactly like a length shift
     val rep = batchDriftVsStoreFrom(s, indexDir, prior, batch, anchor)
       .select(col("source"), col("n_docs"), col("psi_nchars"),
-        col("psi_ntokens"), col("psi_max"),
+        col("psi_ntokens"), col("psi_nonalpha"), col("psi_max"),
         (col("psi_max") > maxPsi).as("held"))
-      .as[(String, Long, Double, Double, Double, Boolean)].collect().toSeq
-    val heldSrcs = rep.filter(_._6).map(_._1)
+      .as[(String, Long, Double, Double, Double, Double, Boolean)]
+      .collect().toSeq
+    val heldSrcs = rep.filter(_._7).map(_._1)
     val admitted =
       if (heldSrcs.isEmpty) batch
       else batch.filter(!col("source").isin(heldSrcs: _*))
     (screenAndFoldFrom(s, indexDir, base, prior, admitted),
       rep.toDF("source", "n_docs", "psi_nchars", "psi_ntokens",
-        "psi_max", "held"))
+        "psi_nonalpha", "psi_max", "held"))
   }
 
   // ---------------------------------------------------------------
@@ -2512,7 +2514,7 @@ object IndexStore {
     * an orphan vector — payloads carry no source column, so a
     * media-LEADING fold would carry a drifting source's fingerprints
     * past the breaker ungated. Returns the per-source drift report
-    * (source, n_docs, psi_nchars, psi_ntokens, psi_max, held) —
+    * (source, n_docs, psi_nchars, psi_ntokens, psi_nonalpha, psi_max, held) —
     * O(sources) rows, collected driver-side like
     * [[screenAndFoldGated]]'s. */
   def appendUnifiedGated(s: SparkSession, root: String,
@@ -2577,10 +2579,11 @@ object IndexStore {
     }
     val rep = batchDriftVsStoreFrom(s, root, prior, docs, anchor)
       .select(col("source"), col("n_docs"), col("psi_nchars"),
-        col("psi_ntokens"), col("psi_max"),
+        col("psi_ntokens"), col("psi_nonalpha"), col("psi_max"),
         (col("psi_max") > maxPsi).as("held"))
-      .as[(String, Long, Double, Double, Double, Boolean)].collect().toSeq
-    val heldSrcs = rep.filter(_._6).map(_._1)
+      .as[(String, Long, Double, Double, Double, Double, Boolean)]
+      .collect().toSeq
+    val heldSrcs = rep.filter(_._7).map(_._1)
     val (admittedDocs, admittedVecs, admittedRaw, admittedPayloads) =
       if (heldSrcs.isEmpty) (docs, vectors, raw, payloads)
       else {
@@ -2606,7 +2609,7 @@ object IndexStore {
     appendUnifiedFrom(s, root, base, prior, admittedDocs, admittedVecs,
       rawEff, admittedPayloads)
     rep.toDF("source", "n_docs", "psi_nchars", "psi_ntokens",
-      "psi_max", "held")
+      "psi_nonalpha", "psi_max", "held")
   }
 
   /** The hybrid read pair from a unified store: ONE manifest

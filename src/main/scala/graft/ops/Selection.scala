@@ -160,11 +160,27 @@ object Selection {
         least(floor(size(split(col("text"), " ")) / 16), lit(5L)).as("bin"))
       .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("n"))
 
-  /** The governance census: BOTH marginals' bin counts under one
+  /** The alphabet-class census arm (round 12, VERDICT r11 missing #5):
+    * width-1/12 bins capped at 5 over each doc's NON-[a-z ] character
+    * SHARE — the marginal that moves when content rotates at constant
+    * length AND constant token count (a language/script swap at equal
+    * word lengths, digit or markup injection replacing letters
+    * in-place — q166's probe), which BOTH existing marginals miss by
+    * construction. Binned through INTEGER arithmetic only
+    * (12·nonalpha div max(len,1) — no float ratio near a bin edge),
+    * so DuckDB replays the bin id exactly; regexp class [a-z ] is
+    * ASCII-identical in Java regex and RE2. */
+  private[graft] def alphaBins(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        expr("""least(cast((12 * length(regexp_replace(text, '[a-z ]', '')))
+                 div greatest(length(text), 1) as bigint), 5)""").as("bin"))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("n"))
+
+  /** The governance census: all THREE marginals' bin counts under one
     * additive contract — (source, feature, bin, n) rows, feature ∈
-    * {n_chars, n_tokens}. This tiny frame IS the monitor's sufficient
-    * statistic: the index store persists exactly these rows per
-    * ingest fold (`mix_census` channel), so two-feature drift is
+    * {n_chars, n_tokens, nonalpha}. This tiny frame IS the monitor's
+    * sufficient statistic: the index store persists exactly these rows
+    * per ingest fold (`mix_census` channel), so three-feature drift is
     * computable from the store without ever rescanning the corpus —
     * still O(sources × features × bins) per fold. */
   private[graft] def censusBins(docs: DataFrame): DataFrame =
@@ -172,6 +188,8 @@ object Selection {
         col("bin"), col("n"))
       .unionByName(tokBins(docs).select(col("source"),
         lit("n_tokens").as("feature"), col("bin"), col("n")))
+      .unionByName(alphaBins(docs).select(col("source"),
+        lit("nonalpha").as("feature"), col("bin"), col("n")))
 
   /** PSI of each non-anchor source against the `anchor` source, per
     * census FEATURE, from census rows (source, feature, bin, n) —
@@ -185,9 +203,12 @@ object Selection {
     * through decimal, each feature's PSI rnd4'd BEFORE the max so the
     * gate value is reproducible from the reported per-feature
     * columns. Output: (source, n_docs, psi_nchars, psi_ntokens,
-    * psi_max) — the breaker gates on psi_max, so a shift on EITHER
-    * marginal holds the source (VERDICT r10 #5: the census was blind
-    * to content drift at constant length). */
+    * psi_nonalpha, psi_max) — the breaker gates on psi_max, so a
+    * shift on ANY marginal holds the source (VERDICT r10 #5: the
+    * census was blind to content drift at constant length; r11 #5:
+    * the two-marginal census was still blind to content drift at
+    * constant length AND token count — the alphabet-class marginal
+    * closes that layer). */
   private[graft] def psiFromBins(binsIn: DataFrame, anchor: String): DataFrame = {
     // format gate (ADVICE r11): a census persisted by a pre-r11 build
     // is (source, bin, n) — single-marginal, no feature axis. Reading
@@ -228,8 +249,10 @@ object Selection {
       .groupBy(col("source"))
       .agg(max(col("n_cur")).as("n_docs"),
         max(when(col("feature") === "n_chars", col("psi"))).as("psi_nchars"),
-        max(when(col("feature") === "n_tokens", col("psi"))).as("psi_ntokens"))
-      .withColumn("psi_max", greatest(col("psi_nchars"), col("psi_ntokens")))
+        max(when(col("feature") === "n_tokens", col("psi"))).as("psi_ntokens"),
+        max(when(col("feature") === "nonalpha", col("psi"))).as("psi_nonalpha"))
+      .withColumn("psi_max", greatest(col("psi_nchars"), col("psi_ntokens"),
+        col("psi_nonalpha")))
       .orderBy(col("source"))
   }
 
@@ -315,8 +338,9 @@ object Selection {
   /** The gated unified fixture's hold line. 1.0, not the production
     * default 0.25, because the fixture must also exhibit RECOVERY
     * (q162): the recovered tick's probe_shift rows are a corpus-mix
-    * sample at real lengths, and under the TWO-FEATURE max gate
-    * (round 11) a mixed-source clone's worst per-feature PSI measures
+    * sample at real lengths, and under the multi-feature max gate
+    * (rounds 11-12; the alphabet marginal reads 0 on the raw corpus —
+    * the shipped texts are pure [a-z ] — so it adds no draw here) a mixed-source clone's worst per-feature PSI measures
     * 0.03–0.70 against the src0 anchor across the shipped SFs
     * (n_chars up to 0.48; the n_tokens marginal's small-sample draw
     * reaches 0.6985 at sf0.01 — measured via the oracle replay, both
@@ -631,7 +655,8 @@ object Selection {
         IndexStore.history(idx).zipWithIndex.map { case (snap, i) =>
           IndexStore.driftFromStoreAt(s, idx, snap, "src0")
             .select(lit(i + 1).as("version"), col("source"), col("n_docs"),
-              col("psi_nchars"), col("psi_ntokens"), col("psi_max"))
+              col("psi_nchars"), col("psi_ntokens"),
+              col("psi_nonalpha"), col("psi_max"))
         }.reduce(_ unionByName _).orderBy(col("version"), col("source"))
       },
       Some(s"""WITH d AS (SELECT doc_id % 3 AS s, source, n_chars, text
@@ -676,7 +701,7 @@ object Selection {
               col("n_chars"), col("text")))
         IndexStore.batchDriftVsStore(s, idx, batch, "src0")
           .select(col("source"), col("n_docs"), col("psi_nchars"),
-            col("psi_ntokens"), col("psi_max"),
+            col("psi_ntokens"), col("psi_nonalpha"), col("psi_max"),
             (col("psi_max") > 0.25).as("held"))
           .orderBy(col("source"))
       },
@@ -690,7 +715,7 @@ object Selection {
         fc AS (${oFeatRows("batch")}),
         ${oFeatPsi("fc", "fa", "q_")},
         rep AS (${oPsiPivot("q_feat")})
-        SELECT source, n_docs, psi_nchars, psi_ntokens, psi_max,
+        SELECT source, n_docs, psi_nchars, psi_ntokens, psi_nonalpha, psi_max,
           psi_max > 0.25 AS held
         FROM rep ORDER BY source""")),
 
@@ -715,7 +740,8 @@ object Selection {
         IndexStore.history(idx).zipWithIndex.map { case (snap, i) =>
           IndexStore.driftFromStoreAt(s, idx, snap, "src0")
             .select(lit(i + 1).as("version"), col("source"), col("n_docs"),
-              col("psi_nchars"), col("psi_ntokens"), col("psi_max"))
+              col("psi_nchars"), col("psi_ntokens"),
+              col("psi_nonalpha"), col("psi_max"))
         }.reduce(_ unionByName _).orderBy(col("version"), col("source"))
       },
       Some(s"""WITH d AS (SELECT doc_id % 3 AS s, source, n_chars, text
@@ -818,7 +844,8 @@ object Selection {
         IndexStore.history(idx).zipWithIndex.map { case (snap, i) =>
           IndexStore.driftFromStoreAt(s, idx, snap, "src0")
             .select(lit(i + 1).as("version"), col("source"), col("n_docs"),
-              col("psi_nchars"), col("psi_ntokens"), col("psi_max"))
+              col("psi_nchars"), col("psi_ntokens"),
+              col("psi_nonalpha"), col("psi_max"))
         }.reduce(_ unionByName _).orderBy(col("version"), col("source"))
       },
       Some(s"""WITH $oGatedUniCensus,
@@ -838,7 +865,7 @@ object Selection {
     // a clone: psi_nchars 0.02–0.08 across shipped SFs) but the
     // whitespace token count collapses to 1 per doc (token bin 0 vs
     // the anchor's spread: psi_ntokens 3.3–6.1, measured) — HELD by
-    // the two-feature max gate that a length-only census waves
+    // the multi-feature max gate that a length-only census waves
     // through. probe_clone (the same rows unsquashed) passes BOTH
     // marginals — the widened gate does not false-positive on the
     // reference distribution itself. Read-only report against the
@@ -858,7 +885,7 @@ object Selection {
               col("n_chars"), col("text")))
         IndexStore.batchDriftVsStore(s, idx, batch, "src0")
           .select(col("source"), col("n_docs"), col("psi_nchars"),
-            col("psi_ntokens"), col("psi_max"),
+            col("psi_ntokens"), col("psi_nonalpha"), col("psi_max"),
             (col("psi_max") > 0.25).as("held"))
           .orderBy(col("source"))
       },
@@ -873,7 +900,7 @@ object Selection {
         fc AS (${oFeatRows("batch")}),
         ${oFeatPsi("fc", "fa", "q_")},
         rep AS (${oPsiPivot("q_feat")})
-        SELECT source, n_docs, psi_nchars, psi_ntokens, psi_max,
+        SELECT source, n_docs, psi_nchars, psi_ntokens, psi_nonalpha, psi_max,
           psi_max > 0.25 AS held
         FROM rep ORDER BY source""")),
 
@@ -919,7 +946,58 @@ object Selection {
             AS BIGINT) AS n_media_docs,
           CAST(4 * count(*) FILTER (WHERE octet_length(CAST(text AS BLOB)) >= 4)
             AS BIGINT) AS n_media_rows
-        FROM cen GROUP BY version ORDER BY version"""))
+        FROM cen GROUP BY version ORDER BY version""")),
+
+    // ---- the gate BOTH round-11 marginals are blind to,
+    // oracle-checked (q166; VERDICT r11 missing #5): a content shift
+    // preserving length AND token count — the probe is the anchor's
+    // own % 40 == 0 rows with every ASCII letter swapped to its
+    // uppercase twin (translate is 1:1 by construction, so n_chars is
+    // preserved EXACTLY and the whitespace token count is untouched —
+    // psi_nchars and psi_ntokens both read clone-level) while the
+    // alphabet-class share flips from 0 to ~1 (uppercase is outside
+    // [a-z ]): psi_nonalpha 6.2–11.5 measured across shipped SFs,
+    // HELD by the three-feature max gate. probe_clone (the same rows
+    // unswapped) passes ALL THREE marginals — the widened gate does
+    // not false-positive on the reference distribution (≤ 0.08 per
+    // feature measured). Same read-only report shape as q163 (q156's
+    // idempotent monitor against the governed store's census); DuckDB
+    // recomputes censuses, all three PSIs and the verdict from raw
+    // documents. ----
+    "q166_alphabet_shift_gate" -> Q(
+      (s, dir) => {
+        val idx = governedStore(s, dir)
+        val docs = table(s, dir, "documents")
+          .filter(col("doc_id") % 40 === 0 && col("source") === "src0")
+        val batch = docs
+          .select(col("doc_id"), lit("probe_upper").as("source"),
+            col("n_chars"),
+            translate(col("text"), "abcdefghijklmnopqrstuvwxyz",
+              "ABCDEFGHIJKLMNOPQRSTUVWXYZ").as("text"))
+          .unionByName(docs
+            .select(col("doc_id"), lit("probe_clone").as("source"),
+              col("n_chars"), col("text")))
+        IndexStore.batchDriftVsStore(s, idx, batch, "src0")
+          .select(col("source"), col("n_docs"), col("psi_nchars"),
+            col("psi_ntokens"), col("psi_nonalpha"), col("psi_max"),
+            (col("psi_max") > 0.25).as("held"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH batch AS (
+          SELECT 'probe_upper' AS source, n_chars,
+            translate(text, 'abcdefghijklmnopqrstuvwxyz',
+              'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS text
+          FROM documents WHERE doc_id % 40 = 0 AND source = 'src0'
+          UNION ALL
+          SELECT 'probe_clone', n_chars, text
+          FROM documents WHERE doc_id % 40 = 0 AND source = 'src0'),
+        fa AS (${oFeatRows("documents", "source = 'src0'")}),
+        fc AS (${oFeatRows("batch")}),
+        ${oFeatPsi("fc", "fa", "q_")},
+        rep AS (${oPsiPivot("q_feat")})
+        SELECT source, n_docs, psi_nchars, psi_ntokens, psi_nonalpha,
+          psi_max, psi_max > 0.25 AS held
+        FROM rep ORDER BY source"""))
   )
 
   /** The smoothed PSI term over a verdict/census grid row — the exact
@@ -936,11 +1014,12 @@ object Selection {
   private lazy val oPsiAgg: String =
     oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")
 
-  /** Two-feature census bin rows of a (source, n_chars, text)-shaped
+  /** Three-feature census bin rows of a (source, n_chars, text)-shaped
     * relation — one row per doc per feature, the [[censusBins]]
     * spelling (n_tokens via the catalog's established
-    * string_split(text, ' ') parity). `where` optionally restricts the
-    * relation. */
+    * string_split(text, ' ') parity; nonalpha via the integer-division
+    * bin id both engines compute exactly). `where` optionally
+    * restricts the relation. */
   private def oFeatRows(rel: String, where: String = ""): String = {
     val w = if (where.isEmpty) "" else s" WHERE $where"
     s"""SELECT source, 'n_chars' AS feature,
@@ -948,6 +1027,11 @@ object Selection {
         UNION ALL
         SELECT source, 'n_tokens',
           least(CAST(floor(len(string_split(text, ' ')) / 16) AS BIGINT), 5)
+        FROM $rel$w
+        UNION ALL
+        SELECT source, 'nonalpha',
+          least(CAST((12 * length(regexp_replace(text, '[a-z ]', '', 'g')))
+            // greatest(length(text), 1) AS BIGINT), 5)
         FROM $rel$w"""
   }
 
@@ -983,8 +1067,10 @@ object Selection {
     SELECT source, CAST(max(n_cur) AS BIGINT) AS n_docs,
       max(CASE WHEN feature = 'n_chars' THEN psi END) AS psi_nchars,
       max(CASE WHEN feature = 'n_tokens' THEN psi END) AS psi_ntokens,
+      max(CASE WHEN feature = 'nonalpha' THEN psi END) AS psi_nonalpha,
       greatest(max(CASE WHEN feature = 'n_chars' THEN psi END),
-               max(CASE WHEN feature = 'n_tokens' THEN psi END)) AS psi_max
+               max(CASE WHEN feature = 'n_tokens' THEN psi END),
+               max(CASE WHEN feature = 'nonalpha' THEN psi END)) AS psi_max
     FROM $feat GROUP BY source"""
 
   /** [[oFeatRows]] with a `version` column threaded through — for the
@@ -996,6 +1082,11 @@ object Selection {
         UNION ALL
         SELECT version, source, 'n_tokens',
           least(CAST(floor(len(string_split(text, ' ')) / 16) AS BIGINT), 5)
+        FROM $rel$w
+        UNION ALL
+        SELECT version, source, 'nonalpha',
+          least(CAST((12 * length(regexp_replace(text, '[a-z ]', '', 'g')))
+            // greatest(length(text), 1) AS BIGINT), 5)
         FROM $rel$w"""
   }
 
@@ -1030,8 +1121,10 @@ object Selection {
     SELECT version, source, CAST(max(n_cur) AS BIGINT) AS n_docs,
       max(CASE WHEN feature = 'n_chars' THEN psi END) AS psi_nchars,
       max(CASE WHEN feature = 'n_tokens' THEN psi END) AS psi_ntokens,
+      max(CASE WHEN feature = 'nonalpha' THEN psi END) AS psi_nonalpha,
       greatest(max(CASE WHEN feature = 'n_chars' THEN psi END),
-               max(CASE WHEN feature = 'n_tokens' THEN psi END)) AS psi_max
+               max(CASE WHEN feature = 'n_tokens' THEN psi END),
+               max(CASE WHEN feature = 'nonalpha' THEN psi END)) AS psi_max
     FROM $feat GROUP BY 1, 2"""
 
   /** One gate VERDICT replay: the [[oFeatPsi]] chain plus the held

@@ -132,7 +132,31 @@ class SelectionSpec extends SparkSpec {
       "length marginal must be blind to the squash")
     assert(out.getAs[Double]("psi_ntokens") > 0.25,
       s"token marginal must alarm, got ${out.getAs[Double]("psi_ntokens")}")
-    assert(out.getAs[Double]("psi_max") == out.getAs[Double]("psi_ntokens"))
+    // the squash also moves the alphabet marginal (dots are outside
+    // [a-z ]) — psi_max is the greatest of whichever alarmed
+    assert(out.getAs[Double]("psi_max") ==
+      math.max(out.getAs[Double]("psi_ntokens"),
+        out.getAs[Double]("psi_nonalpha")))
+  }
+
+  test("the alphabet marginal alarms on a shift BOTH other marginals cannot see (q166's blind spot)") {
+    // identical n_chars AND identical token counts; the probe's texts
+    // swap every letter to uppercase (1:1, spaces untouched) — the
+    // length and token marginals are blind by construction, the
+    // alphabet-class share flips from 0 to ~1
+    val anchor = (0 until 600).map(i =>
+      ("ref", 300L, Seq.fill(16 + (i % 5) * 16)("w").mkString(" ")))
+    val upper = (0 until 600).map(i =>
+      ("upper", 300L, Seq.fill(16 + (i % 5) * 16)("W").mkString(" ")))
+    val docs = (anchor ++ upper).toDF("source", "n_chars", "text")
+    val out = ops.Selection.psiBySource(docs, "ref").head()
+    assert(math.abs(out.getAs[Double]("psi_nchars")) < 1e-9,
+      "length marginal must be blind to the case swap")
+    assert(math.abs(out.getAs[Double]("psi_ntokens")) < 1e-9,
+      "token marginal must be blind to the case swap")
+    assert(out.getAs[Double]("psi_nonalpha") > 0.25,
+      s"alphabet marginal must alarm, got ${out.getAs[Double]("psi_nonalpha")}")
+    assert(out.getAs[Double]("psi_max") == out.getAs[Double]("psi_nonalpha"))
   }
 
   // ---- governed store: the census channel IS the monitor's state ----
@@ -224,17 +248,22 @@ class SelectionSpec extends SparkSpec {
 
   test("drift circuit breaker: a shifted source is held out of the fold, clean sources fold, recovery passes") {
     val idx = tmp("gate")
+    // ids letter-encoded in the texts: digits are outside [a-z ], so a
+    // digit-bearing id would move the ALPHABET marginal differently per
+    // source (1- vs 2-digit ranges) and this test pins the LENGTH
+    // gate's hold in isolation
+    def alpha(i: Int): String = i.toString.map(c => ('a' + (c - '0')).toChar)
     val seed = (1 to 12).map { i =>
-      (i.toLong, s"seed doc $i tok$i", "s0", 50L + (i % 5) * 100)
+      (i.toLong, s"seed doc ${alpha(i)} tok${alpha(i)}", "s0", 50L + (i % 5) * 100)
     }.toDF("doc_id", "text", "source", "n_chars")
     ops.IndexStore.write(spark, seed, idx, governed = true)
     // batch: a clone-profile source sB (same length bins as the
     // anchor) + a shifted source sC (every doc lands in the bin the
     // anchor never populates)
     val batch = ((21 to 30).map { i =>
-      (i.toLong, s"clone doc $i tok$i", "sB", 60L + (i % 5) * 100)
+      (i.toLong, s"clone doc ${alpha(i)} tok${alpha(i)}", "sB", 60L + (i % 5) * 100)
     } ++ (31 to 40).map { i =>
-      (i.toLong, s"shift doc $i tok$i", "sC", 520L + (i % 2) * 40)
+      (i.toLong, s"shift doc ${alpha(i)} tok${alpha(i)}", "sC", 520L + (i % 2) * 40)
     }).toDF("doc_id", "text", "source", "n_chars")
     // the monitor itself is store-fed: census channel + the batch's
     // own bins agg, never a sibling channel or corpus scan
@@ -259,7 +288,7 @@ class SelectionSpec extends SparkSpec {
     // a later CLEAN tick from the held upstream passes the gate —
     // the hold is per-tick, not a ban
     val clean = (41 to 50).map { i =>
-      (i.toLong, s"recovered doc $i tok$i", "sC", 70L + (i % 5) * 100)
+      (i.toLong, s"recovered doc ${alpha(i)} tok${alpha(i)}", "sC", 70L + (i % 5) * 100)
     }.toDF("doc_id", "text", "source", "n_chars")
     val (_, rep2) = ops.IndexStore.screenAndFoldGated(spark, idx, clean, "s0")
     assert(rep2.filter(col("held")).isEmpty,
