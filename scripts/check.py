@@ -58,12 +58,18 @@ def load_bench(path):
     qs = {}
     for line in (b.get("tail") or "").splitlines():
         line = line.strip()
-        if not line.startswith('{"qt"'):
+        if not line.startswith('{"qt'):
             continue
         try:
-            qs.update(json.loads(line).get("qt") or {})
+            obj = json.loads(line)
         except ValueError:
             continue  # truncated head fragment
+        # round-12 lines carry integer centiseconds ("qtc"); older
+        # artifacts carry decimal seconds ("qt")
+        if isinstance(obj.get("qtc"), dict):
+            qs.update({k: v / 100.0 for k, v in obj["qtc"].items()})
+        else:
+            qs.update(obj.get("qt") or {})
     qs = {qnum_key(k): v for k, v in qs.items()}
     return {"queries": qs,
             "warm_breakdown": parsed.get("warm_breakdown") or {},
@@ -72,24 +78,48 @@ def load_bench(path):
             "shape": "wrapper"}
 
 
-def cal_clean(b):
-    """Steal-window verdict of a bench artifact: the emitted `clean`
-    flag when present, else derived from the calibration sentinels the
-    same way Bench derives it (max/median of all valid samples ≤ 1.5 —
-    a steal burst shows as one or two samples far above the typical
-    level; max/min would flag honest ~0.3 s probe variance). Returns
-    (clean: bool|None, ratio: float|None)."""
+def cal_verdicts(b):
+    """PER-REGIME steal-window verdicts of a bench artifact (VERDICT
+    r11 next #2 — the combined max/median conflated the pre-warm q01
+    regime (~0.55 floor on the bench host) with the post-warm sweep
+    regime (0.28–0.45 medians) and refused fast-sweep windows as
+    dirt). Returns {"sweep": (clean, ratio), "warm": (clean, ratio)}:
+
+    - sweep: max/median over the post-warm samples only (first, mid…,
+      last) ≤ 1.5 — gates the per-query compare;
+    - warm: stabilized pre shot / sweep median ≤ 2.5 (regime-gap
+      ceiling 2.1 + margin; a sustained steal at 4–5× stays refused)
+      — gates the warm-breakdown compare.
+
+    Emitted flags win when present; derived from the raw sentinels for
+    pre-round-12 artifacts (both regimes' samples were always
+    recorded). clean=None when underdetermined — treated as usable,
+    the pre-r9 posture for flagless artifacts."""
     c = b.get("calibration") or {}
-    if isinstance(c.get("clean"), bool):
-        return c["clean"], c.get("ratio")
-    vals = sorted(v for v in
-                  ([c.get("pre"), c.get("first"), c.get("last")]
-                   + list(c.get("mid") or []))
-                  if isinstance(v, (int, float)) and v > 0)
-    if len(vals) < 2:
-        return None, None
-    ratio = vals[-1] / vals[len(vals) // 2]
-    return ratio <= 1.5, round(ratio, 3)
+    out = {}
+    if isinstance(c.get("clean_sweep"), bool):
+        out["sweep"] = (c["clean_sweep"], c.get("ratio_sweep"))
+    if isinstance(c.get("clean_warm"), bool):
+        out["warm"] = (c["clean_warm"], c.get("ratio_pre"))
+    if len(out) == 2:
+        return out
+    sweep = sorted(v for v in
+                   ([c.get("first"), c.get("last")] + list(c.get("mid") or []))
+                   if isinstance(v, (int, float)) and v > 0)
+    if "sweep" not in out:
+        if len(sweep) >= 2:
+            r = sweep[-1] / sweep[len(sweep) // 2]
+            out["sweep"] = (r <= 1.5, round(r, 3))
+        else:
+            out["sweep"] = (None, None)
+    if "warm" not in out:
+        pre = c.get("pre")
+        if isinstance(pre, (int, float)) and pre > 0 and len(sweep) >= 2:
+            r = pre / sweep[len(sweep) // 2]
+            out["warm"] = (r <= 2.5, round(r, 3))
+        else:
+            out["warm"] = (None, None)
+    return out
 
 
 def bench_regressions(cur_path, prior_path, factor=2.5):
@@ -108,17 +138,24 @@ def bench_regressions(cur_path, prior_path, factor=2.5):
                     "the gate refuses to compare nothing"}))
         return 2
     # refuse a steal-window artifact on EITHER side (VERDICT r9 next
-    # #2): a dirty baseline gates the round against noise, a dirty
-    # current run reads as a regression sweep; both comparisons are
-    # meaningless — re-measure on a clean window instead.
-    dirty = [(p, r) for p, (cl, r) in
-             ((cur_path, cal_clean(cur)), (prior_path, cal_clean(prior)))
-             if cl is False]
-    if dirty:
+    # #2), PER REGIME (VERDICT r11 next #2): a dirty SWEEP refuses the
+    # per-query compare, a dirty WARM bracket refuses the per-store
+    # warm compare — independently, so a fast-sweep window under a
+    # stable pre floor (r11's 174.8 s _fastwin) gates queries instead
+    # of reading as dirt, while a sustained-steal window stays refused
+    # on both.
+    vc, vp = cal_verdicts(cur), cal_verdicts(prior)
+    dirty_sweep = [(p, v["sweep"][1]) for p, v in
+                   ((cur_path, vc), (prior_path, vp))
+                   if v["sweep"][0] is False]
+    dirty_warm = [(p, v["warm"][1]) for p, v in
+                  ((cur_path, vc), (prior_path, vp))
+                  if v["warm"][0] is False]
+    if dirty_sweep and dirty_warm:
         print(json.dumps({"dirty_bench": [
-            {"file": p, "cal_ratio": r} for p, r in dirty],
-            "note": "calibration sentinels mark a steal window "
-                    "(max/median > 1.5); re-run on a clean window"}))
+            {"file": p, "sweep_ratio": r} for p, r in dirty_sweep],
+            "note": "both regimes dirty (sweep max/median > 1.5 AND "
+                    "pre/sweep-median > 2.5); re-run on a clean window"}))
         return 1
     def cal(b):
         c = b.get("calibration") or {}
@@ -128,35 +165,48 @@ def bench_regressions(cur_path, prior_path, factor=2.5):
     cc, cp = cal(cur), cal(prior)
     adjust = (cc / cp) if (cc and cp) else 1.0
     flagged = []
-    for q, t in sorted((cur.get("queries") or {}).items()):
-        t0 = (prior.get("queries") or {}).get(q)
-        if not isinstance(t0, (int, float)) or t0 <= 0 or t < 0:
-            continue  # new query, or an error timing on either side
-        # floor tiny baselines: sub-0.2 s timings are scheduler noise
-        if t > factor * max(t0, 0.2) * adjust:
-            flagged.append({"query": q, "sec": round(t, 3),
-                            "prior_sec": round(t0, 3),
-                            "ratio": round(t / t0, 2)})
+    if not dirty_sweep:
+        for q, t in sorted((cur.get("queries") or {}).items()):
+            t0 = (prior.get("queries") or {}).get(q)
+            if not isinstance(t0, (int, float)) or t0 <= 0 or t < 0:
+                continue  # new query, or an error timing on either side
+            # floor tiny baselines: sub-0.2 s timings are scheduler noise
+            if t > factor * max(t0, 0.2) * adjust:
+                flagged.append({"query": q, "sec": round(t, 3),
+                                "prior_sec": round(t0, 3),
+                                "ratio": round(t / t0, 2)})
     # WARM phase per-store regressions under the same rule: the warm
     # phase runs before the first sweep sentinel and spans ~80-120 s,
     # so a burst can hide between the pre/first brackets — the
     # per-store breakdown is the finer instrument (floor 1 s: store
     # builds are multi-job, sub-second entries are memo-count noise)
     warm_flagged = []
-    for w, t in sorted((cur.get("warm_breakdown") or {}).items()):
-        t0 = (prior.get("warm_breakdown") or {}).get(w)
-        if not isinstance(t0, (int, float)) or t0 <= 0 or t < 0:
-            continue
-        if t > factor * max(t0, 1.0) * adjust:
-            warm_flagged.append({"warm": w, "sec": round(t, 3),
-                                 "prior_sec": round(t0, 3),
-                                 "ratio": round(t / t0, 2)})
-    n_q = len(set(cur["queries"]) & set(prior["queries"]))
-    n_w = len(set(cur["warm_breakdown"]) & set(prior["warm_breakdown"]))
+    if not dirty_warm:
+        for w, t in sorted((cur.get("warm_breakdown") or {}).items()):
+            t0 = (prior.get("warm_breakdown") or {}).get(w)
+            if not isinstance(t0, (int, float)) or t0 <= 0 or t < 0:
+                continue
+            if t > factor * max(t0, 1.0) * adjust:
+                warm_flagged.append({"warm": w, "sec": round(t, 3),
+                                     "prior_sec": round(t0, 3),
+                                     "ratio": round(t / t0, 2)})
+    n_q = 0 if dirty_sweep else \
+        len(set(cur["queries"]) & set(prior["queries"]))
+    n_w = 0 if dirty_warm else \
+        len(set(cur["warm_breakdown"]) & set(prior["warm_breakdown"]))
     out = {"bench_regressions": flagged, "warm_regressions": warm_flagged,
            "factor": factor,
            "calibration_adjust": round(adjust, 3),
            "n_queries_compared": n_q, "n_warm_compared": n_w,
+           "regimes": {
+               "cur": {"sweep": list(vc["sweep"]), "warm": list(vc["warm"])},
+               "prior": {"sweep": list(vp["sweep"]), "warm": list(vp["warm"])}},
+           "refused": ({"queries_sweep_dirty":
+                        [{"file": p, "ratio": r} for p, r in dirty_sweep]}
+                       if dirty_sweep else {}) |
+                      ({"warm_bracket_dirty":
+                        [{"file": p, "ratio": r} for p, r in dirty_warm]}
+                       if dirty_warm else {}),
            "shapes": [cur["shape"], prior["shape"]],
            "compared": cur_path + " vs " + prior_path}
     print(json.dumps(out))

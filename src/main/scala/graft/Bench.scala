@@ -185,7 +185,43 @@ object Bench {
       else -1.0
     val calClean =
       if (calSamples.size >= 2) (calRatio <= 1.5).toString else "null"
-    val cal = s"""{"pre_cold":$calPreCold,"pre_shots":[${preShots.mkString(",")}],"pre":$calPre,"first_shots":[${firstShots.mkString(",")}],"first":$calFirst,"mid":[${calMid.mkString(",")}],"last":$calLast,"ratio":${math.rint(calRatio * 1000) / 1000},"clean":$calClean}"""
+    // PER-REGIME verdicts (VERDICT r11 next #2; SCALE.md "pre-sentinel
+    // regime gap"): the pre shots run before the warm phase (caches
+    // only entry-warm) and stabilize at a ~0.55 ± 0.07 floor on this
+    // host, while the post-warm sweep's median spans 0.28–0.45 —
+    // max/median across BOTH regimes measures that structural gap, not
+    // steal, and refused the round-11 fastest window (sweep floor
+    // 0.28 under an unchanged pre floor → ratio 2.09 "dirty").
+    //  - clean_sweep: max/median over the SWEEP samples only (first,
+    //    mid…, last — all post-warm, one regime) ≤ 1.5. This is the
+    //    verdict the per-query regression gate needs.
+    //  - clean_warm: the stabilized pre shot against the sweep median
+    //    ≤ 2.5 — sized from the measured regime-gap ceiling (2.1) plus
+    //    margin, while the sustained-steal shape (pre shots AGREEING at
+    //    4–5× the sweep band, e.g. 2.18/2.17 over 0.4) stays refused.
+    //    The finer warm instrument remains the per-store breakdown
+    //    compare in scripts/check.py.
+    // The combined `ratio`/`clean` stays for artifact compatibility.
+    val sweepSamples = (calFirst +: calMid.toSeq :+ calLast).filter(_ > 0).sorted
+    val sweepRatio =
+      if (sweepSamples.size >= 2)
+        sweepSamples.max / sweepSamples(sweepSamples.size / 2)
+      else -1.0
+    val cleanSweep =
+      if (sweepSamples.size >= 2) (sweepRatio <= 1.5).toString else "null"
+    val preRatio =
+      if (calPre > 0 && sweepSamples.size >= 2)
+        calPre / sweepSamples(sweepSamples.size / 2)
+      else -1.0
+    val cleanWarm = if (preRatio > 0) (preRatio <= 2.5).toString else "null"
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val calVerdicts = s""""ratio":${r3(calRatio)},"clean":$calClean,"ratio_sweep":${r3(sweepRatio)},"clean_sweep":$cleanSweep,"ratio_pre":${r3(preRatio)},"clean_warm":$cleanWarm"""
+    val cal = s"""{"pre_cold":$calPreCold,"pre_shots":[${preShots.mkString(",")}],"pre":$calPre,"first_shots":[${firstShots.mkString(",")}],"first":$calFirst,"mid":[${calMid.mkString(",")}],"last":$calLast,$calVerdicts}"""
+    // the stdout-tail short line carries a SHOT-ARRAY-FREE calibration:
+    // the driver's tail capture is ~2000 chars and every byte spent on
+    // shot evidence (kept in bench.json / BENCH_FULL_LAST.json) is a
+    // qtc entry cut from the per-query map (VERDICT r11 next #6)
+    val calShort = s"""{"pre_cold":$calPreCold,"pre":$calPre,"first":$calFirst,"last":$calLast,$calVerdicts}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmSec,"queries_sec":$queriesSec,"heap_mb":$heapMb,"queries":$qs,"warm_breakdown":$wb,"errors":$errJson,"calibration":$cal,"sf":"$sfDir"}"""
     println(json)
     // sbt wraps stdout in [info] prefixes the driver can't parse — also
@@ -200,15 +236,19 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL_LAST.json"), json + "\n")
     // per-query evidence INSIDE the driver's 2000-char stdout tail
-    // capture: compact lines (qNN key → 2-decimal seconds), numerically
-    // ordered so a head-cut loses the oldest (already-known) queries
-    // first; the newest queries ride closest to the tail.
-    results.grouped(60).foreach { grp =>
+    // capture: compact lines (qNN key → integer CENTISECONDS — 2 bytes
+    // shorter per entry than decimal seconds), numerically ordered so
+    // a head-cut loses the oldest (already-known) queries first; the
+    // newest queries ride closest to the tail. 25 queries per line
+    // (was 60 — BENCH_r11's head cut killed one 60-query line whole
+    // plus a second as an unparseable prefix; smaller chunks make a
+    // cut degrade by ≤ 25 queries instead of ≤ 120, VERDICT r11 #6).
+    results.grouped(25).foreach { grp =>
       val compact = grp.map { case (n, t) =>
         val short = "\\d+".r.findFirstIn(n).getOrElse(n)
-        s""""$short":${math.rint(t * 100) / 100}"""
+        s""""$short":${math.rint(t * 100).toLong}"""
       }.mkString(",")
-      println(s"""{"qt":{$compact}}""")
+      println(s"""{"qtc":{$compact}}""")
     }
     // the full line is ~3 KB and the driver's tail capture truncates its
     // head (BENCH_r02 "parsed": null) — emit a short total-only line
@@ -217,7 +257,7 @@ object Bench {
     // stdout line arrives as "[info] {...}" — print it to stderr too
     // (sbt passes forked stderr through unprefixed) and pin
     // `run / outputStrategy := StdoutOutput` in build.sbt.
-    val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmSec,"errors":${errors.size},"calibration":$cal,"sf":"$sfDir"}"""
+    val shortLine = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmSec,"errors":${errors.size},"calibration":$calShort,"sf":"$sfDir"}"""
     println(shortLine)
     System.err.println(shortLine)
     Core.clearCaches(spark)
