@@ -67,6 +67,36 @@ object ScaleProbe {
     if (regen) marker.createNewFile()
     println("DATA READY")
 
+    // COMPUTE-BOUND sentinel (VERDICT r11 next #4): a fixed decimal-
+    // arithmetic microburst — 10⁷ generated rows × a 16-term decimal
+    // fold, q123's exact-dot arithmetic class — with NO table scan and
+    // NO shuffle, so it measures sustained CPU throughput and nothing
+    // else. The q123 reconciliation proved the need: this host drifts
+    // 1.7× in sustained-compute throughput between rounds while the
+    // scan-bound q01 sentinel reads flat, so compute-bound probe lines
+    // (q123/q132/q124) were previously uninterpretable across sessions
+    // without forensic re-measurement. Emitted at session start and
+    // end; compare the PAIR within a session (start ≈ end ⇒ stable
+    // window) and the LEVEL across sessions (the per-session CPU
+    // anchor every compute-bound line is read against). Runs in
+    // PROBE_ONLY isolation too — it touches no cache a measurement
+    // could inherit (pure codegen arithmetic). The session opens with
+    // TWO shots: start1 carries the codegen/JIT warmup (measured ~1.6×
+    // the settled level), start2 is the stabilized per-session CPU
+    // anchor cross-session comparisons read.
+    def computeSentinel(tag: String): Unit = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 10000000L, 1, 32)
+        .selectExpr("cast(id % 9973 as decimal(20,10)) as a")
+        .selectExpr("""aggregate(sequence(1, 16),
+            cast(0 as decimal(28,10)),
+            (acc, i) -> cast(acc + a * i / 7 as decimal(28,10))) as v""")
+        .agg(sum(col("v"))).head()
+      println(f"PROBE compute_sentinel_$tag%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    computeSentinel("start1")
+    computeSentinel("start2")
+
     def time(q: String): Unit = {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dst).count()
@@ -1108,6 +1138,10 @@ object ScaleProbe {
         }
       }
     }
+    // closing shot of the compute anchor: start ≈ end certifies the
+    // session window was compute-stable; a drifted pair marks every
+    // compute-bound line in between as contaminated evidence
+    computeSentinel("end")
     spark.stop()
   }
 }
