@@ -1184,10 +1184,11 @@ object IndexStore {
     * pins `writeText(corpus ∪ batch)` ≡ `writeText(corpus);
     * appendText(batch)` on every channel (stats included) and on query
     * results. */
-  def writeText(s: SparkSession, docs: DataFrame, out: String): Unit = {
+  def writeText(s: SparkSession, docs: DataFrame, out: String,
+      preTok: Option[DataFrame] = None): Unit = {
     val (base, prior) = baseForWrite(out)
     val snap = beginSnap(out)
-    val chs = writeTextInto(s, docs, out, snap, None)
+    val chs = writeTextInto(s, docs, out, snap, None, preTok)
     // an EMPTY doc frame (a streaming bootstrap's first micro-batch
     // can be empty) must not commit part-file-less parquet paths — a
     // later read of such a path cannot infer a schema and the store
@@ -1255,9 +1256,10 @@ object IndexStore {
     * (an exact at-least-once redelivery is skipped, a partial overlap
     * is refused). An append into an uninitialized store bootstraps it
     * (the streaming ingest loop's opening micro-batch). */
-  def appendText(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+  def appendText(s: SparkSession, indexDir: String, batch: DataFrame,
+      preTok: Option[DataFrame] = None): Unit = {
     val (base, prior) = baseForWrite(indexDir)
-    if (!prior.contains("doc_lens")) writeText(s, batch, indexDir)
+    if (!prior.contains("doc_lens")) writeText(s, batch, indexDir, preTok)
     // guard + stats read through the transaction's OWN base manifest
     // (`prior`), not a fresh pointer resolution: a rival committing
     // between two resolutions would hand this append a torn view that
@@ -1269,7 +1271,7 @@ object IndexStore {
       val st = channelFrom(s, indexDir, prior, "stats").head()
       val snap = beginSnap(indexDir)
       val chs = writeTextInto(s, batch, indexDir, snap,
-        Some((st.getAs[Long]("n_docs"), st.getAs[Long]("sum_dl"))))
+        Some((st.getAs[Long]("n_docs"), st.getAs[Long]("sum_dl"))), preTok)
       // prior.get, not prior(): a degenerate bootstrap (all-letterless
       // opening batch) commits doc_lens+stats but drops the data-less
       // postings channel, and the first real append must CREATE it
@@ -1297,10 +1299,24 @@ object IndexStore {
     * append recorded but the channel omitted would make that doc's
     * exact redelivery unrecognizable (misread as partial overlap,
     * wedging the stream). The stats census still counts only INDEXED
-    * docs (dl > 0 — the q143 oracle's WHERE clause). */
+    * docs (dl > 0 — the q143 oracle's WHERE clause).
+    *
+    * `preTok` (round 12, VERDICT r11 next #3 — warm consolidation):
+    * an optional PRE-TOKENIZED (doc_id, term, tf) frame covering a
+    * SUPERSET of `docs`; when present the fold semi-joins it down to
+    * the batch ids instead of re-tokenizing, so N folds over slices of
+    * one corpus share ONE tokenization pass (the bench fixtures'
+    * three text-carrying stores each re-tokenized overlapping slices
+    * of the same corpus — a measured triple pass). CALLER CONTRACT:
+    * preTok must be postingsFor(superset-of-docs) over the SAME texts
+    * — a stale or foreign frame silently corrupts the postings; the
+    * route equivalence is spec-pinned (TextIndexSpec). */
   private def writeTextInto(s: SparkSession, docs: DataFrame,
-      root: String, snap: String, priorStats: Option[(Long, Long)]): Map[String, Channel] = {
-    val postings = TextOps.postingsFor(docs)
+      root: String, snap: String, priorStats: Option[(Long, Long)],
+      preTok: Option[DataFrame] = None): Map[String, Channel] = {
+    val postings = preTok
+      .map(_.join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+      .getOrElse(TextOps.postingsFor(docs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docLens = docs.select(col("doc_id"))
       .join(postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
@@ -2197,14 +2213,15 @@ object IndexStore {
   def writeUnified(s: SparkSession, docs: DataFrame, vectors: DataFrame,
       centroids: DataFrame, out: String, governed: Boolean = false,
       proj: Option[(DataFrame, DataFrame)] = None,
-      payloads: Option[DataFrame] = None): Unit = {
+      payloads: Option[DataFrame] = None,
+      preTok: Option[DataFrame] = None): Unit = {
     require(!docs.isEmpty && !vectors.isEmpty && !centroids.isEmpty,
       "writeUnified: empty docs, vectors or centroids — a channel-less " +
         "unified store would wedge later folds; bootstrap with a " +
         "non-empty corpus slice and a trained model")
     val (base, prior) = baseForWrite(out)
     val snap = beginSnap(out)
-    val tchs = writeTextInto(s, docs, out, snap, None)
+    val tchs = writeTextInto(s, docs, out, snap, None, preTok)
     centroids.write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/centroids")
     maybeCrash("centroids")
     stageCells(assignCells(vectors, centroids), s"$out/$snap/cells")
@@ -2334,9 +2351,11 @@ object IndexStore {
     * already-folded pair is refused as a mismatched pairing. */
   def appendUnified(s: SparkSession, root: String, docs: DataFrame,
       vectors: DataFrame, raw: Option[DataFrame] = None,
-      payloads: Option[DataFrame] = None): Unit = {
+      payloads: Option[DataFrame] = None,
+      preTok: Option[DataFrame] = None): Unit = {
     val (base, prior) = baseRequired(root)
-    appendUnifiedFrom(s, root, base, prior, docs, vectors, raw, payloads)
+    appendUnifiedFrom(s, root, base, prior, docs, vectors, raw, payloads,
+      preTok)
   }
 
   /** Transaction body of [[appendUnified]] against a CALLER-HELD
@@ -2348,7 +2367,8 @@ object IndexStore {
       base: Option[String], prior: Map[String, Channel],
       docs: DataFrame, vectors: DataFrame,
       raw: Option[DataFrame] = None,
-      payloads: Option[DataFrame] = None): Unit = {
+      payloads: Option[DataFrame] = None,
+      preTok: Option[DataFrame] = None): Unit = {
     val dEmpty = docs.isEmpty
     val vEmpty = vectors.isEmpty
     val hasProj = prior.contains("proj_stats")
@@ -2418,7 +2438,7 @@ object IndexStore {
     val tchs = textGo.map { _ =>
       val st = channelFrom(s, root, prior, "stats").head()
       writeTextInto(s, docs, root, snap,
-        Some((st.getAs[Long]("n_docs"), st.getAs[Long]("sum_dl"))))
+        Some((st.getAs[Long]("n_docs"), st.getAs[Long]("sum_dl"))), preTok)
     }
     // a governed unified store extends its census on every DOCS-side
     // fold (same additive-delta contract as the dedup family's append);
@@ -2520,7 +2540,8 @@ object IndexStore {
   def appendUnifiedGated(s: SparkSession, root: String,
       docs: DataFrame, vectors: DataFrame, anchor: String,
       maxPsi: Double = 0.25, raw: Option[DataFrame] = None,
-      payloads: Option[DataFrame] = None): DataFrame = {
+      payloads: Option[DataFrame] = None,
+      preTok: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val (base, prior) = baseRequired(root)
     // CALLER mispairing checked against the caller's ORIGINAL frames,
@@ -2607,7 +2628,7 @@ object IndexStore {
       if (admittedRaw.isDefined && admittedVecs.isEmpty) None
       else admittedRaw
     appendUnifiedFrom(s, root, base, prior, admittedDocs, admittedVecs,
-      rawEff, admittedPayloads)
+      rawEff, admittedPayloads, preTok)
     rep.toDF("source", "n_docs", "psi_nchars", "psi_ntokens",
       "psi_nonalpha", "psi_max", "held")
   }

@@ -392,10 +392,16 @@ object Selection {
         // back under the oracle)
         def payloadsOf(d: DataFrame): DataFrame =
           d.select(col("doc_id"), col("text").cast("binary").as("payload"))
+        // re-sourced probe rows keep their doc_id and text, so the
+        // memoized full-corpus tokenization covers every fold's batch
+        // (VERDICT r11 next #3 — one pass shared across the three
+        // text-carrying warm fixtures)
+        val preTok = Some(TextOps.bm25Index(s, dir))
         IndexStore.writeUnified(s, docs.filter(col("doc_id") % 2 === 0),
           vecs.filter(col("vec_id") % 2 === 0),
           Similarity.ivfCentroids(s, dir), idx, governed = true,
-          payloads = Some(payloadsOf(docs.filter(col("doc_id") % 2 === 0))))
+          payloads = Some(payloadsOf(docs.filter(col("doc_id") % 2 === 0))),
+          preTok = preTok)
         for ((residue, shift) <- Seq((1, 480L), (3, 0L))) {
           val slice = docs.filter(col("doc_id") % 4 === residue)
           val batch = slice.filter(col("doc_id") % 10 =!= 1)
@@ -406,7 +412,8 @@ object Selection {
           IndexStore.appendUnifiedGated(s, idx, batch,
             vecs.filter(col("vec_id") % 4 === residue), "src0",
             maxPsi = GatedUnifiedMaxPsi,
-            payloads = Some(payloadsOf(slice)))
+            payloads = Some(payloadsOf(slice)),
+            preTok = preTok)
         }
         idx
       })

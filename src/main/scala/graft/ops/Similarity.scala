@@ -1493,15 +1493,20 @@ object Similarity {
         // flagship fixture exercises the pair-atomic proj maintenance
         // path every session
         val raw0 = raw.filter(col("vec_id") % 3 === 0)
+        // the docs side shares the memoized full-corpus tokenization
+        // with the other text-carrying fixtures (VERDICT r11 next #3)
+        val preTok = Some(TextOps.bm25Index(s, dir))
         IndexStore.writeUnified(s, docs.filter(col("doc_id") % 3 === 0),
           vecs.filter(col("vec_id") % 3 === 0), ivfCentroids(s, dir), idx,
           governed = true,
-          proj = Some((projectedUnitsOf(raw0, 32), exactVecsOf(raw0))))
+          proj = Some((projectedUnitsOf(raw0, 32), exactVecsOf(raw0))),
+          preTok = preTok)
         for (r <- 1 to 2)
           IndexStore.appendUnified(s, idx,
             docs.filter(col("doc_id") % 3 === r),
             vecs.filter(col("vec_id") % 3 === r),
-            raw = Some(raw.filter(col("vec_id") % 3 === r)))
+            raw = Some(raw.filter(col("vec_id") % 3 === r)),
+            preTok = preTok)
         idx
       })
     }

@@ -70,6 +70,34 @@ class TextIndexSpec extends SparkSpec {
     assert(qa.nonEmpty && qa == qb, "append-maintained store scores diverge")
   }
 
+  test("preTok route ≡ tokenize route: shared-pass folds land identical channels (VERDICT r11 #3)") {
+    // the warm-consolidation contract: writeText/appendText fed a
+    // pre-tokenized full-corpus frame (semi-joined per slice) must be
+    // channel-for-channel indistinguishable from the per-fold
+    // tokenization route — this is what lets the three text-carrying
+    // bench fixtures share ONE tokenization pass
+    val docs = Core.table(spark, dir, "documents")
+    val preTok = Some(ops.TextOps.postingsFor(docs))
+    val shared = tmp("pretok"); val solo = tmp("tokenized")
+    val (even, odd) = ($"doc_id" % 2 === 0, $"doc_id" % 2 === 1)
+    ops.IndexStore.writeText(spark, docs.filter(even), shared, preTok)
+    ops.IndexStore.appendText(spark, shared, docs.filter(odd), preTok)
+    ops.IndexStore.writeText(spark, docs.filter(even), solo)
+    ops.IndexStore.appendText(spark, solo, docs.filter(odd))
+    for (ch <- Seq("postings", "doc_lens", "stats")) {
+      val a = ops.IndexStore.channel(spark, shared, ch)
+      val b = ops.IndexStore.channel(spark, solo, ch)
+      assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty,
+        s"channel $ch diverges between the preTok and tokenize routes")
+    }
+    val terms = ops.TextOps.qtermsOf(spark, dir)
+    val qa = ops.IndexStore.bm25FromStore(spark, shared, terms)
+      .orderBy($"doc_id").collect().toSeq
+    val qb = ops.IndexStore.bm25FromStore(spark, solo, terms)
+      .orderBy($"doc_id").collect().toSeq
+    assert(qa.nonEmpty && qa == qb, "preTok-fed store scores diverge")
+  }
+
   test("query-term lookup reaches the postings scan as a pushed In filter") {
     // the layout claim (term-range-partitioned + term-sorted → row-group
     // pruning) is only real if the filter is PUSHED, not post-scan
