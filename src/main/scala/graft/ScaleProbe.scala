@@ -393,6 +393,13 @@ object ScaleProbe {
     // two-feature batch gate must stay census-read + batch-local aggs
     // — the probe batch is the only corpus-text touch, O(|batch|)
     timeForced("q163_content_shift_gate", ("n_docs", "psi_max"))
+    // q165 walks the gated unified store's media-inclusive timeline —
+    // per version one pruned doc_lens id read + one block-count agg,
+    // never a payload byte (rides the q161/q162 fixture)
+    timeForced("q165_unified_media_timeline", ("version", "n_media_rows"))
+    // q166 is q163's read-only gate shape on the alphabet marginal —
+    // census read + O(batch) bins, the probe batch the only text touch
+    timeForced("q166_alphabet_shift_gate", ("n_docs", "psi_max"))
     if (only.forall(_.contains("q88_canonical_dedup"))) {
       val t0 = System.nanoTime()
       // force the normalizer + keeper window: aggregate over BOTH

@@ -413,9 +413,16 @@ class StreamingSpec extends SparkSpec {
       val ang = (i % 8) * math.Pi / 4 + 0.1
       (i, (i % 4).toInt, Seq(math.cos(ang), math.sin(ang)))
     }.toDF("vec_id", "label", "embedding")
+    // media payloads per id (byte-twin-free, all fingerprintable):
+    // since round 12 the media family rides the same pair-atomic
+    // commits, so the streamed loop threads payloads alongside raw
+    def paysOf(ids: Seq[Long]) = ids.map { i =>
+      (i, s"stream payload body number $i".getBytes("UTF-8"))
+    }.toDF("doc_id", "payload")
     val streamed = java.nio.file.Files.createTempDirectory("graft-unistream").toString
     ops.IndexStore.writeUnified(spark,
-      docsOf(0L to 5L), vecsOf(0L to 5L), cents, streamed)
+      docsOf(0L to 5L), vecsOf(0L to 5L), cents, streamed,
+      payloads = Some(paysOf(0L to 5L)))
     // the streamed store carries the projected channels too, so every
     // micro-batch exercises the pair-atomic proj maintenance contract
     // (VERDICT r10 #1): the loop threads each batch's raw embeddings
@@ -427,7 +434,8 @@ class StreamingSpec extends SparkSpec {
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val ids = b.select(col("value")).as[Long].collect().toSeq.sorted
         StreamingOps.ingestAndMaintainUnified(spark, streamed,
-          docsOf(ids), vecsOf(ids), raw = Some(rawOf(ids)))
+          docsOf(ids), vecsOf(ids), raw = Some(rawOf(ids)),
+          payloads = Some(paysOf(ids)))
       }.start()
     Seq(6L to 11L, 12L to 17L).foreach { b =>
       stream.addData(b.toSeq); q.processAllAvailable()
@@ -435,12 +443,13 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     val oneShot = java.nio.file.Files.createTempDirectory("graft-unioneshot").toString
     ops.IndexStore.writeUnified(spark,
-      docsOf(0L to 17L), vecsOf(0L to 17L), cents, oneShot)
+      docsOf(0L to 17L), vecsOf(0L to 17L), cents, oneShot,
+      payloads = Some(paysOf(0L to 17L)))
     ops.IndexStore.writeProjections(spark, oneShot,
       ops.Similarity.projectedUnitsOf(rawOf((0L to 17L).toSeq), 32),
       ops.Similarity.exactVecsOf(rawOf((0L to 17L).toSeq)))
     for (ch <- Seq("postings", "doc_lens", "centroids", "cells",
-        "proj_units", "exact_vecs")) {
+        "proj_units", "exact_vecs", "media_sim_blocks")) {
       val a = ops.IndexStore.channel(spark, streamed, ch)
       val b = ops.IndexStore.channel(spark, oneShot, ch)
       assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty,
@@ -465,11 +474,20 @@ class StreamingSpec extends SparkSpec {
         assert(nProj == nVecs,
           s"version $snap: projected census $nProj != vector census $nVecs — the projected arm lagged")
       }
+      // media lockstep: every doc of this fixture carries a
+      // fingerprintable payload, so the media family's distinct ids
+      // must equal the text census at EVERY committed version
+      val nMedia = ops.IndexStore.channelAt(spark, streamed, snap, "media_sim_blocks")
+        .select(col("doc_id")).distinct().count()
+      assert(nMedia == nDocs,
+        s"version $snap: media coverage $nMedia != text census $nDocs — the media family lagged")
     }
-    // exact pair redelivery (at-least-once restart) is an idempotent skip
+    // exact THREE-family redelivery (at-least-once restart) is an
+    // idempotent skip
     val h = ops.IndexStore.history(streamed)
     StreamingOps.ingestAndMaintainUnified(spark, streamed,
-      docsOf(12L to 17L), vecsOf(12L to 17L), raw = Some(rawOf(12L to 17L)))
+      docsOf(12L to 17L), vecsOf(12L to 17L), raw = Some(rawOf(12L to 17L)),
+      payloads = Some(paysOf(12L to 17L)))
     assert(ops.IndexStore.history(streamed) == h,
       "redelivered pair must not publish a new version")
     Core.clearCaches(spark)
@@ -489,17 +507,22 @@ class StreamingSpec extends SparkSpec {
     val cents = Seq(
       (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
       (2L, Seq(-1.0, 0.0)), (3L, Seq(0.0, -1.0))).toDF("cid", "cvec")
+    def paysOf(ids: Seq[Long]) = ids.map { i =>
+      (i, s"governed stream payload number $i".getBytes("UTF-8"))
+    }.toDF("doc_id", "payload")
     val root = java.nio.file.Files.createTempDirectory("graft-unigov").toString
     ops.IndexStore.writeUnified(spark,
       gdocs((0L to 39L).map((_, "src0", 0L)) ++ (40L to 59L).map((_, "srcA", 0L))),
-      vecsOf(0L to 59L), cents, root, governed = true)
+      vecsOf(0L to 59L), cents, root, governed = true,
+      payloads = Some(paysOf(0L to 59L)))
     val reports = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
     val stream = MemoryStream[(Long, String, Long)]
     val q = stream.toDS().writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[(Long, String, Long)], _: Long) =>
         val rows = b.collect().toSeq.sortBy(_._1)
         val rep = StreamingOps.ingestAndMaintainUnifiedGoverned(spark, root,
-          gdocs(rows), vecsOf(rows.map(_._1)), "src0")
+          gdocs(rows), vecsOf(rows.map(_._1)), "src0",
+          payloads = Some(paysOf(rows.map(_._1))))
         reports ++= rep.select($"source", $"held").as[(String, Boolean)].collect()
         ()
       }.start()
@@ -524,6 +547,14 @@ class StreamingSpec extends SparkSpec {
       .select($"vec_id").as[Long].collect().toSet
     assert((60L to 99L).forall(lens) && (60L to 99L).forall(cells),
       "clean + recovered ticks must fold BOTH families")
+    // the media family moves in the same lockstep: payloads landed for
+    // exactly the folded docs — the held tick's fingerprints included
+    // nothing (it published no version at all)
+    val mediaIds = ops.IndexStore.channel(spark, root, "media_sim_blocks")
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(mediaIds == lens,
+      s"media coverage diverged from doc membership: " +
+        s"missing=${(lens -- mediaIds).take(5)} extra=${(mediaIds -- lens).take(5)}")
     assert(ops.IndexStore.channel(spark, root, "mix_census")
       .select($"source").distinct().as[String].collect().toSet ==
       Set("src0", "srcA", "srcB", "srcRot"),
