@@ -515,7 +515,7 @@ object IndexStore {
     * transaction; any cluster_labels / other-family channels already
     * present are carried forward untouched). `governed = true` opts
     * the store into the governance census: the write records
-    * `mix_census` (Selection.lenBins of `docs` — requires the
+    * `mix_census` (Selection.censusBins of `docs` — requires the
     * (source, n_chars) columns) and EVERY later fold must extend it,
     * making the store's history a drift timeline
     * ([[driftFromStore]]/[[driftFromStoreAt]], q152). Explicit

@@ -140,56 +140,46 @@ object Selection {
                substr(text, if(i = 0, 0, ends[i-1]) + 1, e - if(i = 0, 0, ends[i-1])))"""))
           .as(Seq("idx", "chunk")))
 
-  /** The PSI monitor's length-distribution census arm: one (source,
-    * bin, n) row per populated bin — width-100 bins capped at 5
-    * (fixed, engine-identical arithmetic, no quantile estimation). */
-  private[graft] def lenBins(docs: DataFrame): DataFrame =
-    docs.select(col("source"),
-        least(floor(col("n_chars") / 100), lit(5L)).as("bin"))
-      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("n"))
-
-  /** The token-count census arm (round 11, VERDICT r10 #5): width-16
-    * bins capped at 5 over the whitespace token count — the catalog's
-    * established `split(text, " ")`/`string_split(text, ' ')` parity
-    * spelling, so DuckDB replays it exactly. A source whose LENGTH
-    * distribution holds while its CONTENT shifts (language mix,
-    * tokenization density — q163's space-squashed probe) moves here
-    * and nowhere in [[lenBins]]. */
-  private[graft] def tokBins(docs: DataFrame): DataFrame =
-    docs.select(col("source"),
-        least(floor(size(split(col("text"), " ")) / 16), lit(5L)).as("bin"))
-      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("n"))
-
-  /** The alphabet-class census arm (round 12, VERDICT r11 missing #5):
-    * width-1/12 bins capped at 5 over each doc's NON-[a-z ] character
-    * SHARE — the marginal that moves when content rotates at constant
-    * length AND constant token count (a language/script swap at equal
-    * word lengths, digit or markup injection replacing letters
-    * in-place — q166's probe), which BOTH existing marginals miss by
-    * construction. Binned through INTEGER arithmetic only
-    * (12·nonalpha div max(len,1) — no float ratio near a bin edge),
-    * so DuckDB replays the bin id exactly; regexp class [a-z ] is
-    * ASCII-identical in Java regex and RE2. */
-  private[graft] def alphaBins(docs: DataFrame): DataFrame =
-    docs.select(col("source"),
-        expr("""least(cast((12 * length(regexp_replace(text, '[a-z ]', '')))
-                 div greatest(length(text), 1) as bigint), 5)""").as("bin"))
-      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("n"))
-
   /** The governance census: all THREE marginals' bin counts under one
     * additive contract — (source, feature, bin, n) rows, feature ∈
     * {n_chars, n_tokens, nonalpha}. This tiny frame IS the monitor's
     * sufficient statistic: the index store persists exactly these rows
     * per ingest fold (`mix_census` channel), so three-feature drift is
     * computable from the store without ever rescanning the corpus —
-    * still O(sources × features × bins) per fold. */
+    * still O(sources × features × bins) per fold.
+    *
+    * Marginals (every bin id is fixed engine-identical arithmetic, no
+    * quantile estimation, so DuckDB replays each exactly):
+    *  - n_chars: width-100 bins capped at 5 over the n_chars column —
+    *    the length distribution.
+    *  - n_tokens (round 11, VERDICT r10 #5): width-16 bins capped at 5
+    *    over the whitespace token count — the catalog's established
+    *    split/string_split parity spelling; moves when content shifts
+    *    at constant LENGTH (q163's space-squashed probe).
+    *  - nonalpha (round 12, VERDICT r11 #5): width-1/12 bins capped at
+    *    5 over the NON-[a-z ] character share, binned through INTEGER
+    *    arithmetic only (12·nonalpha div max(len,1) — no float ratio
+    *    near a bin edge; [a-z ] is ASCII-identical in Java regex and
+    *    RE2); moves when content rotates at constant length AND token
+    *    count (q166's case-swapped probe), which both other marginals
+    *    miss by construction.
+    *
+    * Computed in ONE corpus pass: a single scan projects the three bin
+    * ids per doc, stack() unpivots them to (feature, bin) rows, and
+    * one partial-agged groupBy counts — the union-of-three-aggs
+    * spelling scanned the docs and shuffled once PER marginal, and the
+    * census sits on every gate and every governed fold's ingest path. */
   private[graft] def censusBins(docs: DataFrame): DataFrame =
-    lenBins(docs).select(col("source"), lit("n_chars").as("feature"),
-        col("bin"), col("n"))
-      .unionByName(tokBins(docs).select(col("source"),
-        lit("n_tokens").as("feature"), col("bin"), col("n")))
-      .unionByName(alphaBins(docs).select(col("source"),
-        lit("nonalpha").as("feature"), col("bin"), col("n")))
+    docs.select(col("source"),
+        least(floor(col("n_chars") / 100), lit(5L)).as("b_chars"),
+        least(floor(size(split(col("text"), " ")) / 16), lit(5L)).as("b_tokens"),
+        expr("""least(cast((12 * length(regexp_replace(text, '[a-z ]', '')))
+                 div greatest(length(text), 1) as bigint), 5)""").as("b_alpha"))
+      .select(col("source"), expr(
+        """stack(3, 'n_chars', b_chars, 'n_tokens', b_tokens,
+                    'nonalpha', b_alpha) as (feature, bin)"""))
+      .groupBy(col("source"), col("feature"), col("bin"))
+      .agg(count(lit(1)).as("n"))
 
   /** PSI of each non-anchor source against the `anchor` source, per
     * census FEATURE, from census rows (source, feature, bin, n) —
