@@ -478,6 +478,14 @@ class UnifiedStoreSpec extends SparkSpec {
       paysOf(12 to 12, twinBase = 12)).collect().toSeq
     assert(screened == screenedRef,
       "unified media screen diverged from the standalone store")
+    // compaction is channel-generic: ONE rewrite collapses all three
+    // families' fragments, media blocks included, without moving a pair
+    val (lex0, ann0) = (lex(root), ann(root, 0))
+    ops.IndexStore.compact(spark, root)
+    assert(ops.IndexStore.mediaPairsFromStore(spark, root)
+        .collect().toSeq == uniPairs &&
+      lex(root) == lex0 && ann(root, 0) == ann0,
+      "compaction changed a three-family unified read")
   }
 
   test("a crash between the media write and the pair commit leaves readers on the old snapshot") {
