@@ -157,13 +157,23 @@ def bench_regressions(cur_path, prior_path, factor=2.5):
             "note": "both regimes dirty (sweep max/median > 1.5 AND "
                     "pre/sweep-median > 2.5); re-run on a clean window"}))
         return 1
-    def cal(b):
+    def cal(b, keys):
         c = b.get("calibration") or {}
-        vals = [v for v in (c.get("first"), c.get("last"))
+        vals = [v for v in (c.get(k) for k in keys)
                 if isinstance(v, (int, float)) and v > 0]
         return sum(vals) / len(vals) if vals else None
-    cc, cp = cal(cur), cal(prior)
+    # host-speed adjustment per regime: the query compare scales by the
+    # sweep sentinels; the warm compare must NOT inherit them when the
+    # sweep is flagged dirty (a steal-inflated adjust would mask warm
+    # regressions) — it falls back to the stabilized pre shots, which
+    # bracket the warm phase itself
+    cc, cp = cal(cur, ("first", "last")), cal(prior, ("first", "last"))
     adjust = (cc / cp) if (cc and cp) else 1.0
+    if dirty_sweep:
+        wc, wp = cal(cur, ("pre",)), cal(prior, ("pre",))
+        warm_adjust = (wc / wp) if (wc and wp) else 1.0
+    else:
+        warm_adjust = adjust
     flagged = []
     if not dirty_sweep:
         for q, t in sorted((cur.get("queries") or {}).items()):
@@ -186,7 +196,7 @@ def bench_regressions(cur_path, prior_path, factor=2.5):
             t0 = (prior.get("warm_breakdown") or {}).get(w)
             if not isinstance(t0, (int, float)) or t0 <= 0 or t < 0:
                 continue
-            if t > factor * max(t0, 1.0) * adjust:
+            if t > factor * max(t0, 1.0) * warm_adjust:
                 warm_flagged.append({"warm": w, "sec": round(t, 3),
                                      "prior_sec": round(t0, 3),
                                      "ratio": round(t / t0, 2)})
@@ -210,7 +220,11 @@ def bench_regressions(cur_path, prior_path, factor=2.5):
            "shapes": [cur["shape"], prior["shape"]],
            "compared": cur_path + " vs " + prior_path}
     print(json.dumps(out))
-    return 1 if (flagged or warm_flagged) else 0
+    # a refused regime is NOT a pass: with one regime dirty the other
+    # still gets compared (the per-regime split's point), but the run
+    # exits non-zero — "compared nothing on that axis" must never read
+    # as clean (the r10 vacuous-gate lesson)
+    return 1 if (flagged or warm_flagged or dirty_sweep or dirty_warm) else 0
 
 
 if len(sys.argv) > 1 and sys.argv[1] == "--bench":

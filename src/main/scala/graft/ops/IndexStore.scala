@@ -485,8 +485,8 @@ object IndexStore {
     Seq("band_keys", "fingerprints", "sim_blocks", "bloom", "mix_census")
 
   /** The governance census of a batch — Selection.censusBins (source
-    * × feature × bin counts over BOTH marginals, n_chars and
-    * n_tokens; O(sources × features × 6) rows): the sufficient
+    * × feature × bin counts over all THREE marginals, n_chars /
+    * n_tokens / nonalpha; O(sources × features × 6) rows): the sufficient
     * statistic the PSI drift monitor (q149) needs, persisted per fold
     * so "is the corpus mix rotting" is answerable from the store
     * alone, at any committed version, without rescanning corpus text.
@@ -516,7 +516,8 @@ object IndexStore {
     * present are carried forward untouched). `governed = true` opts
     * the store into the governance census: the write records
     * `mix_census` (Selection.censusBins of `docs` — requires the
-    * (source, n_chars) columns) and EVERY later fold must extend it,
+    * (source, n_chars, text) columns: the token and alphabet marginals
+    * bin over the text) and EVERY later fold must extend it,
     * making the store's history a drift timeline
     * ([[driftFromStore]]/[[driftFromStoreAt]], q152). Explicit
     * opt-in, not column sniffing: screens and folds legitimately run
@@ -2192,7 +2193,7 @@ object IndexStore {
     *
     * `governed = true` opts the unified store into the SAME governance
     * census as the dedup family ([[write]]): the bootstrap records
-    * `mix_census` from `docs` (which must carry (source, n_chars)) and
+    * `mix_census` from `docs` (which must carry (source, n_chars, text)) and
     * every later docs-side fold extends it, so the single-pointer
     * store's history is a drift timeline readable with the generic
     * [[driftFromStoreAt]] — and foldable behind the circuit breaker

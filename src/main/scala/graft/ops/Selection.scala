@@ -231,16 +231,50 @@ object Selection {
       .join(broadcast(refTot), Seq("feature"))
     val pc = (coalesce(col("c_cur"), lit(0L)) + lit(0.5)) / (col("n_cur") + lit(3.0))
     val pr = (coalesce(col("c_ref"), lit(0L)) + lit(0.5)) / (col("n_ref") + lit(3.0))
-    grid.select(col("source"), col("feature"), col("n_cur"),
+    // GENERATIONAL-GAP guards, in-plan (zero extra jobs — the checks
+    // fire on whatever action reads the report): a census written
+    // partly by an older build carries FEWER marginals than this build
+    // computes, which would otherwise surface as a NULL psi column
+    // (the feature absent everywhere: refTot's inner join drops it —
+    // an opaque non-nullable-decode crash in the gates) or, worse, as
+    // a SILENTLY SKEWED psi (the feature present only in newer folds:
+    // per-feature totals disagree). Both shapes are refused BY NAME:
+    // a well-formed census gives every feature the same per-source
+    // total (each doc contributes one count per marginal) and the
+    // same anchor total.
+    def guarded(c: String) = coalesce(col(c), assert_true(lit(false),
+      lit(s"psiFromBins: census carries no '" +
+        c.stripPrefix("psi_").replace("nchars", "n_chars")
+          .replace("ntokens", "n_tokens") +
+        "' rows for some source — the mix_census was persisted by an " +
+        "older build with fewer marginals than this build computes; " +
+        "rebuild the governed store (or re-fold its history) with " +
+        "this build")).cast("double")).as(c)
+    grid.select(col("source"), col("feature"), col("n_cur"), col("n_ref"),
         ((pc - pr) * log(pc / pr)).as("term"))
       .groupBy(col("source"), col("feature"))
-      .agg(max(col("n_cur")).as("n_cur"),
+      .agg(max(col("n_cur")).as("n_cur"), max(col("n_ref")).as("n_ref"),
         rnd4(sum(col("term").cast(D)).cast("double")).as("psi"))
       .groupBy(col("source"))
       .agg(max(col("n_cur")).as("n_docs"),
+        min(col("n_cur")).as("n_cur_min"),
+        max(col("n_ref")).as("n_ref_max"), min(col("n_ref")).as("n_ref_min"),
         max(when(col("feature") === "n_chars", col("psi"))).as("psi_nchars"),
         max(when(col("feature") === "n_tokens", col("psi"))).as("psi_ntokens"),
         max(when(col("feature") === "nonalpha", col("psi"))).as("psi_nonalpha"))
+      .select(col("source"),
+        when(col("n_cur_min") =!= col("n_docs") ||
+             col("n_ref_min") =!= col("n_ref_max"),
+          assert_true(lit(false), lit(
+            "psiFromBins: per-feature census totals disagree for some " +
+              "source — the mix_census mixes folds from builds with " +
+              "different marginal sets, so a per-feature PSI would be " +
+              "computed against a partial distribution and silently " +
+              "skewed; rebuild the governed store (or re-fold its " +
+              "history) with this build")).cast("bigint"))
+          .otherwise(col("n_docs")).as("n_docs"),
+        guarded("psi_nchars"), guarded("psi_ntokens"),
+        guarded("psi_nonalpha"))
       .withColumn("psi_max", greatest(col("psi_nchars"), col("psi_ntokens"),
         col("psi_nonalpha")))
       .orderBy(col("source"))

@@ -466,6 +466,20 @@ class SelectionSpec extends SparkSpec {
         s"got versions $byVersion")
   }
 
+  test("q165's media timeline plan is corpus-free: store channels only, never documents or payload bytes") {
+    // the media family stores FINGERPRINT BLOCKS, not payloads, so the
+    // per-version coverage read must touch only doc_lens ids and
+    // media_sim_blocks rows — no scan of the documents table (and
+    // there are no payload bytes anywhere in the store to read)
+    val plan = SparkEntry.queries("q165_unified_media_timeline")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("media_sim_blocks") && plan.contains("doc_lens"),
+      s"q165 must read the store channels:\n${plan.take(800)}")
+    assert(!plan.contains("documents.parquet") && !plan.contains("payload"),
+      s"q165's plan touches the corpus or payload bytes:\n${plan.take(800)}")
+  }
+
   test("psiFromBins refuses the pre-r11 single-marginal census format by name (ADVICE r11)") {
     // a census persisted before the (source, feature, bin, n) contract
     // carries no feature axis — the arithmetic must refuse it loudly
@@ -478,5 +492,45 @@ class SelectionSpec extends SparkSpec {
     assert(e.getMessage.contains("pre-r11") &&
       e.getMessage.contains("feature"),
       s"expected the format refusal naming the pre-r11 census, got: ${e.getMessage}")
+  }
+
+  test("psiFromBins refuses a FEWER-marginal census and a mixed-generation census by name (never a NULL psi or a skewed one)") {
+    // an r11-era census carries the feature column but only two
+    // marginals: the missing feature must refuse by name on read, not
+    // surface as a NULL psi column (an opaque non-nullable decode
+    // crash in the gates) or a silently two-feature psi_max
+    val twoFeature = Seq(
+      ("src0", "n_chars", 1L, 10L), ("src0", "n_tokens", 1L, 10L),
+      ("srcA", "n_chars", 2L, 5L), ("srcA", "n_tokens", 1L, 5L))
+      .toDF("source", "feature", "bin", "n")
+    val e1 = intercept[Exception] {
+      ops.Selection.psiFromBins(twoFeature, "src0").collect()
+    }
+    assert(e1.getMessage.contains("older build") ||
+      Option(e1.getCause).exists(_.getMessage.contains("older build")),
+      s"expected the fewer-marginals refusal, got: ${e1.getMessage}")
+    // a census mixing folds from both generations (the nonalpha rows
+    // cover only the newer folds) has per-feature totals that
+    // DISAGREE — a psi computed against the partial distribution
+    // would be silently skewed, so it must refuse too
+    val mixed = Seq(
+      ("src0", "n_chars", 1L, 10L), ("src0", "n_tokens", 1L, 10L),
+      ("src0", "nonalpha", 0L, 4L),
+      ("srcA", "n_chars", 2L, 5L), ("srcA", "n_tokens", 1L, 5L),
+      ("srcA", "nonalpha", 0L, 2L))
+      .toDF("source", "feature", "bin", "n")
+    val e2 = intercept[Exception] {
+      ops.Selection.psiFromBins(mixed, "src0").collect()
+    }
+    assert(e2.getMessage.contains("disagree") ||
+      Option(e2.getCause).exists(_.getMessage.contains("disagree")),
+      s"expected the mixed-generation refusal, got: ${e2.getMessage}")
+    // and the well-formed census still reads clean through the guards
+    val ok = ops.Selection.censusBins(
+      Seq(("src0", 100L, "alpha beta"), ("srcA", 120L, "gamma delta"))
+        .toDF("source", "n_chars", "text"))
+    val rep = ops.Selection.psiFromBins(ok, "src0").collect()
+    assert(rep.length == 1 && !rep.head.isNullAt(1),
+      "well-formed census must pass the generational guards")
   }
 }
