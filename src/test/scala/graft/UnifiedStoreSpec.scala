@@ -486,6 +486,17 @@ class UnifiedStoreSpec extends SparkSpec {
         .collect().toSeq == uniPairs &&
       lex(root) == lex0 && ann(root, 0) == ann0,
       "compaction changed a three-family unified read")
+    // …and so is the serving PUBLISH: a cloneStoreAt of the
+    // media-carrying root serves the identical three-family reads
+    // from a fresh single-path layout (the q164 serving-clone pattern
+    // extended to the media channel)
+    val srv = tmp("mediasrv")
+    ops.IndexStore.cloneStoreAt(spark, root,
+      ops.IndexStore.history(root).last, srv)
+    assert(ops.IndexStore.mediaPairsFromStore(spark, srv)
+        .collect().toSeq == uniPairs &&
+      lex(srv) == lex0 && ann(srv, 0) == ann0,
+      "the serving clone changed a three-family unified read")
   }
 
   test("a crash between the media write and the pair commit leaves readers on the old snapshot") {
