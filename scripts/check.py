@@ -227,8 +227,46 @@ def bench_regressions(cur_path, prior_path, factor=2.5):
     return 1 if (flagged or warm_flagged or dirty_sweep or dirty_warm) else 0
 
 
+def cut_selftest(local_path, tail_chars=2000):
+    """Judge-verifiable synthetic head cut (VERDICT r11 next #6 done
+    criterion): rebuild the driver-wrapper artifact shape from a LOCAL
+    bench artifact — the qtc tail lines exactly as Bench prints them
+    (25 queries per line, integer centiseconds, numeric order) plus
+    the shot-array-free short line — keep only the driver's trailing
+    `tail_chars`, and assert load_bench still recovers >= 90% of the
+    per-query map."""
+    b = json.load(open(local_path))
+    qs = sorted(b["queries"].items(), key=lambda kv: int(qnum_key(kv[0])))
+    lines = []
+    for i in range(0, len(qs), 25):
+        body = ",".join('"%s":%d' % (qnum_key(k), round(t * 100))
+                        for k, t in qs[i:i + 25])
+        lines.append('{"qtc":{%s}}' % body)
+    cal = {k: v for k, v in (b.get("calibration") or {}).items()
+           if not k.endswith("_shots")}
+    short = json.dumps({"metric": "total", "value": b["value"],
+                        "unit": "sec", "warm": b.get("warm"),
+                        "errors": 0, "calibration": cal, "sf": "cut"})
+    tail = "\n".join(lines + [short])[-tail_chars:]
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as f:
+        json.dump({"parsed": {"calibration": cal}, "tail": tail}, f)
+        path = f.name
+    got = load_bench(path)
+    pct = 100.0 * len(got["queries"]) / max(len(qs), 1)
+    print(json.dumps({"cut_recovered": len(got["queries"]),
+                      "total": len(qs), "pct": round(pct, 1),
+                      "tail_chars": tail_chars}))
+    return 0 if pct >= 90.0 else 1
+
+
 if len(sys.argv) > 1 and sys.argv[1] == "--bench":
     sys.exit(bench_regressions(sys.argv[2], sys.argv[3]))
+
+if len(sys.argv) > 1 and sys.argv[1] == "--cut":
+    sys.exit(cut_selftest(sys.argv[2],
+                          int(sys.argv[3]) if len(sys.argv) > 3 else 2000))
 
 import duckdb, pandas as pd, numpy as np
 
