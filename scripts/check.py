@@ -14,9 +14,17 @@ Usage:
       query slower than 2.5x its prior-round time after adjusting by
       the calibration-sentinel ratio (so uniform host slowness isn't
       misread as per-query regressions). Emits one JSON line with a
-      `bench_regressions` list — empty means clean — and exits 1 when
-      any query regressed, so a q127-style regression fails the
-      artifact instead of needing a judge diff to spot.
+      `bench_regressions` list — empty means clean — and exits
+      non-zero when any query regressed OR when a regime's sentinels
+      are flagged dirty on either side (that regime's compare is
+      refused, the other still runs; a refused axis must never read
+      as clean). Exit 2 = artifact unusable.
+
+  python3 scripts/check.py --cut <local.json> [tail_chars]
+      Rebuild the driver-wrapper stdout tail byte-for-byte from a
+      local artifact, truncate to the driver's capture window
+      (default 2000 chars), and assert load_bench recovers >= 90% of
+      the per-query map.
 """
 import sys, json, glob, os, re
 
@@ -207,6 +215,7 @@ def bench_regressions(cur_path, prior_path, factor=2.5):
     out = {"bench_regressions": flagged, "warm_regressions": warm_flagged,
            "factor": factor,
            "calibration_adjust": round(adjust, 3),
+           "warm_adjust": round(warm_adjust, 3),
            "n_queries_compared": n_q, "n_warm_compared": n_w,
            "regimes": {
                "cur": {"sweep": list(vc["sweep"]), "warm": list(vc["warm"])},
@@ -229,35 +238,57 @@ def bench_regressions(cur_path, prior_path, factor=2.5):
 
 def cut_selftest(local_path, tail_chars=2000):
     """Judge-verifiable synthetic head cut (VERDICT r11 next #6 done
-    criterion): rebuild the driver-wrapper artifact shape from a LOCAL
-    bench artifact — the qtc tail lines exactly as Bench prints them
-    (25 queries per line, integer centiseconds, numeric order) plus
-    the shot-array-free short line — keep only the driver's trailing
-    `tail_chars`, and assert load_bench still recovers >= 90% of the
-    per-query map."""
+    criterion): rebuild the driver-wrapper artifact tail BYTE-FOR-BYTE
+    the way Bench prints it — zero-padded digit-run keys ("01"),
+    integer centiseconds, 10 queries per qtc line in numeric order,
+    then the shot-free short line in Bench's field order — keep only
+    the driver's trailing `tail_chars`, and assert load_bench still
+    recovers >= 90% of the per-query map. The byte layout IS the thing
+    under test in a byte-truncation check, so this generator must
+    track Bench.scala's emitter exactly."""
     b = json.load(open(local_path))
+    if not isinstance(b.get("queries"), dict) or not b["queries"]:
+        print(json.dumps({"unusable_bench": [{"file": local_path}],
+            "note": "--cut needs a LOCAL bench artifact (top-level "
+                    "queries map) to rebuild the tail from; a wrapper "
+                    "artifact has no full per-query source"}))
+        return 2
+
+    def digit_run(name):  # Bench: "\\d+".r.findFirstIn — zero-padded
+        m = re.search(r"\d+", name)
+        return m.group(0) if m else name
     qs = sorted(b["queries"].items(), key=lambda kv: int(qnum_key(kv[0])))
     lines = []
-    for i in range(0, len(qs), 25):
-        body = ",".join('"%s":%d' % (qnum_key(k), round(t * 100))
-                        for k, t in qs[i:i + 25])
+    for i in range(0, len(qs), 10):
+        body = ",".join('"%s":%d' % (digit_run(k), round(t * 100))
+                        for k, t in qs[i:i + 10])
         lines.append('{"qtc":{%s}}' % body)
-    cal = {k: v for k, v in (b.get("calibration") or {}).items()
-           if not k.endswith("_shots")}
-    short = json.dumps({"metric": "total", "value": b["value"],
-                        "unit": "sec", "warm": b.get("warm"),
-                        "errors": 0, "calibration": cal, "sf": "cut"})
+    c = b.get("calibration") or {}
+    cal_short = ('{"pre":%s,"first":%s,"last":%s,"ratio":%s,"clean":%s,'
+                 '"ratio_sweep":%s,"clean_sweep":%s,"ratio_pre":%s,'
+                 '"clean_warm":%s}') % tuple(
+        json.dumps(c.get(k)) for k in
+        ("pre", "first", "last", "ratio", "clean",
+         "ratio_sweep", "clean_sweep", "ratio_pre", "clean_warm"))
+    short = ('{"metric":"total","value":%s,"unit":"sec","warm":%s,'
+             '"errors":%d,"calibration":%s,"sf":"%s"}') % (
+        json.dumps(b["value"]), json.dumps(b.get("warm")),
+        len(b.get("errors") or {}), cal_short, b.get("sf", ""))
     tail = "\n".join(lines + [short])[-tail_chars:]
-    import tempfile
-    with tempfile.NamedTemporaryFile("w", suffix=".json",
-                                     delete=False) as f:
-        json.dump({"parsed": {"calibration": cal}, "tail": tail}, f)
-        path = f.name
-    got = load_bench(path)
+    import tempfile, os as _os
+    f = tempfile.NamedTemporaryFile("w", suffix=".json", delete=False)
+    try:
+        json.dump({"parsed": {"calibration": c}, "tail": tail}, f)
+        f.close()
+        got = load_bench(f.name)
+    finally:
+        f.close()
+        _os.unlink(f.name)
     pct = 100.0 * len(got["queries"]) / max(len(qs), 1)
     print(json.dumps({"cut_recovered": len(got["queries"]),
                       "total": len(qs), "pct": round(pct, 1),
-                      "tail_chars": tail_chars}))
+                      "tail_chars": tail_chars,
+                      "tail_bytes_before_cut": sum(len(l) + 1 for l in lines) + len(short)}))
     return 0 if pct >= 90.0 else 1
 
 

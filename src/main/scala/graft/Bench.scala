@@ -221,7 +221,7 @@ object Bench {
     // the driver's tail capture is ~2000 chars and every byte spent on
     // shot evidence (kept in bench.json / BENCH_FULL_LAST.json) is a
     // qtc entry cut from the per-query map (VERDICT r11 next #6)
-    val calShort = s"""{"pre_cold":$calPreCold,"pre":$calPre,"first":$calFirst,"last":$calLast,$calVerdicts}"""
+    val calShort = s"""{"pre":$calPre,"first":$calFirst,"last":$calLast,$calVerdicts}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmSec,"queries_sec":$queriesSec,"heap_mb":$heapMb,"queries":$qs,"warm_breakdown":$wb,"errors":$errJson,"calibration":$cal,"sf":"$sfDir"}"""
     println(json)
     // sbt wraps stdout in [info] prefixes the driver can't parse — also
@@ -239,11 +239,13 @@ object Bench {
     // capture: compact lines (qNN key → integer CENTISECONDS — 2 bytes
     // shorter per entry than decimal seconds), numerically ordered so
     // a head-cut loses the oldest (already-known) queries first; the
-    // newest queries ride closest to the tail. 25 queries per line
+    // newest queries ride closest to the tail. 10 queries per line
     // (was 60 — BENCH_r11's head cut killed one 60-query line whole
-    // plus a second as an unparseable prefix; smaller chunks make a
-    // cut degrade by ≤ 25 queries instead of ≤ 120, VERDICT r11 #6).
-    results.grouped(25).foreach { grp =>
+    // plus a second as an unparseable prefix; a cut now degrades by
+    // ≤ 10 queries per boundary, and `scripts/check.py --cut` asserts
+    // ≥ 90% recovery under the driver's real 2000-char window against
+    // THIS exact byte layout, VERDICT r11 #6).
+    results.grouped(10).foreach { grp =>
       val compact = grp.map { case (n, t) =>
         val short = "\\d+".r.findFirstIn(n).getOrElse(n)
         s""""$short":${math.rint(t * 100).toLong}"""
