@@ -236,21 +236,36 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL_LAST.json"), json + "\n")
     // per-query evidence INSIDE the driver's 2000-char stdout tail
-    // capture: compact lines (qNN key → integer CENTISECONDS — 2 bytes
-    // shorter per entry than decimal seconds), numerically ordered so
-    // a head-cut loses the oldest (already-known) queries first; the
-    // newest queries ride closest to the tail. 10 queries per line
-    // (was 60 — BENCH_r11's head cut killed one 60-query line whole
-    // plus a second as an unparseable prefix; a cut now degrades by
-    // ≤ 10 queries per boundary, and `scripts/check.py --cut` asserts
-    // ≥ 90% recovery under the driver's real 2000-char window against
-    // THIS exact byte layout, VERDICT r11 #6).
-    results.grouped(10).foreach { grp =>
-      val compact = grp.map { case (n, t) =>
-        val short = "\\d+".r.findFirstIn(n).getOrElse(n)
-        s""""$short":${math.rint(t * 100).toLong}"""
-      }.mkString(",")
-      println(s"""{"qtc":{$compact}}""")
+    // capture, round-13 encoding (VERDICT r12 missing #5): the r12 map
+    // spelling ({"qtc":{"31":33,...}}, ~10 bytes/query) overflowed the
+    // window — 166 queries ≈ 1.7 KB of qtc lines against ~1.34 KB left
+    // after the fixed suffix (short line on stdout AND stderr + sbt's
+    // "[success]" line ≈ 660 bytes, measured from BENCH_r12.json's
+    // tail, which starts mid-line at q30: q01–q29 were cut. The
+    // queries are numerically ordered and densely numbered, so a
+    // RANGE-ARRAY line ({"qtb":31,"t":[33,36,...]} — position i is
+    // query base+i, integer centiseconds) carries the same evidence at
+    // ~4 bytes/query: the WHOLE catalog now fits the window with ~40%
+    // headroom, so nothing is cut at all. Lines stay oldest-first:
+    // the driver keeps the LAST ~2000 stdout chars, so if the catalog
+    // ever outgrows the window again the truncation eats the OLDEST
+    // (already-known) queries first — BENCH_r12's tail shows exactly
+    // that degradation shape. Runs split on any numbering gap so
+    // position decoding stays exact; `scripts/check.py --cut` asserts
+    // recovery against THIS exact byte layout.
+    locally {
+      val nums = results.map { case (n, t) =>
+        ("\\d+".r.findFirstIn(n).map(_.toInt).getOrElse(-1), t) }
+      val runs = scala.collection.mutable.ListBuffer.empty[Vector[(Int, Double)]]
+      for (q <- nums) {
+        if (runs.nonEmpty && q._1 == runs.last.last._1 + 1)
+          runs(runs.size - 1) = runs.last :+ q
+        else runs += Vector(q)
+      }
+      for (run <- runs; grp <- run.grouped(25)) {
+        val ts = grp.map { case (_, t) => math.rint(t * 100).toLong }
+        println(s"""{"qtb":${grp.head._1},"t":[${ts.mkString(",")}]}""")
+      }
     }
     // the full line is ~3 KB and the driver's tail capture truncates its
     // head (BENCH_r02 "parsed": null) — emit a short total-only line
