@@ -1113,7 +1113,8 @@ object IndexStore {
     val printable = Dedup.simhash60Bytes(batch).localCheckpoint()
     try {
       if (appendGuard("appendMedia", printable, "doc_id",
-          channelFrom(s, indexDir, prior, "media_sim_blocks")).isDefined) {
+          channelFrom(s, indexDir, prior, "media_sim_blocks"),
+          fingerprint = Some("sim")).isDefined) {
         val snap = beginSnap(indexDir)
         Dedup.simBlocks(printable)
           .write.mode(SaveMode.Overwrite).partitionBy("b")
@@ -1223,17 +1224,45 @@ object IndexStore {
     * row groups for the monotone ids of a rolling ingest, never an
     * unconditional full-channel read. */
   private def appendGuard(op: String, batch: DataFrame, idCol: String,
-      stored: DataFrame): Option[Long] = {
+      stored: DataFrame, fingerprint: Option[String] = None): Option[Long] = {
     val b = batch.agg(countDistinct(col(idCol)).as("n"),
       min(col(idCol)).as("lo"), max(col(idCol)).as("hi")).head()
     val n = b.getLong(0)
     if (n == 0) None
     else {
-      val overlap = batch.select(col(idCol)).distinct()
-        .join(stored.select(col(idCol))
-            .filter(col(idCol).between(lit(b.get(1)), lit(b.get(2)))),
-          Seq(idCol), "left_semi")
-        .count()
+      val storedRange = stored
+        .filter(col(idCol).between(lit(b.get(1)), lit(b.get(2))))
+      // content parity on redelivered ids (ADVICE r12 #2): an id-based
+      // replay check alone would classify a redelivered id whose
+      // CONTENT changed (a corrected/re-encoded payload) as an exact
+      // replay and silently skip it — the corrected bytes could then
+      // never reach the channel. When the caller names a fingerprint
+      // column, overlapping ids must carry the SAME fingerprint as the
+      // stored rows; a changed one is refused toward the rewrite path
+      // (publish corrections as a new snapshot), never skipped.
+      val overlap = fingerprint match {
+        case Some(fp) =>
+          val o = batch.select(col(idCol), col(fp)).distinct()
+            .join(storedRange.select(col(idCol), col(fp).as("_stored_fp"))
+              .distinct(), Seq(idCol))
+            .agg(count(lit(1)).as("ids"),
+              sum(when(col(fp) === col("_stored_fp"), 1L).otherwise(0L))
+                .as("same")).head()
+          val (ids, same) =
+            (o.getLong(0), if (o.isNullAt(1)) 0L else o.getLong(1))
+          require(ids == same,
+            s"$op: ${ids - same} of $ids redelivered ${idCol}(s) carry a " +
+              s"DIFFERENT $fp than the stored rows — this is changed " +
+              "content under an existing id, which an id-based replay " +
+              "skip would silently drop; corrected content for stored " +
+              "ids must be published as a rewrite (new snapshot), not " +
+              "an append")
+          ids
+        case None =>
+          batch.select(col(idCol)).distinct()
+            .join(storedRange.select(col(idCol)), Seq(idCol), "left_semi")
+            .count()
+      }
       if (overlap == n) None
       else {
         require(overlap == 0,
@@ -1319,10 +1348,33 @@ object IndexStore {
       .map(_.join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi"))
       .getOrElse(TextOps.postingsFor(docs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docLens = docs.select(col("doc_id"))
+    // preTok COVERAGE guard (ADVICE r12 #1), in-plan so it costs no
+    // extra job: on the preTok route a batch doc absent from the
+    // pre-tokenized frame would silently land as an empty (dl=0) doc —
+    // exactly the stale/partial-preTok corruption the caller contract
+    // warns about, previously enforced by discipline alone. A doc may
+    // legitimately have dl=0 only when its text holds no [a-z] token,
+    // so a null-dl row whose text DOES tokenize fails the write loudly
+    // (one row-local rlike per batch doc, still no second tokenize).
+    // Callers staging id-only frames (no text column) keep the old
+    // contract-by-discipline — there is nothing to check against.
+    val guardable = preTok.isDefined && docs.columns.contains("text")
+    val dlCol =
+      if (guardable)
+        when(col("dl").isNull && lower(col("text")).rlike("[a-z]"),
+          assert_true(lit(false), lit(
+            "writeTextInto: a batch doc with tokenizable text is absent " +
+              "from the supplied preTok frame — preTok must be " +
+              "postingsFor(superset-of-batch) over the SAME texts; a " +
+              "stale or partial frame would silently index the doc as " +
+              "empty and corrupt the postings")).cast("long"))
+          .otherwise(coalesce(col("dl"), lit(0L)))
+      else coalesce(col("dl"), lit(0L))
+    val docLens = docs.select(col("doc_id") +:
+        (if (guardable) Seq(col("text")) else Nil): _*)
       .join(postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")),
         Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("dl"), lit(0L)).as("dl"))
+      .select(col("doc_id"), dlCol.as("dl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       postings.join(docLens, Seq("doc_id"))
@@ -2405,7 +2457,8 @@ object IndexStore {
     try {
     val mediaGo = mediaPrintable.flatMap(pr =>
       appendGuard("appendUnified(media)", pr, "doc_id",
-        channelFrom(s, root, prior, "media_sim_blocks")))
+        channelFrom(s, root, prior, "media_sim_blocks"),
+        fingerprint = Some("sim")))
     if (dEmpty && vEmpty && mediaGo.isEmpty) return
     val textGo = if (dEmpty) None else appendGuard("appendUnified(text)",
       docs, "doc_id", channelFrom(s, root, prior, "doc_lens"))

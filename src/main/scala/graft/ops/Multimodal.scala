@@ -186,6 +186,15 @@ object Multimodal {
             ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
         SELECT id_a, id_b, cast(bit_count(xor(sa, sb)) as bigint) AS hamming
         FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        UNION ALL
+        -- ASCII-ness enforcement (ADVICE r12 #4): the byte-4-gram ≡
+        -- char-4-gram equivalence this replay rests on holds only
+        -- while every text is pure ASCII (byte length = char length);
+        -- a multibyte corpus emits this sentinel row and the compare
+        -- fails LOUDLY instead of the oracle going silently wrong
+        SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        WHERE EXISTS (SELECT 1 FROM documents
+                      WHERE octet_length(CAST(text AS BLOB)) <> length(text))
         ORDER BY id_a, id_b"""))
   )
 }

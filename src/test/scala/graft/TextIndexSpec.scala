@@ -98,6 +98,34 @@ class TextIndexSpec extends SparkSpec {
     assert(qa.nonEmpty && qa == qb, "preTok-fed store scores diverge")
   }
 
+  test("a stale/partial preTok frame fails the write LOUDLY instead of corrupting the postings (ADVICE r12 #1)") {
+    // a batch doc with tokenizable text that the preTok frame does not
+    // cover was previously indexed as an empty (dl=0) doc — the exact
+    // silent corruption the caller contract warned about, enforced by
+    // discipline alone. The in-plan coverage guard must refuse it.
+    val docs = Core.table(spark, dir, "documents")
+    val stale = Some(ops.TextOps.postingsFor(docs.filter($"doc_id" % 2 === 0)))
+    val e = intercept[Exception] {
+      ops.IndexStore.writeText(spark, docs, tmp("stalepretok"), stale)
+    }
+    def msgOf(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        ++ Iterator(""))
+        .find(m => m != null && m.contains("preTok")).getOrElse(t.getMessage)
+    assert(msgOf(e) != null && msgOf(e).contains("absent from the supplied preTok"),
+      s"expected the preTok coverage refusal, got: ${e.getMessage}")
+    // a legitimately letterless doc is NOT a coverage violation: dl=0
+    // is its true length, and the guarded route must still admit it
+    val withBlank = docs.select($"doc_id", $"text").limit(3)
+      .unionByName(Seq((999999L, "12345 678")).toDF("doc_id", "text"))
+    val ok = tmp("blankok")
+    ops.IndexStore.writeText(spark, withBlank,
+      ok, Some(ops.TextOps.postingsFor(withBlank)))
+    val dl = ops.IndexStore.channel(spark, ok, "doc_lens")
+      .filter($"doc_id" === 999999L).select($"dl").as[Long].collect()
+    assert(dl.toSeq == Seq(0L), s"letterless doc must land dl=0, got ${dl.toSeq}")
+  }
+
   test("query-term lookup reaches the postings scan as a pushed In filter") {
     // the layout claim (term-range-partitioned + term-sorted → row-group
     // pruning) is only real if the filter is PUSHED, not post-scan

@@ -561,6 +561,31 @@ class UnifiedStoreSpec extends SparkSpec {
       vecsOf(6 to 11), payloads = Some(paysOf(6 to 11, twinBase = 6)))
     assert(ops.IndexStore.history(root2) == h2,
       "exact three-family replay must be an idempotent skip")
+    // redelivered doc_ids whose payloads re-encoded to a DIFFERENT
+    // fingerprint are NOT a replay (ADVICE r12 #2): an id-based skip
+    // would silently drop the corrected payloads forever — the
+    // fingerprint-parity guard must refuse them toward the rewrite
+    // path. (Parity is at fingerprint level by design: a byte change
+    // that preserves the SimHash leaves the stored artifact identical
+    // anyway, so there is nothing to correct.) Pinned on the unified
+    // fold AND the standalone media append (same guard).
+    val changed = (6 to 11).map(i => (i.toLong,
+      s"entirely rewritten corrected bytes nr $i unlike before".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val e3 = intercept[IllegalArgumentException] {
+      ops.IndexStore.appendUnified(spark, root2, emptyDocs, emptyVecs,
+        payloads = Some(changed))
+    }
+    assert(e3.getMessage.contains("DIFFERENT sim"),
+      s"expected the changed-payload refusal, got: ${e3.getMessage}")
+    val mroot2 = tmp("mediachanged")
+    ops.IndexStore.writeMedia(spark, paysOf(0 to 5), mroot2)
+    val e4 = intercept[IllegalArgumentException] {
+      ops.IndexStore.appendMedia(spark, mroot2,
+        changed.withColumn("doc_id", $"doc_id" - 6))
+    }
+    assert(e4.getMessage.contains("DIFFERENT sim"),
+      s"expected the changed-payload refusal on appendMedia, got: ${e4.getMessage}")
   }
 
   test("the gated hold keeps a held source's PAYLOADS out of the media channel — and refuses media-leading folds") {
