@@ -27,6 +27,19 @@ Usage:
       local artifact, truncate to the driver's capture window
       (default 2000 chars), and assert load_bench recovers >= 90% of
       the per-query map.
+
+  python3 scripts/check.py --probe <current.jsonl> <prior.jsonl>
+      Round-over-round 100x-probe regression gate (VERDICT r12 next
+      #1): compare graft.ScaleProbe JSONL artifacts. ONLY lines whose
+      bracketing compute anchors agree (anchored:true) are compared —
+      an anchored:false line is steal-window evidence, not a
+      measurement (the bench clean_sweep discipline, ported). Each
+      comparison is adjusted by the PAIR of lines' own anchor-bracket
+      means (per-line host-speed normalization, finer than the bench
+      gate's session-level adjust); a line slower than 2.5x its
+      anchor-adjusted prior is flagged. Exit 1 = regressions flagged;
+      exit 2 = nothing comparable (no anchored lines on a side, or no
+      shared labels).
 """
 import sys, json, glob, os, re
 
@@ -338,6 +351,67 @@ def cut_selftest(local_path, tail_chars=2000):
         ok = ok and pct >= 90.0
     return 0 if ok else 1
 
+
+def load_probe(path):
+    """Parse a ScaleProbe JSONL artifact: {label: {sec, pre, post,
+    anchored}}, last occurrence wins (a re-measured label supersedes),
+    plus the flagged-line census."""
+    lines, flagged = {}, []
+    for raw in open(path):
+        raw = raw.strip()
+        if not raw:
+            continue
+        try:
+            o = json.loads(raw)
+        except ValueError:
+            continue
+        if "probe" not in o:
+            continue
+        if o.get("anchored") is True:
+            lines[o["probe"]] = o
+        else:
+            flagged.append(o["probe"])
+    return lines, flagged
+
+
+def probe_regressions(cur_path, prior_path, factor=2.5):
+    cur, cur_flagged = load_probe(cur_path)
+    prior, prior_flagged = load_probe(prior_path)
+    empty = [p for p, l in ((cur_path, cur), (prior_path, prior)) if not l]
+    if empty:
+        print(json.dumps({"unusable_probe": empty,
+            "note": "no anchored probe lines recoverable — the gate "
+                    "refuses to compare nothing",
+            "excluded_unanchored": {"cur": cur_flagged,
+                                    "prior": prior_flagged}}))
+        return 2
+    shared = sorted(set(cur) & set(prior))
+    if not shared:
+        print(json.dumps({"unusable_probe": [cur_path, prior_path],
+            "note": "no shared anchored labels between the artifacts"}))
+        return 2
+    flagged = []
+    for q in shared:
+        c, p = cur[q], prior[q]
+        # per-line host-speed adjust from the line's OWN anchor bracket
+        ca = (c["anchor_pre"] + c["anchor_post"]) / 2.0
+        pa = (p["anchor_pre"] + p["anchor_post"]) / 2.0
+        adjust = (ca / pa) if (ca > 0 and pa > 0) else 1.0
+        if c["sec"] > factor * max(p["sec"], 1.0) * adjust:
+            flagged.append({"probe": q, "sec": round(c["sec"], 2),
+                            "prior_sec": round(p["sec"], 2),
+                            "adjust": round(adjust, 3),
+                            "ratio": round(c["sec"] / p["sec"], 2)})
+    print(json.dumps({"probe_regressions": flagged, "factor": factor,
+                      "n_compared": len(shared),
+                      "excluded_unanchored": {"cur": cur_flagged,
+                                              "prior": prior_flagged},
+                      "compared": cur_path + " vs " + prior_path}))
+    return 1 if flagged else 0
+
+
+if len(sys.argv) > 1 and sys.argv[1] == "--probe":
+    sys.exit(probe_regressions(sys.argv[2], sys.argv[3]))
 
 if len(sys.argv) > 1 and sys.argv[1] == "--bench":
     sys.exit(bench_regressions(sys.argv[2], sys.argv[3]))

@@ -100,20 +100,73 @@ object ScaleProbe {
       println(f"PROBE compute_sentinel_$tag%-12s $sec%8.2f s")
       sec
     }
-    locally {
+    val anchorStart = {
       var prev = computeSentinel("start1")
       var shot = 2
       var cur = computeSentinel("start2")
       while (shot < 4 && math.abs(cur - prev) / math.max(cur, prev) > 0.1) {
         shot += 1; prev = cur; cur = computeSentinel(s"start$shot")
       }
+      cur
     }
 
-    def time(q: String): Unit = {
+    // ---- ANCHORED-WINDOW discipline (VERDICT r12 next #1: the bench
+    // regime split, ported to the probe). Round 12's four steady-state
+    // q164 readings spanned 31.4–57.0 s purely on anchor drift, and a
+    // round-over-round compare against an unanchored quote misread a
+    // host-wide level shift as a regression. So every probe line is now
+    // BRACKETED: the compute sentinel is re-shot immediately after each
+    // measurement, the line carries (anchor_pre, anchor_post), and a
+    // line whose bracketing anchors disagree past AnchorBand is emitted
+    // flagged `anchored=false` — evidence, excluded from
+    // round-over-round comparison by `scripts/check.py --probe` exactly
+    // as clean_sweep gates bench windows. One nuance from the bench
+    // pre-sentinel lesson: the first post-shot after a heavy job can
+    // carry one-shot cache/GC churn, so a disagreeing post-shot gets
+    // ONE re-shot — agreement with the pre anchor reads as a settled
+    // transient (use it), a second disagreement is the steal evidence
+    // (flag it). Each line's post anchor is the next line's pre anchor,
+    // so the whole session costs one sentinel per measurement. The band
+    // is 1.3×: the r12 sessions' clean anchor pairs agreed within
+    // ~1.15× while the contaminated session-E window drifted 2.2×.
+    // Every line is ALSO appended as JSON to SPARK_GRAFT_PROBE_OUT
+    // (default probe_x$copies.jsonl, append mode so a round's dedicated
+    // PROBE_ONLY sessions accumulate one comparable artifact). ----
+    val AnchorBand = 1.3
+    var lastAnchor = anchorStart
+    var sentinelN = 0
+    val probeOut = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT",
+      s"probe_x$copies.jsonl")
+    val jw = new java.io.PrintWriter(new java.io.BufferedWriter(
+      new java.io.FileWriter(probeOut, true)))
+    def jline(s: String): Unit = { jw.println(s); jw.flush() }
+    jline(s"""{"session":"start","copies":$copies,"anchor_start":$anchorStart,"pid":${ProcessHandle.current().pid()},"only":"${sys.env.getOrElse("SPARK_GRAFT_PROBE_ONLY", "")}"}""")
+    val seenLabels = scala.collection.mutable.Map.empty[String, Int]
+    def bracketed(label0: String, extra: String = "")(body: => Long): Unit = {
+      val k = seenLabels.getOrElse(label0, 0) + 1
+      seenLabels(label0) = k
+      val label = if (k == 1) label0 else s"$label0#$k"
+      val pre = lastAnchor
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, dst).count()
-      println(f"PROBE $q%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
+      val n = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      sentinelN += 1
+      var post = computeSentinel(s"b$sentinelN")
+      var anchored = math.max(pre, post) / math.min(pre, post) <= AnchorBand
+      if (!anchored) {
+        sentinelN += 1
+        val again = computeSentinel(s"b$sentinelN")
+        anchored = math.max(pre, again) / math.min(pre, again) <= AnchorBand
+        post = again
+      }
+      lastAnchor = post
+      println(f"PROBE $label%-28s $sec%8.2f s rows=$n$extra " +
+        f"anchors=$pre%.2f/$post%.2f anchored=$anchored")
+      jline(f"""{"probe":"$label","sec":$sec%.3f,"rows":$n,"anchor_pre":$pre%.3f,"anchor_post":$post%.3f,"anchored":$anchored}""")
     }
+
+    def time(q: String): Unit =
+      bracketed(q) { SparkEntry.queries(q)(spark, dst).count() }
     // q35 (exact-pairwise kNN oracle, documented O(n²/50)) is
     // deliberately excluded — the scale paths are q34/q36/q37/q39
     // (q34 joined the probe in round 2 once its all-pairs label block
@@ -352,9 +405,9 @@ object ScaleProbe {
            // steady-state single-pointer batch lookup a deployment sees
            "q164_hybrid_projected_unified")
          if only.forall(_.contains(q))) {
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, dst).count()
-      println(f"PROBE $q%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n (lookup)")
+      bracketed(q, extra = " (lookup)") {
+        SparkEntry.queries(q)(spark, dst).count()
+      }
     }
     // wave-3 queries whose cost lives in agg expressions / join sides
     // that a bare count() lets the optimizer elide: aggregate over the
@@ -363,11 +416,10 @@ object ScaleProbe {
     // build; this measures the gate + doc join + report).
     def timeForced(q: String, cols: (String, String)): Unit =
       if (only.forall(_.contains(q))) {
-        val t0 = System.nanoTime()
-        val r = SparkEntry.queries(q)(spark, dst)
-          .agg(count(col(cols._1)), sum(col(cols._2))).head()
-        println(f"PROBE $q%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s " +
-          s"rows=${r.getLong(0)}")
+        bracketed(q) {
+          SparkEntry.queries(q)(spark, dst)
+            .agg(count(col(cols._1)), sum(col(cols._2))).head().getLong(0)
+        }
       }
     timeForced("q102_cluster_safe_split", ("n_docs", "n_clusters"))
     timeForced("q103_event_funnel", ("n_converted", "avg_delay_sec"))
@@ -418,23 +470,21 @@ object ScaleProbe {
     // census read + O(batch) bins, the probe batch the only text touch
     timeForced("q166_alphabet_shift_gate", ("n_docs", "psi_max"))
     if (only.forall(_.contains("q88_canonical_dedup"))) {
-      val t0 = System.nanoTime()
       // force the normalizer + keeper window: aggregate over BOTH
       // computed columns so column pruning can't elide them
-      val r = SparkEntry.queries("q88_canonical_dedup")(spark, dst)
-        .agg(sum(col("keep")), count(col("canon_md5"))).head()
-      println(f"PROBE q88_canonical_dedup         ${(System.nanoTime() - t0) / 1e9}%8.2f s " +
-        s"rows=${r.getLong(1)} keepers=${r.getLong(0)}")
+      bracketed("q88_canonical_dedup") {
+        SparkEntry.queries("q88_canonical_dedup")(spark, dst)
+          .agg(sum(col("keep")), count(col("canon_md5"))).head().getLong(1)
+      }
     }
     if (only.forall(_.contains("q100_rank_fractions"))) {
-      val t0 = System.nanoTime()
       // aggregate over the window outputs so the per-priority sorts
       // (the actual cost: 100× more rows per window task) can't be
       // pruned away by a bare count()
-      val r = SparkEntry.queries("q100_rank_fractions")(spark, dst)
-        .agg(sum(col("pr")), count(col("second_key"))).head()
-      println(f"PROBE q100_rank_fractions         ${(System.nanoTime() - t0) / 1e9}%8.2f s " +
-        f"rows=${r.getLong(1)} sum_pr=${r.getDouble(0)}%.1f")
+      bracketed("q100_rank_fractions") {
+        SparkEntry.queries("q100_rank_fractions")(spark, dst)
+          .agg(sum(col("pr")), count(col("second_key"))).head().getLong(1)
+      }
     }
     // md5 (oracle-parity) vs xxhash64 (production) base hash for the
     // LSH band keys — quantifies what the DuckDB oracle costs q31 at
@@ -445,11 +495,8 @@ object ScaleProbe {
       println(f"PROBE lsh_fast_xxhash64          ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
     }
 
-    def timeNamed(label: String)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = body
-      println(f"PROBE $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
-    }
+    def timeNamed(label: String)(body: => Long): Unit =
+      bracketed(label)(body)
 
     // shared md5 doc_id gate for the store sections' corpus/batch
     // slicing (one definition — the slicing scheme must stay

@@ -485,8 +485,8 @@ object IndexStore {
     Seq("band_keys", "fingerprints", "sim_blocks", "bloom", "mix_census")
 
   /** The governance census of a batch — Selection.censusBins (source
-    * × feature × bin counts over all THREE marginals, n_chars /
-    * n_tokens / nonalpha; O(sources × features × 6) rows): the sufficient
+    * × feature × bin counts over all FOUR marginals, n_chars /
+    * n_tokens / nonalpha / tokhash(+coverage); O(sources × (3·6+64+1)) rows): the sufficient
     * statistic the PSI drift monitor (q149) needs, persisted per fold
     * so "is the corpus mix rotting" is answerable from the store
     * alone, at any committed version, without rescanning corpus text.
@@ -510,6 +510,28 @@ object IndexStore {
         "carries no (source, n_chars, text) columns — folding it would " +
         "silently hole the drift timeline; carry the governance columns " +
         "or build the store ungoverned"))
+
+  /** Refuse a governed fold onto a census persisted by an OLDER build
+    * (fewer marginals) BEFORE any delta is written: appending a
+    * current-format delta on top would commit a mixed-generation
+    * census that every later drift read refuses in-plan — the fold
+    * must fail at fold time, with the store untouched, not poison the
+    * timeline for readers. One tiny scan of the few-hundred-row
+    * census channel (the tokhash COVERAGE rows are the newest
+    * marginal's signature — a census that has them is this build's
+    * format). */
+  private def censusFormatGuard(s: SparkSession, root: String,
+      prior: Map[String, Channel], op: String): Unit = {
+    val c = channelFrom(s, root, prior, "mix_census")
+    val ok = c.columns.contains("feature") &&
+      !c.filter(col("feature") === "tokhash" && col("bin") === -1L).isEmpty
+    require(ok,
+      s"$op: this governed store's mix_census was persisted by an older " +
+        "build with fewer marginals (no tokhash coverage rows) — a " +
+        "current-format delta on top would leave a mixed-generation " +
+        "census every drift read refuses; rebuild the governed store " +
+        "(or re-fold its history) with this build")
+  }
 
   /** Persist the dedup index of `docs` under `out` (one snapshot
     * transaction; any cluster_labels / other-family channels already
@@ -856,9 +878,10 @@ object IndexStore {
       maybeCrash("cluster_labels")
       // governed stores extend the census every fold; the batch's bin
       // counts are additive, so readers just sum across the path list
-      val census = if (prior.contains("mix_census"))
+      val census = if (prior.contains("mix_census")) {
+        censusFormatGuard(s, indexDir, prior, "append")
         Some(censusRequired("append", batch))
-      else None
+      } else None
       census.foreach(_.write.mode(SaveMode.Overwrite)
         .parquet(s"$indexDir/$snap/mix_census"))
       maybeCrash("mix_census")
@@ -1046,24 +1069,26 @@ object IndexStore {
     // against — a rival landing anywhere between gate and append is a
     // detected OCC conflict, never a silently-stale verdict.
     val (base, prior) = baseRequired(indexDir)
-    // three-feature gate (rounds 11-12): a source is held when ANY
+    // four-feature gate (rounds 11-13): a source is held when ANY
     // marginal's PSI trips — psi_max is the greatest of the rnd4'd
-    // per-feature values, so a content shift at constant length
-    // (q163) or at constant length AND token count (q166) holds
-    // exactly like a length shift
+    // per-feature values (the token marginal joining past its evidence
+    // floor), so a content shift at constant length (q163), at
+    // constant length AND token count (q166), or a vocabulary swap
+    // invisible to all three doc marginals (q167) holds exactly like
+    // a length shift
     val rep = batchDriftVsStoreFrom(s, indexDir, prior, batch, anchor)
       .select(col("source"), col("n_docs"), col("psi_nchars"),
-        col("psi_ntokens"), col("psi_nonalpha"), col("psi_max"),
-        (col("psi_max") > maxPsi).as("held"))
-      .as[(String, Long, Double, Double, Double, Double, Boolean)]
+        col("psi_ntokens"), col("psi_nonalpha"), col("psi_tokhash"),
+        col("psi_max"), (col("psi_max") > maxPsi).as("held"))
+      .as[(String, Long, Double, Double, Double, Double, Double, Boolean)]
       .collect().toSeq
-    val heldSrcs = rep.filter(_._7).map(_._1)
+    val heldSrcs = rep.filter(_._8).map(_._1)
     val admitted =
       if (heldSrcs.isEmpty) batch
       else batch.filter(!col("source").isin(heldSrcs: _*))
     (screenAndFoldFrom(s, indexDir, base, prior, admitted),
       rep.toDF("source", "n_docs", "psi_nchars", "psi_ntokens",
-        "psi_nonalpha", "psi_max", "held"))
+        "psi_nonalpha", "psi_tokhash", "psi_max", "held"))
   }
 
   // ---------------------------------------------------------------
@@ -2498,6 +2523,7 @@ object IndexStore {
     // fold (same additive-delta contract as the dedup family's append);
     // a vectors-only catch-up leaves the doc-mix timeline untouched
     val census = if (prior.contains("mix_census") && textGo.isDefined) Some {
+      censusFormatGuard(s, root, prior, "appendUnified")
       val c = censusRequired("appendUnified", docs)
       c.write.mode(SaveMode.Overwrite).parquet(s"$root/$snap/mix_census")
       maybeCrash("mix_census")
@@ -2588,7 +2614,8 @@ object IndexStore {
     * an orphan vector — payloads carry no source column, so a
     * media-LEADING fold would carry a drifting source's fingerprints
     * past the breaker ungated. Returns the per-source drift report
-    * (source, n_docs, psi_nchars, psi_ntokens, psi_nonalpha, psi_max, held) —
+    * (source, n_docs, psi_nchars, psi_ntokens, psi_nonalpha,
+    * psi_tokhash, psi_max, held) —
     * O(sources) rows, collected driver-side like
     * [[screenAndFoldGated]]'s. */
   def appendUnifiedGated(s: SparkSession, root: String,
@@ -2654,11 +2681,11 @@ object IndexStore {
     }
     val rep = batchDriftVsStoreFrom(s, root, prior, docs, anchor)
       .select(col("source"), col("n_docs"), col("psi_nchars"),
-        col("psi_ntokens"), col("psi_nonalpha"), col("psi_max"),
-        (col("psi_max") > maxPsi).as("held"))
-      .as[(String, Long, Double, Double, Double, Double, Boolean)]
+        col("psi_ntokens"), col("psi_nonalpha"), col("psi_tokhash"),
+        col("psi_max"), (col("psi_max") > maxPsi).as("held"))
+      .as[(String, Long, Double, Double, Double, Double, Double, Boolean)]
       .collect().toSeq
-    val heldSrcs = rep.filter(_._7).map(_._1)
+    val heldSrcs = rep.filter(_._8).map(_._1)
     val (admittedDocs, admittedVecs, admittedRaw, admittedPayloads) =
       if (heldSrcs.isEmpty) (docs, vectors, raw, payloads)
       else {
@@ -2684,7 +2711,7 @@ object IndexStore {
     appendUnifiedFrom(s, root, base, prior, admittedDocs, admittedVecs,
       rawEff, admittedPayloads, preTok)
     rep.toDF("source", "n_docs", "psi_nchars", "psi_ntokens",
-      "psi_nonalpha", "psi_max", "held")
+      "psi_nonalpha", "psi_tokhash", "psi_max", "held")
   }
 
   /** The hybrid read pair from a unified store: ONE manifest

@@ -133,10 +133,13 @@ class SelectionSpec extends SparkSpec {
     assert(out.getAs[Double]("psi_ntokens") > 0.25,
       s"token marginal must alarm, got ${out.getAs[Double]("psi_ntokens")}")
     // the squash also moves the alphabet marginal (dots are outside
-    // [a-z ]) — psi_max is the greatest of whichever alarmed
+    // [a-z ]) AND the token-identity marginal (each squashed doc is
+    // one previously-unseen token type) — psi_max is the greatest of
+    // whichever alarmed
     assert(out.getAs[Double]("psi_max") ==
-      math.max(out.getAs[Double]("psi_ntokens"),
-        out.getAs[Double]("psi_nonalpha")))
+      Seq(out.getAs[Double]("psi_ntokens"),
+        out.getAs[Double]("psi_nonalpha"),
+        out.getAs[Double]("psi_tokhash")).max)
   }
 
   test("the alphabet marginal alarms on a shift BOTH other marginals cannot see (q166's blind spot)") {
@@ -157,6 +160,54 @@ class SelectionSpec extends SparkSpec {
     assert(out.getAs[Double]("psi_nonalpha") > 0.25,
       s"alphabet marginal must alarm, got ${out.getAs[Double]("psi_nonalpha")}")
     assert(out.getAs[Double]("psi_max") == out.getAs[Double]("psi_nonalpha"))
+  }
+
+  test("the token-identity marginal alarms on a vocabulary swap ALL THREE doc marginals cannot see (q167's blind spot)") {
+    // rot13 within [a-z]: 1:1, spaces untouched — n_chars, token count
+    // and the non-[a-z ] share are preserved EXACTLY, while ~every
+    // token TYPE moves to a different md5-mod-64 bucket
+    def rot13(s: String): String = s.map {
+      case c if c >= 'a' && c <= 'z' => (((c - 'a') + 13) % 26 + 'a').toChar
+      case c => c
+    }
+    val words = (0 until 40).map(i => s"word$i")
+    def textOf(i: Int): String =
+      (0 until 24).map(j => words((i * 7 + j * 3) % 40)).mkString(" ")
+    val anchor = (0 until 60).map(i => ("ref", 200L, textOf(i)))
+    val swap = anchor.map { case (_, n, t) => ("swap", n, rot13(t)) }
+    val clone = anchor.map { case (_, n, t) => ("clone", n, t) }
+    val docs = (anchor ++ swap ++ clone).toDF("source", "n_chars", "text")
+    val out = ops.Selection.psiBySource(docs, "ref")
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("psi_nchars", "psi_ntokens", "psi_nonalpha"))
+      assert(math.abs(out("swap").getAs[Double](c)) < 1e-9,
+        s"doc marginal $c must be blind to the vocabulary swap")
+    assert(out("swap").getAs[Double]("psi_tokhash") > 0.25,
+      s"token-identity marginal must alarm, got ${out("swap")}")
+    assert(out("swap").getAs[Double]("psi_max") ==
+      out("swap").getAs[Double]("psi_tokhash"))
+    // the clone (same 1440 tokens, above the floor) participates and
+    // passes all four
+    assert(out("clone").getAs[Double]("psi_tokhash") < 0.25 &&
+      out("clone").getAs[Double]("psi_max") < 0.25,
+      s"clone must pass all four marginals, got ${out("clone")}")
+  }
+
+  test("the token-identity marginal needs evidence: below the 512-token floor it is reported but never gates") {
+    // disjoint unique-token vocabularies (the q158 md5-text shape) at
+    // tiny sample sizes: the 64-bin histogram reads large PSI from
+    // pure small-sample noise, so the value is REPORTED as evidence
+    // while psi_max — the gate — excludes it on the evidence floor
+    val anchor = (0 until 30).map(i => ("ref", 200L, s"anchortoken$i"))
+    val other = (0 until 30).map(i => ("small", 200L, s"othertoken$i"))
+    val docs = (anchor ++ other).toDF("source", "n_chars", "text")
+    val out = ops.Selection.psiBySource(docs, "ref").head()
+    assert(out.getAs[Double]("psi_tokhash") > 0.0,
+      "the below-floor value must still be reported as evidence")
+    assert(out.getAs[Double]("psi_max") ==
+      Seq(out.getAs[Double]("psi_nchars"), out.getAs[Double]("psi_ntokens"),
+        out.getAs[Double]("psi_nonalpha")).max,
+      s"psi_max must exclude the below-floor token marginal, got $out")
   }
 
   // ---- governed store: the census channel IS the monitor's state ----
@@ -512,12 +563,16 @@ class SelectionSpec extends SparkSpec {
     // a census mixing folds from both generations (the nonalpha rows
     // cover only the newer folds) has per-feature totals that
     // DISAGREE — a psi computed against the partial distribution
-    // would be silently skewed, so it must refuse too
+    // would be silently skewed, so it must refuse too. Coverage rows
+    // are well-formed here so the equal-totals guard specifically is
+    // what fires (the coverage guard has its own pin below).
     val mixed = Seq(
       ("src0", "n_chars", 1L, 10L), ("src0", "n_tokens", 1L, 10L),
       ("src0", "nonalpha", 0L, 4L),
+      ("src0", "tokhash", -1L, 10L), ("src0", "tokhash", 3L, 20L),
       ("srcA", "n_chars", 2L, 5L), ("srcA", "n_tokens", 1L, 5L),
-      ("srcA", "nonalpha", 0L, 2L))
+      ("srcA", "nonalpha", 0L, 2L),
+      ("srcA", "tokhash", -1L, 5L), ("srcA", "tokhash", 7L, 9L))
       .toDF("source", "feature", "bin", "n")
     val e2 = intercept[Exception] {
       ops.Selection.psiFromBins(mixed, "src0").collect()
@@ -525,6 +580,25 @@ class SelectionSpec extends SparkSpec {
     assert(e2.getMessage.contains("disagree") ||
       Option(e2.getCause).exists(_.getMessage.contains("disagree")),
       s"expected the mixed-generation refusal, got: ${e2.getMessage}")
+    // a census whose TOKEN marginal covers only the newer folds
+    // (coverage rows account for fewer docs than the doc marginals):
+    // the token distribution would be silently partial — refuse by
+    // name through the coverage rule, the guard the doc-level
+    // equal-totals rule cannot provide for a token-count feature
+    val partialTok = Seq(
+      ("src0", "n_chars", 1L, 10L), ("src0", "n_tokens", 1L, 10L),
+      ("src0", "nonalpha", 0L, 10L),
+      ("src0", "tokhash", -1L, 10L), ("src0", "tokhash", 3L, 20L),
+      ("srcA", "n_chars", 2L, 5L), ("srcA", "n_tokens", 1L, 5L),
+      ("srcA", "nonalpha", 0L, 5L),
+      ("srcA", "tokhash", -1L, 3L), ("srcA", "tokhash", 7L, 6L))
+      .toDF("source", "feature", "bin", "n")
+    val e3 = intercept[Exception] {
+      ops.Selection.psiFromBins(partialTok, "src0").collect()
+    }
+    assert(e3.getMessage.contains("coverage") ||
+      Option(e3.getCause).exists(_.getMessage.contains("coverage")),
+      s"expected the tokhash-coverage refusal, got: ${e3.getMessage}")
     // and the well-formed census still reads clean through the guards
     val ok = ops.Selection.censusBins(
       Seq(("src0", 100L, "alpha beta"), ("srcA", 120L, "gamma delta"))
