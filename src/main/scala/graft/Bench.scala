@@ -96,12 +96,41 @@ object Bench {
         preShots += calibrate(s"pre${preShots.size + 1}")
     else preShots += -1.0
     val calPre = preShots.last
-    val warmBreakdown =
+    // warm consolidation round 4 (VERDICT r12 next #2): the two
+    // unified-store bootstraps — similarity.unifiedStore (q153 family)
+    // and selection.gatedUnifiedStore (q161/q162/q165 family) — are
+    // independent store roots whose ~15 s each is job-latency-bound
+    // (dozens of small channel writes and 1-row gate reads, not CPU),
+    // so they run CONCURRENTLY after every shared memoized input
+    // (tokenization, normalized vectors, centroids) is already built
+    // by the sequential phase. Fixture content, fold order and every
+    // committed timeline are bit-unchanged — only the scheduler
+    // interleaves the two ingests. Accounting stays honest: warm =
+    // sequential sum + the parallel segment's WALL CLOCK (the real
+    // cost the session pays), while the per-store breakdown keeps each
+    // build's own (contended) duration as attribution evidence — those
+    // two overlapping entries sum to more than the wall segment by
+    // construction, and the breakdown carries the wall line too
+    // (`unified_pair_wall`).
+    val warmSeq =
       safeWarm(ops.Dedup.warm(spark, sfDir)) ++
         safeWarm(ops.Similarity.warm(spark, sfDir)) ++
         safeWarm(ops.TextOps.warm(spark, sfDir)) ++
         safeWarm(ops.Selection.warm(spark, sfDir))
-    val warmSec = warmBreakdown.map(_._2).sum
+    val tw0 = System.nanoTime()
+    val unifiedParts = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fs = Seq(
+        Future(safeWarm(ops.Similarity.warmUnified(spark, sfDir))),
+        Future(safeWarm(ops.Selection.warmUnified(spark, sfDir))))
+      fs.flatMap(Await.result(_, Duration.Inf))
+    }
+    val unifiedWall = (System.nanoTime() - tw0) / 1e9
+    val warmBreakdown = warmSeq ++ unifiedParts :+
+      ("unified_pair_wall" -> unifiedWall)
+    val warmSec = warmSeq.map(_._2).sum + unifiedWall
     // `first` gets the SAME stabilizer as `pre`: it fires immediately
     // after the warm phase, where blocking-unpersist churn and fresh
     // store caches leave the same one-shot transient the pre shots

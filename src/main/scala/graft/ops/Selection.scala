@@ -536,7 +536,13 @@ object Selection {
     * governance query runs them first. */
   def warm(s: SparkSession, dir: String): Seq[(String, Double)] = Seq(
     timedBuild("selection.governedStore") { governedStore(s, dir); () },
-    timedBuild("selection.gatedHoldStore") { gatedHoldStore(s, dir); () },
+    timedBuild("selection.gatedHoldStore") { gatedHoldStore(s, dir); () })
+
+  /** The gated unified bootstrap, split out of [[warm]] so the bench
+    * can overlap it with Similarity's ungoverned sibling (VERDICT r12
+    * next #2) — independent store roots, shared inputs already
+    * memoized, fixture content bit-unchanged. */
+  def warmUnified(s: SparkSession, dir: String): Seq[(String, Double)] = Seq(
     timedBuild("selection.gatedUnifiedStore") { gatedUnifiedStore(s, dir); () })
 
   val catalog: Map[String, Q] = Map(
