@@ -393,14 +393,23 @@ def probe_regressions(cur_path, prior_path, factor=2.5):
     flagged = []
     for q in shared:
         c, p = cur[q], prior[q]
-        # per-line host-speed adjust from the line's OWN anchor bracket
+        # per-line host-speed adjust from the line's OWN anchor
+        # bracket, CLAMPED at 1.0: a higher current anchor (slower
+        # sustained compute) legitimately forgives a slower line, but
+        # a LOWER one must never tighten the threshold below the raw
+        # factor — the compute sentinel does not normalize scan-bound
+        # lines (measured: the q164 steady lookup reads 30.5 vs 30.7 s
+        # across a 3.4x anchor gap; an unclamped adjust flagged that
+        # 0.99x pair as a regression)
         ca = (c["anchor_pre"] + c["anchor_post"]) / 2.0
         pa = (p["anchor_pre"] + p["anchor_post"]) / 2.0
-        adjust = (ca / pa) if (ca > 0 and pa > 0) else 1.0
+        adjust = max(1.0, ca / pa) if (ca > 0 and pa > 0) else 1.0
         if c["sec"] > factor * max(p["sec"], 1.0) * adjust:
             flagged.append({"probe": q, "sec": round(c["sec"], 2),
                             "prior_sec": round(p["sec"], 2),
                             "adjust": round(adjust, 3),
+                            "raw_anchor_ratio":
+                                round(ca / pa, 3) if pa > 0 else None,
                             "ratio": round(c["sec"] / p["sec"], 2)})
     print(json.dumps({"probe_regressions": flagged, "factor": factor,
                       "n_compared": len(shared),

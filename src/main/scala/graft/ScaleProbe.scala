@@ -469,6 +469,10 @@ object ScaleProbe {
     // q166 is q163's read-only gate shape on the alphabet marginal —
     // census read + O(batch) bins, the probe batch the only text touch
     timeForced("q166_alphabet_shift_gate", ("n_docs", "psi_max"))
+    // q167 is the same gate shape on the token-identity marginal: the
+    // batch side explodes the probe's tokens (O(batch tokens) md5s),
+    // the anchor side is the stored census — still corpus-free
+    timeForced("q167_vocab_shift_gate", ("n_docs", "psi_max"))
     if (only.forall(_.contains("q88_canonical_dedup"))) {
       // force the normalizer + keeper window: aggregate over BOTH
       // computed columns so column pruning can't elide them
