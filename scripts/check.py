@@ -410,7 +410,8 @@ def probe_regressions(cur_path, prior_path, factor=2.5):
                             "adjust": round(adjust, 3),
                             "raw_anchor_ratio":
                                 round(ca / pa, 3) if pa > 0 else None,
-                            "ratio": round(c["sec"] / p["sec"], 2)})
+                            "ratio": round(c["sec"] / p["sec"], 2)
+                                     if p["sec"] > 0 else None})
     print(json.dumps({"probe_regressions": flagged, "factor": factor,
                       "n_compared": len(shared),
                       "excluded_unanchored": {"cur": cur_flagged,

@@ -198,9 +198,7 @@ object ScaleProbe {
     // in-sweep consumer (q32) measures verify work only instead of
     // silently absorbing a ~58 s build at 100× (VERDICT r6 next #7)
     if (only.forall(_.contains("warm_codedSets"))) {
-      val t0 = System.nanoTime()
-      val n = ops.Dedup.codedSets(spark, dst).count()
-      println(f"PROBE warm_codedSets             ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
+      bracketed("warm_codedSets") { ops.Dedup.codedSets(spark, dst).count() }
     }
     (Seq("q01_pricing_summary", "q03_join_revenue_by_nation", "q09_asof_join_event_order",
       "q31_minhash_lsh_pairs", "q32_ngram_jaccard", "q45_dedup_clusters",
@@ -494,9 +492,9 @@ object ScaleProbe {
     // LSH band keys — quantifies what the DuckDB oracle costs q31 at
     // scale; both builds are cold (memoized per key, first use here)
     if (only.forall(_.contains("lsh_fast"))) {
-      val t0 = System.nanoTime()
-      val n = ops.Dedup.lshPairsFast(spark, dst).count()
-      println(f"PROBE lsh_fast_xxhash64          ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
+      bracketed("lsh_fast_xxhash64") {
+        ops.Dedup.lshPairsFast(spark, dst).count()
+      }
     }
 
     def timeNamed(label: String)(body: => Long): Unit =

@@ -832,6 +832,11 @@ object IndexStore {
       base: Option[String], prior: Map[String, Channel],
       batch: DataFrame): Unit = {
     graft.functions.BloomFuncs.register(s)
+    // generational guard FIRST — before any channel delta is staged,
+    // so an old-format census refuses with zero wasted ingest work and
+    // no orphaned staging dir (the guard's own contract)
+    if (prior.contains("mix_census"))
+      censusFormatGuard(s, indexDir, prior, "append")
     // same replay contract as the text/vector/media appends: an exact
     // at-least-once redelivery of an already-folded batch is a no-op
     // (re-folding would duplicate fingerprint/band rows and inflate
@@ -876,12 +881,12 @@ object IndexStore {
       labelDelta.foreach(_.write.mode(SaveMode.Overwrite)
         .parquet(s"$indexDir/$snap/cluster_labels"))
       maybeCrash("cluster_labels")
-      // governed stores extend the census every fold; the batch's bin
+      // governed stores extend the census every fold (format-guarded
+      // at the top of appendFrom, before any staging); the batch's bin
       // counts are additive, so readers just sum across the path list
-      val census = if (prior.contains("mix_census")) {
-        censusFormatGuard(s, indexDir, prior, "append")
+      val census = if (prior.contains("mix_census"))
         Some(censusRequired("append", batch))
-      } else None
+      else None
       census.foreach(_.write.mode(SaveMode.Overwrite)
         .parquet(s"$indexDir/$snap/mix_census"))
       maybeCrash("mix_census")
@@ -1267,14 +1272,25 @@ object IndexStore {
       // (publish corrections as a new snapshot), never skipped.
       val overlap = fingerprint match {
         case Some(fp) =>
-          val o = batch.select(col(idCol), col(fp)).distinct()
+          val pairs = batch.select(col(idCol), col(fp)).distinct()
+          // a batch that carries CONFLICTING fingerprints for one id is
+          // malformed on its own terms (no replay/rewrite reading is
+          // coherent) — refuse it by name before the overlap math,
+          // which counts per-ID and would misattribute the conflict
+          val pc = pairs.agg(count(lit(1)).as("np"),
+            countDistinct(col(idCol)).as("ni")).head()
+          require(pc.getLong(0) == pc.getLong(1),
+            s"$op: the batch carries ${pc.getLong(0) - pc.getLong(1)} " +
+              s"CONFLICTING $fp value(s) for the same ${idCol}(s) — a " +
+              "single append cannot hold two contents under one id; " +
+              "dedupe the batch upstream")
+          val o = pairs
             .join(storedRange.select(col(idCol), col(fp).as("_stored_fp"))
               .distinct(), Seq(idCol))
-            .agg(count(lit(1)).as("ids"),
-              sum(when(col(fp) === col("_stored_fp"), 1L).otherwise(0L))
+            .agg(countDistinct(col(idCol)).as("ids"),
+              countDistinct(when(col(fp) === col("_stored_fp"), col(idCol)))
                 .as("same")).head()
-          val (ids, same) =
-            (o.getLong(0), if (o.isNullAt(1)) 0L else o.getLong(1))
+          val (ids, same) = (o.getLong(0), o.getLong(1))
           require(ids == same,
             s"$op: ${ids - same} of $ids redelivered ${idCol}(s) carry a " +
               s"DIFFERENT $fp than the stored rows — this is changed " +
@@ -2450,6 +2466,11 @@ object IndexStore {
     val dEmpty = docs.isEmpty
     val vEmpty = vectors.isEmpty
     val hasProj = prior.contains("proj_stats")
+    // generational guard FIRST — a governed docs-carrying fold onto an
+    // old-format census must refuse before ANY channel delta is staged
+    // (zero wasted ingest work, no orphaned staging dir)
+    if (!dEmpty && prior.contains("mix_census"))
+      censusFormatGuard(s, root, prior, "appendUnified")
     require(payloads.isEmpty || prior.contains("media_sim_blocks"),
       s"appendUnified: payloads were passed, but the unified store at " +
         s"$root carries no media_sim_blocks channel — nothing would " +
@@ -2522,8 +2543,8 @@ object IndexStore {
     // a governed unified store extends its census on every DOCS-side
     // fold (same additive-delta contract as the dedup family's append);
     // a vectors-only catch-up leaves the doc-mix timeline untouched
+    // (format-guarded at the top of appendUnifiedFrom, before staging)
     val census = if (prior.contains("mix_census") && textGo.isDefined) Some {
-      censusFormatGuard(s, root, prior, "appendUnified")
       val c = censusRequired("appendUnified", docs)
       c.write.mode(SaveMode.Overwrite).parquet(s"$root/$snap/mix_census")
       maybeCrash("mix_census")

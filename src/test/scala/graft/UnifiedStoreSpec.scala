@@ -586,6 +586,17 @@ class UnifiedStoreSpec extends SparkSpec {
     }
     assert(e4.getMessage.contains("DIFFERENT sim"),
       s"expected the changed-payload refusal on appendMedia, got: ${e4.getMessage}")
+    // a batch carrying two DIFFERENT payloads under one id is malformed
+    // on its own terms — refused by name before any overlap math
+    val conflicted = paysOf(30 to 32).unionByName(
+      (30 to 32).map(i => (i.toLong,
+        s"a second very different content stream nr $i".getBytes("UTF-8")))
+        .toDF("doc_id", "payload"))
+    val e5 = intercept[IllegalArgumentException] {
+      ops.IndexStore.appendMedia(spark, mroot2, conflicted)
+    }
+    assert(e5.getMessage.contains("CONFLICTING"),
+      s"expected the conflicting-batch refusal, got: ${e5.getMessage}")
   }
 
   test("the gated hold keeps a held source's PAYLOADS out of the media channel — and refuses media-leading folds") {
