@@ -23,6 +23,41 @@ class PropertySpec extends SparkSpec {
     .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
   private val texts: Gen[List[String]] = Gen.chooseNum(1, 12).flatMap(Gen.listOfN(_, text))
 
+  test("census token marginal: hash-per-distinct ≡ hash-per-occurrence on arbitrary corpora (round-13 restructure)") {
+    // the md5-per-distinct-(source, token) census must equal the naive
+    // per-token-occurrence recompute on ANY corpus — binning then
+    // counting ≡ counting then binning-and-summing. Drives unicode,
+    // empties and duplicate tokens through both spellings.
+    import org.apache.spark.sql.functions._
+    forAll(texts) { ts =>
+      val docs = ts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, s"src${i % 3}", (20 + i * 7).toLong)
+      }.toDF("doc_id", "text", "source", "n_chars")
+      val got = ops.Selection.censusBins(docs)
+        .orderBy($"source", $"feature", $"bin")
+        .collect().toSeq
+      // naive reference: one row per token occurrence, binned eagerly
+      val naiveTok = docs.select($"source",
+          explode(expr("filter(split(lower(text), ' '), t -> length(t) > 0)"))
+            .as("tok"))
+        .select($"source", lit("tokhash").as("feature"),
+          (conv(substring(md5($"tok"), 1, 4), 16, 10).cast("long")
+            % ops.Selection.TokhashBins).as("bin"))
+        .groupBy($"source", $"feature", $"bin").agg(count(lit(1)).as("n"))
+      val gotTok = ops.Selection.censusBins(docs)
+        .filter($"feature" === "tokhash" && $"bin" >= 0)
+        .orderBy($"source", $"bin").collect().toSeq
+      assert(gotTok == naiveTok.orderBy($"source", $"bin").collect().toSeq,
+        s"vocab-agg census diverged from the per-occurrence recompute")
+      // coverage rows account for every doc, per source
+      val cov = got.filter(r => r.getString(1) == "tokhash" && r.getLong(2) == -1L)
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+      val perSrc = docs.groupBy($"source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(cov == perSrc, s"coverage rows $cov != doc counts $perSrc")
+    }
+  }
+
   test("dedup idempotence: dedup(dedup(x)) == dedup(x)") {
     forAll(texts) { ts =>
       val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
