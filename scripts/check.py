@@ -95,6 +95,11 @@ def load_bench(path):
             qs.update({str(obj["qtb"] + i): v / 100.0
                        for i, v in enumerate(obj["t"])
                        if isinstance(v, (int, float))})
+        elif isinstance(obj.get("qtn"), str) and \
+                isinstance(obj.get("t"), (int, float)):
+            # round-14 named fallback for a query whose name carries no
+            # digit run (it cannot ride a range array)
+            qs[obj["qtn"]] = obj["t"] / 100.0
         elif isinstance(obj.get("qtc"), dict):
             qs.update({k: v / 100.0 for k, v in obj["qtc"].items()})
         else:
@@ -234,9 +239,21 @@ def bench_regressions(cur_path, prior_path, factor=2.5):
     # so a burst can hide between the pre/first brackets — the
     # per-store breakdown is the finer instrument (floor 1 s: store
     # builds are multi-job, sub-second entries are memo-count noise)
+    # the two unified-store bootstraps run CONCURRENTLY since r13, so
+    # their per-store durations are contention-inflated by whatever the
+    # scheduler interleaved that day — comparing them per-entry against
+    # a baseline turns scheduler imbalance into spurious warm flags (or
+    # masks a real one behind baseline contention). The pair is judged
+    # by its WALL line (`unified_pair_wall`, the real cost the session
+    # pays), which stays in the per-entry compare; the contended member
+    # durations are excluded as attribution evidence only (ADVICE r13).
+    OVERLAPPED_WARM = {"similarity.unifiedStore", "similarity.unifiedServing",
+                       "selection.gatedUnifiedStore"}
     warm_flagged = []
     if not dirty_warm:
         for w, t in sorted((cur.get("warm_breakdown") or {}).items()):
+            if w in OVERLAPPED_WARM:
+                continue
             t0 = (prior.get("warm_breakdown") or {}).get(w)
             if not isinstance(t0, (int, float)) or t0 <= 0 or t < 0:
                 continue
@@ -247,12 +264,15 @@ def bench_regressions(cur_path, prior_path, factor=2.5):
     n_q = 0 if dirty_sweep else \
         len(set(cur["queries"]) & set(prior["queries"]))
     n_w = 0 if dirty_warm else \
-        len(set(cur["warm_breakdown"]) & set(prior["warm_breakdown"]))
+        len((set(cur["warm_breakdown"]) & set(prior["warm_breakdown"]))
+            - OVERLAPPED_WARM)
     out = {"bench_regressions": flagged, "warm_regressions": warm_flagged,
            "factor": factor,
            "calibration_adjust": round(adjust, 3),
            "warm_adjust": round(warm_adjust, 3),
            "n_queries_compared": n_q, "n_warm_compared": n_w,
+           "warm_pair_excluded": sorted(
+               set(cur.get("warm_breakdown") or {}) & OVERLAPPED_WARM),
            "regimes": {
                "cur": {"sweep": list(vc["sweep"]), "warm": list(vc["warm"])},
                "prior": {"sweep": list(vp["sweep"]), "warm": list(vp["warm"])}},
@@ -312,10 +332,19 @@ def cut_selftest(local_path, tail_chars=2000):
     c = b.get("calibration") or {}
     cal_short = ('{"pre":%s,"first":%s,"last":%s,"ratio":%s,"clean":%s,'
                  '"ratio_sweep":%s,"clean_sweep":%s,"ratio_pre":%s,'
-                 '"clean_warm":%s}') % tuple(
+                 '"clean_warm":%s') % tuple(
         json.dumps(c.get(k)) for k in
         ("pre", "first", "last", "ratio", "clean",
          "ratio_sweep", "clean_sweep", "ratio_pre", "clean_warm"))
+    # a retried (self-healed) sweep appends both windows' ratios to the
+    # short line too — the reconstruction must track Bench's emitter
+    # byte-for-byte (round 14)
+    if c.get("retried") is not None:
+        cal_short += ',"retried":%s,"ratio_sweep_first":%s,' \
+                     '"ratio_sweep_retry":%s' % tuple(
+            json.dumps(c.get(k)) for k in
+            ("retried", "ratio_sweep_first", "ratio_sweep_retry"))
+    cal_short += "}"
     short = ('{"metric":"total","value":%s,"unit":"sec","warm":%s,'
              '"errors":%d,"calibration":%s,"sf":"%s"}') % (
         json.dumps(b["value"]), json.dumps(b.get("warm")),
@@ -355,8 +384,9 @@ def cut_selftest(local_path, tail_chars=2000):
 def load_probe(path):
     """Parse a ScaleProbe JSONL artifact: {label: {sec, pre, post,
     anchored}}, last occurrence wins (a re-measured label supersedes),
-    plus the flagged-line census."""
-    lines, flagged = {}, []
+    plus the flagged-line census and the raw line list (the ingest
+    compare needs every occurrence, anchored or not)."""
+    lines, flagged, raw_lines = {}, [], []
     for raw in open(path):
         raw = raw.strip()
         if not raw:
@@ -367,16 +397,33 @@ def load_probe(path):
             continue
         if "probe" not in o:
             continue
+        raw_lines.append(o)
         if o.get("anchored") is True:
             lines[o["probe"]] = o
         else:
             flagged.append(o["probe"])
-    return lines, flagged
+    return lines, flagged, raw_lines
+
+
+# Ingest-scale probe labels (VERDICT r13 next #5). These lines shift
+# the JVM/host regime they are measured IN (the post-ingest sentinel
+# reads the world the ingest just created), so their anchor brackets
+# legitimately disagree and the per-line anchored gate excludes them —
+# which left the ingest family with NO regression protection. Their
+# stability evidence is CROSS-SESSION agreement instead (r13 measured
+# the q153 unified bootstrap at 97.7 vs 102.9 s across sessions, 5%,
+# with a measured ~5% cold/warm page-cache axis on top), so the ingest
+# compare takes the MEDIAN over every occurrence in each artifact —
+# anchored or not, RAW, no anchor adjust — and flags a median shift
+# past the declared band. 1.15 = the two measured ~5% axes stacked
+# with margin, still tight enough that a +20% build regression flags.
+INGEST_PROBE = {"q153_hybrid_unified_store"}
+INGEST_BAND = 1.15
 
 
 def probe_regressions(cur_path, prior_path, factor=2.5):
-    cur, cur_flagged = load_probe(cur_path)
-    prior, prior_flagged = load_probe(prior_path)
+    cur, cur_flagged, cur_all = load_probe(cur_path)
+    prior, prior_flagged, prior_all = load_probe(prior_path)
     empty = [p for p, l in ((cur_path, cur), (prior_path, prior)) if not l]
     if empty:
         print(json.dumps({"unusable_probe": empty,
@@ -412,12 +459,37 @@ def probe_regressions(cur_path, prior_path, factor=2.5):
                                 round(ca / pa, 3) if pa > 0 else None,
                             "ratio": round(c["sec"] / p["sec"], 2)
                                      if p["sec"] > 0 else None})
+    # ingest family: median-vs-median at the declared band, every
+    # occurrence counted regardless of the anchored flag (see
+    # INGEST_PROBE above)
+    def ingest_medians(raw_lines):
+        vals = {}
+        for o in raw_lines:
+            base = o["probe"].split("#")[0]
+            if base in INGEST_PROBE and isinstance(o.get("sec"), (int, float)):
+                vals.setdefault(base, []).append(o["sec"])
+        return ({b: sorted(v)[len(v) // 2] for b, v in vals.items()},
+                {b: len(v) for b, v in vals.items()})
+    ci, cn = ingest_medians(cur_all)
+    pi, pn = ingest_medians(prior_all)
+    ingest_cmp, ingest_flagged = [], []
+    for b in sorted(set(ci) & set(pi)):
+        entry = {"probe": b, "median_sec": round(ci[b], 2),
+                 "prior_median_sec": round(pi[b], 2),
+                 "n": [cn[b], pn[b]],
+                 "ratio": round(ci[b] / pi[b], 3) if pi[b] > 0 else None}
+        ingest_cmp.append(entry)
+        if pi[b] > 0 and ci[b] > INGEST_BAND * pi[b]:
+            ingest_flagged.append(entry)
     print(json.dumps({"probe_regressions": flagged, "factor": factor,
                       "n_compared": len(shared),
+                      "ingest": {"band": INGEST_BAND,
+                                 "compared": ingest_cmp,
+                                 "flagged": ingest_flagged},
                       "excluded_unanchored": {"cur": cur_flagged,
                                               "prior": prior_flagged},
                       "compared": cur_path + " vs " + prior_path}))
-    return 1 if flagged else 0
+    return 1 if (flagged or ingest_flagged) else 0
 
 
 if len(sys.argv) > 1 and sys.argv[1] == "--probe":

@@ -45,7 +45,9 @@ object Bench {
     // probe is likewise recorded as -1 plus an errors entry, never as a
     // plausible-looking latency. (Side effect in full sweeps, by
     // design: the timed q01 in the sweep is a cache-warm re-run.)
-    def calibrate(tag: String): Double =
+    def calibrate(tag: String,
+        sink: scala.collection.mutable.ListBuffer[(String, String)] = errors)
+        : Double =
       if (only.nonEmpty) -1.0
       else {
         val t0 = System.nanoTime()
@@ -53,7 +55,7 @@ object Bench {
           SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
-          errors += ((s"calibration_$tag", s"${e.getClass.getName}: ${e.getMessage}"))
+          sink += ((s"calibration_$tag", s"${e.getClass.getName}: ${e.getMessage}"))
           -1.0
         }
       }
@@ -139,17 +141,6 @@ object Bench {
     // then-agreeing series reads as settling; agreement at an
     // elevated level reads as steal — either way the shots are
     // evidence, and the verdict sample is the stabilized one.
-    val firstShots = scala.collection.mutable.ListBuffer.empty[Double]
-    def firstTwoAgree: Boolean = firstShots.size >= 2 && {
-      val a = firstShots(firstShots.size - 2)
-      val b = firstShots.last
-      a > 0 && b > 0 && math.abs(b - a) / math.max(a, b) <= 0.1
-    }
-    if (only.isEmpty)
-      while (firstShots.size < 4 && !firstTwoAgree)
-        firstShots += calibrate(s"first${firstShots.size + 1}")
-    else firstShots += -1.0
-    val calFirst = firstShots.last
     // NUMERIC query order (q01…q156), not string order: string sort
     // runs q100–q156 between q09 and q10, so every round's NEWEST
     // (least-understood) queries execute as one contiguous early
@@ -160,24 +151,89 @@ object Bench {
       "\\d+".r.findFirstIn(name).map(_.toInt).getOrElse(Int.MaxValue)
     val ordered = SparkEntry.queries.toSeq.sortBy { case (n, _) => (qnum(n), n) }
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // ROLLING sentinel (r8 driver-vs-local gap lesson): the same fixed
-    // probe re-timed every 30 queries, so a mid-run host burst or
-    // creeping GC degradation shows up as a drifting sentinel series
-    // instead of hiding between two clean endpoints.
-    val calMid = scala.collection.mutable.ListBuffer.empty[Double]
-    val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
-      if (idx > 0 && idx % 30 == 0) calMid += calibrate(s"mid$idx")
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        errors += ((name, s"${e.getClass.getName}: ${e.getMessage}"))
-        name -> -1.0
-      }
+    // ---- the query sweep as a RE-RUNNABLE window (VERDICT r13 next
+    // #1): the calibration machinery could already FLAG a host-loaded
+    // sweep (clean_sweep false), but the r13 driver artifact showed a
+    // flag is not enough — the official number a future consumer reads
+    // first was a dirty 260.7 s window while the engine's clean
+    // windows got 3.5% FASTER. So a dirty sweep now buys exactly ONE
+    // bounded retry inside the same invocation: the parsed total comes
+    // from the CLEANER window (by sweep max/median), the discarded
+    // window's per-query map stays in the full artifact as evidence,
+    // and the calibration carries `retried` plus both windows' ratios
+    // so the self-heal is never silent. The warm phase is NOT re-run —
+    // it already happened, is bracketed by its own clean_warm verdict,
+    // and its memoized fixtures make the retry sweep iso-condition
+    // with the first (both post-warm, same caches).
+    //  - `first` gets the SAME stabilizer as `pre`: it fires right
+    //    after the preceding heavy phase, where blocking-unpersist
+    //    churn and fresh store caches leave the one-shot transient the
+    //    pre shots measured (r11: first 0.77/0.67 against 0.39–0.42
+    //    sweep medians marked otherwise-clean sweeps dirty).
+    //  - ROLLING mid sentinels every 30 queries (r8 driver-vs-local
+    //    gap lesson): a mid-run host burst or creeping GC degradation
+    //    shows up as a drifting series instead of hiding between two
+    //    clean endpoints.
+    final case class SweepWindow(results: Seq[(String, Double)],
+        firstShots: Seq[Double], calMid: Seq[Double], calLast: Double,
+        errs: Seq[(String, String)]) {
+      val calFirst: Double = firstShots.last
+      val samples: Seq[Double] =
+        (calFirst +: calMid :+ calLast).filter(_ > 0).sorted
+      val ratio: Double =
+        if (samples.size >= 2) samples.max / samples(samples.size / 2)
+        else -1.0
+      val clean: Boolean = samples.size >= 2 && ratio <= 1.5
     }
-    val calLast = calibrate("last")
+    def runSweep(tag: String): SweepWindow = {
+      val errs = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      val shots = scala.collection.mutable.ListBuffer.empty[Double]
+      def twoAgree: Boolean = shots.size >= 2 && {
+        val a = shots(shots.size - 2)
+        val b = shots.last
+        a > 0 && b > 0 && math.abs(b - a) / math.max(a, b) <= 0.1
+      }
+      if (only.isEmpty)
+        while (shots.size < 4 && !twoAgree)
+          shots += calibrate(s"${tag}first${shots.size + 1}", errs)
+      else shots += -1.0
+      val mid = scala.collection.mutable.ListBuffer.empty[Double]
+      val res = ordered.zipWithIndex.map { case ((name, fn), idx) =>
+        if (idx > 0 && idx % 30 == 0) mid += calibrate(s"${tag}mid$idx", errs)
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          errs += ((name, s"${e.getClass.getName}: ${e.getMessage}"))
+          name -> -1.0
+        }
+      }
+      SweepWindow(res, shots.toSeq, mid.toSeq,
+        calibrate(s"${tag}last", errs), errs.toSeq)
+    }
+    val window1 = runSweep("")
+    val retried = !window1.clean && window1.samples.size >= 2 && only.isEmpty
+    val window2: Option[SweepWindow] =
+      if (retried) {
+        System.err.println(f"[bench] sweep window dirty (max/median " +
+          f"${window1.ratio}%.3f > 1.5) — one bounded retry " +
+          "(VERDICT r13 next #1)")
+        Some(runSweep("retry_"))
+      } else None
+    val chosen = window2 match {
+      case Some(w2) if w2.samples.size >= 2 && w2.ratio < window1.ratio => w2
+      case _ => window1
+    }
+    val discarded: Option[SweepWindow] =
+      window2.map(w2 => if (chosen eq w2) window1 else w2)
+    errors ++= chosen.errs
+    val results = chosen.results
+    val firstShots = chosen.firstShots
+    val calFirst = chosen.calFirst
+    val calMid = chosen.calMid
+    val calLast = chosen.calLast
     def jsonObj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -244,14 +300,28 @@ object Bench {
       else -1.0
     val cleanWarm = if (preRatio > 0) (preRatio <= 2.5).toString else "null"
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
-    val calVerdicts = s""""ratio":${r3(calRatio)},"clean":$calClean,"ratio_sweep":${r3(sweepRatio)},"clean_sweep":$cleanSweep,"ratio_pre":${r3(preRatio)},"clean_warm":$cleanWarm"""
+    // the self-heal is never silent: a retried sweep records BOTH
+    // windows' ratios next to the chosen verdict, in the short tail
+    // line too (VERDICT r13 next #1 done-criterion)
+    val retriedSuffix =
+      if (retried)
+        s""","retried":true,"ratio_sweep_first":${r3(window1.ratio)},"ratio_sweep_retry":${r3(window2.map(_.ratio).getOrElse(-1.0))}"""
+      else ""
+    val calVerdicts = s""""ratio":${r3(calRatio)},"clean":$calClean,"ratio_sweep":${r3(sweepRatio)},"clean_sweep":$cleanSweep,"ratio_pre":${r3(preRatio)},"clean_warm":$cleanWarm$retriedSuffix"""
     val cal = s"""{"pre_cold":$calPreCold,"pre_shots":[${preShots.mkString(",")}],"pre":$calPre,"first_shots":[${firstShots.mkString(",")}],"first":$calFirst,"mid":[${calMid.mkString(",")}],"last":$calLast,$calVerdicts}"""
     // the stdout-tail short line carries a SHOT-ARRAY-FREE calibration:
     // the driver's tail capture is ~2000 chars and every byte spent on
     // shot evidence (kept in bench.json / BENCH_FULL_LAST.json) is a
     // qtc entry cut from the per-query map (VERDICT r11 next #6)
     val calShort = s"""{"pre":$calPre,"first":$calFirst,"last":$calLast,$calVerdicts}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmSec,"queries_sec":$queriesSec,"heap_mb":$heapMb,"queries":$qs,"warm_breakdown":$wb,"errors":$errJson,"calibration":$cal,"sf":"$sfDir"}"""
+    // the discarded window is EVIDENCE, not the verdict: its per-query
+    // map rides the full artifact (bench.json / BENCH_FULL_LAST.json)
+    // under its own key so a regression hunt can still read what the
+    // dirty window measured, while load_bench's compare only ever sees
+    // the chosen `queries` map
+    val discardedJson = discarded.map(w =>
+      s""""queries_discarded":${jsonObj(w.results)},"ratio_sweep_discarded":${r3(w.ratio)},""").getOrElse("")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmSec,"queries_sec":$queriesSec,"heap_mb":$heapMb,$discardedJson"queries":$qs,"warm_breakdown":$wb,"errors":$errJson,"calibration":$cal,"sf":"$sfDir"}"""
     println(json)
     // sbt wraps stdout in [info] prefixes the driver can't parse — also
     // write the line to a file (optional first arg, default ./bench.json)
@@ -283,8 +353,22 @@ object Bench {
     // position decoding stays exact; `scripts/check.py --cut` asserts
     // recovery against THIS exact byte layout.
     locally {
-      val nums = results.map { case (n, t) =>
-        ("\\d+".r.findFirstIn(n).map(_.toInt).getOrElse(-1), t) }
+      // a name with no digit run cannot ride a range array — its base
+      // would decode as bogus keys ("-1","0",…) in load_bench's
+      // position decode — so it gets its own NAMED line instead of
+      // being dropped (ADVICE r13 #1); and two queries sharing a
+      // number would silently overwrite each other in that same
+      // decode, so uniqueness is asserted at emit time (the artifacts
+      // are already on disk by here — the crash costs only tail lines
+      // and EntrySpec pins the invariant earlier)
+      val (numbered, unnumbered) = results.partition { case (n, _) =>
+        "\\d+".r.findFirstIn(n).isDefined }
+      val nums = numbered.map { case (n, t) =>
+        ("\\d+".r.findFirstIn(n).get.toInt, t) }
+      val dup = nums.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+      require(dup.isEmpty, "qtb emit: duplicate query numbers " +
+        s"${dup.mkString(",")} would collide in the tail's position " +
+        "decode — renumber the catalog")
       val runs = scala.collection.mutable.ListBuffer.empty[Vector[(Int, Double)]]
       for (q <- nums) {
         if (runs.nonEmpty && q._1 == runs.last.last._1 + 1)
@@ -295,6 +379,8 @@ object Bench {
         val ts = grp.map { case (_, t) => math.rint(t * 100).toLong }
         println(s"""{"qtb":${grp.head._1},"t":[${ts.mkString(",")}]}""")
       }
+      for ((n, t) <- unnumbered)
+        println(s"""{"qtn":${jstr(n)},"t":${math.rint(t * 100).toLong}}""")
     }
     // the full line is ~3 KB and the driver's tail capture truncates its
     // head (BENCH_r02 "parsed": null) — emit a short total-only line

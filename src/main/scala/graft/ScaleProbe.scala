@@ -140,7 +140,16 @@ object ScaleProbe {
     val jw = new java.io.PrintWriter(new java.io.BufferedWriter(
       new java.io.FileWriter(probeOut, true)))
     def jline(s: String): Unit = { jw.println(s); jw.flush() }
-    jline(s"""{"session":"start","copies":$copies,"anchor_start":$anchorStart,"pid":${ProcessHandle.current().pid()},"only":"${sys.env.getOrElse("SPARK_GRAFT_PROBE_ONLY", "")}"}""")
+    // Env values are user-controlled free text: a double quote or
+    // backslash interpolated raw would emit invalid JSON that
+    // check.py --probe silently drops, so escape per RFC 8259.
+    def jstr(s: String): String = s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+    jline(s"""{"session":"start","copies":$copies,"anchor_start":$anchorStart,"pid":${ProcessHandle.current().pid()},"only":"${jstr(sys.env.getOrElse("SPARK_GRAFT_PROBE_ONLY", ""))}"}""")
     val seenLabels = scala.collection.mutable.Map.empty[String, Int]
     def bracketed(label0: String, extra: String = "")(body: => Long): Unit = {
       val k = seenLabels.getOrElse(label0, 0) + 1
@@ -1215,6 +1224,7 @@ object ScaleProbe {
     // session window was compute-stable; a drifted pair marks every
     // compute-bound line in between as contaminated evidence
     computeSentinel("end")
+    jw.close()
     spark.stop()
   }
 }

@@ -523,9 +523,19 @@ object IndexStore {
   private def censusFormatGuard(s: SparkSession, root: String,
       prior: Map[String, Channel], op: String): Unit = {
     val c = channelFrom(s, root, prior, "mix_census")
-    val ok = c.columns.contains("feature") &&
-      !c.filter(col("feature") === "tokhash" && col("bin") === -1L).isEmpty
-    require(ok,
+    // Two distinct older formats deserve two distinct diagnoses
+    // (mirroring psiFromBins' paired refusals): a pre-r11 census has
+    // no `feature` column AT ALL (single-marginal n_chars histogram),
+    // while an r12 census has the feature column but no tokhash
+    // coverage rows (three doc marginals, no token marginal).
+    require(c.columns.contains("feature"),
+      s"$op: this governed store's mix_census was persisted by a " +
+        "pre-r11 build (single-marginal histogram, no `feature` " +
+        "column) — a current-format delta on top would leave a " +
+        "mixed-generation census every drift read refuses; rebuild " +
+        "the governed store (or re-fold its history) with this build")
+    require(
+      !c.filter(col("feature") === "tokhash" && col("bin") === -1L).isEmpty,
       s"$op: this governed store's mix_census was persisted by an older " +
         "build with fewer marginals (no tokhash coverage rows) — a " +
         "current-format delta on top would leave a mixed-generation " +

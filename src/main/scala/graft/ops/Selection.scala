@@ -200,9 +200,13 @@ object Selection {
     * (feature, bin) rows; the token pass explodes tokens and
     * partial-aggregates (source, token) COUNTS BEFORE hashing, so the
     * md5 runs once per distinct (source, token) — vocabulary-bounded —
-    * instead of once per token OCCURRENCE (measured at 100×: the
-    * per-occurrence spelling put the q149 session census at 14.5 s
-    * anchored, ~26M hashes; the vocabulary is ~3 orders smaller).
+    * instead of once per token OCCURRENCE. The anchored 100× A/B
+    * (SCALE.md "md5-per-distinct, measured honest") read per-occurrence
+    * 14.47 s vs per-distinct 16.27 s — PARITY on the synthetic corpus
+    * (~19k types under ~26M occurrences; the explode+count dominates,
+    * the md5 never did). Shipped anyway as the defensible 100-TB shape:
+    * real vocabularies bound the hash cost while occurrences pay only
+    * the map-side-combined count.
     * Identical output by construction: binning then counting equals
     * counting then binning-and-summing. The census sits on every gate
     * and every governed fold's ingest path, and nothing here shuffles

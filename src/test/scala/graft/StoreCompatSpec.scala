@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
 class StoreCompatSpec extends SparkSpec {
   import spark.implicits._
 
-  private def freshCopy(): String = {
-    val src = java.nio.file.Paths.get(FreezeStoreFixture.FixtureDir)
+  private def freshCopy(dir: String = FreezeStoreFixture.FixtureDir)
+      : String = {
+    val src = java.nio.file.Paths.get(dir)
     assert(java.nio.file.Files.exists(src),
       s"frozen fixture missing at $src — run " +
         "`sbt \"Test/runMain graft.FreezeStoreFixture\"` once")
@@ -104,5 +105,56 @@ class StoreCompatSpec extends SparkSpec {
       raw = Some(FreezeStoreFixture.rawOf(spark, 20 to 23)))
     assert(ops.IndexStore.history(root).size == h0.size + 1,
       "the vectors-only catch-up must commit on the r12-written store")
+  }
+
+  test("the r13-written frozen store is the PRIMARY read contract: every channel serves, drift reads, a governed docs-fold commits (VERDICT r13 next #2)") {
+    val root = freshCopy(FreezeStoreFixture.FixtureDirR13)
+    assert(ops.IndexStore.history(root).size == 2,
+      "frozen r13 fixture must carry its 2-version history")
+    val expected = Seq("postings", "doc_lens", "stats", "centroids",
+      "cells", "vec_stats", "mix_census", "media_sim_blocks",
+      "proj_units", "exact_vecs", "proj_stats")
+    for (ch <- expected) {
+      val n = ops.IndexStore.channel(spark, root, ch).count()
+      assert(n > 0, s"channel $ch read empty from the r13-written store")
+    }
+    // the census is the r13 FOUR-marginal shape — this is what makes
+    // the fixture an r13 store and the reads below current-generation
+    assert(ops.IndexStore.channel(spark, root, "mix_census")
+      .select($"feature").distinct().as[String].collect().toSet ==
+      Set("n_chars", "n_tokens", "nonalpha", "tokhash"),
+      "fixture degenerate: census must be the r13 four-marginal shape")
+    // serving reads: lexical, semantic and media routes all answer
+    val lex = ops.IndexStore.bm25FromStore(spark, root, Seq("beta", "delta"))
+      .orderBy($"doc_id").collect()
+    assert(lex.nonEmpty, "BM25 lookup served nothing from the r13 store")
+    assert(ops.IndexStore.annFromStore(spark, root,
+      FreezeStoreFixture.vecsOf(spark, 0 to 0).select($"vec_id", $"unit"),
+      nprobe = 2, k = 3).collect().nonEmpty,
+      "ANN lookup served nothing from the r13 store")
+    ops.IndexStore.mediaPairsFromStore(spark, root).collect() // must run
+    // UNLIKE the r12 generation, the four-marginal census is this
+    // build's format: the drift read and a governed docs-carrying fold
+    // must both WORK, not refuse
+    assert(ops.IndexStore.driftFromStore(spark, root, "src0")
+      .collect().nonEmpty,
+      "drift read must serve from the r13 four-marginal census")
+    val h0 = ops.IndexStore.history(root)
+    ops.IndexStore.appendUnified(spark, root,
+      FreezeStoreFixture.docsOf(spark, 20 to 23),
+      FreezeStoreFixture.vecsOf(spark, 20 to 23),
+      raw = Some(FreezeStoreFixture.rawOf(spark, 20 to 23)))
+    assert(ops.IndexStore.history(root).size == h0.size + 1,
+      "a governed docs-fold must commit on the r13-written store")
+    assert(ops.IndexStore.driftFromStore(spark, root, "src0")
+      .collect().nonEmpty,
+      "drift must still read after the fold extended the census")
+    // the serving publish works over the frozen layout
+    val srv = java.nio.file.Files.createTempDirectory("graft-compat13").toString
+    ops.IndexStore.cloneStoreAt(spark, root,
+      ops.IndexStore.history(root).last, srv)
+    assert(ops.IndexStore.bm25FromStore(spark, srv, Seq("beta", "delta"))
+      .orderBy($"doc_id").collect().nonEmpty,
+      "the clone of the r13 store served nothing")
   }
 }
