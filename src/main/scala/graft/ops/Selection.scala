@@ -211,8 +211,15 @@ object Selection {
     * counting then binning-and-summing. The census sits on every gate
     * and every governed fold's ingest path, and nothing here shuffles
     * more than map-side-combined narrow rows. */
-  private[graft] def censusBins(docs: DataFrame): DataFrame = {
-    val docRows = docs.select(col("source"),
+  private[graft] def censusBins(docs: DataFrame): DataFrame =
+    censusDocRows(docs).unionByName(censusTokRows(docs.select(col("source"),
+      explode(expr("filter(split(lower(text), ' '), t -> length(t) > 0)"))
+        .as("tok"))))
+
+  /** The three doc-level marginals + the tokhash COVERAGE row (bin −1,
+    * one per doc) of [[censusBins]]. */
+  private def censusDocRows(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
         least(floor(col("n_chars") / 100), lit(5L)).as("b_chars"),
         least(floor(size(split(col("text"), " ")) / 16), lit(5L)).as("b_tokens"),
         expr("""least(cast((12 * length(regexp_replace(text, '[a-z ]', '')))
@@ -223,17 +230,21 @@ object Selection {
                     'tokhash', cast(-1 as bigint)) as (feature, bin)"""))
       .groupBy(col("source"), col("feature"), col("bin"))
       .agg(count(lit(1)).as("n"))
-    val tokRows = docs.select(col("source"),
-        explode(expr("filter(split(lower(text), ' '), t -> length(t) > 0)"))
-          .as("tok"))
+
+  /** The token-identity marginal of [[censusBins]] over an already-
+    * exploded (source, tok) frame — split out so the SESSION census
+    * (q149) can ride the memoized [[toks]] scan the rest of the
+    * selection family shares, instead of paying its own explode of
+    * the whole corpus (the same lowercased whitespace split, empties
+    * dropped, so the census is bit-identical by construction). */
+  private def censusTokRows(tokFrame: DataFrame): DataFrame =
+    tokFrame
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
       .select(col("source"), lit("tokhash").as("feature"),
         (conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long")
           % TokhashBins).as("bin"), col("n"))
       .groupBy(col("source"), col("feature"), col("bin"))
       .agg(sum(col("n")).as("n"))
-    docRows.unionByName(tokRows)
-  }
 
   /** PSI of each non-anchor source against the `anchor` source, per
     * census FEATURE, from census rows (source, feature, bin, n) —
@@ -386,6 +397,73 @@ object Selection {
     * (one-shot) route: census + PSI in one plan. */
   private[graft] def psiBySource(docsIn: DataFrame, anchor: String): DataFrame =
     psiFromBins(censusBins(docsIn), anchor)
+
+  /** Self-null word-ORDER statistic (q168; VERDICT r13 next #3): PSI
+    * between a batch's observed hashed (token, position-quartile)
+    * distribution and its EXCHANGEABILITY null — the same token
+    * multiset with each type's occurrences spread uniformly over the
+    * four quartiles. No anchor census and no store format change: the
+    * null is computed from the batch itself, so the screen is
+    * corpus-free and additive-census-free by construction.
+    *
+    * Why self-null instead of a fifth persisted marginal: the
+    * measure-first protocol (SCALE.md "Fifth marginal, round 14")
+    * showed the shipped corpus is positionally EXCHANGEABLE — a
+    * random permutation or reversal of an exchangeable corpus is
+    * information-theoretically invisible to ANY order statistic
+    * (measured: reversed 0.0065–0.088, random-shuffle 0.0067–0.048,
+    * clone 0.0067–0.077 across shipped SFs — inseparable), so a
+    * persisted positional marginal would gate nothing while costing a
+    * census generation bump. What IS detectable — and what this
+    * screen holds — is SYSTEMATIC reorder: canonicalization that
+    * correlates token identity with position (sorted tokens read PSI
+    * 1.46–1.87 across SFs, 19–280× the null band, measured with this
+    * exact arithmetic). The quartile is integer arithmetic
+    * ((pos*4) div n) so both engines bin identically; the evidence
+    * floor is the census's [[MinTokhashEvidence]].
+    *
+    * Scale shape: two narrow token passes (observed bins; per-type
+    * counts fanned ×4 for the null) + a 64-bin grid per source —
+    * map-side-combined aggs, vocabulary-bounded fan-out, no shuffle
+    * wider than (source, bin). */
+  private[graft] def orderShiftPsi(batch: DataFrame): DataFrame = {
+    val half = TokhashBins / 2.0
+    def binOf(t: Column, q: Column): Column =
+      conv(substring(md5(concat(t, lit(":"), q.cast("string"))), 1, 4),
+        16, 10).cast("long") % TokhashBins
+    val toks = batch.select(col("source"),
+        size(split(col("text"), " ")).as("n"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(length(col("tok")) > 0)
+      .select(col("source"), lower(col("tok")).as("tok"),
+        expr("least((pos * 4) div n, 3)").as("quart"))
+    val obs = toks
+      .groupBy(col("source"), binOf(col("tok"), col("quart")).as("bin"))
+      .agg(count(lit(1)).as("c_cur"))
+    val nul = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n_t"))
+      .select(col("source"), col("tok"), col("n_t"),
+        explode(sequence(lit(0), lit(3))).as("q"))
+      .groupBy(col("source"), binOf(col("tok"), col("q")).as("bin"))
+      .agg((sum(col("n_t")) / lit(4.0)).as("c_ref"))
+    val tot = toks.groupBy(col("source")).agg(count(lit(1)).as("n_toks"))
+    val grid = tot.select(col("source"), col("n_toks"),
+        explode(sequence(lit(0L), lit(TokhashBins - 1L))).as("bin"))
+      .join(obs, Seq("source", "bin"), "left")
+      .join(nul, Seq("source", "bin"), "left")
+    val pc = (coalesce(col("c_cur"), lit(0L)) + lit(0.5)) /
+      (col("n_toks") + lit(half))
+    val pr = (coalesce(col("c_ref"), lit(0.0)) + lit(0.5)) /
+      (col("n_toks") + lit(half))
+    grid.select(col("source"), col("n_toks"),
+        ((pc - pr) * log(pc / pr)).as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("n_toks")).as("n_toks"),
+        rnd4(sum(col("term").cast(D)).cast("double")).as("psi_order"))
+      .withColumn("held",
+        col("n_toks") >= MinTokhashEvidence && col("psi_order") > 0.25)
+      .orderBy(col("source"))
+  }
 
   /** Once-per-JVM GOVERNED dedup store built as a 3-fold ingest
     * timeline (doc_id % 3 slices, q143's slicing): the initial write
@@ -722,8 +800,17 @@ object Selection {
     // any corpus size. PSI ≥ 0.25 is the conventional "investigate"
     // line; the monitor reports the number, the pipeline gates on it
     // (same division of labor as q110's adaptive quality gate). ----
+    // the session census rides the memoized [[toks]] scan the whole
+    // selection family shares (VERDICT r13 next #6): the four-marginal
+    // census's dominant cost is the corpus token explode, which q146/
+    // q147 already paid into the session cache — censusTokRows over
+    // that frame is bit-identical to censusBins' own explode (same
+    // split/lower/empty-drop), so only the plan changes, never the PSI
     "q149_psi_drift" -> Q(
-      (s, dir) => psiBySource(table(s, dir, "documents"), "src0"),
+      (s, dir) => psiFromBins(
+        censusDocRows(table(s, dir, "documents")).unionByName(
+          censusTokRows(toks(s, dir).select(col("source"), col("tok")))),
+        "src0"),
       Some(s"""WITH fa AS (${oFeatRows("documents", "source = 'src0'")}),
         fc AS (${oFeatRows("documents", "source <> 'src0'")}),
         ${oFeatPsi("fc", "fa", "q_")}
@@ -1189,6 +1276,94 @@ object Selection {
         rep AS (${oPsiPivot("q_feat")})
         SELECT source, n_docs, psi_nchars, psi_ntokens, psi_nonalpha,
           psi_tokhash, psi_max, psi_max > 0.25 AS held
+        FROM rep ORDER BY source""")),
+
+    // ---- the word-ORDER screen, oracle-checked (q168; VERDICT r13
+    // next #3): order drift at constant token multiset. The FIFTH
+    // PERSISTED MARGINAL was measured and vetoed a second time —
+    // the corpus is positionally exchangeable, so reversal and random
+    // shuffle are invisible to any order statistic (numbers in
+    // [[orderShiftPsi]]'s scaladoc + SCALE.md) — but systematic
+    // canonicalization IS detectable without touching the census
+    // format: the self-null screen holds the sorted probe (psi_order
+    // 1.46–1.87 measured across shipped SFs, 5.8–7.5× the 0.25 gate
+    // line) while the clone AND the exchangeable scrambles pass
+    // (≤0.09). probe_reversed is INCLUDED as the documented
+    // limitation: its held=false row is the honest record that
+    // exchangeable reorder passes this screen on this corpus. DuckDB
+    // recomputes the observed and null distributions, the PSI and the
+    // verdict from raw documents. ----
+    "q168_word_order_gate" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .filter(col("doc_id") % 40 === 0 && col("source") === "src0")
+        val batch = docs.select(lit("probe_sorted").as("source"),
+            concat_ws(" ", sort_array(split(col("text"), " "))).as("text"))
+          .unionByName(docs.select(lit("probe_reversed").as("source"),
+            concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+          .unionByName(docs.select(lit("probe_clone").as("source"),
+            col("text")))
+        orderShiftPsi(batch)
+      },
+      Some(s"""WITH batchsrc AS (
+          SELECT text FROM documents
+          WHERE doc_id % 40 = 0 AND source = 'src0'),
+        batch AS (
+          SELECT 'probe_sorted' AS source,
+            array_to_string(list_sort(string_split(text, ' ')), ' ') AS text
+          FROM batchsrc
+          UNION ALL
+          SELECT 'probe_reversed',
+            array_to_string(list_reverse(string_split(text, ' ')), ' ')
+          FROM batchsrc
+          UNION ALL
+          SELECT 'probe_clone', text FROM batchsrc),
+        toks AS (
+          SELECT source, lower(tok) AS tok,
+            least(((pos - 1) * 4) // n, 3) AS quart
+          FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS tok,
+              generate_subscripts(string_split(text, ' '), 1) AS pos,
+              len(string_split(text, ' ')) AS n
+            FROM batch)
+          WHERE len(tok) > 0),
+        obs AS (
+          SELECT source,
+            CAST('0x' || substr(md5(tok || ':' || CAST(quart AS VARCHAR)),
+              1, 4) AS BIGINT) % $TokhashBins AS bin,
+            count(*) AS c_cur
+          FROM toks GROUP BY 1, 2),
+        tokc AS (SELECT source, tok, count(*) AS n_t FROM toks GROUP BY 1, 2),
+        nul AS (
+          SELECT source,
+            CAST('0x' || substr(md5(tok || ':' || CAST(q AS VARCHAR)),
+              1, 4) AS BIGINT) % $TokhashBins AS bin,
+            sum(n_t) / 4.0 AS c_ref
+          FROM tokc CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS q)
+          GROUP BY 1, 2),
+        tot AS (SELECT source, count(*) AS n_toks FROM toks GROUP BY 1),
+        grid AS (
+          SELECT t.source, t.n_toks, g.bin, o.c_cur, u.c_ref
+          FROM tot t
+          CROSS JOIN (SELECT unnest(generate_series(0,
+            ${TokhashBins - 1})) AS bin) g
+          LEFT JOIN obs o ON o.source = t.source AND o.bin = g.bin
+          LEFT JOIN nul u ON u.source = t.source AND u.bin = g.bin),
+        terms AS (
+          SELECT source, n_toks,
+            ((coalesce(c_cur, 0) + 0.5) / (n_toks + ${TokhashBins / 2.0})
+               - (coalesce(c_ref, 0) + 0.5) / (n_toks + ${TokhashBins / 2.0}))
+            * ln(((coalesce(c_cur, 0) + 0.5) / (n_toks + ${TokhashBins / 2.0}))
+                 / ((coalesce(c_ref, 0) + 0.5)
+                    / (n_toks + ${TokhashBins / 2.0}))) AS term
+          FROM grid),
+        rep AS (
+          SELECT source, max(n_toks) AS n_toks,
+            ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")}
+              AS psi_order
+          FROM terms GROUP BY 1)
+        SELECT source, n_toks, psi_order,
+          n_toks >= $MinTokhashEvidence AND psi_order > 0.25 AS held
         FROM rep ORDER BY source"""))
   )
 

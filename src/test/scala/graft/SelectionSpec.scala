@@ -607,4 +607,49 @@ class SelectionSpec extends SparkSpec {
     assert(rep.length == 1 && !rep.head.isNullAt(1),
       "well-formed census must pass the generational guards")
   }
+
+  test("orderShiftPsi: sorted canonicalization held, clone/reversed/random-shuffle pass, evidence floor gates a tiny batch (q168)") {
+    val docs = Core.table(spark, dir, "documents")
+      .filter($"doc_id" % 40 === 0 && $"source" === "src0")
+    def probe(name: String, text: org.apache.spark.sql.Column) =
+      docs.select(lit(name).as("source"), text.as("text"))
+    // a DETERMINISTIC random shuffle: order tokens by md5 of
+    // (doc_id, pos, tok) — the exchangeable scramble the screen
+    // cannot (and must not claim to) detect on this corpus
+    val randShuf = docs.select($"doc_id",
+        posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+      .withColumn("k", md5(concat_ws(":", $"doc_id", $"pos", $"tok")))
+      .groupBy($"doc_id")
+      .agg(concat_ws(" ", transform(array_sort(collect_list(
+        struct($"k", $"tok"))), x => x.getField("tok"))).as("text"))
+      .select(lit("probe_randshuf").as("source"), $"text")
+    val rep = ops.Selection.orderShiftPsi(
+        probe("probe_sorted",
+          concat_ws(" ", sort_array(split($"text", " "))))
+          .unionByName(probe("probe_reversed",
+            concat_ws(" ", reverse(split($"text", " ")))))
+          .unionByName(probe("probe_clone", $"text"))
+          .unionByName(randShuf))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    val (nSorted, psiSorted, heldSorted) = rep("probe_sorted")
+    assert(heldSorted && psiSorted > 0.25 * 4,
+      s"sorted canonicalization must be held with margin, got $psiSorted")
+    for (p <- Seq("probe_clone", "probe_reversed", "probe_randshuf")) {
+      val (_, psi, held) = rep(p)
+      assert(!held && psi < 0.25,
+        s"$p must pass the screen (exchangeable order), got psi=$psi")
+    }
+    assert(nSorted >= ops.Selection.MinTokhashEvidence,
+      "fixture degenerate: probe must clear the evidence floor")
+    // evidence floor: a sub-floor batch never holds, even when its
+    // (noisy) psi would clear the line
+    val tiny = ops.Selection.orderShiftPsi(
+        Seq(("probe_tiny", "b a"), ("probe_tiny", "d c"))
+          .toDF("source", "text"))
+      .collect().head
+    assert(tiny.getLong(1) < ops.Selection.MinTokhashEvidence &&
+      !tiny.getBoolean(3),
+      "a batch below the evidence floor must never hold")
+  }
 }
