@@ -480,6 +480,11 @@ object ScaleProbe {
     // batch side explodes the probe's tokens (O(batch tokens) md5s),
     // the anchor side is the stored census — still corpus-free
     timeForced("q167_vocab_shift_gate", ("n_docs", "psi_max"))
+    // q168 is the census-FREE order screen: both the observed and the
+    // null distribution come from the probe batch itself (no store
+    // read at all), so the cost is O(batch tokens) md5s ×2 + a 64-bin
+    // grid — the gate family's cheapest member by construction
+    timeForced("q168_word_order_gate", ("n_toks", "psi_order"))
     if (only.forall(_.contains("q88_canonical_dedup"))) {
       // force the normalizer + keeper window: aggregate over BOTH
       // computed columns so column pruning can't elide them

@@ -98,6 +98,30 @@ object IndexStore {
     if (crashAfterChannel.contains(ch))
       throw new RuntimeException(s"injected crash after channel $ch")
 
+  /** Stage INDEPENDENT channel writes of one snapshot concurrently
+    * (VERDICT r13 next #4): the unified fold's latency is commit
+    * fan-out — dozens of small sequential parquet jobs per pair-atomic
+    * snapshot, each paying scheduler latency, not CPU (SCALE.md
+    * attributes the 100× q153 band to exactly this) — so the
+    * independent families overlap on the scheduler the same way the
+    * two warm bootstraps have since round 13. Every block writes its
+    * own staging subdirectory; the commit point (manifest + pointer
+    * rename) stays single and last, OUTSIDE this helper. Failure
+    * discipline: every block is awaited to completion before the FIRST
+    * failure (in block order, so refusal precedence is deterministic,
+    * not a thread race) is rethrown as-is — an aborted fold never
+    * leaves a live writer racing the caller, the staging dir is inert
+    * garbage either way, and crash-injection semantics are preserved
+    * (the injected exception type reaches the caller unchanged). */
+  private def stageConcurrently(blocks: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val done = blocks.map(b => Future(b()))
+      .map(f => Await.ready(f, Duration.Inf).value.get)
+    done.collectFirst { case scala.util.Failure(e) => throw e }
+  }
+
   private def pointer(root: String) = Paths.get(root, "_current")
 
   private def currentSnapOpt(root: String): Option[String] =
@@ -2325,64 +2349,78 @@ object IndexStore {
         "non-empty corpus slice and a trained model")
     val (base, prior) = baseForWrite(out)
     val snap = beginSnap(out)
-    val tchs = writeTextInto(s, docs, out, snap, None, preTok)
-    centroids.write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/centroids")
-    maybeCrash("centroids")
-    stageCells(assignCells(vectors, centroids), s"$out/$snap/cells")
-    maybeCrash("cells")
-    val censusRel = if (governed) Some {
-      val c = censusRequired("writeUnified", docs)
-      c.write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/mix_census")
-      maybeCrash("mix_census")
-      "mix_census" -> Channel(relIfData(out, s"$snap/mix_census"), "", "")
-    } else None
-    // optional projected-channel bootstrap: the serving pair lands in
-    // the SAME commit as the families it must cover, so no version
-    // ever exists where the IVF arm serves and the projected arm is
-    // absent-then-backfilled (and the version axis the q157 oracle
-    // replays stays the ingest timeline, not a channel-add commit)
-    val projChs = proj.map { case (units, fineVecs) =>
-      require(!units.isEmpty && !fineVecs.isEmpty,
-        "writeUnified: empty projected-units or exact-vectors frame — " +
-          "a channel-less projected route would wedge every later " +
-          "lookup; project a non-empty corpus")
-      val (k, d, fineN) = projIdentityOf("writeUnified", units, fineVecs)
-      units.select(col("vec_id"), col("label"), col("punit"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/proj_units")
-      maybeCrash("proj_units")
-      fineVecs.select(col("vec_id"), col("embd"), col("nsq"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/exact_vecs")
-      maybeCrash("exact_vecs")
-      Map(
-        "proj_units" -> Channel(relIfData(out, s"$snap/proj_units"), "", ""),
-        "exact_vecs" -> Channel(relIfData(out, s"$snap/exact_vecs"), "", ""))
-        .filter(_._2.paths.nonEmpty) ++
-        writeProjStats(s, out, snap, k, d, fineN)
-    }
-    // media-family bootstrap: the payload fingerprints land in the SAME
-    // commit as the text and vector families (the [[writeMedia]]
-    // staging, unified id space); an all-unfingerprintable payloads
-    // side is refused exactly as writeMedia refuses it — a channel-less
-    // media family would wedge every later payload fold
-    val mediaChs = payloads.map { p =>
-      val printable = Dedup.simhash60Bytes(p).localCheckpoint()
-      try {
-        require(!printable.isEmpty,
-          "writeUnified: no fingerprintable payloads (empty frame, or " +
-            "every payload shorter than one byte-shingle window) — a " +
-            "media-channel-less store would wedge every later payload " +
-            "fold; bootstrap with at least one fingerprintable payload, " +
-            "or omit the payloads side")
-        Dedup.simBlocks(printable)
-          .write.mode(SaveMode.Overwrite).partitionBy("b")
-          .parquet(s"$out/$snap/media_sim_blocks")
-        maybeCrash("media_sim_blocks")
-        Map("media_sim_blocks" ->
-          Channel(relIfData(out, s"$snap/media_sim_blocks"), "b", ""))
-          .filter(_._2.paths.nonEmpty)
-      } finally releaseCheckpoint(printable)
-    }
-    val n = vectors.count()
+    // the independent channel families stage CONCURRENTLY into their
+    // own subdirectories of the one snapshot (VERDICT r13 next #4 —
+    // see [[stageConcurrently]]); the commit below stays single + last
+    var tchs: Map[String, Channel] = null
+    var censusRel: Option[(String, Channel)] = None
+    var projChs: Option[Map[String, Channel]] = None
+    var mediaChs: Option[Map[String, Channel]] = None
+    var n = 0L
+    stageConcurrently(
+      () => tchs = writeTextInto(s, docs, out, snap, None, preTok),
+      () => {
+        centroids.write.mode(SaveMode.Overwrite)
+          .parquet(s"$out/$snap/centroids")
+        maybeCrash("centroids")
+      },
+      () => {
+        stageCells(assignCells(vectors, centroids), s"$out/$snap/cells")
+        maybeCrash("cells")
+      },
+      () => censusRel = if (governed) Some {
+        val c = censusRequired("writeUnified", docs)
+        c.write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/mix_census")
+        maybeCrash("mix_census")
+        "mix_census" -> Channel(relIfData(out, s"$snap/mix_census"), "", "")
+      } else None,
+      // optional projected-channel bootstrap: the serving pair lands in
+      // the SAME commit as the families it must cover, so no version
+      // ever exists where the IVF arm serves and the projected arm is
+      // absent-then-backfilled (and the version axis the q157 oracle
+      // replays stays the ingest timeline, not a channel-add commit)
+      () => projChs = proj.map { case (units, fineVecs) =>
+        require(!units.isEmpty && !fineVecs.isEmpty,
+          "writeUnified: empty projected-units or exact-vectors frame — " +
+            "a channel-less projected route would wedge every later " +
+            "lookup; project a non-empty corpus")
+        val (k, d, fineN) = projIdentityOf("writeUnified", units, fineVecs)
+        units.select(col("vec_id"), col("label"), col("punit"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/proj_units")
+        maybeCrash("proj_units")
+        fineVecs.select(col("vec_id"), col("embd"), col("nsq"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/exact_vecs")
+        maybeCrash("exact_vecs")
+        Map(
+          "proj_units" -> Channel(relIfData(out, s"$snap/proj_units"), "", ""),
+          "exact_vecs" -> Channel(relIfData(out, s"$snap/exact_vecs"), "", ""))
+          .filter(_._2.paths.nonEmpty) ++
+          writeProjStats(s, out, snap, k, d, fineN)
+      },
+      // media-family bootstrap: the payload fingerprints land in the SAME
+      // commit as the text and vector families (the [[writeMedia]]
+      // staging, unified id space); an all-unfingerprintable payloads
+      // side is refused exactly as writeMedia refuses it — a channel-less
+      // media family would wedge every later payload fold
+      () => mediaChs = payloads.map { p =>
+        val printable = Dedup.simhash60Bytes(p).localCheckpoint()
+        try {
+          require(!printable.isEmpty,
+            "writeUnified: no fingerprintable payloads (empty frame, or " +
+              "every payload shorter than one byte-shingle window) — a " +
+              "media-channel-less store would wedge every later payload " +
+              "fold; bootstrap with at least one fingerprintable payload, " +
+              "or omit the payloads side")
+          Dedup.simBlocks(printable)
+            .write.mode(SaveMode.Overwrite).partitionBy("b")
+            .parquet(s"$out/$snap/media_sim_blocks")
+          maybeCrash("media_sim_blocks")
+          Map("media_sim_blocks" ->
+            Channel(relIfData(out, s"$snap/media_sim_blocks"), "b", ""))
+            .filter(_._2.paths.nonEmpty)
+        } finally releaseCheckpoint(printable)
+      },
+      () => n = vectors.count())
     // the proj-family channels are ALWAYS dropped from the prior on a
     // full rewrite, proj passed or not (ADVICE r11): they describe the
     // corpus being replaced, and carrying them forward under proj=None
@@ -2545,49 +2583,60 @@ object IndexStore {
     if (textGo.isEmpty && vecGo.isEmpty && mediaGo.isEmpty)
       return // exact replay of every family: skip
     val snap = beginSnap(root)
-    val tchs = textGo.map { _ =>
-      val st = channelFrom(s, root, prior, "stats").head()
-      writeTextInto(s, docs, root, snap,
-        Some((st.getAs[Long]("n_docs"), st.getAs[Long]("sum_dl"))), preTok)
-    }
-    // a governed unified store extends its census on every DOCS-side
-    // fold (same additive-delta contract as the dedup family's append);
-    // a vectors-only catch-up leaves the doc-mix timeline untouched
-    // (format-guarded at the top of appendUnifiedFrom, before staging)
-    val census = if (prior.contains("mix_census") && textGo.isDefined) Some {
-      val c = censusRequired("appendUnified", docs)
-      c.write.mode(SaveMode.Overwrite).parquet(s"$root/$snap/mix_census")
-      maybeCrash("mix_census")
-      c
-    } else None
-    val vchs = vecGo.map { batchN =>
-      val cents = channelFrom(s, root, prior, "centroids")
-      stageCells(assignCells(vectors, cents), s"$root/$snap/cells")
-      maybeCrash("cells")
-      val st = channelFrom(s, root, prior, "vec_stats").head()
-      writeVecStats(s, root, snap, st.getAs[Long]("n_vecs") + batchN,
-        st.getAs[Long]("k"), st.getAs[Long]("n_at_train")) +
-        ("cells" -> Channel(Seq(s"$snap/cells"), "cid", ""))
-    }
-    // projected-channel deltas ride the SAME pair-atomic commit (the
-    // appendVectors maintenance contract on the single-pointer store);
-    // a vector-side exact replay skips them with the cells delta —
-    // the store already covers those vectors
-    val projChs = (vecGo, raw) match {
-      case (Some(_), Some(r)) => Some(appendProjectionsInto(
-        s, root, "appendUnified", prior, snap, vectors, r))
-      case _ => None
-    }
-    // media fingerprint blocks ride the SAME commit (third family);
-    // an exact media replay skips with the other deltas
-    val mediaChs = mediaGo.map { _ =>
-      Dedup.simBlocks(mediaPrintable.get)
-        .write.mode(SaveMode.Overwrite).partitionBy("b")
-        .parquet(s"$root/$snap/media_sim_blocks")
-      maybeCrash("media_sim_blocks")
-      Map("media_sim_blocks" ->
-        Channel(Seq(s"$snap/media_sim_blocks"), "b", ""))
-    }
+    // the family deltas stage CONCURRENTLY into the one snapshot
+    // (VERDICT r13 next #4 — see [[stageConcurrently]]); every block
+    // reads only the caller-held `prior` capture and writes only its
+    // own subdirectory, and the pair-atomic commit below stays last
+    var tchs: Option[Map[String, Channel]] = None
+    var census: Option[DataFrame] = None
+    var vchs: Option[Map[String, Channel]] = None
+    var projChs: Option[Map[String, Channel]] = None
+    var mediaChs: Option[Map[String, Channel]] = None
+    stageConcurrently(
+      () => tchs = textGo.map { _ =>
+        val st = channelFrom(s, root, prior, "stats").head()
+        writeTextInto(s, docs, root, snap,
+          Some((st.getAs[Long]("n_docs"), st.getAs[Long]("sum_dl"))), preTok)
+      },
+      // a governed unified store extends its census on every DOCS-side
+      // fold (same additive-delta contract as the dedup family's append);
+      // a vectors-only catch-up leaves the doc-mix timeline untouched
+      // (format-guarded at the top of appendUnifiedFrom, before staging)
+      () => census =
+        if (prior.contains("mix_census") && textGo.isDefined) Some {
+          val c = censusRequired("appendUnified", docs)
+          c.write.mode(SaveMode.Overwrite).parquet(s"$root/$snap/mix_census")
+          maybeCrash("mix_census")
+          c
+        } else None,
+      () => vchs = vecGo.map { batchN =>
+        val cents = channelFrom(s, root, prior, "centroids")
+        stageCells(assignCells(vectors, cents), s"$root/$snap/cells")
+        maybeCrash("cells")
+        val st = channelFrom(s, root, prior, "vec_stats").head()
+        writeVecStats(s, root, snap, st.getAs[Long]("n_vecs") + batchN,
+          st.getAs[Long]("k"), st.getAs[Long]("n_at_train")) +
+          ("cells" -> Channel(Seq(s"$snap/cells"), "cid", ""))
+      },
+      // projected-channel deltas ride the SAME pair-atomic commit (the
+      // appendVectors maintenance contract on the single-pointer store);
+      // a vector-side exact replay skips them with the cells delta —
+      // the store already covers those vectors
+      () => projChs = (vecGo, raw) match {
+        case (Some(_), Some(r)) => Some(appendProjectionsInto(
+          s, root, "appendUnified", prior, snap, vectors, r))
+        case _ => None
+      },
+      // media fingerprint blocks ride the SAME commit (third family);
+      // an exact media replay skips with the other deltas
+      () => mediaChs = mediaGo.map { _ =>
+        Dedup.simBlocks(mediaPrintable.get)
+          .write.mode(SaveMode.Overwrite).partitionBy("b")
+          .parquet(s"$root/$snap/media_sim_blocks")
+        maybeCrash("media_sim_blocks")
+        Map("media_sim_blocks" ->
+          Channel(Seq(s"$snap/media_sim_blocks"), "b", ""))
+      })
     def appended(name: String, chs: Map[String, Channel]) = {
       val fresh = chs(name).paths.flatMap(p => relIfData(root, p))
       name -> prior.get(name)
