@@ -413,10 +413,16 @@ def load_probe(path):
 # stability evidence is CROSS-SESSION agreement instead (r13 measured
 # the q153 unified bootstrap at 97.7 vs 102.9 s across sessions, 5%,
 # with a measured ~5% cold/warm page-cache axis on top), so the ingest
-# compare takes the MEDIAN over every occurrence in each artifact —
-# anchored or not, RAW, no anchor adjust — and flags a median shift
-# past the declared band. 1.15 = the two measured ~5% axes stacked
-# with margin, still tight enough that a +20% build regression flags.
+# compare takes the MIN over every occurrence in each artifact —
+# anchored or not, RAW, no anchor adjust — and flags a min shift past
+# the declared band. Min, not median: host noise on this line is
+# ONE-SIDED (a steal window or slow compute regime only ADDS time —
+# the r14 first compare measured the same build at 86.9 s in the ~5 s
+# anchor regime and 132.8 s in the ~17 s regime, and a median let the
+# regime reading masquerade as a +36% build regression), so the least
+# contaminated reading is the build's cost and a real +20% build
+# regression still flags because every reading shifts with the build.
+# 1.15 = the two measured ~5% axes stacked with margin.
 INGEST_PROBE = {"q153_hybrid_unified_store"}
 INGEST_BAND = 1.15
 
@@ -459,23 +465,22 @@ def probe_regressions(cur_path, prior_path, factor=2.5):
                                 round(ca / pa, 3) if pa > 0 else None,
                             "ratio": round(c["sec"] / p["sec"], 2)
                                      if p["sec"] > 0 else None})
-    # ingest family: median-vs-median at the declared band, every
-    # occurrence counted regardless of the anchored flag (see
-    # INGEST_PROBE above)
-    def ingest_medians(raw_lines):
+    # ingest family: min-vs-min at the declared band, every occurrence
+    # counted regardless of the anchored flag (see INGEST_PROBE above)
+    def ingest_mins(raw_lines):
         vals = {}
         for o in raw_lines:
             base = o["probe"].split("#")[0]
             if base in INGEST_PROBE and isinstance(o.get("sec"), (int, float)):
                 vals.setdefault(base, []).append(o["sec"])
-        return ({b: sorted(v)[len(v) // 2] for b, v in vals.items()},
+        return ({b: min(v) for b, v in vals.items()},
                 {b: len(v) for b, v in vals.items()})
-    ci, cn = ingest_medians(cur_all)
-    pi, pn = ingest_medians(prior_all)
+    ci, cn = ingest_mins(cur_all)
+    pi, pn = ingest_mins(prior_all)
     ingest_cmp, ingest_flagged = [], []
     for b in sorted(set(ci) & set(pi)):
-        entry = {"probe": b, "median_sec": round(ci[b], 2),
-                 "prior_median_sec": round(pi[b], 2),
+        entry = {"probe": b, "min_sec": round(ci[b], 2),
+                 "prior_min_sec": round(pi[b], 2),
                  "n": [cn[b], pn[b]],
                  "ratio": round(ci[b] / pi[b], 3) if pi[b] > 0 else None}
         ingest_cmp.append(entry)

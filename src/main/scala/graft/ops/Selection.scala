@@ -800,17 +800,18 @@ object Selection {
     // any corpus size. PSI ≥ 0.25 is the conventional "investigate"
     // line; the monitor reports the number, the pipeline gates on it
     // (same division of labor as q110's adaptive quality gate). ----
-    // the session census rides the memoized [[toks]] scan the whole
-    // selection family shares (VERDICT r13 next #6): the four-marginal
-    // census's dominant cost is the corpus token explode, which q146/
-    // q147 already paid into the session cache — censusTokRows over
-    // that frame is bit-identical to censusBins' own explode (same
-    // split/lower/empty-drop), so only the plan changes, never the PSI
+    // riding the memoized [[toks]] cache was MEASURED AND VETOED
+    // (VERDICT r13 next #6): at 100×, q149 over the warm session cache
+    // (q146 had just built it) read 19.73 s anchored 5.1/5.3 vs the
+    // shipped explode's 16.27 s at the same anchor class — scanning a
+    // materialized 26M-row (source, tok) cache costs MORE than
+    // re-exploding compressed parquet inside whole-stage codegen
+    // (split+filter fuse into the scan; the cache pays row
+    // deserialization per token). The census keeps its own explode;
+    // [[censusTokRows]] stays split out for the structure (and any
+    // future caller whose token frame is NOT a cache read).
     "q149_psi_drift" -> Q(
-      (s, dir) => psiFromBins(
-        censusDocRows(table(s, dir, "documents")).unionByName(
-          censusTokRows(toks(s, dir).select(col("source"), col("tok")))),
-        "src0"),
+      (s, dir) => psiBySource(table(s, dir, "documents"), "src0"),
       Some(s"""WITH fa AS (${oFeatRows("documents", "source = 'src0'")}),
         fc AS (${oFeatRows("documents", "source <> 'src0'")}),
         ${oFeatPsi("fc", "fa", "q_")}

@@ -14,6 +14,14 @@ class CoreSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
   }
 
+  test("catalog query NUMBERS are unique — the bench tail's range-array position decode collides on a shared number (ADVICE r13)") {
+    val nums = SparkEntry.queries.keys.toSeq
+      .flatMap(n => "\\d+".r.findFirstIn(n).map(_.toInt -> n))
+    val dup = nums.groupBy(_._1).filter(_._2.size > 1)
+    assert(dup.isEmpty,
+      s"duplicate query numbers: ${dup.view.mapValues(_.map(_._2)).toMap}")
+  }
+
   test("multimodal decodeMeta: mapPartitions stub decode plumbing") {
     val df = ops.Multimodal.decodeMeta(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
