@@ -1,6 +1,43 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** One measured query-sweep window: per-query timings plus its own
+    * calibration samples (the post-warm `first` stabilizer shots, the
+    * rolling mids, the closing shot) and the steal-window verdict
+    * derived from them — max/median over the window's own samples,
+    * the r9/r11 rule. Lifted to object scope (with [[wantRetry]] /
+    * [[chooseWindow]]) so the self-heal decision is a pure function
+    * BenchSpec pins without a 3-minute live sweep: the live trigger
+    * is host dirt, which three deliberate 32–96-way CPU-hog attempts
+    * failed to reproduce on demand (the 0.3 s sentinel shots are too
+    * sparse for a burst to reliably hit). */
+  private[graft] final case class SweepWindow(results: Seq[(String, Double)],
+      firstShots: Seq[Double], calMid: Seq[Double], calLast: Double,
+      errs: Seq[(String, String)]) {
+    val calFirst: Double = firstShots.last
+    val samples: Seq[Double] =
+      (calFirst +: calMid :+ calLast).filter(_ > 0).sorted
+    val ratio: Double =
+      if (samples.size >= 2) samples.max / samples(samples.size / 2)
+      else -1.0
+    val clean: Boolean = samples.size >= 2 && ratio <= 1.5
+  }
+
+  /** Retry exactly when the first window's verdict is DETERMINABLE and
+    * dirty, and the run is a full sweep (isolation mode skips every
+    * sentinel, so its window can never earn a retry). */
+  private[graft] def wantRetry(w1: SweepWindow, isolation: Boolean): Boolean =
+    !w1.clean && w1.samples.size >= 2 && !isolation
+
+  /** The retry wins only when its own verdict is determinable and
+    * STRICTLY cleaner — a retry that measured dirtier (or nothing)
+    * must never displace the evidence it was meant to heal. */
+  private[graft] def chooseWindow(w1: SweepWindow,
+      w2: Option[SweepWindow]): SweepWindow = w2 match {
+    case Some(w) if w.samples.size >= 2 && w.ratio < w1.ratio => w
+    case _ => w1
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -174,17 +211,6 @@ object Bench {
     //    gap lesson): a mid-run host burst or creeping GC degradation
     //    shows up as a drifting series instead of hiding between two
     //    clean endpoints.
-    final case class SweepWindow(results: Seq[(String, Double)],
-        firstShots: Seq[Double], calMid: Seq[Double], calLast: Double,
-        errs: Seq[(String, String)]) {
-      val calFirst: Double = firstShots.last
-      val samples: Seq[Double] =
-        (calFirst +: calMid :+ calLast).filter(_ > 0).sorted
-      val ratio: Double =
-        if (samples.size >= 2) samples.max / samples(samples.size / 2)
-        else -1.0
-      val clean: Boolean = samples.size >= 2 && ratio <= 1.5
-    }
     def runSweep(tag: String): SweepWindow = {
       val errs = scala.collection.mutable.ListBuffer.empty[(String, String)]
       val shots = scala.collection.mutable.ListBuffer.empty[Double]
@@ -214,7 +240,7 @@ object Bench {
         calibrate(s"${tag}last", errs), errs.toSeq)
     }
     val window1 = runSweep("")
-    val retried = !window1.clean && window1.samples.size >= 2 && only.isEmpty
+    val retried = wantRetry(window1, isolation = only.nonEmpty)
     val window2: Option[SweepWindow] =
       if (retried) {
         System.err.println(f"[bench] sweep window dirty (max/median " +
@@ -222,10 +248,7 @@ object Bench {
           "(VERDICT r13 next #1)")
         Some(runSweep("retry_"))
       } else None
-    val chosen = window2 match {
-      case Some(w2) if w2.samples.size >= 2 && w2.ratio < window1.ratio => w2
-      case _ => window1
-    }
+    val chosen = chooseWindow(window1, window2)
     val discarded: Option[SweepWindow] =
       window2.map(w2 => if (chosen eq w2) window1 else w2)
     errors ++= chosen.errs

@@ -110,6 +110,42 @@ object ScaleProbe {
       cur
     }
 
+    // SCAN-BOUND sentinel (round 14): the compute anchor is blind to
+    // IO/steal bursts on scan-bound lines — the first r14 session read
+    // the q164 steady lookup at 74.4 s with CLEAN compute brackets
+    // (4.9–6.1) while a same-code rerun landed 35.2 s in-band; the
+    // session's only tell was a 166 s sentinel transient that the
+    // one-reshot rule correctly absorbed. This sentinel times a FIXED
+    // column-decode scan (sum of a string column's lengths over the
+    // probe corpus's customer table — footer-only count() would
+    // measure nothing), so it moves with exactly the axis the store
+    // lookups depend on: page-cached scan + decode throughput. Each
+    // measurement is now DOUBLE-BRACKETED — a line is `anchored` only
+    // when BOTH the compute and the scan brackets agree within their
+    // bands — with the same one-reshot transient rule. The shot decodes
+    // two real columns (a decimal and a string) of the probe lineitem
+    // table — a footer-only count() would measure nothing — costing
+    // ~1–2 s at 100×; the pre shot is the previous line's post shot,
+    // so the addition is one scan per measurement.
+    def scanSentinel(tag: String): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$dst/lineitem.parquet")
+        .agg(sum(col("l_extendedprice")),
+          sum(length(col("l_returnflag")))).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE scan_sentinel_$tag%-15s $sec%8.2f s")
+      sec
+    }
+    val scanStart = {
+      var prev = scanSentinel("start1")
+      var shot = 2
+      var cur = scanSentinel("start2")
+      while (shot < 4 && math.abs(cur - prev) / math.max(cur, prev) > 0.1) {
+        shot += 1; prev = cur; cur = scanSentinel(s"start$shot")
+      }
+      cur
+    }
+
     // ---- ANCHORED-WINDOW discipline (VERDICT r12 next #1: the bench
     // regime split, ported to the probe). Round 12's four steady-state
     // q164 readings spanned 31.4–57.0 s purely on anchor drift, and a
@@ -133,7 +169,12 @@ object ScaleProbe {
     // (default probe_x$copies.jsonl, append mode so a round's dedicated
     // PROBE_ONLY sessions accumulate one comparable artifact). ----
     val AnchorBand = 1.3
+    // the scan shot is ~1–2 s (vs the 5–17 s compute shot), so its
+    // relative noise is larger: 1.5× still trips on the 2–4× bursts
+    // the r14 false-clean session carried
+    val ScanBand = 1.5
     var lastAnchor = anchorStart
+    var lastScan = scanStart
     var sentinelN = 0
     val probeOut = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT",
       s"probe_x$copies.jsonl")
@@ -161,17 +202,36 @@ object ScaleProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       sentinelN += 1
       var post = computeSentinel(s"b$sentinelN")
-      var anchored = math.max(pre, post) / math.min(pre, post) <= AnchorBand
-      if (!anchored) {
+      var computeOk = math.max(pre, post) / math.min(pre, post) <= AnchorBand
+      if (!computeOk) {
         sentinelN += 1
         val again = computeSentinel(s"b$sentinelN")
-        anchored = math.max(pre, again) / math.min(pre, again) <= AnchorBand
+        computeOk = math.max(pre, again) / math.min(pre, again) <= AnchorBand
         post = again
       }
       lastAnchor = post
+      // the SCAN bracket (round 14): ONE-SIDED, unlike the compute
+      // bracket — an IO/steal burst only ever makes the scan shot
+      // SLOWER (a faster post-shot is the page cache warming, not
+      // contamination), and a sub-0.5 s absolute delta is scheduler
+      // jitter that cannot explain tens of seconds on a measured
+      // line. Same one-reshot transient rule.
+      def scanAgree(a: Double, b: Double): Boolean =
+        b <= ScanBand * a || b - a <= 0.5
+      val spre = lastScan
+      var spost = scanSentinel(s"b$sentinelN")
+      var scanOk = scanAgree(spre, spost)
+      if (!scanOk) {
+        val again = scanSentinel(s"b${sentinelN}r")
+        scanOk = scanAgree(spre, again)
+        spost = again
+      }
+      lastScan = spost
+      val anchored = computeOk && scanOk
       println(f"PROBE $label%-28s $sec%8.2f s rows=$n$extra " +
-        f"anchors=$pre%.2f/$post%.2f anchored=$anchored")
-      jline(f"""{"probe":"$label","sec":$sec%.3f,"rows":$n,"anchor_pre":$pre%.3f,"anchor_post":$post%.3f,"anchored":$anchored}""")
+        f"anchors=$pre%.2f/$post%.2f scan=$spre%.2f/$spost%.2f " +
+        f"anchored=$anchored")
+      jline(f"""{"probe":"$label","sec":$sec%.3f,"rows":$n,"anchor_pre":$pre%.3f,"anchor_post":$post%.3f,"scan_pre":$spre%.3f,"scan_post":$spost%.3f,"compute_ok":$computeOk,"scan_ok":$scanOk,"anchored":$anchored}""")
     }
 
     def time(q: String): Unit =
@@ -1229,6 +1289,7 @@ object ScaleProbe {
     // session window was compute-stable; a drifted pair marks every
     // compute-bound line in between as contaminated evidence
     computeSentinel("end")
+    scanSentinel("end")
     jw.close()
     spark.stop()
   }
