@@ -173,6 +173,11 @@ object ScaleProbe {
     // relative noise is larger: 1.5× still trips on the 2–4× bursts
     // the r14 false-clean session carried
     val ScanBand = 1.5
+    // re-shot forgiveness ceiling: a disagreeing first post-shot worse
+    // than 4× the settled level is a stall, not a transient (measured
+    // transients on this host read 1.5–3×; the r14 false-clean
+    // session's read 27–33×)
+    val TransientCeiling = 4.0
     var lastAnchor = anchorStart
     var lastScan = scanStart
     var sentinelN = 0
@@ -203,11 +208,22 @@ object ScaleProbe {
       sentinelN += 1
       var post = computeSentinel(s"b$sentinelN")
       var computeOk = math.max(pre, post) / math.min(pre, post) <= AnchorBand
+      var transient = -1.0
       if (!computeOk) {
+        transient = post
         sentinelN += 1
         val again = computeSentinel(s"b$sentinelN")
         computeOk = math.max(pre, again) / math.min(pre, again) <= AnchorBand
         post = again
+        // a settled re-shot forgives one-shot cache/GC churn (the r13
+        // rule, measured 2–3× transients) but must NOT absolve an
+        // EXTREME first shot: the r14 false q164 reading's post shot
+        // read 166 s against a 5 s pre (33×) before settling — that is
+        // a multi-minute stall overlapping the measurement, not churn,
+        // and the line it brackets is evidence of a dirty window
+        // whatever the re-shot says
+        if (transient > TransientCeiling * math.max(pre, post))
+          computeOk = false
       }
       lastAnchor = post
       // the SCAN bracket (round 14): ONE-SIDED, unlike the compute
@@ -228,10 +244,12 @@ object ScaleProbe {
       }
       lastScan = spost
       val anchored = computeOk && scanOk
+      val transientJson =
+        if (transient >= 0) f""","anchor_transient":$transient%.3f""" else ""
       println(f"PROBE $label%-28s $sec%8.2f s rows=$n$extra " +
         f"anchors=$pre%.2f/$post%.2f scan=$spre%.2f/$spost%.2f " +
         f"anchored=$anchored")
-      jline(f"""{"probe":"$label","sec":$sec%.3f,"rows":$n,"anchor_pre":$pre%.3f,"anchor_post":$post%.3f,"scan_pre":$spre%.3f,"scan_post":$spost%.3f,"compute_ok":$computeOk,"scan_ok":$scanOk,"anchored":$anchored}""")
+      jline(f"""{"probe":"$label","sec":$sec%.3f,"rows":$n,"anchor_pre":$pre%.3f,"anchor_post":$post%.3f,"scan_pre":$spre%.3f,"scan_post":$spost%.3f,"compute_ok":$computeOk,"scan_ok":$scanOk$transientJson,"anchored":$anchored}""")
     }
 
     def time(q: String): Unit =
