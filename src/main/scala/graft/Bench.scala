@@ -342,8 +342,16 @@ object Bench {
     // under its own key so a regression hunt can still read what the
     // dirty window measured, while load_bench's compare only ever sees
     // the chosen `queries` map
-    val discardedJson = discarded.map(w =>
-      s""""queries_discarded":${jsonObj(w.results)},"ratio_sweep_discarded":${r3(w.ratio)},""").getOrElse("")
+    val discardedJson = discarded.map { w =>
+      // the discarded window's ERRORS ride too (review r14): a -1.0 in
+      // queries_discarded with no message anywhere would leave a later
+      // regression hunt unable to tell a transient failure from a
+      // benign skip — these stay out of the verdict `errors` map and
+      // the exit code (the chosen window is the measurement)
+      val errsJ = w.errs.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
+        .mkString("{", ",", "}")
+      s""""queries_discarded":${jsonObj(w.results)},"errors_discarded":$errsJ,"ratio_sweep_discarded":${r3(w.ratio)},"""
+    }.getOrElse("")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmSec,"queries_sec":$queriesSec,"heap_mb":$heapMb,$discardedJson"queries":$qs,"warm_breakdown":$wb,"errors":$errJson,"calibration":$cal,"sf":"$sfDir"}"""
     println(json)
     // sbt wraps stdout in [info] prefixes the driver can't parse — also

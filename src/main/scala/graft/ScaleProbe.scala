@@ -115,11 +115,10 @@ object ScaleProbe {
     // the q164 steady lookup at 74.4 s with CLEAN compute brackets
     // (4.9–6.1) while a same-code rerun landed 35.2 s in-band; the
     // session's only tell was a 166 s sentinel transient that the
-    // one-reshot rule correctly absorbed. This sentinel times a FIXED
-    // column-decode scan (sum of a string column's lengths over the
-    // probe corpus's customer table — footer-only count() would
-    // measure nothing), so it moves with exactly the axis the store
-    // lookups depend on: page-cached scan + decode throughput. Each
+    // one-reshot rule (then unceilinged) absorbed. This sentinel times
+    // a FIXED column-decode scan over the probe lineitem table, so it
+    // moves with exactly the axis the store lookups depend on:
+    // page-cached scan + decode throughput. Each
     // measurement is now DOUBLE-BRACKETED — a line is `anchored` only
     // when BOTH the compute and the scan brackets agree within their
     // bands — with the same one-reshot transient rule. The shot decodes
@@ -238,9 +237,20 @@ object ScaleProbe {
       var spost = scanSentinel(s"b$sentinelN")
       var scanOk = scanAgree(spre, spost)
       if (!scanOk) {
+        val transient0 = spost
         val again = scanSentinel(s"b${sentinelN}r")
         scanOk = scanAgree(spre, again)
         spost = again
+        // the same re-shot forgiveness ceiling as the compute axis: a
+        // settled re-shot absolves a modest transient, never a stall —
+        // an extreme first scan shot (>4× the settled level AND more
+        // than the 0.5 s jitter floor above it) means sustained IO
+        // pressure overlapped the measurement, whatever the re-shot
+        // says (review r14: without this, the IO axis kept exactly
+        // the false-clean hole the ceiling closed on the CPU axis)
+        if (transient0 > TransientCeiling * math.max(spre, spost) &&
+            transient0 - math.max(spre, spost) > 0.5)
+          scanOk = false
       }
       lastScan = spost
       val anchored = computeOk && scanOk

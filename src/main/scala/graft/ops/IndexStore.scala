@@ -2347,6 +2347,21 @@ object IndexStore {
       "writeUnified: empty docs, vectors or centroids — a channel-less " +
         "unified store would wedge later folds; bootstrap with a " +
         "non-empty corpus slice and a trained model")
+    // every cheap refusal fires BEFORE any staging thread launches
+    // (review r14): stageConcurrently awaits all blocks to completion
+    // before rethrowing, so a require left inside a block would pay
+    // the other families' full staging before refusing — the
+    // sequential code refused earlier, and the fix is to refuse
+    // earlier still (one small isEmpty job per optional family)
+    proj.foreach { case (units, fineVecs) =>
+      require(!units.isEmpty && !fineVecs.isEmpty,
+        "writeUnified: empty projected-units or exact-vectors frame — " +
+          "a channel-less projected route would wedge every later " +
+          "lookup; project a non-empty corpus")
+    }
+    val projIdentity = proj.map { case (units, fineVecs) =>
+      projIdentityOf("writeUnified", units, fineVecs)
+    }
     val (base, prior) = baseForWrite(out)
     val snap = beginSnap(out)
     // the independent channel families stage CONCURRENTLY into their
@@ -2380,11 +2395,7 @@ object IndexStore {
       // absent-then-backfilled (and the version axis the q157 oracle
       // replays stays the ingest timeline, not a channel-add commit)
       () => projChs = proj.map { case (units, fineVecs) =>
-        require(!units.isEmpty && !fineVecs.isEmpty,
-          "writeUnified: empty projected-units or exact-vectors frame — " +
-            "a channel-less projected route would wedge every later " +
-            "lookup; project a non-empty corpus")
-        val (k, d, fineN) = projIdentityOf("writeUnified", units, fineVecs)
+        val (k, d, fineN) = projIdentity.get
         units.select(col("vec_id"), col("label"), col("punit"))
           .write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/proj_units")
         maybeCrash("proj_units")

@@ -113,6 +113,10 @@ object FreezeStoreFixture {
     // a new generation never churns the other's committed bytes; no
     // arg regenerates both (the layout-change case)
     val which = args.headOption.getOrElse("both")
+    require(Set("r12", "r13", "both").contains(which),
+      s"FreezeStoreFixture: unknown generation '$which' — an " +
+        "unrecognized arg must never silently regenerate BOTH " +
+        "committed fixtures; pass r12, r13, or no arg for both")
     // the r13 fixture IS the current writer's output, frozen whole —
     // four-marginal census, proj + media channels from the bootstrap
     if (which != "r12") { build(FixtureDirR13); done(FixtureDirR13) }
