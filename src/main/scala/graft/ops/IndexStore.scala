@@ -1130,6 +1130,94 @@ object IndexStore {
         "psi_nonalpha", "psi_tokhash", "psi_max", "held"))
   }
 
+  /** Audited census anchor RE-BASELINE — the governance lifecycle's
+    * missing op (VERDICT r14 next #1), the [[retrainVectors]] twin for
+    * the drift gate. The stored anchor distribution is otherwise the
+    * bootstrap mix FOREVER: a corpus whose real mix legitimately
+    * evolves eventually reads past the breaker line on every tick, and
+    * the only escape is the ungated fold paths — exactly the bypass
+    * the breaker exists to prevent. This gives the operator a
+    * legitimate, audited escape instead:
+    *
+    *  - `newAnchorDocs` is the NEW curated reference (every row must
+    *    carry `source === anchor` — a re-anchor is a statement about
+    *    the reference distribution, never a side-door fold; the rows'
+    *    census bins land, their docs/fingerprints/postings do NOT).
+    *  - The new anchor census REPLACES the anchor's accumulated rows
+    *    in `mix_census`; every other source's accumulated rows are
+    *    carried forward untouched — the store's history stays the
+    *    honest record (a post-re-anchor [[driftFromStore]] read shows
+    *    the TRUE divergence of the already-folded corpus from the new
+    *    reference; it does not pretend the old folds match it).
+    *  - Committed as its OWN snapshot transaction (OCC
+    *    first-committer-wins like every fold), so the old anchor stays
+    *    readable at every prior version — [[driftFromStoreAt]] replays
+    *    historical verdicts against the anchor THEY were gated by —
+    *    and the re-anchor is visible as a [[describeStoreTimeline]]
+    *    version whose only changed channel is `mix_census`.
+    *  - NO LAUNDERING: the op refuses while any source's CUMULATIVE
+    *    stored census currently reads past `maxPsi` against the old
+    *    anchor. The gated fold paths hold such rows out, so a
+    *    currently-drifting stored source can only mean ungated folds
+    *    snuck drifted rows in — re-baselining now would absorb that
+    *    drift into the new reference. (A held BATCH never lands, so
+    *    the q169 hold → re-anchor → pass cycle is unaffected: the
+    *    stored census at re-anchor time is clean by construction.)
+    *
+    * q169 replays the full cycle against DuckDB: both gate verdicts —
+    * the pre-re-anchor hold and the post-re-anchor pass of the same
+    * probe construction — against BOTH anchors, plus every version's
+    * cumulative census (the q162 pattern); UnifiedStoreSpec pins the
+    * refusals by name. */
+  def reanchorCensus(s: SparkSession, root: String, anchor: String,
+      newAnchorDocs: DataFrame, maxPsi: Double = 0.25): Unit = {
+    import s.implicits._
+    val (base, prior) = baseRequired(root)
+    require(prior.contains("mix_census"),
+      "reanchorCensus: this store carries no mix_census channel — " +
+        "nothing is governed here, so there is no anchor distribution " +
+        "to re-baseline; bootstrap with write(..., governed = true) / " +
+        "writeUnified(..., governed = true)")
+    censusFormatGuard(s, root, prior, "reanchorCensus")
+    // cheap batch-shape refusals FIRST (the r14 writeUnified
+    // discipline), then the store-state scans
+    require(!newAnchorDocs.isEmpty,
+      "reanchorCensus: the new anchor batch is empty — an empty " +
+        "reference distribution would make every later gate verdict " +
+        "pure smoothing noise; pass the curated reference sample")
+    val strays = newAnchorDocs
+      .filter(col("source").isNull || col("source") =!= anchor).count()
+    require(strays == 0,
+      s"reanchorCensus: $strays row(s) of the new anchor batch carry a " +
+        s"source other than '$anchor' — a re-anchor re-baselines the " +
+        "reference distribution only; fold other sources through the " +
+        "gated paths")
+    val stored = channelFrom(s, root, prior, "mix_census")
+    require(!stored.filter(col("source") === anchor).isEmpty,
+      s"reanchorCensus: the stored census carries no rows for anchor " +
+        s"'$anchor' — the store was governed against a different " +
+        "reference source; re-anchor under the name the gates read")
+    val drifting = Selection.psiFromBins(stored, anchor)
+      .filter(col("psi_max") > maxPsi)
+      .select(col("source"), col("psi_max"))
+      .as[(String, Double)].collect()
+    require(drifting.isEmpty,
+      s"reanchorCensus: source(s) ${drifting.map { case (n, p) =>
+        s"$n (psi_max $p)" }.mkString(", ")} currently read past " +
+        s"maxPsi=$maxPsi against the stored anchor — the gated fold " +
+        "paths hold such rows out, so drifted rows reached the census " +
+        "through an ungated fold; re-baselining now would launder that " +
+        "drift into the new reference. Rebuild or re-fold the store " +
+        "with the gate instead")
+    val snap = beginSnap(root)
+    stored.filter(col("source") =!= anchor)
+      .unionByName(Selection.censusBins(newAnchorDocs))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/$snap/mix_census")
+    maybeCrash("mix_census")
+    commitSnap(root, snap, prior + ("mix_census" ->
+      Channel(relIfData(root, s"$snap/mix_census"), "", "")), base)
+  }
+
   // ---------------------------------------------------------------
   // media channel family
   // ---------------------------------------------------------------

@@ -622,12 +622,75 @@ object Selection {
       })
     }
 
+  /** Once-per-JVM governed dedup store whose history is the full
+    * census-anchor RE-BASELINE cycle (q169; VERDICT r14 next #1):
+    * hold → [[IndexStore.reanchorCensus]] → the same probe
+    * construction now passes. [[gatedHoldStore]]'s md5-text fixture
+    * rules (one unique token per doc — no shingles, so the screen
+    * keeps every admitted doc and DuckDB recomputes everything from
+    * raw documents), [[GatedUnifiedMaxPsi]]'s hold line (the fixture
+    * must exhibit a PASS too; measured at the shipped SFs: the held
+    * probe reads 4–6 vs the old anchor and 0.04 vs the new, admitted
+    * gate draws ≤ 0.75, and the re-anchor's no-laundering scan of the
+    * cumulative census tops out at 0.93 (src18's 25-doc draw at
+    * sf≤0.01) — under the line, with the hold side ≥ 4× above it).
+    *
+    * Bootstrap: evens, governed, real (source, n_chars). Fold 1
+    * (doc_id % 4 == 1): % 10 == 1 rows re-sourced `probe_shift` at
+    * n_chars + 480 — five bins right of the anchor, HELD; the rest
+    * admitted. Re-anchor: ALL src0 rows at n_chars + 480 — the
+    * curated reference re-measured in the regime it legitimately
+    * moved to (the testdata's doc_ids stride by source, so src0
+    * never lands in an odd-residue slice; a re-anchor batch is a
+    * census-only statement, so re-reading the curated docs is the
+    * honest construction, not a re-fold); the op replaces the
+    * anchor's census rows in its own committed version (the old
+    * anchor stays readable at v1/v2).
+    * Fold 2 (% 4 == 3 non-src0, % 10 == 3): the SAME probe
+    * construction — `probe_shift` at n_chars + 480 — now PASSES the
+    * same gate against the new anchor and enters the census. */
+  private val reanchorStores =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def reanchorStore(s: SparkSession, dir: String): String =
+    reanchorStores.synchronized {
+      reanchorStores.getOrElseUpdate(dir, {
+        val idx = jvmStorePath("graft_rea", dir)
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), md5(col("doc_id").cast("string")).as("text"),
+            col("source"), col("n_chars"))
+        IndexStore.write(s, docs.filter(col("doc_id") % 2 === 0), idx,
+          governed = true)
+        val f1s = docs.filter(col("doc_id") % 4 === 1)
+        IndexStore.screenAndFoldGated(s, idx,
+          f1s.filter(col("doc_id") % 10 =!= 1)
+            .unionByName(f1s.filter(col("doc_id") % 10 === 1)
+              .select(col("doc_id"), col("text"),
+                lit("probe_shift").as("source"),
+                (col("n_chars") + 480).as("n_chars"))),
+          "src0", maxPsi = GatedUnifiedMaxPsi)
+        IndexStore.reanchorCensus(s, idx, "src0",
+          docs.filter(col("source") === "src0")
+            .select(col("doc_id"), col("text"), col("source"),
+              (col("n_chars") + 480).as("n_chars")),
+          maxPsi = GatedUnifiedMaxPsi)
+        IndexStore.screenAndFoldGated(s, idx,
+          docs.filter(col("doc_id") % 4 === 3 &&
+              col("source") =!= "src0" && col("doc_id") % 10 === 3)
+            .select(col("doc_id"), col("text"),
+              lit("probe_shift").as("source"),
+              (col("n_chars") + 480).as("n_chars")),
+          "src0", maxPsi = GatedUnifiedMaxPsi)
+        idx
+      })
+    }
+
   /** Bench warm phase: force-build the memoized governed stores so
     * their one-time ingest cost is attributed here, not to whichever
     * governance query runs them first. */
   def warm(s: SparkSession, dir: String): Seq[(String, Double)] = Seq(
     timedBuild("selection.governedStore") { governedStore(s, dir); () },
-    timedBuild("selection.gatedHoldStore") { gatedHoldStore(s, dir); () })
+    timedBuild("selection.gatedHoldStore") { gatedHoldStore(s, dir); () },
+    timedBuild("selection.reanchorStore") { reanchorStore(s, dir); () })
 
   /** The gated unified bootstrap, split out of [[warm]] so the bench
     * can overlap it with Similarity's ungoverned sibling (VERDICT r12
@@ -1365,7 +1428,47 @@ object Selection {
           FROM terms GROUP BY 1)
         SELECT source, n_toks, psi_order,
           n_toks >= $MinTokhashEvidence AND psi_order > 0.25 AS held
-        FROM rep ORDER BY source"""))
+        FROM rep ORDER BY source""")),
+
+    // ---- the census anchor RE-BASELINE cycle under the oracle
+    // (q169; VERDICT r14 #1): the governed store's anchor was the
+    // bootstrap mix forever — a legitimately evolving corpus ends in
+    // permanent holds with ungated folds as the only escape. The
+    // [[reanchorStore]] fixture walks the audited escape instead:
+    // version 1 bootstrap; version 2 a gated fold whose +480-shifted
+    // probe_shift tick was HELD (PSI 4–6 vs the bootstrap anchor);
+    // version 3 IndexStore.reanchorCensus — the anchor's census rows
+    // REPLACED by the shifted curated reference in its own committed
+    // snapshot (every other source's rows carried forward, so the
+    // non-anchor columns now read their TRUE divergence from the new
+    // reference); version 4 the SAME probe construction passing the
+    // same gate against the new anchor and entering the census. The
+    // drift read at each version uses the anchor AS STORED THEN, so
+    // versions 1–2 replay against the old anchor and 3–4 against the
+    // new — DuckDB recomputes BOTH gate verdicts against BOTH anchors
+    // plus all four cumulative censuses from raw documents (the q162
+    // replay pattern), so a re-anchor that leaked into history, a
+    // hold that folded anyway, or a recovery that didn't land all
+    // hash-fail. ----
+    "q169_census_reanchor_timeline" -> Q(
+      (s, dir) => {
+        val idx = reanchorStore(s, dir)
+        IndexStore.history(idx).zipWithIndex.map { case (snap, i) =>
+          IndexStore.driftFromStoreAt(s, idx, snap, "src0")
+            .select(lit(i + 1).as("version"), col("source"), col("n_docs"),
+              col("psi_nchars"), col("psi_ntokens"),
+              col("psi_nonalpha"), col("psi_tokhash"), col("psi_max"))
+        }.reduce(_ unionByName _).orderBy(col("version"), col("source"))
+      },
+      Some(s"""WITH $oReanchorCensus,
+        cen AS (SELECT CAST(1 AS INT) AS version, source, n_chars, text FROM evens
+                UNION ALL SELECT CAST(2 AS INT), source, n_chars, text FROM c1
+                UNION ALL SELECT CAST(3 AS INT), source, n_chars, text FROM c2
+                UNION ALL SELECT CAST(4 AS INT), source, n_chars, text FROM c3),
+        fa AS (${oFeatRowsV("cen", "source = 'src0'")}),
+        fc AS (${oFeatRowsV("cen", "source <> 'src0'")}),
+        ${oFeatPsiV("fc", "fa", "q_")}
+        ${oPsiPivotV("q_feat")} ORDER BY version, source"""))
   )
 
   /** The smoothed PSI term over a verdict/census grid row — the exact
@@ -1583,5 +1686,47 @@ object Selection {
     c2 AS (SELECT doc_id, source, n_chars, text FROM c1
            UNION ALL
            SELECT doc_id, source, n_chars, text FROM f2
+           WHERE source NOT IN (SELECT source FROM held2))"""
+
+  /** The [[reanchorStore]] replay (q169): md5 texts (the
+    * [[gatedHoldStore]] fixture rules), both fold constructions, both
+    * gate verdicts — fold 2's against the RE-ANCHORED census — and the
+    * four cumulative censuses: `evens` (bootstrap), `c1` (post-hold),
+    * `c2` (post-re-anchor: the src0 rows REPLACED by the shifted
+    * curated reference `na`, every other source carried forward), `c3`
+    * (post-recovery). */
+  private lazy val oReanchorCensus: String = s"""
+    evens AS (SELECT source, n_chars,
+                md5(CAST(doc_id AS VARCHAR)) AS text
+              FROM documents WHERE doc_id % 2 = 0),
+    f1 AS (SELECT CASE WHEN doc_id % 10 = 1 THEN 'probe_shift'
+                       ELSE source END AS source,
+                  CASE WHEN doc_id % 10 = 1 THEN n_chars + 480
+                       ELSE n_chars END AS n_chars,
+                  md5(CAST(doc_id AS VARCHAR)) AS text
+           FROM documents WHERE doc_id % 4 = 1),
+    a1 AS (${oFeatRows("evens", "source = 'src0'")}),
+    b1 AS (${oFeatRows("f1", "source <> 'src0'")}),
+    ${oVerdict("b1", "a1", "held1")},
+    c1 AS (SELECT source, n_chars, text FROM evens
+           UNION ALL
+           SELECT source, n_chars, text FROM f1
+           WHERE source NOT IN (SELECT source FROM held1)),
+    na AS (SELECT source, n_chars + 480 AS n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS text
+           FROM documents WHERE source = 'src0'),
+    c2 AS (SELECT source, n_chars, text FROM c1 WHERE source <> 'src0'
+           UNION ALL
+           SELECT source, n_chars, text FROM na),
+    f2 AS (SELECT 'probe_shift' AS source, n_chars + 480 AS n_chars,
+                  md5(CAST(doc_id AS VARCHAR)) AS text
+           FROM documents
+           WHERE doc_id % 4 = 3 AND source <> 'src0' AND doc_id % 10 = 3),
+    a2 AS (${oFeatRows("c2", "source = 'src0'")}),
+    b2 AS (${oFeatRows("f2", "source <> 'src0'")}),
+    ${oVerdict("b2", "a2", "held2")},
+    c3 AS (SELECT source, n_chars, text FROM c2
+           UNION ALL
+           SELECT source, n_chars, text FROM f2
            WHERE source NOT IN (SELECT source FROM held2))"""
 }

@@ -349,6 +349,104 @@ class SelectionSpec extends SparkSpec {
       "the recovered tick must join the census")
   }
 
+  // ---- reanchorCensus: the audited anchor re-baseline (q169) ----
+
+  private def probeDocs(ids: Range, src: String, base: Long) = ids.map { i =>
+    (i.toLong, s"probe token$i here", src, base + (i % 2) * 40)
+  }.toDF("doc_id", "text", "source", "n_chars")
+
+  test("reanchorCensus: hold → re-anchor → the same probe construction passes; prior versions keep the old anchor") {
+    val idx = tmp("rea")
+    // bootstrap WITHOUT govDocs' deliberately-shifted s2: the
+    // no-laundering scan must find a clean census on the happy path
+    ops.IndexStore.write(spark,
+      govDocs(1 to 30).filter(col("source") =!= "s2"), idx, governed = true)
+    // a shifted source's tick is HELD (bin 5 vs the anchor's 0..4);
+    // the all-held batch commits nothing (dense-history rule)
+    val (_, rep1) = ops.IndexStore.screenAndFoldGated(spark, idx,
+      probeDocs(101 to 110, "pX", 520L), "s0")
+    assert(rep1.filter(col("held")).select("source").as[String]
+      .collect().toSeq == Seq("pX"), "the shifted probe must be held")
+    val vOld = ops.IndexStore.history(idx).last
+    val before = ops.IndexStore.driftFromStore(spark, idx, "s0").collect().toSeq
+    // the curated reference legitimately moved to the shifted regime
+    ops.IndexStore.reanchorCensus(spark, idx, "s0", (201 to 220).map { i =>
+      (i.toLong, s"anchor token$i here", "s0", 500L + (i % 5) * 20)
+    }.toDF("doc_id", "text", "source", "n_chars"))
+    // the SAME probe construction now passes the SAME gate and lands
+    val (_, rep2) = ops.IndexStore.screenAndFoldGated(spark, idx,
+      probeDocs(121 to 130, "pX", 520L), "s0")
+    assert(rep2.filter(col("held")).isEmpty,
+      "the probe must pass against the re-baselined anchor")
+    val srcs = ops.IndexStore.channel(spark, idx, "mix_census")
+      .select("source").distinct().as[String].collect().toSet
+    assert(srcs == Set("s0", "s1", "pX"),
+      s"census must hold exactly the anchor + admitted sources: $srcs")
+    // the held tick of v-old never landed, and v-old still replays
+    // against the OLD anchor bit-identically (the audit trail)
+    assert(ops.IndexStore.driftFromStoreAt(spark, idx, vOld, "s0")
+      .collect().toSeq == before,
+      "re-anchor must not rewrite the drift history at prior versions")
+    // re-anchor is its own timeline version: mix_census is the only
+    // channel whose paths changed at that version
+    val hist = ops.IndexStore.history(idx)
+    assert(hist.size == 3, s"bootstrap + re-anchor + recovered fold: $hist")
+    val (mOld, mRea) = (ops.IndexStore.manifestAt(idx, hist(0)),
+      ops.IndexStore.manifestAt(idx, hist(1)))
+    assert(mRea("mix_census") != mOld("mix_census") &&
+      (mRea - "mix_census") == (mOld - "mix_census"),
+      "the re-anchor commit must replace mix_census and carry every other channel forward")
+  }
+
+  test("reanchorCensus refuses by name: ungoverned store, unknown anchor, empty or stray-source batch, and LAUNDERING a currently-drifted census") {
+    val bare = tmp("rea-bare")
+    ops.IndexStore.write(spark, govDocs(1 to 10), bare)
+    val e0 = intercept[IllegalArgumentException] {
+      ops.IndexStore.reanchorCensus(spark, bare, "s0", govDocs(1 to 3))
+    }
+    assert(e0.getMessage.contains("mix_census"))
+    val gov = tmp("rea-gov")
+    // govDocs' s2 is deliberately shifted: an UNGATED bootstrap put a
+    // drifted source in the census, so a re-anchor would absorb it
+    ops.IndexStore.write(spark, govDocs(1 to 30), gov, governed = true)
+    val e1 = intercept[IllegalArgumentException] {
+      ops.IndexStore.reanchorCensus(spark, gov, "sZ",
+        govDocs(1 to 3).withColumn("source", lit("sZ")))
+    }
+    assert(e1.getMessage.contains("no rows for anchor"))
+    val e2 = intercept[IllegalArgumentException] {
+      ops.IndexStore.reanchorCensus(spark, gov, "s0",
+        govDocs(1 to 3).filter(col("doc_id") < 0))
+    }
+    assert(e2.getMessage.contains("empty"))
+    val e3 = intercept[IllegalArgumentException] {
+      ops.IndexStore.reanchorCensus(spark, gov, "s0", govDocs(1 to 6))
+    }
+    assert(e3.getMessage.contains("source other than"))
+    val e4 = intercept[IllegalArgumentException] {
+      ops.IndexStore.reanchorCensus(spark, gov, "s0",
+        govDocs(3 to 3).filter(col("source") === "s0"))
+    }
+    assert(e4.getMessage.contains("launder"),
+      s"a drifted stored census must refuse the re-baseline: ${e4.getMessage}")
+    // and the refusals left no new version behind
+    assert(ops.IndexStore.history(gov).size == 1,
+      "a refused re-anchor must not commit")
+  }
+
+  test("q169 fixture: the probe is absent before the re-anchor and present after it, below the line (the replay's both-hold blind spot, pinned)") {
+    val out = SparkEntry.queries("q169_census_reanchor_timeline")(spark, dir)
+      .select(col("version"), col("source"), col("psi_max"))
+      .as[(Int, String, Double)].collect().toSeq
+    assert(out.map(_._1).distinct.sorted == Seq(1, 2, 3, 4),
+      "bootstrap, hold, re-anchor, recovery — four versions")
+    val probeVers = out.filter(_._2 == "probe_shift").map(v => v._1 -> v._3)
+    assert(probeVers.map(_._1) == Seq(4),
+      s"probe_shift must enter the census only at the recovered version: $probeVers")
+    assert(probeVers.head._2 <= ops.Selection.GatedUnifiedMaxPsi,
+      s"the recovered probe must read under the gate line: $probeVers")
+  }
+
   test("drift read plan touches only the census channel — no corpus scan at any version") {
     val idx = tmp("plan")
     ops.IndexStore.write(spark, govDocs(1 to 10), idx, governed = true)
