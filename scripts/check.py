@@ -247,8 +247,15 @@ def bench_regressions(cur_path, prior_path, factor=2.5):
     # by its WALL line (`unified_pair_wall`, the real cost the session
     # pays), which stays in the per-entry compare; the contended member
     # durations are excluded as attribution evidence only (ADVICE r13).
+    # …and since r15 the INDEPENDENT store fixtures stage as a second
+    # concurrent group (VERDICT r14 next #3), judged by their own wall
+    # line (`store_group_wall`) under the same rule
     OVERLAPPED_WARM = {"similarity.unifiedStore", "similarity.unifiedServing",
-                       "selection.gatedUnifiedStore"}
+                       "selection.gatedUnifiedStore",
+                       "dedup.snapshotStore", "similarity.vectorStore",
+                       "textops.versionedTextStore", "textops.textStore",
+                       "selection.governedStore", "selection.gatedHoldStore",
+                       "selection.reanchorStore"}
     warm_flagged = []
     if not dirty_warm:
         for w, t in sorted((cur.get("warm_breakdown") or {}).items()):
@@ -319,8 +326,12 @@ def cut_selftest(local_path, tail_chars=2000):
 
     # digit-less names cannot ride a range array — Bench emits them as
     # their own {"qtn":...} lines AFTER the qtb runs (round 14), so the
-    # reconstruction must too (and must not crash on int() of a name)
-    numbered = sorted((int(qnum_key(k)), t)
+    # reconstruction must too. The number is the FIRST DIGIT RUN —
+    # Bench's qnum rule — not qnum_key: the two ends must share one
+    # digit-name contract, and qnum_key raises on a digit-bearing name
+    # that matches neither q0*(\d+)_ nor isdigit, e.g. "warm2_probe"
+    # (ADVICE r14 #4)
+    numbered = sorted((int(re.search(r"\d+", k).group()), t)
                       for k, t in b["queries"].items()
                       if re.search(r"\d", k))
     unnumbered = sorted((k, t) for k, t in b["queries"].items()
@@ -346,6 +357,11 @@ def cut_selftest(local_path, tail_chars=2000):
         json.dumps(c.get(k)) for k in
         ("pre", "first", "last", "ratio", "clean",
          "ratio_sweep", "clean_sweep", "ratio_pre", "clean_warm"))
+    # the round-15 top-level verdict rides the short line between the
+    # per-regime flags and the retry suffixes (absent only in pre-r15
+    # artifacts — the reconstruction tracks whatever the artifact has)
+    if c.get("verdict") is not None:
+        cal_short += ',"verdict":%s' % json.dumps(c.get("verdict"))
     # a retried (self-healed) sweep appends both windows' ratios to the
     # short line too — the reconstruction must track Bench's emitter
     # byte-for-byte (round 14)
@@ -354,6 +370,12 @@ def cut_selftest(local_path, tail_chars=2000):
                      '"ratio_sweep_retry":%s' % tuple(
             json.dumps(c.get(k)) for k in
             ("retried", "ratio_sweep_first", "ratio_sweep_retry"))
+    # a retried WARM bracket appends its pair too (round 15)
+    if c.get("warm_retried") is not None:
+        cal_short += ',"warm_retried":%s,"ratio_pre_first":%s,' \
+                     '"ratio_pre_retry":%s' % tuple(
+            json.dumps(c.get(k)) for k in
+            ("warm_retried", "ratio_pre_first", "ratio_pre_retry"))
     cal_short += "}"
     short = ('{"metric":"total","value":%s,"unit":"sec","warm":%s,'
              '"errors":%d,"calibration":%s,"sf":"%s"}') % (
@@ -485,18 +507,35 @@ def probe_regressions(cur_path, prior_path, factor=2.5):
     if empty or not shared:
         note = ("no anchored probe lines recoverable" if empty else
                 "no shared anchored labels between the artifacts")
+        # does either artifact carry NON-ingest measurements the
+        # per-line gate was supposed to judge? (raw lines, anchored or
+        # not — the question is whether per-line work existed at all)
+        def has_non_ingest(raw_lines):
+            return any(o["probe"].split("#")[0] not in INGEST_PROBE
+                       for o in raw_lines
+                       if isinstance(o.get("sec"), (int, float)))
+        per_line_refused = has_non_ingest(cur_all) and \
+            has_non_ingest(prior_all)
         out = {"unusable_probe": empty or [cur_path, prior_path],
                "note": note + " — the per-line gate compared nothing",
+               "per_line_refused": per_line_refused,
                "ingest": ingest_block,
                "excluded_unanchored": {"cur": cur_flagged,
                                        "prior": prior_flagged}}
         print(json.dumps(out))
-        # an ingest-only artifact pair is still a real comparison: clean
+        # an ingest-ONLY artifact pair is still a real comparison: clean
         # ingest exits 0, a flagged ingest exits 1; only BOTH compares
-        # empty is the refuse-to-compare-nothing class (exit 2)
+        # empty is the refuse-to-compare-nothing class (exit 2). But a
+        # pair that CARRIES non-ingest lines none of which anchored is a
+        # refused per-line gate, not a clean one — a fully host-dirty
+        # session must not read clean to exit-code automation just
+        # because its ingest min survived: distinct code 3 (ADVICE r14
+        # #1), flagged ingest still 1
         if not ingest_block["compared"]:
             return 2
-        return 1 if ingest_flagged else 0
+        if ingest_flagged:
+            return 1
+        return 3 if per_line_refused else 0
     flagged = []
     for q in shared:
         c, p = cur[q], prior[q]

@@ -38,6 +38,34 @@ object Bench {
     case _ => w1
   }
 
+  /** Warm-bracket self-heal trigger (VERDICT r14 next #4): the sweep
+    * already had its bounded retry; a dirty WARM bracket had none.
+    * Fires only when the sweep bracket is determinably CLEAN and the
+    * warm bracket determinably DIRTY — a dirty sweep makes the sweep
+    * median an unusable warm yardstick (and already bought the sweep
+    * retry), and isolation mode has no warm bracket at all. */
+  private[graft] def wantWarmRetry(cleanSweep: Option[Boolean],
+      cleanWarm: Option[Boolean], isolation: Boolean): Boolean =
+    !isolation && cleanSweep.contains(true) && cleanWarm.contains(false)
+
+  /** The retried warm wins only when its own bracket is determinable
+    * and STRICTLY cleaner — the [[chooseWindow]] rule. */
+  private[graft] def chooseWarmRetry(ratio1: Double, ratio2: Double): Boolean =
+    ratio2 > 0 && (ratio1 <= 0 || ratio2 < ratio1)
+
+  /** ONE top-level verdict (VERDICT r14 next #4 / "what's wrong" #1):
+    * the legacy combined `clean` flag measures the pre/sweep REGIME
+    * GAP on healthy rounds (BENCH_r14 shipped clean:false with both
+    * per-regime flags true), so a consumer keying on it reads a clean
+    * round as dirty. `verdict` is the per-regime conjunction — the
+    * field consumers should key on; "unknown" when either bracket is
+    * undeterminable (isolation mode / failed sentinels). */
+  private[graft] def verdictOf(cleanSweep: Option[Boolean],
+      cleanWarm: Option[Boolean]): String = (cleanSweep, cleanWarm) match {
+    case (Some(a), Some(b)) => if (a && b) "clean" else "dirty"
+    case _ => "unknown"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -151,25 +179,56 @@ object Bench {
     // two overlapping entries sum to more than the wall segment by
     // construction, and the breakdown carries the wall line too
     // (`unified_pair_wall`).
-    val warmSeq =
-      safeWarm(ops.Dedup.warm(spark, sfDir)) ++
-        safeWarm(ops.Similarity.warm(spark, sfDir)) ++
-        safeWarm(ops.TextOps.warm(spark, sfDir)) ++
-        safeWarm(ops.Selection.warm(spark, sfDir))
-    val tw0 = System.nanoTime()
-    val unifiedParts = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val fs = Seq(
-        Future(safeWarm(ops.Similarity.warmUnified(spark, sfDir))),
-        Future(safeWarm(ops.Selection.warmUnified(spark, sfDir))))
-      fs.flatMap(Await.result(_, Duration.Inf))
+    def runWarmPhase(): (Seq[(String, Double)], Double) = {
+      // phase 1, SEQUENTIAL: the memoized FRAME builds every store
+      // fixture (and half the catalog) shares — tokenization, band
+      // keys, norms, centroids. Concurrency here would contend on the
+      // very inputs the later groups need already built.
+      val warmSeq =
+        safeWarm(ops.Dedup.warm(spark, sfDir)) ++
+          safeWarm(ops.Similarity.warm(spark, sfDir)) ++
+          safeWarm(ops.TextOps.warm(spark, sfDir))
+      // concurrent groups run on a DEDICATED pool (the ADVICE r14
+      // stageConcurrently lesson): each store build already fans its
+      // channel writes out on its own pool, so the global EC would
+      // saturate and silently serialize the overlap on low-core hosts
+      def group(parts: (() => Seq[(String, Double)])*)
+          : (Seq[(String, Double)], Double) = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(parts.size)
+        implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val t0 = System.nanoTime()
+        try {
+          val rs = parts.map(p => Future(p())).flatMap(
+            Await.result(_, Duration.Inf))
+          (rs, (System.nanoTime() - t0) / 1e9)
+        } finally pool.shutdown()
+      }
+      // phase 2, CONCURRENT: the independent store fixtures (VERDICT
+      // r14 next #3) — four families, four roots, shared inputs all
+      // memoized by phase 1, each build job-latency-bound. Accounting
+      // stays honest the unified-pair way: warm pays the group's WALL
+      // clock; the contended per-store durations ride the breakdown as
+      // attribution evidence (check.py excludes them from per-entry
+      // compare and judges `store_group_wall`).
+      val (storeParts, storeWall) = group(
+        (Seq(
+          () => safeWarm(ops.Dedup.warmStores(spark, sfDir)),
+          () => safeWarm(ops.Similarity.warmStores(spark, sfDir)),
+          () => safeWarm(ops.TextOps.warmStores(spark, sfDir))) ++
+          ops.Selection.warmStoreParts(spark, sfDir)
+            .map(p => () => safeWarm(p()))): _*)
+      // phase 3, CONCURRENT: the two unified-store bootstraps (r13)
+      val (unifiedParts, unifiedWall) = group(
+        () => safeWarm(ops.Similarity.warmUnified(spark, sfDir)),
+        () => safeWarm(ops.Selection.warmUnified(spark, sfDir)))
+      (warmSeq ++ storeParts ++ Seq("store_group_wall" -> storeWall) ++
+        unifiedParts :+ ("unified_pair_wall" -> unifiedWall),
+        warmSeq.map(_._2).sum + storeWall + unifiedWall)
     }
-    val unifiedWall = (System.nanoTime() - tw0) / 1e9
-    val warmBreakdown = warmSeq ++ unifiedParts :+
-      ("unified_pair_wall" -> unifiedWall)
-    val warmSec = warmSeq.map(_._2).sum + unifiedWall
+    val (warmBreakdown1, warmSec1) = runWarmPhase()
     // `first` gets the SAME stabilizer as `pre`: it fires immediately
     // after the warm phase, where blocking-unpersist churn and fresh
     // store caches leave the same one-shot transient the pre shots
@@ -257,6 +316,70 @@ object Bench {
     val calFirst = chosen.calFirst
     val calMid = chosen.calMid
     val calLast = chosen.calLast
+    // ---- warm-bracket self-heal (VERDICT r14 next #4): the sweep's
+    // bounded retry healed the query window; a dirty WARM bracket
+    // (clean_warm false under a clean sweep) was unretryable by design
+    // — the fixtures are JVM-memoized, so "re-run warm" would time
+    // cache hits. The heal therefore RESETS the warm state first
+    // (Core memo caches + every warm-built store root, deleted so the
+    // rebuild bootstraps fresh instead of appending versions onto the
+    // fixtures' committed timelines) and re-runs the whole phase
+    // iso-condition, bracketed by its own stabilized sentinels. The
+    // retried bracket wins only when strictly cleaner; both brackets
+    // and both warm numbers ride the artifact either way.
+    val sweepSamplesE =
+      (calFirst +: calMid.toSeq :+ calLast).filter(_ > 0).sorted
+    val sweepMedian =
+      if (sweepSamplesE.size >= 2) sweepSamplesE(sweepSamplesE.size / 2)
+      else -1.0
+    val sweepRatioE =
+      if (sweepMedian > 0) sweepSamplesE.max / sweepMedian else -1.0
+    val cleanSweepOpt: Option[Boolean] =
+      if (sweepMedian > 0) Some(sweepRatioE <= 1.5) else None
+    val preRatio1 =
+      if (calPre > 0 && sweepMedian > 0) calPre / sweepMedian else -1.0
+    val cleanWarmOpt1: Option[Boolean] =
+      if (preRatio1 > 0) Some(preRatio1 <= 2.5) else None
+    val warmRetried = wantWarmRetry(cleanSweepOpt, cleanWarmOpt1,
+      isolation = only.nonEmpty)
+    // (breakdown, warmSec, bracketRatio, preShots, postShot)
+    val warmRetry: Option[(Seq[(String, Double)], Double, Double,
+        Seq[Double], Double)] =
+      if (!warmRetried) None
+      else {
+        System.err.println(f"[bench] warm bracket dirty (pre/median " +
+          f"$preRatio1%.3f > 2.5) under a clean sweep — one bounded " +
+          "warm retry (VERDICT r14 next #4)")
+        Core.clearCaches(spark)
+        ops.Dedup.resetWarmFixtures()
+        ops.Similarity.resetWarmFixtures()
+        ops.TextOps.resetWarmFixtures()
+        ops.Selection.resetWarmFixtures()
+        val shots2 = scala.collection.mutable.ListBuffer.empty[Double]
+        def agree2: Boolean = shots2.size >= 2 && {
+          val a = shots2(shots2.size - 2); val b = shots2.last
+          a > 0 && b > 0 && math.abs(b - a) / math.max(a, b) <= 0.1
+        }
+        while (shots2.size < 6 && !agree2)
+          shots2 += calibrate(s"warmretry_pre${shots2.size + 1}")
+        val (wb2, ws2) = runWarmPhase()
+        val post2 = calibrate("warmretry_post")
+        // the retried bracket: BOTH its sentinels against the sweep
+        // median (stricter than the original's single pre shot — the
+        // retry must prove itself on the closing side too)
+        val r2 =
+          if (sweepMedian > 0 && shots2.last > 0 && post2 > 0)
+            math.max(shots2.last, post2) / sweepMedian
+          else -1.0
+        Some((wb2, ws2, r2, shots2.toSeq, post2))
+      }
+    val retryWins = warmRetry.exists(w => chooseWarmRetry(preRatio1, w._3))
+    val (warmBreakdown, warmSec) =
+      if (retryWins) (warmRetry.get._1, warmRetry.get._2)
+      else (warmBreakdown1, warmSec1)
+    val preRatioFinal = if (retryWins) warmRetry.get._3 else preRatio1
+    val cleanWarmOpt: Option[Boolean] =
+      if (retryWins) Some(preRatioFinal <= 2.5) else cleanWarmOpt1
     def jsonObj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -310,18 +433,11 @@ object Bench {
     //    The finer warm instrument remains the per-store breakdown
     //    compare in scripts/check.py.
     // The combined `ratio`/`clean` stays for artifact compatibility.
-    val sweepSamples = (calFirst +: calMid.toSeq :+ calLast).filter(_ > 0).sorted
-    val sweepRatio =
-      if (sweepSamples.size >= 2)
-        sweepSamples.max / sweepSamples(sweepSamples.size / 2)
-      else -1.0
-    val cleanSweep =
-      if (sweepSamples.size >= 2) (sweepRatio <= 1.5).toString else "null"
-    val preRatio =
-      if (calPre > 0 && sweepSamples.size >= 2)
-        calPre / sweepSamples(sweepSamples.size / 2)
-      else -1.0
-    val cleanWarm = if (preRatio > 0) (preRatio <= 2.5).toString else "null"
+    val sweepRatio = sweepRatioE
+    val cleanSweep = cleanSweepOpt.map(_.toString).getOrElse("null")
+    val preRatio = preRatioFinal
+    val cleanWarm = cleanWarmOpt.map(_.toString).getOrElse("null")
+    val verdict = verdictOf(cleanSweepOpt, cleanWarmOpt)
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     // the self-heal is never silent: a retried sweep records BOTH
     // windows' ratios next to the chosen verdict, in the short tail
@@ -330,7 +446,13 @@ object Bench {
       if (retried)
         s""","retried":true,"ratio_sweep_first":${r3(window1.ratio)},"ratio_sweep_retry":${r3(window2.map(_.ratio).getOrElse(-1.0))}"""
       else ""
-    val calVerdicts = s""""ratio":${r3(calRatio)},"clean":$calClean,"ratio_sweep":${r3(sweepRatio)},"clean_sweep":$cleanSweep,"ratio_pre":${r3(preRatio)},"clean_warm":$cleanWarm$retriedSuffix"""
+    // the warm self-heal is never silent either: a retried warm
+    // records both brackets next to the chosen verdict
+    val warmRetriedSuffix =
+      if (warmRetried)
+        s""","warm_retried":true,"ratio_pre_first":${r3(preRatio1)},"ratio_pre_retry":${r3(warmRetry.map(_._3).getOrElse(-1.0))}"""
+      else ""
+    val calVerdicts = s""""ratio":${r3(calRatio)},"clean":$calClean,"ratio_sweep":${r3(sweepRatio)},"clean_sweep":$cleanSweep,"ratio_pre":${r3(preRatio)},"clean_warm":$cleanWarm,"verdict":"$verdict"$retriedSuffix$warmRetriedSuffix"""
     val cal = s"""{"pre_cold":$calPreCold,"pre_shots":[${preShots.mkString(",")}],"pre":$calPre,"first_shots":[${firstShots.mkString(",")}],"first":$calFirst,"mid":[${calMid.mkString(",")}],"last":$calLast,$calVerdicts}"""
     // the stdout-tail short line carries a SHOT-ARRAY-FREE calibration:
     // the driver's tail capture is ~2000 chars and every byte spent on
@@ -352,7 +474,14 @@ object Bench {
         .mkString("{", ",", "}")
       s""""queries_discarded":${jsonObj(w.results)},"errors_discarded":$errsJ,"ratio_sweep_discarded":${r3(w.ratio)},"""
     }.getOrElse("")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmSec,"queries_sec":$queriesSec,"heap_mb":$heapMb,$discardedJson"queries":$qs,"warm_breakdown":$wb,"errors":$errJson,"calibration":$cal,"sf":"$sfDir"}"""
+    // the LOSING warm measurement is evidence, not the verdict —
+    // whichever bracket lost (the original when the retry wins, the
+    // retry otherwise) rides the full artifact with its sentinels
+    val warmDiscardedJson = warmRetry.map { case (wb2, ws2, _, shots2, post2) =>
+      val (db, ds) = if (retryWins) (warmBreakdown1, warmSec1) else (wb2, ws2)
+      s""""warm_discarded":$ds,"warm_breakdown_discarded":${jsonObj(db)},"warmretry_pre_shots":[${shots2.mkString(",")}],"warmretry_post":$post2,"""
+    }.getOrElse("")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmSec,"queries_sec":$queriesSec,"heap_mb":$heapMb,$discardedJson$warmDiscardedJson"queries":$qs,"warm_breakdown":$wb,"errors":$errJson,"calibration":$cal,"sf":"$sfDir"}"""
     println(json)
     // sbt wraps stdout in [info] prefixes the driver can't parse — also
     // write the line to a file (optional first arg, default ./bench.json)

@@ -179,6 +179,10 @@ object ScaleProbe {
     val TransientCeiling = 4.0
     var lastAnchor = anchorStart
     var lastScan = scanStart
+    // whether the scan baseline we inherit came out of a bracket whose
+    // own shots AGREED (ADVICE r14 #5) — the session-start shot is the
+    // baseline by definition
+    var lastScanTrusted = true
     var sentinelN = 0
     val probeOut = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT",
       s"probe_x$copies.jsonl")
@@ -235,11 +239,11 @@ object ScaleProbe {
         b <= ScanBand * a || b - a <= 0.5
       val spre = lastScan
       var spost = scanSentinel(s"b$sentinelN")
-      var scanOk = scanAgree(spre, spost)
-      if (!scanOk) {
+      var scanOwn = scanAgree(spre, spost)
+      if (!scanOwn) {
         val transient0 = spost
         val again = scanSentinel(s"b${sentinelN}r")
-        scanOk = scanAgree(spre, again)
+        scanOwn = scanAgree(spre, again)
         spost = again
         // the same re-shot forgiveness ceiling as the compute axis: a
         // settled re-shot absolves a modest transient, never a stall —
@@ -250,16 +254,29 @@ object ScaleProbe {
         // the false-clean hole the ceiling closed on the CPU axis)
         if (transient0 > TransientCeiling * math.max(spre, spost) &&
             transient0 - math.max(spre, spost) > 0.5)
-          scanOk = false
+          scanOwn = false
       }
+      // the one-sided rule's residual hole (ADVICE r14 #5): when the
+      // inherited PRE shot was itself burst-inflated (the previous
+      // line's bracket disagreed), a fast post auto-passes while the
+      // burst's tail may have overlapped THIS measurement's start — so
+      // a line whose scan pre came out of a dirty bracket is SUSPECT
+      // whatever its own shots say. Trust restores on the bracket's
+      // own agreement: one dirty bracket costs exactly the next line,
+      // never a cascade.
+      val scanPreSuspect = !lastScanTrusted
+      val scanOk = scanOwn && !scanPreSuspect
+      lastScanTrusted = scanOwn
       lastScan = spost
       val anchored = computeOk && scanOk
       val transientJson =
         if (transient >= 0) f""","anchor_transient":$transient%.3f""" else ""
+      val suspectJson =
+        if (scanPreSuspect) ""","scan_pre_suspect":true""" else ""
       println(f"PROBE $label%-28s $sec%8.2f s rows=$n$extra " +
         f"anchors=$pre%.2f/$post%.2f scan=$spre%.2f/$spost%.2f " +
         f"anchored=$anchored")
-      jline(f"""{"probe":"$label","sec":$sec%.3f,"rows":$n,"anchor_pre":$pre%.3f,"anchor_post":$post%.3f,"scan_pre":$spre%.3f,"scan_post":$spost%.3f,"compute_ok":$computeOk,"scan_ok":$scanOk$transientJson,"anchored":$anchored}""")
+      jline(f"""{"probe":"$label","sec":$sec%.3f,"rows":$n,"anchor_pre":$pre%.3f,"anchor_post":$post%.3f,"scan_pre":$spre%.3f,"scan_post":$spost%.3f,"compute_ok":$computeOk,"scan_ok":$scanOk$transientJson$suspectJson,"anchored":$anchored}""")
     }
 
     def time(q: String): Unit =
@@ -907,6 +924,87 @@ object ScaleProbe {
       println(s"PROBE unified_gov_census_srcs        " +
         ops.IndexStore.channel(spark, idxDir, "mix_census")
           .select(col("source")).distinct().count())
+    }
+    // VERDICT r14 next #6: the SIXTH loop — the governed unified
+    // stream WITH payloads run past maxSnapshots with in-loop
+    // compaction + immediate vacuum, at scale. Own store root and
+    // labels (the unified_gov_* lines above stay work-identical for
+    // the cross-round compare). Claims under test: (1) the reclaim
+    // collapses the read fan-out (file census before/after), (2) the
+    // three-family reads answer bit-unchanged from the reclaimed
+    // store (count parity printed; bit-level pinned in StreamingSpec),
+    // (3) a reclaimed version refuses by name.
+    if (only.exists(_.contains("unified_vacuum"))) {
+      val idxDir = s"$dst/index_store_unified_vac"
+      rmRf(new java.io.File(idxDir))
+      val docs = Core.table(spark, dst, "documents")
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      val pays = Core.table(spark, dst, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val vecs = ops.Similarity.normalized(spark, dst)
+      val cents = ops.Similarity.ivfCentroids(spark, dst)
+      val g = gate(col("doc_id"))
+      val gv = gate(col("vec_id"))
+      timeNamed("unified_vac_write") {
+        ops.IndexStore.writeUnified(spark, docs.filter(g < 16384L),
+          vecs.filter(gv < 16384L), cents, idxDir, governed = true,
+          payloads = Some(pays.filter(g < 16384L)))
+        1L
+      }
+      spark.conf.set("graft.store.maxSnapshots", "3")
+      spark.conf.set("graft.store.vacuumOnCompact", "true")
+      spark.conf.set("graft.store.vacuumRetain", "2")
+      try {
+        def dataFiles(f: java.io.File): Long =
+          if (f.isFile) { if (!f.getName.startsWith("_") &&
+            !f.getName.startsWith(".") && !f.getName.endsWith(".crc")) 1L
+            else 0L }
+          else Option(f.listFiles()).getOrElse(Array.empty).map(dataFiles).sum
+        val preHist = scala.collection.mutable.ListBuffer.empty[String]
+        // six payload-carrying gated ticks of 8192 gate-units each —
+        // the compaction gate fires mid-loop (4th referenced snapshot)
+        // and the vacuum reclaims immediately with 2 versions retained
+        timeNamed("unified_vac_ticks6") {
+          for (i <- 0 until 6) {
+            val lo = 16384L + i * 8192L; val hi = lo + 8192L
+            preHist ++= ops.IndexStore.history(idxDir)
+            graft.streaming.StreamingOps.ingestAndMaintainUnifiedGoverned(
+              spark, idxDir, docs.filter(g >= lo && g < hi),
+              vecs.filter(gv >= lo && gv < hi), "src0", maxPsi = 5.0,
+              payloads = Some(pays.filter(g >= lo && g < hi))).count()
+          }
+          1L
+        }
+        val live = ops.IndexStore.history(idxDir).toSet
+        val dropped = preHist.toSet -- live
+        println(s"PROBE unified_vac_reclaimed          " +
+          s"versions=${dropped.size} live=${live.size} " +
+          s"files=${dataFiles(new java.io.File(idxDir))}")
+        val qterms = ops.TextOps.qtermsOf(spark, dst)
+        val qb = ops.Similarity.queryBatch(spark, dst, vecs)
+        Core.clearCaches(spark)
+        timeNamed("unified_vac_pair_read") {
+          val (lex, ann) = ops.IndexStore.retrievalFromUnified(spark,
+            idxDir, qterms, qb, nprobe = 4, k = 100)
+          lex.count() + ann.count()
+        }
+        timeNamed("unified_vac_drift_read") {
+          ops.IndexStore.driftFromStore(spark, idxDir, "src0").count()
+        }
+        // a reclaimed version refuses BY NAME, at scale too
+        dropped.headOption.foreach { gone =>
+          val refused =
+            try { ops.IndexStore.channelAt(spark, idxDir, gone,
+              "mix_census").count(); "NOT-REFUSED" }
+            catch { case e: IllegalStateException =>
+              if (e.getMessage.contains(gone)) "by-name" else "anonymous" }
+          println(s"PROBE unified_vac_dropped_refusal    $refused")
+        }
+      } finally {
+        spark.conf.unset("graft.store.maxSnapshots")
+        spark.conf.unset("graft.store.vacuumOnCompact")
+        spark.conf.unset("graft.store.vacuumRetain")
+      }
     }
     // unified store at scale (round 8): build the text + vector
     // families as ONE rolling store (writeUnified + 3 appendUnified

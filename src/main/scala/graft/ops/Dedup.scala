@@ -180,11 +180,17 @@ object Dedup {
     timedBuild("dedup.bandKeys") { bandKeys(s, dir).count(); () },
     timedBuild("dedup.clusterLabels") { clusterLabels(s, dir).count(); () },
     timedBuild("dedup.dupSpanStarts") { dupSpanStarts(s, dir).count(); () },
-    timedBuild("dedup.codedSets") { codedSets(s, dir).count(); () },
-    // q137's snapshot store: a maintained artifact that exists before a
-    // batch arrives — built (once per JVM) in the timed warm phase so
-    // the catalog query measures the incremental MERGE, not the
-    // once-per-snapshot write (VERDICT r5 next #5)
+    timedBuild("dedup.codedSets") { codedSets(s, dir).count(); () })
+
+  /** q137's snapshot store: a maintained artifact that exists before a
+    * batch arrives — built (once per JVM) in the timed warm phase so
+    * the catalog query measures the incremental MERGE, not the
+    * once-per-snapshot write (VERDICT r5 next #5). Split from [[warm]]
+    * (VERDICT r14 next #3): an independent store root whose build is
+    * job-latency-bound, so the bench stages it concurrently with the
+    * other families' store fixtures — its shared memo inputs are
+    * already built by the sequential frame phase. */
+  def warmStores(s: SparkSession, dir: String): Seq[(String, Double)] = Seq(
     timedBuild("dedup.snapshotStore") { snapshotStore(s, dir, 58982L); () })
 
   /** Session-memoized cluster labels over the corpus's LSH pair graph.
@@ -647,6 +653,19 @@ object Dedup {
     * (dir, gateLt) — a different corpus or gate gets its own store. */
   private val snapshotStores =
     scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+
+  /** Drop this family's warm-built store fixtures so Bench's
+    * warm-bracket self-heal (VERDICT r14 next #4) can re-run the warm
+    * phase iso-condition: the memo entry AND the store directory go
+    * (a rebuild onto a surviving root would append extra snapshots
+    * and change every timeline fixture). Only the bench calls this,
+    * after the query sweep — nothing reads the old roots again. */
+  private[graft] def resetWarmFixtures(): Unit =
+    snapshotStores.synchronized {
+      snapshotStores.values.foreach(p => IndexStore.deleteRec(new java.io.File(p)))
+      snapshotStores.clear()
+    }
+
   private def snapshotStore(s: SparkSession, dir: String, gateLt: Long): String =
     snapshotStores.synchronized {
       snapshotStores.getOrElseUpdate((dir, gateLt), {

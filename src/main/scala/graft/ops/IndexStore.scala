@@ -103,23 +103,55 @@ object IndexStore {
     * fan-out — dozens of small sequential parquet jobs per pair-atomic
     * snapshot, each paying scheduler latency, not CPU (SCALE.md
     * attributes the 100× q153 band to exactly this) — so the
-    * independent families overlap on the scheduler the same way the
-    * two warm bootstraps have since round 13. Every block writes its
-    * own staging subdirectory; the commit point (manifest + pointer
-    * rename) stays single and last, OUTSIDE this helper. Failure
-    * discipline: every block is awaited to completion before the FIRST
-    * failure (in block order, so refusal precedence is deterministic,
-    * not a thread race) is rethrown as-is — an aborted fold never
-    * leaves a live writer racing the caller, the staging dir is inert
-    * garbage either way, and crash-injection semantics are preserved
-    * (the injected exception type reaches the caller unchanged). */
+    * independent families overlap on the scheduler. Every block writes
+    * its own staging subdirectory; the commit point (manifest +
+    * pointer rename) stays single and last, OUTSIDE this helper.
+    *
+    * Execution (ADVICE r14): a DEDICATED daemon pool sized to the
+    * block fan-out — never ExecutionContext.global, whose shared pool
+    * the bench's two concurrent warm bootstraps already occupy: 10–14
+    * blocking parquet jobs without `blocking{}` wrappers would
+    * saturate it on low-core hosts and silently serialize the overlap
+    * this helper exists to buy.
+    *
+    * Failure discipline (ADVICE r14): FAIL FAST — the first failure to
+    * COMPLETE aborts the fold; the remaining blocks are interrupted
+    * (their staging output is inert garbage either way — never
+    * committed, reclaimed by vacuum) and drained with a bounded grace
+    * so a wedged writer can no longer hang the fold forever, then the
+    * observed failure is rethrown as-is (crash-injection semantics:
+    * the injected exception type reaches the caller unchanged). The
+    * deterministic refusals all fire before staging starts (the
+    * hoisted cheap-refusal discipline), so first-to-complete
+    * precedence here only ever races genuine I/O faults. */
   private def stageConcurrently(blocks: (() => Unit)*): Unit = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val done = blocks.map(b => Future(b()))
-      .map(f => Await.ready(f, Duration.Inf).value.get)
-    done.collectFirst { case scala.util.Failure(e) => throw e }
+    import java.util.concurrent._
+    if (blocks.isEmpty) return
+    val seq = new java.util.concurrent.atomic.AtomicInteger()
+    val pool = Executors.newFixedThreadPool(blocks.size,
+      (r: Runnable) => {
+        val t = new Thread(r, s"graft-stage-${seq.incrementAndGet()}")
+        t.setDaemon(true); t
+      })
+    try {
+      val ecs = new ExecutorCompletionService[Unit](pool)
+      val futs = blocks.map(b =>
+        ecs.submit(new Callable[Unit] { def call(): Unit = b() }))
+      var done = 0
+      while (done < blocks.size) {
+        try { ecs.take().get(); done += 1 } catch {
+          case e: ExecutionException =>
+            futs.foreach(_.cancel(true))
+            pool.shutdownNow()
+            // bounded grace for interrupted stragglers: Spark actions
+            // abort on interrupt within seconds; a writer that ignores
+            // even this no longer wedges the fold — its output is
+            // uncommitted staging garbage
+            pool.awaitTermination(120, TimeUnit.SECONDS)
+            throw e.getCause
+        }
+      }
+    } finally pool.shutdown()
   }
 
   private def pointer(root: String) = Paths.get(root, "_current")
@@ -1222,6 +1254,44 @@ object IndexStore {
   // media channel family
   // ---------------------------------------------------------------
 
+  /** Stage the media family's 1-row census (`media_stats`:
+    * n_payloads, n_blocks) into `snap` — the stats/vec_stats pattern
+    * (VERDICT r14 next #5): doc/media coverage divergence (the q165
+    * lockstep) was invisible to [[describeStore]]'s facts column
+    * without running the full q165 recompute; now it is a 1-row read
+    * in every describe/At/Timeline row. n_payloads counts the stored
+    * FINGERPRINT rows (sub-window payloads never land, matching the
+    * channel's own semantics); n_blocks the physical block rows —
+    * exactly 4 per fingerprint by the pigeonhole construction, so the
+    * 4:1 ratio is the integrity invariant a channel/census mismatch
+    * would expose. Merged per append with exact long arithmetic,
+    * inside the SAME commit as the media_sim_blocks delta. */
+  private def writeMediaStats(s: SparkSession, root: String, snap: String,
+      nPayloads: Long, nBlocks: Long): Map[String, Channel] = {
+    import s.implicits._
+    Seq((nPayloads, nBlocks)).toDF("n_payloads", "n_blocks")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/$snap/media_stats")
+    maybeCrash("media_stats")
+    Map("media_stats" -> Channel(Seq(s"$snap/media_stats"), "", ""))
+  }
+
+  /** The stored media census, BACKFILLED once for a pre-media_stats
+    * store from the channel itself (the vec_stats backfill pattern):
+    * block rows are exactly 4 per fingerprint, so one channel count
+    * recovers both numbers and the next commit persists them. */
+  private def mediaStatsOf(s: SparkSession, root: String,
+      prior: Map[String, Channel]): (Long, Long) =
+    prior.get("media_stats") match {
+      case Some(_) =>
+        val st = channelFrom(s, root, prior, "media_stats").head()
+        (st.getAs[Long]("n_payloads"), st.getAs[Long]("n_blocks"))
+      case None if prior.contains("media_sim_blocks") =>
+        val nb = channelFrom(s, root, prior, "media_sim_blocks").count()
+        (nb / 4, nb)
+      case None => (0L, 0L)
+    }
+
   /** Multimodal payload near-dup channel: the byte-shingle SimHash
     * pigeonhole blocks of each binary payload (q141's fingerprint),
     * persisted block-partitioned exactly like the word-level
@@ -1242,13 +1312,15 @@ object IndexStore {
           "store would wedge every later append/screen; initialize with " +
           "at least one fingerprintable payload")
       val snap = beginSnap(out)
+      val batchN = printable.count()
       Dedup.simBlocks(printable)
         .write.mode(SaveMode.Overwrite).partitionBy("b")
         .parquet(s"$out/$snap/media_sim_blocks")
       maybeCrash("media_sim_blocks")
       commitSnap(out, snap, (prior + ("media_sim_blocks" ->
         Channel(relIfData(out, s"$snap/media_sim_blocks"), "b", "")))
-        .filter(_._2.paths.nonEmpty), base)
+        .filter(_._2.paths.nonEmpty) ++
+        writeMediaStats(s, out, snap, batchN, 4 * batchN), base)
     } finally releaseCheckpoint(printable)
   }
 
@@ -1268,13 +1340,17 @@ object IndexStore {
           channelFrom(s, indexDir, prior, "media_sim_blocks"),
           fingerprint = Some("sim")).isDefined) {
         val snap = beginSnap(indexDir)
+        val (pn, pb) = mediaStatsOf(s, indexDir, prior)
+        val batchN = printable.count()
         Dedup.simBlocks(printable)
           .write.mode(SaveMode.Overwrite).partitionBy("b")
           .parquet(s"$indexDir/$snap/media_sim_blocks")
         maybeCrash("media_sim_blocks")
         commitSnap(indexDir, snap, prior + ("media_sim_blocks" ->
           prior("media_sim_blocks").copy(paths = prior("media_sim_blocks").paths ++
-            relIfData(indexDir, s"$snap/media_sim_blocks"))), base)
+            relIfData(indexDir, s"$snap/media_sim_blocks"))) ++
+          writeMediaStats(s, indexDir, snap, pn + batchN, pb + 4 * batchN),
+          base)
       }
     } finally releaseCheckpoint(printable)
   }
@@ -2369,7 +2445,7 @@ object IndexStore {
       if (f.isFile) { if (!f.getName.startsWith("_") &&
         !f.getName.startsWith(".") && !f.getName.endsWith(".crc")) 1L else 0L }
       else Option(f.listFiles()).getOrElse(Array.empty).map(dataFiles).sum
-    val censusChannels = Set("stats", "vec_stats", "proj_stats")
+    val censusChannels = Set("stats", "vec_stats", "proj_stats", "media_stats")
     m.toSeq.sortBy(_._1).map { case (name, ch) =>
       val files = ch.paths.map(p => new java.io.File(s"$root/$p"))
       val facts = if (censusChannels(name)) {
@@ -2436,10 +2512,9 @@ object IndexStore {
         "unified store would wedge later folds; bootstrap with a " +
         "non-empty corpus slice and a trained model")
     // every cheap refusal fires BEFORE any staging thread launches
-    // (review r14): stageConcurrently awaits all blocks to completion
-    // before rethrowing, so a require left inside a block would pay
-    // the other families' full staging before refusing — the
-    // sequential code refused earlier, and the fix is to refuse
+    // (review r14): a require left inside a block would race the other
+    // families' staging and make refusal precedence a thread race —
+    // the sequential code refused earlier, and the fix is to refuse
     // earlier still (one small isEmpty job per optional family)
     proj.foreach { case (units, fineVecs) =>
       require(!units.isEmpty && !fineVecs.isEmpty,
@@ -2510,13 +2585,15 @@ object IndexStore {
               "media-channel-less store would wedge every later payload " +
               "fold; bootstrap with at least one fingerprintable payload, " +
               "or omit the payloads side")
+          val batchN = printable.count()
           Dedup.simBlocks(printable)
             .write.mode(SaveMode.Overwrite).partitionBy("b")
             .parquet(s"$out/$snap/media_sim_blocks")
           maybeCrash("media_sim_blocks")
           Map("media_sim_blocks" ->
             Channel(relIfData(out, s"$snap/media_sim_blocks"), "b", ""))
-            .filter(_._2.paths.nonEmpty)
+            .filter(_._2.paths.nonEmpty) ++
+            writeMediaStats(s, out, snap, batchN, 4 * batchN)
         } finally releaseCheckpoint(printable)
       },
       () => n = vectors.count())
@@ -2532,7 +2609,8 @@ object IndexStore {
     commitSnap(out, snap,
       prior -- Seq("postings", "doc_lens", "stats",
         "centroids", "cells", "vec_stats", "mix_census",
-        "proj_units", "exact_vecs", "proj_stats", "media_sim_blocks") ++
+        "proj_units", "exact_vecs", "proj_stats",
+        "media_sim_blocks", "media_stats") ++
         tchs.filter { case (nm, c) =>
           nm == "stats" || c.paths.exists(p => hasData(s"$out/$p")) } ++
         Map(
@@ -2729,12 +2807,15 @@ object IndexStore {
       // media fingerprint blocks ride the SAME commit (third family);
       // an exact media replay skips with the other deltas
       () => mediaChs = mediaGo.map { _ =>
+        val (pn, pb) = mediaStatsOf(s, root, prior)
+        val batchN = mediaPrintable.get.count()
         Dedup.simBlocks(mediaPrintable.get)
           .write.mode(SaveMode.Overwrite).partitionBy("b")
           .parquet(s"$root/$snap/media_sim_blocks")
         maybeCrash("media_sim_blocks")
         Map("media_sim_blocks" ->
-          Channel(Seq(s"$snap/media_sim_blocks"), "b", ""))
+          Channel(Seq(s"$snap/media_sim_blocks"), "b", "")) ++
+          writeMediaStats(s, root, snap, pn + batchN, pb + 4 * batchN)
       })
     def appended(name: String, chs: Map[String, Channel]) = {
       val fresh = chs(name).paths.flatMap(p => relIfData(root, p))
@@ -2757,7 +2838,8 @@ object IndexStore {
       }.filter(_._2.paths.nonEmpty) ++
       projChs.getOrElse(Map.empty) ++
       mediaChs.toSeq.flatMap(c =>
-        Seq(appended("media_sim_blocks", c)).filter(_._2.paths.nonEmpty)),
+        Seq(appended("media_sim_blocks", c)).filter(_._2.paths.nonEmpty) :+
+          ("media_stats" -> c("media_stats"))),
       base)
     } finally mediaPrintable.foreach(releaseCheckpoint)
   }

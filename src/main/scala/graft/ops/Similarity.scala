@@ -1400,9 +1400,14 @@ object Similarity {
     timedBuild("similarity.withNorm") { withNorm(s, dir).count(); () },
     timedBuild("similarity.normalized") { normalized(s, dir).count(); () },
     timedBuild("similarity.ivfCentroids") { ivfCentroids(s, dir).count(); () },
-    timedBuild("similarity.queryIds") { queryIds(s, dir).count(); () },
-    // q140's persisted IVF index — built once per JVM in the timed
-    // warm phase (the q137/q139 maintained-artifact pattern)
+    timedBuild("similarity.queryIds") { queryIds(s, dir).count(); () })
+
+  /** q140's persisted IVF index — built once per JVM in the timed
+    * warm phase (the q137/q139 maintained-artifact pattern). Split
+    * from [[warm]] (VERDICT r14 next #3): the bench stages the
+    * independent store fixtures concurrently once the memoized inputs
+    * (normalized, centroids — this family's [[warm]]) exist. */
+  def warmStores(s: SparkSession, dir: String): Seq[(String, Double)] = Seq(
     timedBuild("similarity.vectorStore") { vectorStore(s, dir); () })
 
   /** The q153-family unified bootstrap, split out of [[warm]] so the
@@ -1431,6 +1436,17 @@ object Similarity {
     * semantic routes (IVF-by-cell and projected-by-dimension), so a
     * batch hybrid can swap its semantic arm without a second pointer
     * to race. */
+  /** The Dedup.resetWarmFixtures contract for this family's three
+    * warm-built store roots (vector / unified / unified-serving) —
+    * Bench's warm-bracket self-heal only. */
+  private[graft] def resetWarmFixtures(): Unit = Seq(
+    vectorStores, unifiedStores, unifiedServingStores).foreach { m =>
+    m.synchronized {
+      m.values.foreach(p => IndexStore.deleteRec(new java.io.File(p)))
+      m.clear()
+    }
+  }
+
   private val vectorStores =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private[graft] def vectorStore(s: SparkSession, dir: String): String =

@@ -52,4 +52,36 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(Bench.chooseWindow(dirty, Some(slightly)) eq slightly)
     assert(!Bench.chooseWindow(dirty, Some(slightly)).clean)
   }
+
+  test("warm retry fires exactly on a dirty warm bracket under a CLEAN sweep (VERDICT r14 next #4)") {
+    assert(Bench.wantWarmRetry(Some(true), Some(false), isolation = false))
+    assert(!Bench.wantWarmRetry(Some(true), Some(true), isolation = false),
+      "a clean warm bracket buys nothing")
+    assert(!Bench.wantWarmRetry(Some(false), Some(false), isolation = false),
+      "a dirty sweep makes its median an unusable warm yardstick — the sweep retry owns that case")
+    assert(!Bench.wantWarmRetry(None, Some(false), isolation = false) &&
+      !Bench.wantWarmRetry(Some(true), None, isolation = false),
+      "underdetermined brackets never buy a retry")
+    assert(!Bench.wantWarmRetry(Some(true), Some(false), isolation = true),
+      "isolation mode has no warm bracket")
+  }
+
+  test("the retried warm wins only when strictly cleaner and determinable") {
+    assert(Bench.chooseWarmRetry(3.0, 1.2))
+    assert(!Bench.chooseWarmRetry(3.0, 3.0), "equal is not cleaner")
+    assert(!Bench.chooseWarmRetry(3.0, 4.1), "a dirtier retry never displaces the evidence it was meant to heal")
+    assert(!Bench.chooseWarmRetry(3.0, -1.0), "an undetermined retry bracket never wins")
+    assert(Bench.chooseWarmRetry(-1.0, 1.2),
+      "an undetermined first bracket yields to any determinable retry")
+  }
+
+  test("the top-level verdict is the per-regime conjunction; underdetermined brackets read unknown, never clean") {
+    assert(Bench.verdictOf(Some(true), Some(true)) == "clean")
+    assert(Bench.verdictOf(Some(true), Some(false)) == "dirty")
+    assert(Bench.verdictOf(Some(false), Some(true)) == "dirty")
+    assert(Bench.verdictOf(Some(false), Some(false)) == "dirty")
+    assert(Bench.verdictOf(None, Some(true)) == "unknown")
+    assert(Bench.verdictOf(Some(true), None) == "unknown")
+    assert(Bench.verdictOf(None, None) == "unknown")
+  }
 }

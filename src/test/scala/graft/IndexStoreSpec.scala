@@ -490,6 +490,60 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("media_stats rides every media commit: write/append/compact in lockstep, replay-skips unmoved, pre-r15 stores backfilled (VERDICT r14 next #5)") {
+    def noisy(seed: Long) = {
+      var x = seed
+      (0 until 400).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ('a' + math.floorMod(x >>> 33, 26L).toInt).toChar
+      }.mkString
+    }
+    def pay(ids: Seq[Long]) = ids.map(i => i -> noisy(i * 31 + 7))
+      .toDF("doc_id", "payload")
+      .withColumn("payload", $"payload".cast("binary"))
+    def stats(root: String) = {
+      val r = ops.IndexStore.channel(spark, root, "media_stats").head()
+      (r.getAs[Long]("n_payloads"), r.getAs[Long]("n_blocks"))
+    }
+    val idx = tmp("mstats")
+    ops.IndexStore.writeMedia(spark, pay(Seq(1L, 2L)), idx)
+    assert(stats(idx) == ((2L, 8L)), stats(idx).toString)
+    ops.IndexStore.appendMedia(spark, idx, pay(Seq(3L)))
+    assert(stats(idx) == ((3L, 12L)), "append must merge the census")
+    ops.IndexStore.appendMedia(spark, idx, pay(Seq(3L)))
+    assert(stats(idx) == ((3L, 12L)),
+      "an exact replay skips — the census must not move")
+    ops.IndexStore.compact(spark, idx)
+    assert(stats(idx) == ((3L, 12L)), "compaction moved the media census")
+    // the facts column carries it at every version — the q165
+    // doc/media divergence is now a timeline read, not a recompute
+    val tl = ops.IndexStore.describeStoreTimeline(spark, idx).collect()
+      .filter(_.getString(2) == "media_stats")
+      .sortBy(_.getInt(0)).map(_.getString(8)).toSeq
+    assert(tl == Seq("n_payloads=2 n_blocks=8", "n_payloads=3 n_blocks=12",
+      "n_payloads=3 n_blocks=12"), tl.mkString("; "))
+    // BACKFILL: the r13 frozen store predates media_stats — the first
+    // media append onto it recovers the census from the channel itself
+    // (4 block rows per fingerprint) and persists it forward
+    val legacy = tmp("mstats-legacy")
+    def cp(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        src.listFiles().foreach(f => cp(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    cp(new java.io.File("src/test/resources/r13_store"),
+      new java.io.File(legacy))
+    val pre = ops.IndexStore.channel(spark, legacy, "media_sim_blocks").count()
+    assert(!ops.IndexStore.manifestAt(legacy,
+        ops.IndexStore.history(legacy).last).contains("media_stats"),
+      "fixture rot: the r13 store must predate media_stats")
+    ops.IndexStore.appendMedia(spark, legacy, pay(Seq(9001L, 9002L)))
+    assert(stats(legacy) == ((pre / 4 + 2, pre + 8)),
+      s"backfill must recover the pre-r15 census: ${stats(legacy)} vs $pre")
+  }
+
   test("bloom OR-merge: steady-state folds skip the fp-channel scan; blob ≡ fresh build; capacity crossing rebuilds once") {
     def docsOf(r: Range) = r.map(i =>
       (i.toLong, s"unique document number $i carrying words w${i}a w${i}b")).toDF("doc_id", "text")

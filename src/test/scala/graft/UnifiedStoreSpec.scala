@@ -497,6 +497,20 @@ class UnifiedStoreSpec extends SparkSpec {
         .collect().toSeq == uniPairs &&
       lex(srv) == lex0 && ann(srv, 0) == ann0,
       "the serving clone changed a three-family unified read")
+    // the media census (media_stats, VERDICT r14 next #5) tracks the
+    // unified folds in lockstep with the standalone store — the 1-row
+    // facts read that makes doc/media coverage divergence visible on
+    // the operational surface — and neither compaction nor the
+    // serving clone moves it
+    def mstats(r: String) = {
+      val row = ops.IndexStore.channel(spark, r, "media_stats").head()
+      (row.getAs[Long]("n_payloads"), row.getAs[Long]("n_blocks"))
+    }
+    assert(mstats(root) == mstats(mroot) &&
+      mstats(root)._2 == 4 * mstats(root)._1,
+      s"unified media census diverged: ${mstats(root)} vs ${mstats(mroot)}")
+    assert(mstats(srv) == mstats(root),
+      "the serving clone moved the media census")
   }
 
   test("a crash between the media write and the pair commit leaves readers on the old snapshot") {
