@@ -590,6 +590,11 @@ object ScaleProbe {
     // read at all), so the cost is O(batch tokens) md5s ×2 + a 64-bin
     // grid — the gate family's cheapest member by construction
     timeForced("q168_word_order_gate", ("n_toks", "psi_order"))
+    // q169 walks the re-anchor cycle's 4-version timeline — the first
+    // run pays the once-per-JVM fixture ingest (governed bootstrap +
+    // gated hold fold + reanchorCensus commit + recovered fold, all
+    // md5-text); the walk itself is census reads only, q152's class
+    timeForced("q169_census_reanchor_timeline", ("source", "psi_nchars"))
     if (only.forall(_.contains("q88_canonical_dedup"))) {
       // force the normalizer + keeper window: aggregate over BOTH
       // computed columns so column pruning can't elide them

@@ -2687,7 +2687,8 @@ object IndexStore {
       docs: DataFrame, vectors: DataFrame,
       raw: Option[DataFrame] = None,
       payloads: Option[DataFrame] = None,
-      preTok: Option[DataFrame] = None): Unit = {
+      preTok: Option[DataFrame] = None,
+      preCensus: Option[DataFrame] = None): Unit = {
     val dEmpty = docs.isEmpty
     val vEmpty = vectors.isEmpty
     val hasProj = prior.contains("proj_stats")
@@ -2778,10 +2779,18 @@ object IndexStore {
       // a governed unified store extends its census on every DOCS-side
       // fold (same additive-delta contract as the dedup family's append);
       // a vectors-only catch-up leaves the doc-mix timeline untouched
-      // (format-guarded at the top of appendUnifiedFrom, before staging)
+      // (format-guarded at the top of appendUnifiedFrom, before staging).
+      // `preCensus` (VERDICT r14 next #2): the GATED path already paid
+      // this batch's census explode for its verdict — the fold writes
+      // that checkpointed ~O(sources × 71)-row bins frame instead of
+      // exploding the batch a second time (bins are per-source
+      // additive, so gate-bins-minus-held ≡ censusBins(admitted)
+      // bit-identically; the unified fold does not screen, which is
+      // what makes the reuse safe — the dedup family's screen makes
+      // kept ≠ admitted, so IT still censuses its own kept frame)
       () => census =
         if (prior.contains("mix_census") && textGo.isDefined) Some {
-          val c = censusRequired("appendUnified", docs)
+          val c = preCensus.getOrElse(censusRequired("appendUnified", docs))
           c.write.mode(SaveMode.Overwrite).parquet(s"$root/$snap/mix_census")
           maybeCrash("mix_census")
           c
@@ -2940,7 +2949,23 @@ object IndexStore {
           "(or in the same tick); the media-only catch-up is legal " +
           "only for docs already folded through this gate")
     }
-    val rep = batchDriftVsStoreFrom(s, root, prior, docs, anchor)
+    // ONE census explode for the whole gated fold (VERDICT r14 next
+    // #2): the gate's verdict and the fold's mix_census delta both
+    // need censusBins(batch) — previously two full batch explodes per
+    // tick. The bins frame is the AGGREGATED ~O(sources × 71)-row
+    // census (not the q149-vetoed 26M-row token frame), so the
+    // checkpoint is a 1-row-stats-class materialization; the fold
+    // consumes bins-minus-held, which equals censusBins(admitted)
+    // bit-identically because bins are per-source additive and holds
+    // are whole-source (the unified fold does not screen).
+    val batchBins = censusRequired("appendUnifiedGated", docs)
+      .localCheckpoint()
+    try {
+    val rep = Selection.psiFromBins(
+        channelFrom(s, root, prior, "mix_census")
+          .filter(col("source") === anchor)
+          .unionByName(batchBins.filter(col("source") =!= anchor)),
+        anchor)
       .select(col("source"), col("n_docs"), col("psi_nchars"),
         col("psi_ntokens"), col("psi_nonalpha"), col("psi_tokhash"),
         col("psi_max"), (col("psi_max") > maxPsi).as("held"))
@@ -2961,6 +2986,9 @@ object IndexStore {
           raw.map(_.join(heldIds, Seq("vec_id"), "left_anti")),
           payloads.map(_.join(heldDocIds, Seq("doc_id"), "left_anti")))
       }
+    val censusDelta =
+      if (heldSrcs.isEmpty) batchBins
+      else batchBins.filter(!col("source").isin(heldSrcs: _*))
     // a hold that empties the vector side empties its raw pairing with
     // it — appendUnifiedFrom's vectors-less-raw refusal is for CALLER
     // mispairing, not for the breaker's own anti-join (an emptied
@@ -2970,9 +2998,10 @@ object IndexStore {
       if (admittedRaw.isDefined && admittedVecs.isEmpty) None
       else admittedRaw
     appendUnifiedFrom(s, root, base, prior, admittedDocs, admittedVecs,
-      rawEff, admittedPayloads, preTok)
+      rawEff, admittedPayloads, preTok, preCensus = Some(censusDelta))
     rep.toDF("source", "n_docs", "psi_nchars", "psi_ntokens",
       "psi_nonalpha", "psi_tokhash", "psi_max", "held")
+    } finally releaseCheckpoint(batchBins)
   }
 
   /** The hybrid read pair from a unified store: ONE manifest
