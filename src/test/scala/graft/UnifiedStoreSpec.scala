@@ -651,6 +651,49 @@ class UnifiedStoreSpec extends SparkSpec {
       "a media replay of gated-in docs must skip idempotently")
   }
 
+  test("reanchorCensus is channel-generic: the UNIFIED store's hold → re-anchor → pass cycle touches only mix_census (VERDICT r14 next #1)") {
+    def gdocs(ids: Range, src: String, shift: Long) = ids.map { i =>
+      (i.toLong, s"alpha token$i beta${i % 3} gamma delta${i % 2}",
+        src, 120L + (i % 3) * 40 + shift)
+    }.toDF("doc_id", "text", "source", "n_chars")
+    val root = tmp("reauni")
+    ops.IndexStore.writeUnified(spark,
+      gdocs(0 to 19, "src0", 0L).unionByName(gdocs(20 to 39, "srcA", 0L)),
+      vecsOf(0 to 39), cents, root, governed = true)
+    // a +480-shifted tick is HELD out of BOTH families
+    val rep1 = ops.IndexStore.appendUnifiedGated(spark, root,
+      gdocs(40 to 49, "srcB", 480L), vecsOf(40 to 49), "src0")
+    assert(rep1.filter($"held").select("source").as[String]
+      .collect().toSeq == Seq("srcB"))
+    val vOld = ops.IndexStore.history(root).last
+    val driftOld = ops.IndexStore.driftFromStore(spark, root, "src0")
+      .collect().toSeq
+    // the curated reference legitimately moved to the shifted regime
+    ops.IndexStore.reanchorCensus(spark, root, "src0",
+      gdocs(100 to 119, "src0", 480L))
+    // ONLY mix_census changed in the re-anchor commit — the text,
+    // vector and census channels of every other family carried forward
+    val (mOld, mRea) = (ops.IndexStore.manifestAt(root, vOld),
+      ops.IndexStore.manifestAt(root, ops.IndexStore.history(root).last))
+    assert(mRea("mix_census") != mOld("mix_census") &&
+      (mRea - "mix_census") == (mOld - "mix_census"),
+      "a unified re-anchor must replace mix_census and nothing else")
+    // the SAME probe construction now passes the SAME gate, and its
+    // pair folds into BOTH families
+    val rep2 = ops.IndexStore.appendUnifiedGated(spark, root,
+      gdocs(50 to 59, "srcB", 480L), vecsOf(50 to 59), "src0")
+    assert(rep2.filter($"held").isEmpty,
+      "the probe must pass against the re-baselined anchor")
+    assert(ops.IndexStore.channel(spark, root, "doc_lens")
+      .filter($"doc_id".between(50, 59)).count() == 10)
+    assert(ops.IndexStore.channel(spark, root, "cells")
+      .filter($"vec_id".between(50, 59)).count() == 10)
+    // prior versions keep replaying against the OLD anchor
+    assert(ops.IndexStore.driftFromStoreAt(spark, root, vOld, "src0")
+      .collect().toSeq == driftOld,
+      "re-anchor must not rewrite the unified drift history")
+  }
+
   test("the gated fold refuses an ungoverned unified store — no anchor census to hold against") {
     val root = tmp("ungov")
     ops.IndexStore.writeUnified(spark, gdocs(0 to 5, "src0"), vecsOf(0 to 5),
