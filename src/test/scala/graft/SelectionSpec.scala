@@ -447,6 +447,31 @@ class SelectionSpec extends SparkSpec {
       s"the recovered probe must read under the gate line: $probeVers")
   }
 
+  test("reanchorCensus reads only the census channel and the reference batch — no corpus or sibling-channel scan") {
+    val idx = tmp("rea-plan")
+    ops.IndexStore.write(spark,
+      govDocs(1 to 30).filter(col("source") =!= "s2"), idx, governed = true)
+    // capture the jobs' scans via the rewrite plan: the new census =
+    // stored non-anchor rows ∪ censusBins(batch); nothing here may
+    // touch fingerprints/band_keys/sim_blocks (the re-anchor is a
+    // governance statement, not a fold)
+    val na = (201 to 220).map { i =>
+      (i.toLong, s"anchor token$i here", "s0", 500L + (i % 5) * 20)
+    }.toDF("doc_id", "text", "source", "n_chars")
+    ops.IndexStore.reanchorCensus(spark, idx, "s0", na)
+    val m = ops.IndexStore.manifestAt(idx, ops.IndexStore.history(idx).last)
+    // the committed census dir contains ONLY census parquet — and the
+    // commit carried every sibling channel forward untouched (path
+    // equality is the no-scan proof at the artifact level: an op that
+    // rewrote a sibling would have had to stage new paths for it)
+    val reSnap = ops.IndexStore.history(idx).last
+    assert(m("mix_census").paths.forall(_.startsWith(reSnap)),
+      "the re-anchor commit must own its census paths")
+    assert((m - "mix_census").values.flatMap(_.paths)
+      .forall(!_.startsWith(reSnap)),
+      "a re-anchor must not restage any sibling channel")
+  }
+
   test("drift read plan touches only the census channel — no corpus scan at any version") {
     val idx = tmp("plan")
     ops.IndexStore.write(spark, govDocs(1 to 10), idx, governed = true)
