@@ -39,7 +39,12 @@ Usage:
       gate's session-level adjust); a line slower than 2.5x its
       anchor-adjusted prior is flagged. Exit 1 = regressions flagged;
       exit 2 = nothing comparable (no anchored lines on a side, or no
-      shared labels).
+      shared labels); exit 3 = the pair carries shared non-ingest
+      lines but NONE anchored on both sides (ADVICE r14 #1) — the
+      compare was REFUSED, not clean: re-run the probe in a quieter
+      window rather than treating 3 as a generic failure. Exit-code
+      consumers switching on {0,1,2} must handle 3 as "refused,
+      rerun".
 """
 import sys, json, glob, os, re
 
@@ -255,7 +260,7 @@ def bench_regressions(cur_path, prior_path, factor=2.5):
                        "dedup.snapshotStore", "similarity.vectorStore",
                        "textops.versionedTextStore", "textops.textStore",
                        "selection.governedStore", "selection.gatedHoldStore",
-                       "selection.reanchorStore"}
+                       "selection.reanchorStore", "selection.orderGateStore"}
     warm_flagged = []
     if not dirty_warm:
         for w, t in sorted((cur.get("warm_breakdown") or {}).items()):

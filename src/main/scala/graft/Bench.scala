@@ -196,7 +196,17 @@ object Bench {
           : (Seq[(String, Double)], Double) = {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(parts.size)
+        // DAEMON workers (ADVICE r15): a wedged store build leaves
+        // Await.result(Inf) hung either way, but non-daemon workers
+        // would additionally pin the JVM open against a driver
+        // interrupt — match the stageConcurrently discipline
+        val seq = new java.util.concurrent.atomic.AtomicInteger()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          parts.size,
+          (r: Runnable) => {
+            val t = new Thread(r, s"graft-warm-${seq.incrementAndGet()}")
+            t.setDaemon(true); t
+          })
         implicit val ec: scala.concurrent.ExecutionContextExecutorService =
           scala.concurrent.ExecutionContext.fromExecutorService(pool)
         val t0 = System.nanoTime()
@@ -479,7 +489,15 @@ object Bench {
     // retry otherwise) rides the full artifact with its sentinels
     val warmDiscardedJson = warmRetry.map { case (wb2, ws2, _, shots2, post2) =>
       val (db, ds) = if (retryWins) (warmBreakdown1, warmSec1) else (wb2, ws2)
-      s""""warm_discarded":$ds,"warm_breakdown_discarded":${jsonObj(db)},"warmretry_pre_shots":[${shots2.mkString(",")}],"warmretry_post":$post2,"""
+      // heal_overhead_sec (ADVICE r15): `value` = queries + the CHOSEN
+      // warm bracket only, but the session also paid the discarded
+      // warm phase and the retry's sentinels — recorded as its own
+      // wall field so a cross-round compare can see that a healed
+      // run's `value` under-states the session wall by exactly this
+      // much (and never misreads a heal as a speedup)
+      val healOverhead = r3(ds + shots2.filter(_ > 0).sum +
+        math.max(post2, 0.0))
+      s""""warm_discarded":$ds,"warm_breakdown_discarded":${jsonObj(db)},"warmretry_pre_shots":[${shots2.mkString(",")}],"warmretry_post":$post2,"heal_overhead_sec":$healOverhead,"""
     }.getOrElse("")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","warm":$warmSec,"queries_sec":$queriesSec,"heap_mb":$heapMb,$discardedJson$warmDiscardedJson"queries":$qs,"warm_breakdown":$wb,"errors":$errJson,"calibration":$cal,"sf":"$sfDir"}"""
     println(json)

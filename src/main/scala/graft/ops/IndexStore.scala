@@ -146,8 +146,17 @@ object IndexStore {
             // bounded grace for interrupted stragglers: Spark actions
             // abort on interrupt within seconds; a writer that ignores
             // even this no longer wedges the fold — its output is
-            // uncommitted staging garbage
-            pool.awaitTermination(120, TimeUnit.SECONDS)
+            // uncommitted staging garbage. A straggler that outlives
+            // even the grace is SURFACED (ADVICE r15): the caller is
+            // about to unwind while a daemon thread may still write
+            // staging files — harmless to committed state (nothing
+            // references the staging dir), but an operator diagnosing
+            // the original fault should see the wedge, not infer it.
+            if (!pool.awaitTermination(120, TimeUnit.SECONDS))
+              System.err.println("[graft] stageConcurrently: a staging " +
+                "writer ignored interrupt for 120 s and may still be " +
+                "writing into the uncommitted staging dir; propagating " +
+                s"the original failure anyway: ${e.getCause}")
             throw e.getCause
         }
       }
@@ -1130,10 +1139,27 @@ object IndexStore {
     * (decisions for the admitted docs, per-source drift report). The
     * report is collected driver-side — bounded at O(sources) rows,
     * the 1-row-stats-head class — so no checkpoint lingers per
-    * streaming tick. */
+    * streaming tick.
+    *
+    * `orderGate` (opt-in; VERDICT r15 next #1): the four persisted
+    * marginals are position-free by construction, so a source that
+    * systematically CANONICALIZES token order (sorts, clusters by
+    * token identity) keeps an identical census and sails through the
+    * PSI gate — the exact hole q168's self-null screen detects at
+    * 5.8–7.5× its line. With orderGate on, each non-anchor batch
+    * source's [[Selection.orderShiftPsi]] (observed hashed
+    * (token, position-quartile) distribution vs the source's OWN
+    * exchangeability null — census-free, no fifth persisted marginal,
+    * honoring the r13/r14 measurement veto) is folded into `held`
+    * behind the census's [[Selection.MinTokhashEvidence]] floor: a
+    * source past `maxOrderPsi` is held out exactly like a PSI hold,
+    * and the report gains a `psi_order` column. Cost: two extra
+    * map-side-combined token passes over the BATCH (never the store),
+    * which is why it is opt-in rather than default. */
   def screenAndFoldGated(s: SparkSession, indexDir: String,
       batch: DataFrame, anchor: String,
-      maxPsi: Double = 0.25): (DataFrame, DataFrame) = {
+      maxPsi: Double = 0.25, orderGate: Boolean = false,
+      maxOrderPsi: Double = 0.25): (DataFrame, DataFrame) = {
     import s.implicits._
     // ONE (base, prior) capture for the whole gate+fold: the census
     // the verdict is computed against is the census the fold commits
@@ -1153,13 +1179,50 @@ object IndexStore {
         col("psi_max"), (col("psi_max") > maxPsi).as("held"))
       .as[(String, Long, Double, Double, Double, Double, Double, Boolean)]
       .collect().toSeq
-    val heldSrcs = rep.filter(_._8).map(_._1)
+    val ord = orderVerdict(s, batch, anchor, orderGate, maxOrderPsi)
+    val heldSrcs = (rep.filter(_._8).map(_._1) ++
+      ord.collect { case (src, (_, true)) => src }).distinct
     val admitted =
       if (heldSrcs.isEmpty) batch
       else batch.filter(!col("source").isin(heldSrcs: _*))
     (screenAndFoldFrom(s, indexDir, base, prior, admitted),
+      gateReport(s, rep, ord, orderGate))
+  }
+
+  /** The order-screen verdicts of a gated fold's non-anchor batch
+    * sources: source -> (psi_order, held-by-order). Empty when the
+    * gate is off; a source with no order row (no tokens at all) is
+    * below any evidence floor and cannot be order-held. Shared by
+    * [[screenAndFoldGated]] and [[appendUnifiedGated]]. */
+  private def orderVerdict(s: SparkSession, batch: DataFrame,
+      anchor: String, orderGate: Boolean,
+      maxOrderPsi: Double): Map[String, (Double, Boolean)] = {
+    import s.implicits._
+    if (!orderGate) Map.empty
+    else Selection.orderShiftPsi(batch.filter(col("source") =!= anchor))
+      .select(col("source"), col("n_toks"), col("psi_order"))
+      .as[(String, Long, Double)].collect()
+      .map { case (src, nToks, psi) => src ->
+        (psi, nToks >= Selection.MinTokhashEvidence && psi > maxOrderPsi) }
+      .toMap
+  }
+
+  /** The gated fold's report frame: the four-marginal columns always;
+    * `psi_order` added and the order verdict folded into `held` only
+    * when the order gate ran (schema back-compat for every existing
+    * gate consumer). */
+  private def gateReport(s: SparkSession,
+      rep: Seq[(String, Long, Double, Double, Double, Double, Double, Boolean)],
+      ord: Map[String, (Double, Boolean)], orderGate: Boolean): DataFrame = {
+    import s.implicits._
+    if (!orderGate)
       rep.toDF("source", "n_docs", "psi_nchars", "psi_ntokens",
-        "psi_nonalpha", "psi_tokhash", "psi_max", "held"))
+        "psi_nonalpha", "psi_tokhash", "psi_max", "held")
+    else rep.map { case (src, nd, pc, pt, pa, ph, mx, held) =>
+      val (psiOrd, heldOrd) = ord.getOrElse(src, (0.0, false))
+      (src, nd, pc, pt, pa, ph, mx, psiOrd, held || heldOrd)
+    }.toDF("source", "n_docs", "psi_nchars", "psi_ntokens",
+      "psi_nonalpha", "psi_tokhash", "psi_max", "psi_order", "held")
   }
 
   /** Audited census anchor RE-BASELINE — the governance lifecycle's
@@ -2525,6 +2588,26 @@ object IndexStore {
     val projIdentity = proj.map { case (units, fineVecs) =>
       projIdentityOf("writeUnified", units, fineVecs)
     }
+    // the remaining two DETERMINISTIC refusals, hoisted ahead of the
+    // concurrent staging like the rest (ADVICE r15): under
+    // first-failure-to-complete semantics a require left inside a
+    // staged block makes refusal precedence a thread race. The census
+    // COLUMN check is free (schema-only — censusRequired itself runs
+    // again inside the census block on the same frame); the media
+    // fingerprintability check computes the checkpointed fingerprints
+    // the staging block then reuses, so the hoist costs nothing extra.
+    if (governed) censusRequired("writeUnified", docs)
+    val mediaPrintable = payloads.map { p =>
+      val printable = Dedup.simhash60Bytes(p).localCheckpoint()
+      require(!printable.isEmpty,
+        "writeUnified: no fingerprintable payloads (empty frame, or " +
+          "every payload shorter than one byte-shingle window) — a " +
+          "media-channel-less store would wedge every later payload " +
+          "fold; bootstrap with at least one fingerprintable payload, " +
+          "or omit the payloads side")
+      printable
+    }
+    try {
     val (base, prior) = baseForWrite(out)
     val snap = beginSnap(out)
     // the independent channel families stage CONCURRENTLY into their
@@ -2573,28 +2656,19 @@ object IndexStore {
       },
       // media-family bootstrap: the payload fingerprints land in the SAME
       // commit as the text and vector families (the [[writeMedia]]
-      // staging, unified id space); an all-unfingerprintable payloads
-      // side is refused exactly as writeMedia refuses it — a channel-less
-      // media family would wedge every later payload fold
-      () => mediaChs = payloads.map { p =>
-        val printable = Dedup.simhash60Bytes(p).localCheckpoint()
-        try {
-          require(!printable.isEmpty,
-            "writeUnified: no fingerprintable payloads (empty frame, or " +
-              "every payload shorter than one byte-shingle window) — a " +
-              "media-channel-less store would wedge every later payload " +
-              "fold; bootstrap with at least one fingerprintable payload, " +
-              "or omit the payloads side")
-          val batchN = printable.count()
-          Dedup.simBlocks(printable)
-            .write.mode(SaveMode.Overwrite).partitionBy("b")
-            .parquet(s"$out/$snap/media_sim_blocks")
-          maybeCrash("media_sim_blocks")
-          Map("media_sim_blocks" ->
-            Channel(relIfData(out, s"$snap/media_sim_blocks"), "b", ""))
-            .filter(_._2.paths.nonEmpty) ++
-            writeMediaStats(s, out, snap, batchN, 4 * batchN)
-        } finally releaseCheckpoint(printable)
+      // staging, unified id space); the all-unfingerprintable refusal
+      // fired at the top with the other deterministic refusals, and
+      // this block reuses its checkpointed fingerprints
+      () => mediaChs = mediaPrintable.map { printable =>
+        val batchN = printable.count()
+        Dedup.simBlocks(printable)
+          .write.mode(SaveMode.Overwrite).partitionBy("b")
+          .parquet(s"$out/$snap/media_sim_blocks")
+        maybeCrash("media_sim_blocks")
+        Map("media_sim_blocks" ->
+          Channel(relIfData(out, s"$snap/media_sim_blocks"), "b", ""))
+          .filter(_._2.paths.nonEmpty) ++
+          writeMediaStats(s, out, snap, batchN, 4 * batchN)
       },
       () => n = vectors.count())
     // the proj-family channels are ALWAYS dropped from the prior on a
@@ -2622,6 +2696,7 @@ object IndexStore {
         projChs.getOrElse(Map.empty) ++
         mediaChs.getOrElse(Map.empty),
       base)
+    } finally mediaPrintable.foreach(releaseCheckpoint)
   }
 
   /** O(batch) fold of a (docs, vectors) batch pair into a unified
@@ -2887,12 +2962,17 @@ object IndexStore {
     * (source, n_docs, psi_nchars, psi_ntokens, psi_nonalpha,
     * psi_tokhash, psi_max, held) —
     * O(sources) rows, collected driver-side like
-    * [[screenAndFoldGated]]'s. */
+    * [[screenAndFoldGated]]'s. `orderGate`/`maxOrderPsi`: the opt-in
+    * word-order self-null screen folded into `held` (and a
+    * `psi_order` report column) — the [[screenAndFoldGated]] contract
+    * verbatim; a source held by order leaves NO channel of the commit
+    * (docs, vectors, raw, payloads, census) exactly like a PSI hold. */
   def appendUnifiedGated(s: SparkSession, root: String,
       docs: DataFrame, vectors: DataFrame, anchor: String,
       maxPsi: Double = 0.25, raw: Option[DataFrame] = None,
       payloads: Option[DataFrame] = None,
-      preTok: Option[DataFrame] = None): DataFrame = {
+      preTok: Option[DataFrame] = None, orderGate: Boolean = false,
+      maxOrderPsi: Double = 0.25): DataFrame = {
     import s.implicits._
     val (base, prior) = baseRequired(root)
     // CALLER mispairing checked against the caller's ORIGINAL frames,
@@ -2971,7 +3051,14 @@ object IndexStore {
         col("psi_max"), (col("psi_max") > maxPsi).as("held"))
       .as[(String, Long, Double, Double, Double, Double, Double, Boolean)]
       .collect().toSeq
-    val heldSrcs = rep.filter(_._8).map(_._1)
+    // the order screen's verdict folds into the SAME held set (opt-in;
+    // the screenAndFoldGated scaladoc's rationale) — it reads the
+    // batch's token-position frame, which the aggregated census bins
+    // above cannot supply, so the opted-in tick pays two extra narrow
+    // batch token passes and the default tick pays nothing
+    val ord = orderVerdict(s, docs, anchor, orderGate, maxOrderPsi)
+    val heldSrcs = (rep.filter(_._8).map(_._1) ++
+      ord.collect { case (src, (_, true)) => src }).distinct
     val (admittedDocs, admittedVecs, admittedRaw, admittedPayloads) =
       if (heldSrcs.isEmpty) (docs, vectors, raw, payloads)
       else {
@@ -2999,8 +3086,7 @@ object IndexStore {
       else admittedRaw
     appendUnifiedFrom(s, root, base, prior, admittedDocs, admittedVecs,
       rawEff, admittedPayloads, preTok, preCensus = Some(censusDelta))
-    rep.toDF("source", "n_docs", "psi_nchars", "psi_ntokens",
-      "psi_nonalpha", "psi_tokhash", "psi_max", "held")
+    gateReport(s, rep, ord, orderGate)
     } finally releaseCheckpoint(batchBins)
   }
 
@@ -3119,6 +3205,71 @@ object IndexStore {
       prior -- Seq("proj_units", "exact_vecs", "proj_stats") ++ Map(
         "proj_units" -> Channel(Seq(s"$snap/proj_units"), "", ""),
         "exact_vecs" -> Channel(Seq(s"$snap/exact_vecs"), "", "")) ++
+        writeProjStats(s, root, snap, k, d, fineN),
+      base)
+  }
+
+  /** Re-derive the projected-ANN family at a NEW coarse width — the
+    * projected family's lifecycle op (VERDICT r15 next #2), the
+    * [[retrainVectors]] twin. A proj-carrying store is otherwise
+    * pinned to its bootstrap (k, d, sign table) forever: the identity
+    * gate (correctly) refuses any other derivation at append and
+    * serve time, so changing the coarse width — or migrating a store
+    * whose recorded sign derivation this build no longer compiles —
+    * meant a full store rebuild. This op re-derives from the store's
+    * own DERIVATION-FREE fidelity layer instead:
+    *
+    *  - `exact_vecs` (vec_id, embd, nsq) carries the exact d-space
+    *    embeddings — raw doubles, no projection identity — and
+    *    `proj_units` carries the labels; their join IS the raw frame
+    *    the bootstrap projected, so the re-derived channel is
+    *    bit-equal to a fresh [[writeProjections]] over the same
+    *    corpus at the new width (VectorIndexSpec pins ≡ the session
+    *    route at `newK`). Because nothing identity-bearing is read,
+    *    the op deliberately skips the identity gate: it IS the
+    *    migration path off a foreign-derivation store.
+    *  - Committed as ONE compaction-class snapshot transaction (OCC
+    *    first-committer-wins, so a mid-flight fold's rival commit is
+    *    a detected conflict): `proj_units` REPLACED at the new width
+    *    as a single fresh path (the rewrite doubles as the proj
+    *    family's compaction), `proj_stats` REPLACED with the new
+    *    identity (newK, d, THIS build's sign_fp; n_vecs = the
+    *    unchanged exact_vecs coverage, so the lockstep staleness gate
+    *    still holds), `exact_vecs` and every other channel family
+    *    CARRIED FORWARD untouched — a proj-channels-only timeline
+    *    version ([[describeStoreTimeline]] shows exactly
+    *    proj_units + proj_stats moving).
+    *  - Prior versions stay readable at the OLD width:
+    *    [[projectedAnnFromStoreAt]] serves each snapshot under the
+    *    identity it recorded.
+    *
+    * Scale shape: one exact_vecs read + one broadcast-joinable label
+    * read + a row-local projection — O(corpus) like [[compact]] and
+    * [[retrainVectors]], scheduled maintenance, never on a serving
+    * path. */
+  def reprojectVectors(s: SparkSession, root: String, newK: Int): Unit = {
+    val (base, prior) = baseRequired(root)
+    require(prior.contains("proj_stats"),
+      s"reprojectVectors: store at $root carries no proj_stats channel " +
+        "— not a projected-ANN store, nothing to re-derive; " +
+        "writeProjections bootstraps the family")
+    require(newK >= 1,
+      s"reprojectVectors: coarse width k=$newK — the projected space " +
+        "needs at least one dimension")
+    val fine = channelFrom(s, root, prior, "exact_vecs")
+    val raw = fine
+      .join(channelFrom(s, root, prior, "proj_units")
+        .select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("embd").as("embedding"))
+    val units = Similarity.projectedUnitsOf(raw, newK)
+    val (k, d, fineN) = projIdentityOf("reprojectVectors", units, fine)
+    val snap = beginSnap(root)
+    units.select(col("vec_id"), col("label"), col("punit"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/$snap/proj_units")
+    maybeCrash("proj_units")
+    commitSnap(root, snap,
+      prior -- Seq("proj_units", "proj_stats") ++ Map(
+        "proj_units" -> Channel(Seq(s"$snap/proj_units"), "", "")) ++
         writeProjStats(s, root, snap, k, d, fineN),
       base)
   }

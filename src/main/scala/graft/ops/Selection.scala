@@ -684,12 +684,59 @@ object Selection {
       })
     }
 
-  /** The Dedup.resetWarmFixtures contract for this family's four
+  /** Once-per-JVM governed UNIFIED store whose single gated fold ran
+    * with the word-order gate ON (q170; VERDICT r15 next #1) — the
+    * fixture that puts the orderGate's STORE effect under the oracle.
+    * Bootstrap: ALL of src0 (the curated anchor corpus), written
+    * governed — so the anchor census is the full src0 distribution and
+    * the four-marginal draw of any src0-derived probe is the measured
+    * clone band (psi_max 0.08–0.19 across shipped SFs, under the
+    * [[GatedUnifiedMaxPsi]] fixture line with ≥5× margin). Fold: the
+    * q168 probe construction over src0's % 40 == 0 rows — the SAME
+    * texts re-sourced three ways (sorted / reversed / clone, doc_ids
+    * offset to keep the unified id space collision-free), all three
+    * carrying IDENTICAL four-marginal censuses by construction (the
+    * census is position-free — that blindness is the hole the gate
+    * closes). The order gate holds probe_sorted (psi_order 1.46–1.87
+    * measured across shipped SFs, ≥5.8× the 0.25 line) while
+    * probe_reversed and probe_clone — the exchangeable scrambles —
+    * pass (≤0.09): the held source's rows land in NO channel of the
+    * commit, which q170 reads back and DuckDB replays end to end. */
+  private val orderGateStores =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def orderGateStore(s: SparkSession, dir: String): String =
+    orderGateStores.synchronized {
+      orderGateStores.getOrElseUpdate(dir, {
+        val idx = jvmStorePath("graft_ogate", dir)
+        val docs = table(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+        val boot = docs.filter(col("source") === "src0")
+        val vecs = Similarity.normalized(s, dir)
+          .join(boot.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+            "left_semi")
+        IndexStore.writeUnified(s, boot, vecs,
+          Similarity.ivfCentroids(s, dir), idx, governed = true)
+        val slice = boot.filter(col("doc_id") % 40 === 0)
+        def probe(name: String, off: Long, text: Column): DataFrame =
+          slice.select((col("doc_id") + off).as("doc_id"), text.as("text"),
+            lit(name).as("source"), col("n_chars"))
+        val batch = probe("probe_sorted", 1000000000L,
+            concat_ws(" ", sort_array(split(col("text"), " "))))
+          .unionByName(probe("probe_reversed", 2000000000L,
+            concat_ws(" ", reverse(split(col("text"), " ")))))
+          .unionByName(probe("probe_clone", 3000000000L, col("text")))
+        IndexStore.appendUnifiedGated(s, idx, batch, vecs.limit(0),
+          "src0", maxPsi = GatedUnifiedMaxPsi, orderGate = true)
+        idx
+      })
+    }
+
+  /** The Dedup.resetWarmFixtures contract for this family's five
     * warm-built governed stores — Bench's warm-bracket self-heal
     * only. */
   private[graft] def resetWarmFixtures(): Unit = Seq(
     governedStores, gatedHoldStores, gatedUnifiedStores,
-    reanchorStores).foreach { m =>
+    reanchorStores, orderGateStores).foreach { m =>
     m.synchronized {
       m.values.foreach(p =>
         IndexStore.deleteRec(new java.io.File(p)))
@@ -709,7 +756,8 @@ object Selection {
       : Seq[() => Seq[(String, Double)]] = Seq(
     () => Seq(timedBuild("selection.governedStore") { governedStore(s, dir); () }),
     () => Seq(timedBuild("selection.gatedHoldStore") { gatedHoldStore(s, dir); () }),
-    () => Seq(timedBuild("selection.reanchorStore") { reanchorStore(s, dir); () }))
+    () => Seq(timedBuild("selection.reanchorStore") { reanchorStore(s, dir); () }),
+    () => Seq(timedBuild("selection.orderGateStore") { orderGateStore(s, dir); () }))
 
   /** The gated unified bootstrap, split out of [[warm]] so the bench
     * can overlap it with Similarity's ungoverned sibling (VERDICT r12
@@ -1401,53 +1449,10 @@ object Selection {
           FROM batchsrc
           UNION ALL
           SELECT 'probe_clone', text FROM batchsrc),
-        toks AS (
-          SELECT source, lower(tok) AS tok,
-            least(((pos - 1) * 4) // n, 3) AS quart
-          FROM (
-            SELECT source, unnest(string_split(text, ' ')) AS tok,
-              generate_subscripts(string_split(text, ' '), 1) AS pos,
-              len(string_split(text, ' ')) AS n
-            FROM batch)
-          WHERE len(tok) > 0),
-        obs AS (
-          SELECT source,
-            CAST('0x' || substr(md5(tok || ':' || CAST(quart AS VARCHAR)),
-              1, 4) AS BIGINT) % $TokhashBins AS bin,
-            count(*) AS c_cur
-          FROM toks GROUP BY 1, 2),
-        tokc AS (SELECT source, tok, count(*) AS n_t FROM toks GROUP BY 1, 2),
-        nul AS (
-          SELECT source,
-            CAST('0x' || substr(md5(tok || ':' || CAST(q AS VARCHAR)),
-              1, 4) AS BIGINT) % $TokhashBins AS bin,
-            sum(n_t) / 4.0 AS c_ref
-          FROM tokc CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS q)
-          GROUP BY 1, 2),
-        tot AS (SELECT source, count(*) AS n_toks FROM toks GROUP BY 1),
-        grid AS (
-          SELECT t.source, t.n_toks, g.bin, o.c_cur, u.c_ref
-          FROM tot t
-          CROSS JOIN (SELECT unnest(generate_series(0,
-            ${TokhashBins - 1})) AS bin) g
-          LEFT JOIN obs o ON o.source = t.source AND o.bin = g.bin
-          LEFT JOIN nul u ON u.source = t.source AND u.bin = g.bin),
-        terms AS (
-          SELECT source, n_toks,
-            ((coalesce(c_cur, 0) + 0.5) / (n_toks + ${TokhashBins / 2.0})
-               - (coalesce(c_ref, 0) + 0.5) / (n_toks + ${TokhashBins / 2.0}))
-            * ln(((coalesce(c_cur, 0) + 0.5) / (n_toks + ${TokhashBins / 2.0}))
-                 / ((coalesce(c_ref, 0) + 0.5)
-                    / (n_toks + ${TokhashBins / 2.0}))) AS term
-          FROM grid),
-        rep AS (
-          SELECT source, max(n_toks) AS n_toks,
-            ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")}
-              AS psi_order
-          FROM terms GROUP BY 1)
+        ${oOrderRep("batch", "o_")}
         SELECT source, n_toks, psi_order,
           n_toks >= $MinTokhashEvidence AND psi_order > 0.25 AS held
-        FROM rep ORDER BY source""")),
+        FROM o_rep ORDER BY source""")),
 
     // ---- the census anchor RE-BASELINE cycle under the oracle
     // (q169; VERDICT r14 #1): the governed store's anchor was the
@@ -1487,7 +1492,64 @@ object Selection {
         fa AS (${oFeatRowsV("cen", "source = 'src0'")}),
         fc AS (${oFeatRowsV("cen", "source <> 'src0'")}),
         ${oFeatPsiV("fc", "fa", "q_")}
-        ${oPsiPivotV("q_feat")} ORDER BY version, source"""))
+        ${oPsiPivotV("q_feat")} ORDER BY version, source""")),
+
+    // ---- the word-order screen AS A GATE, oracle-checked (q170;
+    // VERDICT r15 next #1): q168 proved the self-null screen's
+    // REPORT; this proves its breaker effect on a governed unified
+    // store. The [[orderGateStore]] fixture folded the q168 probe
+    // construction — sorted / reversed / clone of the same src0 rows,
+    // all three carrying IDENTICAL position-free four-marginal
+    // censuses (psi_max 0.08–0.19, the measured clone band: the PSI
+    // gate alone waves all three through) — with orderGate on:
+    // probe_sorted was HELD by the order verdict alone (psi_order
+    // 1.46–1.87, ≥5.8× the 0.25 line) while the exchangeable
+    // scrambles passed (≤0.09). The query reads the post-fold census
+    // back (driftFromStore); DuckDB recomputes EVERYTHING from raw
+    // documents: the four-marginal verdict (the oVerdict machinery at
+    // the fixture line), the order verdict (observed and
+    // exchangeability-null (token, quartile) distributions, the PSI
+    // and the floor — q168's machinery verbatim), the combined
+    // held-out set, and the final cumulative census — so a
+    // sorted-source leak into any census row, a silently-dropped
+    // scramble, or an order verdict that drifted from the replay all
+    // hash-fail. probe_sorted must be ABSENT: what the order gate
+    // refused never entered the store. ----
+    "q170_order_gate_census" -> Q(
+      (s, dir) => {
+        val idx = orderGateStore(s, dir)
+        IndexStore.driftFromStore(s, idx, "src0")
+      },
+      Some(s"""WITH boot AS (SELECT source, n_chars, text FROM documents
+                 WHERE source = 'src0'),
+        bsrc AS (SELECT n_chars, text FROM documents
+                 WHERE doc_id % 40 = 0 AND source = 'src0'),
+        batch AS (
+          SELECT 'probe_sorted' AS source, n_chars,
+            array_to_string(list_sort(string_split(text, ' ')), ' ') AS text
+          FROM bsrc
+          UNION ALL
+          SELECT 'probe_reversed', n_chars,
+            array_to_string(list_reverse(string_split(text, ' ')), ' ')
+          FROM bsrc
+          UNION ALL
+          SELECT 'probe_clone', n_chars, text FROM bsrc),
+        ma AS (${oFeatRows("boot")}),
+        mb AS (${oFeatRows("batch")}),
+        ${oVerdict("mb", "ma", "heldm")},
+        ${oOrderRep("batch", "o_")},
+        heldo AS (SELECT source FROM o_rep
+                  WHERE n_toks >= $MinTokhashEvidence
+                    AND psi_order > 0.25),
+        folded AS (SELECT source, n_chars, text FROM boot
+                   UNION ALL
+                   SELECT source, n_chars, text FROM batch
+                   WHERE source NOT IN (SELECT source FROM heldm)
+                     AND source NOT IN (SELECT source FROM heldo)),
+        fa AS (${oFeatRows("folded", "source = 'src0'")}),
+        fc AS (${oFeatRows("folded", "source <> 'src0'")}),
+        ${oFeatPsi("fc", "fa", "q_")}
+        ${oPsiPivot("q_feat")} ORDER BY source"""))
   )
 
   /** The smoothed PSI term over a verdict/census grid row — the exact
@@ -1674,6 +1736,61 @@ object Selection {
     ${oFeatPsi(cur, ref, s"${out}_")},
     $out AS (SELECT source FROM ${out}_feat GROUP BY source
              HAVING $oGatedMax > $GatedUnifiedMaxPsi)"""
+
+  /** The word-order SELF-NULL replay ([[orderShiftPsi]]'s arithmetic)
+    * over a (source, text) relation — emits CTEs ending in `${p}rep`
+    * = (source, n_toks, psi_order): the observed hashed
+    * (token, position-quartile) distribution, the exchangeability
+    * null (each type's occurrences spread uniformly over the four
+    * quartiles), and the rnd4'd smoothed PSI between them. Shared by
+    * q168 (the screen's report) and q170 (the gate's store effect) so
+    * the order replay cannot drift from itself across queries. */
+  private def oOrderRep(batch: String, p: String): String = s"""
+    ${p}toks AS (
+      SELECT source, lower(tok) AS tok,
+        least(((pos - 1) * 4) // n, 3) AS quart
+      FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS tok,
+          generate_subscripts(string_split(text, ' '), 1) AS pos,
+          len(string_split(text, ' ')) AS n
+        FROM $batch)
+      WHERE len(tok) > 0),
+    ${p}obs AS (
+      SELECT source,
+        CAST('0x' || substr(md5(tok || ':' || CAST(quart AS VARCHAR)),
+          1, 4) AS BIGINT) % $TokhashBins AS bin,
+        count(*) AS c_cur
+      FROM ${p}toks GROUP BY 1, 2),
+    ${p}tokc AS (SELECT source, tok, count(*) AS n_t FROM ${p}toks
+                 GROUP BY 1, 2),
+    ${p}nul AS (
+      SELECT source,
+        CAST('0x' || substr(md5(tok || ':' || CAST(q AS VARCHAR)),
+          1, 4) AS BIGINT) % $TokhashBins AS bin,
+        sum(n_t) / 4.0 AS c_ref
+      FROM ${p}tokc CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS q)
+      GROUP BY 1, 2),
+    ${p}tot AS (SELECT source, count(*) AS n_toks FROM ${p}toks GROUP BY 1),
+    ${p}grid AS (
+      SELECT t.source, t.n_toks, g.bin, o.c_cur, u.c_ref
+      FROM ${p}tot t
+      CROSS JOIN (SELECT unnest(generate_series(0,
+        ${TokhashBins - 1})) AS bin) g
+      LEFT JOIN ${p}obs o ON o.source = t.source AND o.bin = g.bin
+      LEFT JOIN ${p}nul u ON u.source = t.source AND u.bin = g.bin),
+    ${p}terms AS (
+      SELECT source, n_toks,
+        ((coalesce(c_cur, 0) + 0.5) / (n_toks + ${TokhashBins / 2.0})
+           - (coalesce(c_ref, 0) + 0.5) / (n_toks + ${TokhashBins / 2.0}))
+        * ln(((coalesce(c_cur, 0) + 0.5) / (n_toks + ${TokhashBins / 2.0}))
+             / ((coalesce(c_ref, 0) + 0.5)
+                / (n_toks + ${TokhashBins / 2.0}))) AS term
+      FROM ${p}grid),
+    ${p}rep AS (
+      SELECT source, max(n_toks) AS n_toks,
+        ${oRnd4("cast(sum(cast(term as decimal(28,12))) as double)")}
+          AS psi_order
+      FROM ${p}terms GROUP BY 1)"""
 
   /** The [[gatedUnifiedStore]] replay every gated-unified oracle
     * shares: both fold constructions (carrying doc_id — the media

@@ -336,12 +336,17 @@ object StreamingOps {
     * with the `held` flag); sink both — the report is the audit trail
     * the q152 timeline cannot show (what was REFUSED never enters the
     * census). Same OCC-retry and best-effort compaction contract as
-    * the other loops. */
+    * the other loops. `orderGate`/`maxOrderPsi` thread to the gate's
+    * opt-in word-order self-null screen (the screenAndFoldGated
+    * contract: an order-held source is held at streaming cadence
+    * exactly like a PSI hold, and the report carries its psi_order). */
   def ingestAndMaintainGoverned(s: SparkSession, indexDir: String,
       batch: DataFrame, anchor: String,
-      maxPsi: Double = 0.25): (DataFrame, DataFrame) = {
+      maxPsi: Double = 0.25, orderGate: Boolean = false,
+      maxOrderPsi: Double = 0.25): (DataFrame, DataFrame) = {
     val out = withOccRetry() {
-      graft.ops.IndexStore.screenAndFoldGated(s, indexDir, batch, anchor, maxPsi)
+      graft.ops.IndexStore.screenAndFoldGated(s, indexDir, batch, anchor,
+        maxPsi, orderGate, maxOrderPsi)
     }
     compactBestEffort(s, indexDir)
     out
@@ -398,14 +403,19 @@ object StreamingOps {
     * it: what was REFUSED never enters the census, so the report is
     * the only audit trail of the hold. Same OCC-retry (the retry
     * recomputes the verdict against the advanced census) and
-    * best-effort maintenance contract as the other four loops. */
+    * best-effort maintenance contract as the other four loops.
+    * `orderGate`/`maxOrderPsi` thread to the opt-in word-order
+    * self-null screen (the appendUnifiedGated contract: an order-held
+    * source's rows land in NO channel of the tick's commit). */
   def ingestAndMaintainUnifiedGoverned(s: SparkSession, root: String,
       docs: DataFrame, vectors: DataFrame, anchor: String,
       maxPsi: Double = 0.25, raw: Option[DataFrame] = None,
-      payloads: Option[DataFrame] = None): DataFrame = {
+      payloads: Option[DataFrame] = None, orderGate: Boolean = false,
+      maxOrderPsi: Double = 0.25): DataFrame = {
     val rep = withOccRetry() {
       graft.ops.IndexStore.appendUnifiedGated(s, root, docs, vectors,
-        anchor, maxPsi, raw, payloads)
+        anchor, maxPsi, raw, payloads, orderGate = orderGate,
+        maxOrderPsi = maxOrderPsi)
     }
     try { graft.ops.IndexStore.retrainIfDrifted(s, root); () }
     catch { case _: java.util.ConcurrentModificationException => () }

@@ -58,6 +58,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("census-fusion invariant: censusBins(batch) minus held sources ≡ censusBins(batch minus held sources) (VERDICT r15 #4)") {
+    // the gated fold's census fusion (appendUnifiedGated computes
+    // censusBins ONCE; the fold writes gate-bins-minus-held as its
+    // mix_census delta) rests on exactly this: bins are per-source
+    // additive and holds are whole-source, so filtering the AGGREGATED
+    // bins equals aggregating the filtered batch — on ANY corpus,
+    // including sub-evidence-floor and empty-after-hold sources. A
+    // future per-doc screen on the unified path would break this law
+    // and must then stop reusing the gate's bins (the dedup family's
+    // screen already censuses its own kept frame for this reason).
+    import org.apache.spark.sql.functions._
+    forAll(Gen.zip(texts, Gen.chooseNum(0, 4))) { case (ts, nHeld) =>
+      val docs = ts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, s"src${i % 4}", (20 + i * 7).toLong)
+      }.toDF("doc_id", "text", "source", "n_chars")
+      val held = (0 until nHeld).map(j => s"src$j")
+      def drop(df: org.apache.spark.sql.DataFrame) =
+        if (held.isEmpty) df else df.filter(!$"source".isin(held: _*))
+      val fromFull = drop(ops.Selection.censusBins(docs))
+        .orderBy($"source", $"feature", $"bin").collect().toSeq
+      val fromFiltered = ops.Selection.censusBins(drop(docs))
+        .orderBy($"source", $"feature", $"bin").collect().toSeq
+      assert(fromFull == fromFiltered,
+        s"held=$held: filtered-bins ${fromFull.size} rows diverge from " +
+          s"bins-of-filtered ${fromFiltered.size} rows")
+    }
+  }
+
   test("dedup idempotence: dedup(dedup(x)) == dedup(x)") {
     forAll(texts) { ts =>
       val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")

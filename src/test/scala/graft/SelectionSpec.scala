@@ -349,6 +349,48 @@ class SelectionSpec extends SparkSpec {
       "the recovered tick must join the census")
   }
 
+  test("screenAndFoldGated orderGate: the dedup-family breaker holds the sorted probe, the exchangeable scrambles pass (VERDICT r15 #1)") {
+    val idx = tmp("ordgate")
+    val docs = graft.Core.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val boot = docs.filter(col("source") === "src0")
+    ops.IndexStore.write(spark, boot, idx, governed = true)
+    val slice = boot.filter(col("doc_id") % 40 === 0)
+    def probe(name: String, off: Long, text: org.apache.spark.sql.Column) =
+      slice.select((col("doc_id") + off).as("doc_id"), text.as("text"),
+        lit(name).as("source"), col("n_chars"))
+    // the q168/q170 construction: same token multisets, three orders —
+    // the four position-free marginals read all three as the measured
+    // clone band (psi_max 0.08–0.19 across shipped SFs)
+    val batch = probe("probe_sorted", 1000000000L,
+        concat_ws(" ", sort_array(split(col("text"), " "))))
+      .unionByName(probe("probe_reversed", 2000000000L,
+        concat_ws(" ", reverse(split(col("text"), " ")))))
+      .unionByName(probe("probe_clone", 3000000000L, col("text")))
+    val (_, rep) = ops.IndexStore.screenAndFoldGated(spark, idx, batch,
+      "src0", maxPsi = ops.Selection.GatedUnifiedMaxPsi, orderGate = true)
+    assert(rep.columns.contains("psi_order"),
+      "the opted-in report must carry the order statistic")
+    assert(rep.filter(col("held")).select("source").as[String]
+      .collect().toSet == Set("probe_sorted"),
+      "exactly the sorted probe must be held")
+    val bySrc = rep.select(col("source"), col("psi_order"), col("psi_max"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(bySrc("probe_sorted")._2 > 0.25 && bySrc("probe_sorted")._3 < 1.0,
+      s"the hold must be the order verdict alone: ${bySrc("probe_sorted")}")
+    assert(bySrc("probe_reversed")._2 < 0.25 && bySrc("probe_clone")._2 < 0.25,
+      s"the exchangeable scrambles must pass the self-null screen: $bySrc")
+    // store effect: the held probe's census never landed. (probe_clone
+    // is admitted but its texts are exact duplicates of the seeded
+    // anchor docs, so the dedup-family SCREEN drops them — kept ≠
+    // admitted is this family's documented contract; the reversed
+    // probe's shingles differ and it lands.)
+    val srcs = ops.IndexStore.channel(spark, idx, "mix_census")
+      .select("source").distinct().as[String].collect().toSet
+    assert(srcs.contains("probe_reversed") && !srcs.contains("probe_sorted"),
+      s"order-held source must never enter the census: $srcs")
+  }
+
   // ---- reanchorCensus: the audited anchor re-baseline (q169) ----
 
   private def probeDocs(ids: Range, src: String, base: Long) = ids.map { i =>

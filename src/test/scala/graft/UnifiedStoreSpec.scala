@@ -694,6 +694,103 @@ class UnifiedStoreSpec extends SparkSpec {
       "re-anchor must not rewrite the unified drift history")
   }
 
+  /** gdocs with a CONTROLLED token order (the q170 family): 40 tokens
+    * per doc drawn from a 53-type rotating vocabulary, so every
+    * source shares the same four-marginal census profile (measured:
+    * psi_max 0.034 between any two), types repeat ACROSS docs (the
+    * order statistic needs repeated types — singleton vocabularies
+    * are hash-uniform under both the observed and the null), and
+    * `canon = true` sorts each doc's tokens — the systematic
+    * canonicalization the position-free census cannot see (measured:
+    * psi_order 0.98 sorted vs 0.023 natural at 800 tokens). */
+  private def odocs(ids: Range, src: String, canon: Boolean): DataFrame =
+    ids.map { i =>
+      val toks = (0 until 40).map(j => s"w${(i * 7 + j * 3) % 53}")
+      (i.toLong, (if (canon) toks.sorted else toks).mkString(" "),
+        src, 120L + (i % 3) * 40)
+    }.toDF("doc_id", "text", "source", "n_chars")
+
+  test("the ORDER gate holds a canonicalizing source out of EVERY channel; default-off ticks admit it (q170; VERDICT r15 #1)") {
+    val root = tmp("ordergate")
+    ops.IndexStore.writeUnified(spark, odocs(0 to 39, "src0", canon = false),
+      vecsOf(0 to 39), cents, root, governed = true)
+    val batch = odocs(100 to 119, "srcNat", canon = false)
+      .unionByName(odocs(140 to 159, "srcSort", canon = true))
+    val vecs = vecsOf(100 to 119).unionByName(vecsOf(140 to 159))
+    // the governed loop threads the gate through (both params live)
+    val rep = streaming.StreamingOps.ingestAndMaintainUnifiedGoverned(
+      spark, root, batch, vecs, "src0", orderGate = true)
+    assert(rep.columns.contains("psi_order"),
+      "the opted-in report must carry the order statistic")
+    assert(rep.filter($"held").select($"source").as[String].collect().toSet ==
+      Set("srcSort"), "exactly the canonicalizing source must be held")
+    val sortRow = rep.filter($"source" === "srcSort").head()
+    assert(sortRow.getAs[Double]("psi_order") > 0.25 &&
+      sortRow.getAs[Double]("psi_max") < 0.25,
+      "the hold must be the ORDER verdict alone — the four position-free " +
+        s"marginals see a clean source: $sortRow")
+    assert(rep.filter($"source" === "srcNat").head()
+      .getAs[Double]("psi_order") < 0.25,
+      "natural order must pass the self-null screen")
+    // the held source's rows land in NO channel of the commit
+    val lens = ops.IndexStore.channel(spark, root, "doc_lens")
+      .select($"doc_id").as[Long].collect().toSet
+    assert((100L to 119L).forall(lens) && !(140L to 159L).exists(lens),
+      "order-held source's DOCS must not fold")
+    val cells = ops.IndexStore.channel(spark, root, "cells")
+      .select($"vec_id").as[Long].collect().toSet
+    assert((100L to 119L).forall(cells) && !(140L to 159L).exists(cells),
+      "order-held source's VECTORS must not fold")
+    assert(ops.IndexStore.channel(spark, root, "mix_census")
+      .select($"source").distinct().as[String].collect().toSet ==
+      Set("src0", "srcNat"),
+      "order-held source contaminated the unified census")
+    // recovery: the SAME source in natural order passes the same gate
+    val rep2 = streaming.StreamingOps.ingestAndMaintainUnifiedGoverned(
+      spark, root, odocs(140 to 159, "srcSort", canon = false),
+      vecsOf(140 to 159), "src0", orderGate = true)
+    assert(rep2.filter($"held").isEmpty,
+      "the recovered (natural-order) tick must pass")
+    assert(ops.IndexStore.channel(spark, root, "mix_census")
+      .select($"source").distinct().count() == 3,
+      "the recovered tick must join the census")
+    // BACK-COMPAT: with the gate off (the default), the same sorted
+    // construction is ADMITTED — the four marginals are position-free
+    // — and the report keeps its pre-r16 schema
+    val root2 = tmp("ordergateoff")
+    ops.IndexStore.writeUnified(spark, odocs(0 to 39, "src0", canon = false),
+      vecsOf(0 to 39), cents, root2, governed = true)
+    val rep3 = ops.IndexStore.appendUnifiedGated(spark, root2,
+      odocs(140 to 159, "srcSort", canon = true), vecsOf(140 to 159), "src0")
+    assert(!rep3.columns.contains("psi_order"),
+      "the default report schema must not change (gate off)")
+    assert(rep3.filter($"held").isEmpty &&
+      ops.IndexStore.channel(spark, root2, "mix_census")
+        .select($"source").distinct().count() == 2,
+      "with the gate off the sorted source folds — the documented hole " +
+        "the opt-in closes")
+  }
+
+  test("q170 fixture: the order-held probe is absent from every channel of the orderGateStore; the scrambles landed") {
+    val root = ops.Selection.orderGateStore(spark, dir)
+    val srcs = ops.IndexStore.channel(spark, root, "mix_census")
+      .select($"source").distinct().as[String].collect().toSet
+    assert(srcs == Set("src0", "probe_reversed", "probe_clone"),
+      s"census must hold anchor + the two passing scrambles only: $srcs")
+    val lens = ops.IndexStore.channel(spark, root, "doc_lens")
+      .select($"doc_id").as[Long].collect().toSet
+    // fixture id offsets: sorted +1e9, reversed +2e9, clone +3e9
+    assert(!lens.exists(id => id >= 1000000000L && id < 2000000000L),
+      "probe_sorted's docs leaked into doc_lens")
+    assert(lens.exists(id => id >= 2000000000L && id < 3000000000L) &&
+      lens.exists(id => id >= 3000000000L),
+      "the passing scrambles must have folded")
+    val postDocs = ops.IndexStore.channel(spark, root, "postings")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!postDocs.exists(id => id >= 1000000000L && id < 2000000000L),
+      "probe_sorted's postings leaked")
+  }
+
   test("the gated fold refuses an ungoverned unified store — no anchor census to hold against") {
     val root = tmp("ungov")
     ops.IndexStore.writeUnified(spark, gdocs(0 to 5, "src0"), vecsOf(0 to 5),

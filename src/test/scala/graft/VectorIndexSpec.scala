@@ -261,6 +261,102 @@ class VectorIndexSpec extends SparkSpec {
         s"  store=${store.take(3)}\n  q155=${session.take(3)}")
   }
 
+  test("reprojectVectors: re-derive at a new width ≡ the session route; old versions serve the old width; proj-channels-only version (VERDICT r15 #2)") {
+    val vecs = ops.Similarity.normalized(spark, dir)
+    val raw = Core.table(spark, dir, "embeddings")
+    val cents = ops.Similarity.ivfCentroids(spark, dir)
+    val root = tmp("reproj")
+    ops.IndexStore.writeVectors(spark, vecs, cents, root)
+    ops.IndexStore.writeProjections(spark, root,
+      ops.Similarity.projectedUnitsOf(raw, 32),
+      ops.Similarity.exactVecsOf(raw))
+    val vOld = ops.IndexStore.history(root).last
+    val q = ops.Similarity.queryBatch(spark, dir, raw)
+      .select($"vec_id", $"embedding")
+    val before = ops.IndexStore.projectedAnnFromStore(spark, root, q)
+      .collect().toSeq
+    ops.IndexStore.reprojectVectors(spark, root, 16)
+    // the store now serves the NEW width, bit-identical to a fresh
+    // session-route compute at k=16 (the shared stage functions +
+    // exact parquet round-trip argument of the q159 pin)
+    val store16 = ops.IndexStore.projectedAnnFromStore(spark, root, q)
+      .collect().toSeq
+    val session16 = ops.Similarity.exactRerank(
+      ops.Similarity.projectedCandidates(spark,
+        ops.Similarity.projectedUnitsOf(raw, 16),
+        ops.Similarity.projectQueries(spark, q, 16), 100),
+      ops.Similarity.exactVecsOf(raw),
+      ops.Similarity.exactQueries(spark, q), 5).collect().toSeq
+    assert(store16.nonEmpty && store16 == session16,
+      s"re-derived projected ANN diverges from the session route at " +
+        s"k=16:\n  store=${store16.take(3)}\n  session=${session16.take(3)}")
+    assert(store16 != before,
+      "fixture degenerate: k=16 and k=32 coarse spaces rank identically")
+    // the identity flipped: proj_stats records (k=16, this build's fp),
+    // coverage unchanged (the lockstep staleness gate still holds)
+    val st = ops.IndexStore.channel(spark, root, "proj_stats").head()
+    assert(st.getAs[Int]("k") == 16 && st.getAs[Long]("n_vecs") == raw.count(),
+      s"identity must record the new width with unchanged coverage: $st")
+    // prior versions keep serving the OLD width bit-identically
+    assert(ops.IndexStore.projectedAnnFromStoreAt(spark, root, vOld, q)
+      .collect().toSeq == before,
+      "reproject must not rewrite history — the old snapshot serves k=32")
+    // the reproject is a proj-channels-only timeline version
+    val hist = ops.IndexStore.history(root)
+    val (mOld, mNew) = (ops.IndexStore.manifestAt(root, hist(hist.size - 2)),
+      ops.IndexStore.manifestAt(root, hist.last))
+    val changed = (mOld.keySet ++ mNew.keySet)
+      .filter(c => mOld.get(c).map(_.paths) != mNew.get(c).map(_.paths))
+    assert(changed == Set("proj_units", "proj_stats"),
+      s"reproject must touch exactly the proj identity channels: $changed")
+    // and the fold path follows the new identity: an append's raw
+    // deltas project at k=16 (appendProjectionsInto reads the stored
+    // identity) and coverage stays in lockstep
+    val nB = 20L
+    val vecsB = vecs.filter($"vec_id" < nB)
+      .select(($"vec_id" + 100000).as("vec_id"), $"label", $"unit")
+    val rawB = raw.filter($"vec_id" < nB)
+      .select(($"vec_id" + 100000).as("vec_id"), $"label", $"embedding")
+    ops.IndexStore.appendVectors(spark, root, vecsB, raw = Some(rawB))
+    val st2 = ops.IndexStore.channel(spark, root, "proj_stats").head()
+    assert(st2.getAs[Int]("k") == 16 &&
+      st2.getAs[Long]("n_vecs") == raw.count() + nB,
+      s"post-reproject folds must extend the new identity: $st2")
+    assert(ops.IndexStore.projectedAnnFromStore(spark, root, q)
+      .collect().nonEmpty, "the appended store must serve at the new width")
+  }
+
+  test("reprojectVectors is the migration path off a FOREIGN sign derivation — it reads only the derivation-free fidelity layer") {
+    val root = tmp("reprojheal")
+    val raw = Core.table(spark, dir, "embeddings").limit(50)
+      .localCheckpoint()
+    ops.IndexStore.writeProjections(spark, root,
+      ops.Similarity.projectedUnitsOf(raw, 32),
+      ops.Similarity.exactVecsOf(raw))
+    // tamper: a proj_stats recording a sign table this build does not
+    // derive (the projection-identity test's skew idiom)
+    val stDir = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(d => new java.io.File(d, "proj_stats"))
+      .filter(_.isDirectory).head
+    val orig = spark.read.parquet(stDir.toString).collect().head
+    ops.IndexStore.deleteRec(stDir)
+    Seq((orig.getAs[Int]("k"), orig.getAs[Int]("d"),
+        orig.getAs[String]("scheme"), "00112233445566778899aabbccddeeff",
+        orig.getAs[Long]("n_vecs")))
+      .toDF("k", "d", "scheme", "sign_fp", "n_vecs")
+      .coalesce(1).write.parquet(stDir.toString)
+    val q = ops.Similarity.queryBatch(spark, dir, raw)
+      .select($"vec_id", $"embedding").limit(3)
+    intercept[IllegalArgumentException] {
+      ops.IndexStore.projectedAnnFromStore(spark, root, q).collect()
+    }
+    // the heal: re-derive under THIS build's identity (same width) —
+    // exact_vecs carries no derivation, so nothing refuses
+    ops.IndexStore.reprojectVectors(spark, root, 32)
+    assert(ops.IndexStore.projectedAnnFromStore(spark, root, q)
+      .collect().nonEmpty, "the re-derived store must serve again")
+  }
+
   test("a proj-carrying store REFUSES an append without raw embeddings; a bare store refuses a raw it cannot maintain") {
     val vecs = ops.Similarity.normalized(spark, dir)
     val raw = Core.table(spark, dir, "embeddings")
