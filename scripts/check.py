@@ -81,6 +81,7 @@ def load_bench(path):
         return {"queries": qs,
                 "warm_breakdown": b.get("warm_breakdown") or {},
                 "calibration": b.get("calibration") or {},
+                "value": b.get("value"),
                 "shape": "local"}
     parsed = b.get("parsed") or {}
     qs = {}
@@ -114,6 +115,7 @@ def load_bench(path):
             "warm_breakdown": parsed.get("warm_breakdown") or {},
             "calibration": parsed.get("calibration") or
                            b.get("calibration") or {},
+            "value": parsed.get("value", b.get("value")),
             "shape": "wrapper"}
 
 
@@ -278,10 +280,34 @@ def bench_regressions(cur_path, prior_path, factor=2.5):
     n_w = 0 if dirty_warm else \
         len((set(cur["warm_breakdown"]) & set(prior["warm_breakdown"]))
             - OVERLAPPED_WARM)
+    # cross-round TOTAL compare through the sessions' own host levels
+    # (VERDICT r15 next #5): each artifact's `host_level` is its sweep-
+    # sentinel median, so total_cur / (total_prior * adjust) measures
+    # code, not host weather. Clamp at 1.0 — the probe compare's rule:
+    # a slower current host legitimately forgives a slower total, a
+    # faster one never tightens the comparison below the raw ratio.
+    hl_c = (cur.get("calibration") or {}).get("host_level")
+    hl_p = (prior.get("calibration") or {}).get("host_level")
+    tot_c, tot_p = cur.get("value"), prior.get("value")
+    hl_ok = all(isinstance(x, (int, float)) and x > 0
+                for x in (hl_c, hl_p, tot_c, tot_p))
+    total_adjust = max(1.0, hl_c / hl_p) if hl_ok else 1.0
+    total_cmp = ({"host_level_cur": hl_c, "host_level_prior": hl_p,
+                  "total_adjust": round(total_adjust, 3),
+                  "total_cur": tot_c, "total_prior": tot_p,
+                  "total_ratio_raw": round(tot_c / tot_p, 3),
+                  "total_ratio_adjusted":
+                      round(tot_c / (tot_p * total_adjust), 3)}
+                 if hl_ok else
+                 {"note": "host_level absent on a side (pre-r16 "
+                          "artifact or underdetermined sweep): raw "
+                          "totals only",
+                  "total_cur": tot_c, "total_prior": tot_p})
     out = {"bench_regressions": flagged, "warm_regressions": warm_flagged,
            "factor": factor,
            "calibration_adjust": round(adjust, 3),
            "warm_adjust": round(warm_adjust, 3),
+           "total_compare": total_cmp,
            "n_queries_compared": n_q, "n_warm_compared": n_w,
            "warm_pair_excluded": sorted(
                set(cur.get("warm_breakdown") or {}) & OVERLAPPED_WARM),
@@ -362,6 +388,10 @@ def cut_selftest(local_path, tail_chars=2000):
         json.dumps(c.get(k)) for k in
         ("pre", "first", "last", "ratio", "clean",
          "ratio_sweep", "clean_sweep", "ratio_pre", "clean_warm"))
+    # the round-16 host_level rides between clean_warm and the verdict
+    # (absent in pre-r16 artifacts — track whatever the artifact has)
+    if c.get("host_level") is not None:
+        cal_short += ',"host_level":%s' % json.dumps(c.get("host_level"))
     # the round-15 top-level verdict rides the short line between the
     # per-regime flags and the retry suffixes (absent only in pre-r15
     # artifacts — the reconstruction tracks whatever the artifact has)

@@ -66,6 +66,21 @@ object Bench {
     case _ => "unknown"
   }
 
+  /** The session's host-speed LEVEL (VERDICT r15 next #5): the median
+    * of the sweep's calibration sentinels — one number a cross-round
+    * compare can ratio against the prior artifact's to adjust TOTALS
+    * the way the probe gate's per-line anchor adjust already works
+    * (clamped at 1.0 on the consumer side: a slower host forgives, a
+    * faster one never tightens). The r15 lesson: BENCH_r15's 205.7 s
+    * headline rode a slow-IO host regime while the same binaries read
+    * 163–167 s on clean windows — raw cross-regime totals misread
+    * host weather as code. −1 when the sweep is underdetermined
+    * (isolation mode / failed sentinels). */
+  private[graft] def hostLevel(samples: Seq[Double]): Double = {
+    val s = samples.filter(_ > 0).sorted
+    if (s.size >= 2) s(s.size / 2) else -1.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -337,11 +352,9 @@ object Bench {
     // iso-condition, bracketed by its own stabilized sentinels. The
     // retried bracket wins only when strictly cleaner; both brackets
     // and both warm numbers ride the artifact either way.
+    val sweepMedian = hostLevel(calFirst +: calMid.toSeq :+ calLast)
     val sweepSamplesE =
       (calFirst +: calMid.toSeq :+ calLast).filter(_ > 0).sorted
-    val sweepMedian =
-      if (sweepSamplesE.size >= 2) sweepSamplesE(sweepSamplesE.size / 2)
-      else -1.0
     val sweepRatioE =
       if (sweepMedian > 0) sweepSamplesE.max / sweepMedian else -1.0
     val cleanSweepOpt: Option[Boolean] =
@@ -462,7 +475,7 @@ object Bench {
       if (warmRetried)
         s""","warm_retried":true,"ratio_pre_first":${r3(preRatio1)},"ratio_pre_retry":${r3(warmRetry.map(_._3).getOrElse(-1.0))}"""
       else ""
-    val calVerdicts = s""""ratio":${r3(calRatio)},"clean":$calClean,"ratio_sweep":${r3(sweepRatio)},"clean_sweep":$cleanSweep,"ratio_pre":${r3(preRatio)},"clean_warm":$cleanWarm,"verdict":"$verdict"$retriedSuffix$warmRetriedSuffix"""
+    val calVerdicts = s""""ratio":${r3(calRatio)},"clean":$calClean,"ratio_sweep":${r3(sweepRatio)},"clean_sweep":$cleanSweep,"ratio_pre":${r3(preRatio)},"clean_warm":$cleanWarm,"host_level":${r3(sweepMedian)},"verdict":"$verdict"$retriedSuffix$warmRetriedSuffix"""
     val cal = s"""{"pre_cold":$calPreCold,"pre_shots":[${preShots.mkString(",")}],"pre":$calPre,"first_shots":[${firstShots.mkString(",")}],"first":$calFirst,"mid":[${calMid.mkString(",")}],"last":$calLast,$calVerdicts}"""
     // the stdout-tail short line carries a SHOT-ARRAY-FREE calibration:
     // the driver's tail capture is ~2000 chars and every byte spent on

@@ -595,6 +595,12 @@ object ScaleProbe {
     // gated hold fold + reanchorCensus commit + recovered fold, all
     // md5-text); the walk itself is census reads only, q152's class
     timeForced("q169_census_reanchor_timeline", ("source", "psi_nchars"))
+    // q170 reads the order-gate store's final census — the first run
+    // pays the once-per-JVM orderGateStore fixture (src0-only unified
+    // bootstrap + ONE gated fold with the order screen on, so the
+    // gate tick itself is q168's two-token-pass class over the probe
+    // batch); the read is the q152 census class
+    timeForced("q170_order_gate_census", ("source", "psi_nchars"))
     if (only.forall(_.contains("q88_canonical_dedup"))) {
       // force the normalizer + keeper window: aggregate over BOTH
       // computed columns so column pruning can't elide them
@@ -830,6 +836,23 @@ object ScaleProbe {
       timeNamed("projected_ann_store_lookup") {
         ops.IndexStore.projectedAnnFromStore(spark, idxDir, queries).count()
       }
+      // reprojectVectors at probe scale (round 16, VERDICT r15 #2):
+      // the lifecycle op is an O(corpus) compaction-class rewrite —
+      // one exact_vecs read + row-local re-projection at the new
+      // width + two channel writes — so its cost should track
+      // projected_store_write (the bootstrap's write of the same
+      // channels), not the lookup path; the post-reproject lookup
+      // must serve the NEW width off the committed store immediately
+      timeNamed("projected_reproject_k16") {
+        ops.IndexStore.reprojectVectors(spark, idxDir, 16)
+        1L
+      }
+      timeNamed("projected_lookup_post_reproject") {
+        ops.IndexStore.projectedAnnFromStore(spark, idxDir, queries).count()
+      }
+      val rk = ops.IndexStore.channel(spark, idxDir, "proj_stats")
+        .head().getAs[Int]("k")
+      require(rk == 16, s"reproject identity must read k=16, got $rk")
     }
     // append-MAINTAINED projected channels at scale (round 10, VERDICT
     // r9 #1): the claim — folding a batch into a proj-carrying store
@@ -1240,6 +1263,17 @@ object ScaleProbe {
       timeNamed("media_screen_fragmented") {
         ops.IndexStore.screenBatchMedia(spark, idxDir, probeB).count()
       }
+      // vacuum-past-retention evidence for the STANDALONE media
+      // lifecycle (VERDICT r15 next #6): the census and the pairs read
+      // must be bit-identical across compact + reclaim, and the
+      // reclaimed version must refuse by name — asserted IN the probe
+      // (a silent census drift at 100× would fail the run, not just
+      // read oddly)
+      val mStatsBefore = ops.IndexStore.channel(spark, idxDir, "media_stats")
+        .head()
+      val mPairsBefore = ops.IndexStore.mediaPairsFromStore(spark, idxDir)
+        .count()
+      val mPreCompact = ops.IndexStore.history(idxDir).last
       timeNamed("media_compact") { ops.IndexStore.compact(spark, idxDir); 1L }
       timeNamed("media_vacuum") { ops.IndexStore.vacuum(idxDir).size.toLong }
       println(s"PROBE media_files_compacted          " +
@@ -1251,6 +1285,23 @@ object ScaleProbe {
       timeNamed("media_pairs_from_store") {
         ops.IndexStore.mediaPairsFromStore(spark, idxDir).count()
       }
+      val mStatsAfter = ops.IndexStore.channel(spark, idxDir, "media_stats")
+        .head()
+      val mPairsAfter = ops.IndexStore.mediaPairsFromStore(spark, idxDir)
+        .count()
+      require(mStatsAfter == mStatsBefore && mPairsAfter == mPairsBefore,
+        s"media census/pairs drifted across compact+vacuum: " +
+          s"$mStatsBefore/$mPairsBefore -> $mStatsAfter/$mPairsAfter")
+      val mRefused =
+        try { ops.IndexStore.channelAt(spark, idxDir, mPreCompact,
+          "media_sim_blocks"); false }
+        catch { case e: IllegalStateException =>
+          e.getMessage.contains("vacuumed or never committed") }
+      require(mRefused,
+        s"reclaimed media version $mPreCompact must refuse by name")
+      println(s"PROBE media_stats_across_vacuum      n_payloads=" +
+        s"${mStatsAfter.getAs[Long]("n_payloads")} pairs=$mPairsAfter " +
+        s"bit_identical=true dropped_refuses=true")
     }
 
     // q138's candidate-bound regime gate at the designed worst case

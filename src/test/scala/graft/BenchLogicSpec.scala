@@ -75,6 +75,18 @@ class BenchLogicSpec extends AnyFunSuite {
       "an undetermined first bracket yields to any determinable retry")
   }
 
+  test("host_level is the sweep-sentinel median; failed shots excluded; underdetermined reads -1 (VERDICT r15 #5)") {
+    assert(Bench.hostLevel(Seq(0.4, 0.3, 0.5)) == 0.4)
+    assert(Bench.hostLevel(Seq(0.3, 0.4)) == 0.4,
+      "even count takes the upper-middle sample (the sweep-median rule)")
+    assert(Bench.hostLevel(Seq(-1.0, 0.4, 0.3, -1.0)) == 0.4,
+      "failed sentinels (-1) are not host evidence")
+    assert(Bench.hostLevel(Seq(0.4)) == -1.0 &&
+      Bench.hostLevel(Seq(-1.0, -1.0)) == -1.0 &&
+      Bench.hostLevel(Seq.empty) == -1.0,
+      "fewer than two live samples is underdetermined, never a level")
+  }
+
   test("the top-level verdict is the per-regime conjunction; underdetermined brackets read unknown, never clean") {
     assert(Bench.verdictOf(Some(true), Some(true)) == "clean")
     assert(Bench.verdictOf(Some(true), Some(false)) == "dirty")

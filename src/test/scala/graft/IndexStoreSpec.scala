@@ -294,6 +294,58 @@ class IndexStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] { ops.IndexStore.vacuum(idx, retain = 0) }
   }
 
+  test("standalone media store lifecycle: pairs + media_stats bit-identical across compact + vacuum; dropped version refuses by name (VERDICT r15 #6)") {
+    // deterministic high-entropy payloads (the DedupSimSpec LCG): twin
+    // pairs differ in a short tail so the pairs read is non-trivial
+    def noisy(seed: Long, len: Int): String = {
+      var x = seed; val sb = new StringBuilder
+      for (_ <- 0 until len) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb += ('a' + math.floorMod(x >>> 33, 26L).toInt).toChar
+      }
+      sb.toString
+    }
+    def payloads(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val idx = tmp("mediavac")
+    ops.IndexStore.writeMedia(spark, payloads(Seq(
+      1L -> noisy(7, 400), 2L -> (noisy(7, 400) + "tail"),
+      3L -> noisy(99, 400))), idx)
+    ops.IndexStore.appendMedia(spark, idx, payloads(Seq(
+      4L -> noisy(123, 400), 5L -> (noisy(99, 400) + "x"))))
+    ops.IndexStore.appendMedia(spark, idx, payloads(Seq(
+      6L -> noisy(555, 400))))
+    val preCompact = ops.IndexStore.history(idx).last
+    def stats() = ops.IndexStore.channel(spark, idx, "media_stats").head()
+    def pairs() = ops.IndexStore.mediaPairsFromStore(spark, idx)
+      .collect().map(_.toString).toSet
+    val (pairsBefore, statsBefore) = (pairs(), stats())
+    assert(pairsBefore.nonEmpty, "fixture degenerate: no payload twins")
+    assert(statsBefore.getAs[Long]("n_payloads") == 6 &&
+      statsBefore.getAs[Long]("n_blocks") == 24,
+      s"media census must count the three folds: $statsBefore")
+    // compact collapses the three append paths; vacuum past retention
+    // reclaims all pre-compaction snapshots
+    ops.IndexStore.compact(spark, idx)
+    assert(pairs() == pairsBefore && stats() == statsBefore,
+      "compaction changed the media reads")
+    val deleted = ops.IndexStore.vacuum(idx)
+    assert(deleted.nonEmpty, "vacuum must reclaim the orphaned snapshots")
+    assert(pairs() == pairsBefore && stats() == statsBefore,
+      "vacuum changed the media reads")
+    // screen still serves off the compacted store
+    assert(ops.IndexStore.screenBatchMedia(spark, idx,
+      payloads(Seq(10L -> (noisy(7, 400) + "zz"), 11L -> noisy(777, 400))))
+      .as[Long].collect().toSeq == Seq(10L),
+      "post-vacuum screen must flag exactly the stored twin")
+    // the reclaimed version refuses BY NAME
+    val e = intercept[IllegalStateException] {
+      ops.IndexStore.channelAt(spark, idx, preCompact, "media_sim_blocks")
+    }
+    assert(e.getMessage.contains("vacuumed or never committed"),
+      s"dropped version must refuse by name: ${e.getMessage}")
+  }
+
   test("empty initial writes are refused loudly, never commit channel-less stores") {
     // a store initialized from zero rows commits no readable channel
     // (parquet cannot infer a schema from a part-file-less dir), and
