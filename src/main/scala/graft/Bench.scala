@@ -195,26 +195,22 @@ object Bench {
     // construction, and the breakdown carries the wall line too
     // (`unified_pair_wall`).
     def runWarmPhase(): (Seq[(String, Double)], Double) = {
-      // phase 1, SEQUENTIAL: the memoized FRAME builds every store
-      // fixture (and half the catalog) shares — tokenization, band
-      // keys, norms, centroids. Concurrency here would contend on the
-      // very inputs the later groups need already built.
-      val warmSeq =
-        safeWarm(ops.Dedup.warm(spark, sfDir)) ++
-          safeWarm(ops.Similarity.warm(spark, sfDir)) ++
-          safeWarm(ops.TextOps.warm(spark, sfDir))
-      // concurrent groups run on a DEDICATED pool (the ADVICE r14
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val t0 = System.nanoTime()
+      // concurrent parts run on a DEDICATED pool (the ADVICE r14
       // stageConcurrently lesson): each store build already fans its
       // channel writes out on its own pool, so the global EC would
-      // saturate and silently serialize the overlap on low-core hosts
-      def group(parts: (() => Seq[(String, Double)])*)
-          : (Seq[(String, Double)], Double) = {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        // DAEMON workers (ADVICE r15): a wedged store build leaves
-        // Await.result(Inf) hung either way, but non-daemon workers
-        // would additionally pin the JVM open against a driver
-        // interrupt — match the stageConcurrently discipline
+      // saturate and silently serialize the overlap on low-core hosts.
+      // DAEMON workers (ADVICE r15): a wedged store build leaves
+      // Await.result(Inf) hung either way, but non-daemon workers
+      // would additionally pin the JVM open against a driver
+      // interrupt — match the stageConcurrently discipline.
+      // Each future records its own COMPLETION instant so the wall
+      // lines below can be derived without serializing the awaits.
+      def launch(parts: Seq[() => Seq[(String, Double)]])
+          : (Seq[Future[(Seq[(String, Double)], Long)]],
+             java.util.concurrent.ExecutorService) = {
         val seq = new java.util.concurrent.atomic.AtomicInteger()
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           parts.size,
@@ -224,34 +220,64 @@ object Bench {
           })
         implicit val ec: scala.concurrent.ExecutionContextExecutorService =
           scala.concurrent.ExecutionContext.fromExecutorService(pool)
-        val t0 = System.nanoTime()
-        try {
-          val rs = parts.map(p => Future(p())).flatMap(
-            Await.result(_, Duration.Inf))
-          (rs, (System.nanoTime() - t0) / 1e9)
-        } finally pool.shutdown()
+        (parts.map(p => Future { val r = p(); (r, System.nanoTime()) }),
+          pool)
       }
-      // phase 2, CONCURRENT: the independent store fixtures (VERDICT
-      // r14 next #3) — four families, four roots, shared inputs all
-      // memoized by phase 1, each build job-latency-bound. Accounting
-      // stays honest the unified-pair way: warm pays the group's WALL
-      // clock; the contended per-store durations ride the breakdown as
-      // attribution evidence (check.py excludes them from per-entry
-      // compare and judges `store_group_wall`).
-      val (storeParts, storeWall) = group(
-        (Seq(
-          () => safeWarm(ops.Dedup.warmStores(spark, sfDir)),
-          () => safeWarm(ops.Similarity.warmStores(spark, sfDir)),
-          () => safeWarm(ops.TextOps.warmStores(spark, sfDir))) ++
-          ops.Selection.warmStoreParts(spark, sfDir)
-            .map(p => () => safeWarm(p()))): _*)
-      // phase 3, CONCURRENT: the two unified-store bootstraps (r13)
-      val (unifiedParts, unifiedWall) = group(
+      // phase 0, CONCURRENT from t0 (r16; guide §2.6): the store
+      // fixtures whose inputs are RAW driver tables only (md5 texts —
+      // no memoized frame) overlap the sequential memo phase. They are
+      // commit-latency-bound (dozens of small jobs each), so they
+      // back-fill the scheduler instead of fighting the memo builds
+      // for CPU; fixture content, fold order and every committed
+      // timeline are bit-unchanged — only the schedule interleaves.
+      val (earlyFuts, earlyPool) = launch(
+        ops.Selection.warmStorePartsEarly(spark, sfDir)
+          .map(p => () => safeWarm(p())))
+      // phase 1, SEQUENTIAL: the memoized FRAME builds every store
+      // fixture (and half the catalog) shares — tokenization, band
+      // keys, norms, centroids. Concurrency here would contend on the
+      // very inputs the later groups need already built.
+      val warmSeq =
+        safeWarm(ops.Dedup.warm(spark, sfDir)) ++
+          safeWarm(ops.Similarity.warm(spark, sfDir)) ++
+          safeWarm(ops.TextOps.warm(spark, sfDir))
+      // phase 2, ONE merged CONCURRENT group (r16; previously two
+      // serialized groups — stores, then the unified pair — whose
+      // walls ADDED even though every build is an independent root):
+      // the memo-dependent store fixtures AND the two unified-store
+      // bootstraps, shared inputs all built by phase 1, each build
+      // job-latency-bound. Accounting stays honest the unified-pair
+      // way: warm pays the phase's WALL clock (t0 → last build done,
+      // the real session cost); the contended per-store durations ride
+      // the breakdown as attribution evidence (check.py excludes them
+      // from per-entry compare and judges the wall lines).
+      val lateStart = System.nanoTime()
+      val (lateFuts, latePool) = launch(Seq(
+        () => safeWarm(ops.Dedup.warmStores(spark, sfDir)),
+        () => safeWarm(ops.Similarity.warmStores(spark, sfDir)),
+        () => safeWarm(ops.TextOps.warmStores(spark, sfDir))) ++
+        ops.Selection.warmStorePartsLate(spark, sfDir)
+          .map(p => () => safeWarm(p())) ++ Seq(
         () => safeWarm(ops.Similarity.warmUnified(spark, sfDir)),
-        () => safeWarm(ops.Selection.warmUnified(spark, sfDir)))
-      (warmSeq ++ storeParts ++ Seq("store_group_wall" -> storeWall) ++
-        unifiedParts :+ ("unified_pair_wall" -> unifiedWall),
-        warmSeq.map(_._2).sum + storeWall + unifiedWall)
+        () => safeWarm(ops.Selection.warmUnified(spark, sfDir))))
+      val early = earlyFuts.map(Await.result(_, Duration.Inf))
+      earlyPool.shutdown()
+      val late = lateFuts.map(Await.result(_, Duration.Inf))
+      latePool.shutdown()
+      // wall lines, same names and meanings as before (check.py's
+      // per-entry compare keys on them): store_group_wall = t0 → the
+      // last STORE fixture done (early + merged-group store members);
+      // unified_pair_wall = merged-group start → the last UNIFIED
+      // build done. The two spans now OVERLAP (that overlap is the
+      // optimization); each remains the honest wall of its family.
+      val storeDone = (early.map(_._2) ++ late.dropRight(2).map(_._2)).max
+      val unifiedDone = late.takeRight(2).map(_._2).max
+      val wall = (System.nanoTime() - t0) / 1e9
+      (warmSeq ++ early.flatMap(_._1) ++ late.dropRight(2).flatMap(_._1) ++
+        Seq("store_group_wall" -> (storeDone - t0) / 1e9) ++
+        late.takeRight(2).flatMap(_._1) :+
+        ("unified_pair_wall" -> (unifiedDone - lateStart) / 1e9),
+        wall)
     }
     val (warmBreakdown1, warmSec1) = runWarmPhase()
     // `first` gets the SAME stabilizer as `pre`: it fires immediately

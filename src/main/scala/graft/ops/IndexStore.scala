@@ -163,6 +163,38 @@ object IndexStore {
     } finally pool.shutdown()
   }
 
+  /** Run INDEPENDENT read-only pre-staging probes (emptiness checks,
+    * append guards, orphan counts, gate-verdict reads) concurrently,
+    * then deliver results — and any refusal — in DECLARATION order:
+    * the first block to fail in declaration order wins even if a
+    * later block failed first on the clock, so refusal precedence
+    * stays deterministic (the ADVICE r15 hoisting lesson applied to
+    * concurrency instead of giving the latency win up). Probes must
+    * not stage anything: a sibling's wasted work under a refusal is
+    * bounded by the probes themselves, and the store is untouched
+    * either way. Each probe is a separate small Spark job that pays
+    * mostly scheduler latency (guide §2.6 — the same measured shape
+    * as the channel writes stageConcurrently overlaps). */
+  private def probeConcurrently[A](blocks: (() => A)*): Seq[A] = {
+    import java.util.concurrent._
+    if (blocks.sizeIs <= 1) blocks.map(_()).toSeq
+    else {
+      val seq = new java.util.concurrent.atomic.AtomicInteger()
+      val pool = Executors.newFixedThreadPool(blocks.size,
+        (r: Runnable) => {
+          val t = new Thread(r, s"graft-probe-${seq.incrementAndGet()}")
+          t.setDaemon(true); t
+        })
+      try {
+        val futs = blocks.map(b =>
+          pool.submit(new Callable[A] { def call(): A = b() }))
+        futs.map(f =>
+          try f.get()
+          catch { case e: ExecutionException => throw e.getCause }).toSeq
+      } finally pool.shutdownNow()
+    }
+  }
+
   private def pointer(root: String) = Paths.get(root, "_current")
 
   private def currentSnapOpt(root: String): Option[String] =
@@ -627,33 +659,52 @@ object IndexStore {
       "write: empty docs frame — an index store cannot be initialized " +
         "from zero rows (its parquet channels would be schema-less and " +
         "every later screen/append would fail); index a non-empty corpus")
+    // deterministic refusal hoisted ahead of concurrent staging (the
+    // writeUnified discipline): the census COLUMN check is schema-only
+    // and must not race the other channels' staging threads
+    if (governed) censusRequired("write", docs)
     val (base, prior) = baseForWrite(out)
     val snap = beginSnap(out)
-    Dedup.toBandRowsPublic(s, docs)
-      .write.mode(SaveMode.Overwrite).partitionBy("band")
-      .parquet(s"$out/$snap/band_keys")
-    maybeCrash("band_keys")
-    val fps = fingerprints(docs)
-    fps.write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/fingerprints")
-    maybeCrash("fingerprints")
-    // simhash channel: the 60-bit fingerprint's pigeonhole block rows,
-    // partitioned by block so a screen's (b, bv) equi-join prunes to
-    // one block partition per probe — catches term-DISTRIBUTION twins
-    // (q128's family) that shingle-set banding can miss
-    Dedup.simBlocks(Dedup.simhash60(docs))
-      .write.mode(SaveMode.Overwrite).partitionBy("b")
-      .parquet(s"$out/$snap/sim_blocks")
-    maybeCrash("sim_blocks")
-    // a governed write initializes the census; every later fold must
-    // extend it (the append refuses column-less batches rather than
-    // silently holing the governance timeline)
-    val censusRel = if (governed) Some {
-      val c = censusRequired("write", docs)
-      c.write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/mix_census")
-      maybeCrash("mix_census")
-      "mix_census" -> Channel(relIfData(out, s"$snap/mix_census"), "", "")
-    } else None
-    val bloomRel = writeBloomInto(s, fps, out, snap)
+    // the four channel families derive independently from `docs`, and
+    // each write is a small job paying mostly scheduler latency, not
+    // CPU (guide §2.6 / SCALE.md "commit-latency-bound") — stage them
+    // concurrently like writeUnified; the commit stays single + last.
+    // Only the bloom chains after its own fingerprints write (one
+    // thread, same block).
+    var censusRel: Option[(String, Channel)] = None
+    var bloomRel: Option[String] = None
+    stageConcurrently(
+      () => {
+        Dedup.toBandRowsPublic(s, docs)
+          .write.mode(SaveMode.Overwrite).partitionBy("band")
+          .parquet(s"$out/$snap/band_keys")
+        maybeCrash("band_keys")
+      },
+      () => {
+        val fps = fingerprints(docs)
+        fps.write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/fingerprints")
+        maybeCrash("fingerprints")
+        bloomRel = writeBloomInto(s, fps, out, snap)
+      },
+      // simhash channel: the 60-bit fingerprint's pigeonhole block rows,
+      // partitioned by block so a screen's (b, bv) equi-join prunes to
+      // one block partition per probe — catches term-DISTRIBUTION twins
+      // (q128's family) that shingle-set banding can miss
+      () => {
+        Dedup.simBlocks(Dedup.simhash60(docs))
+          .write.mode(SaveMode.Overwrite).partitionBy("b")
+          .parquet(s"$out/$snap/sim_blocks")
+        maybeCrash("sim_blocks")
+      },
+      // a governed write initializes the census; every later fold must
+      // extend it (the append refuses column-less batches rather than
+      // silently holing the governance timeline)
+      () => censusRel = if (governed) Some {
+        val c = censusRequired("write", docs)
+        c.write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/mix_census")
+        maybeCrash("mix_census")
+        "mix_census" -> Channel(relIfData(out, s"$snap/mix_census"), "", "")
+      } else None)
     // data-less parquet dirs (an empty corpus write) are not committed
     // — a later read of a part-file-less path cannot infer a schema
     commitSnap(out, snap, prior -- dedupChannels ++ (Map(
@@ -907,18 +958,20 @@ object IndexStore {
       base: Option[String], prior: Map[String, Channel],
       batch: DataFrame): Unit = {
     graft.functions.BloomFuncs.register(s)
-    // generational guard FIRST — before any channel delta is staged,
-    // so an old-format census refuses with zero wasted ingest work and
-    // no orphaned staging dir (the guard's own contract)
-    if (prior.contains("mix_census"))
-      censusFormatGuard(s, indexDir, prior, "append")
-    // same replay contract as the text/vector/media appends: an exact
-    // at-least-once redelivery of an already-folded batch is a no-op
-    // (re-folding would duplicate fingerprint/band rows and inflate
-    // the bloom's estItems), partial overlap means the caller skipped
-    // screenBatch and is refused
-    appendGuard("append", batch, "doc_id",
-        channelFrom(s, indexDir, prior, "fingerprints")).foreach { batchN =>
+    // generational guard FIRST (in refusal precedence — probe delivery
+    // is declaration-ordered) and before any channel delta is staged,
+    // so an old-format census refuses with no orphaned staging dir
+    // (the guard's own contract). The replay guard overlaps it on the
+    // scheduler: same replay contract as the text/vector/media appends
+    // — an exact at-least-once redelivery of an already-folded batch
+    // is a no-op (re-folding would duplicate fingerprint/band rows and
+    // inflate the bloom's estItems), partial overlap means the caller
+    // skipped screenBatch and is refused.
+    probeConcurrently[Option[Long]](
+      () => { if (prior.contains("mix_census"))
+        censusFormatGuard(s, indexDir, prior, "append"); None },
+      () => appendGuard("append", batch, "doc_id",
+        channelFrom(s, indexDir, prior, "fingerprints")))(1).foreach { batchN =>
       // the label DELTA is computed EAGERLY (localCheckpoint) before
       // the new snapshot stages: the merge must see the pre-append
       // band index. O(batch-driven changes) rows — the fold's write
@@ -942,35 +995,54 @@ object IndexStore {
       // successful commit the parquet delta holds the rows
       try {
       val snap = beginSnap(indexDir)
-      Dedup.toBandRowsPublic(s, batch)
-        .write.mode(SaveMode.Overwrite).partitionBy("band")
-        .parquet(s"$indexDir/$snap/band_keys")
-      maybeCrash("band_keys")
-      fingerprints(batch)
-        .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$snap/fingerprints")
-      maybeCrash("fingerprints")
-      Dedup.simBlocks(Dedup.simhash60(batch))
-        .write.mode(SaveMode.Overwrite).partitionBy("b")
-        .parquet(s"$indexDir/$snap/sim_blocks")
-      maybeCrash("sim_blocks")
-      labelDelta.foreach(_.write.mode(SaveMode.Overwrite)
-        .parquet(s"$indexDir/$snap/cluster_labels"))
-      maybeCrash("cluster_labels")
       // governed stores extend the census every fold (format-guarded
       // at the top of appendFrom, before any staging); the batch's bin
-      // counts are additive, so readers just sum across the path list
+      // counts are additive, so readers just sum across the path list.
+      // The frame (and its schema refusal) is built BEFORE the staging
+      // threads launch — the hoisted cheap-refusal discipline.
       val census = if (prior.contains("mix_census"))
         Some(censusRequired("append", batch))
       else None
-      census.foreach(_.write.mode(SaveMode.Overwrite)
-        .parquet(s"$indexDir/$snap/mix_census"))
-      maybeCrash("mix_census")
-      val fpPaths = prior.get("fingerprints").map(_.paths).getOrElse(Seq.empty) ++
-        relIfData(indexDir, s"$snap/fingerprints")
-      def mergedFps() = s.read.parquet(fpPaths.map(p => s"$indexDir/$p"): _*)
-        .select(col("fp"))
-      val bloomRel = mergeBloomInto(s, indexDir, prior, fingerprints(batch),
-        batchN, () => mergedFps(), snap)
+      // the channel deltas derive independently from `batch`; each is
+      // a small job paying mostly scheduler latency (guide §2.6 /
+      // SCALE.md "commit-latency-bound") — stage concurrently like
+      // writeUnified. The bloom merge chains after its own
+      // fingerprints write (its rebuild arm reads the staged path).
+      var bloomRel: Option[String] = None
+      stageConcurrently(
+        () => {
+          Dedup.toBandRowsPublic(s, batch)
+            .write.mode(SaveMode.Overwrite).partitionBy("band")
+            .parquet(s"$indexDir/$snap/band_keys")
+          maybeCrash("band_keys")
+        },
+        () => {
+          fingerprints(batch)
+            .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$snap/fingerprints")
+          maybeCrash("fingerprints")
+          val fpPaths = prior.get("fingerprints").map(_.paths).getOrElse(Seq.empty) ++
+            relIfData(indexDir, s"$snap/fingerprints")
+          def mergedFps() = s.read.parquet(fpPaths.map(p => s"$indexDir/$p"): _*)
+            .select(col("fp"))
+          bloomRel = mergeBloomInto(s, indexDir, prior, fingerprints(batch),
+            batchN, () => mergedFps(), snap)
+        },
+        () => {
+          Dedup.simBlocks(Dedup.simhash60(batch))
+            .write.mode(SaveMode.Overwrite).partitionBy("b")
+            .parquet(s"$indexDir/$snap/sim_blocks")
+          maybeCrash("sim_blocks")
+        },
+        () => {
+          labelDelta.foreach(_.write.mode(SaveMode.Overwrite)
+            .parquet(s"$indexDir/$snap/cluster_labels"))
+          maybeCrash("cluster_labels")
+        },
+        () => {
+          census.foreach(_.write.mode(SaveMode.Overwrite)
+            .parquet(s"$indexDir/$snap/mix_census"))
+          maybeCrash("mix_census")
+        })
       // prior.get, not prior(): a corpus whose docs produced no band /
       // simhash rows has those channels dropped at write, and the
       // first append that DOES produce them must create the entries
@@ -2764,8 +2836,10 @@ object IndexStore {
       payloads: Option[DataFrame] = None,
       preTok: Option[DataFrame] = None,
       preCensus: Option[DataFrame] = None): Unit = {
-    val dEmpty = docs.isEmpty
-    val vEmpty = vectors.isEmpty
+    // the two emptiness probes are independent small jobs — overlap
+    // them (probeConcurrently keeps any failure in declaration order)
+    val empt = probeConcurrently(() => docs.isEmpty, () => vectors.isEmpty)
+    val (dEmpty, vEmpty) = (empt(0), empt(1))
     val hasProj = prior.contains("proj_stats")
     // generational guard FIRST — a governed docs-carrying fold onto an
     // old-format census must refuse before ANY channel delta is staged
@@ -2802,15 +2876,23 @@ object IndexStore {
     val mediaPrintable = payloads.map(p =>
       Dedup.simhash60Bytes(p).localCheckpoint())
     try {
-    val mediaGo = mediaPrintable.flatMap(pr =>
-      appendGuard("appendUnified(media)", pr, "doc_id",
-        channelFrom(s, root, prior, "media_sim_blocks"),
-        fingerprint = Some("sim")))
+    // the three families' replay guards are independent read-only
+    // probes (each 2–3 small jobs); overlap them — refusal precedence
+    // stays the sequential order (media, text, vectors) by
+    // probeConcurrently's declaration-order delivery
+    val guards = probeConcurrently[Option[Long]](
+      () => mediaPrintable.flatMap(pr =>
+        appendGuard("appendUnified(media)", pr, "doc_id",
+          channelFrom(s, root, prior, "media_sim_blocks"),
+          fingerprint = Some("sim"))),
+      () => if (dEmpty) None else appendGuard("appendUnified(text)",
+        docs, "doc_id", channelFrom(s, root, prior, "doc_lens")),
+      () => if (vEmpty) None else appendGuard("appendUnified(vectors)",
+        vectors, "vec_id", channelFrom(s, root, prior, "cells")))
+    val mediaGo = guards(0)
     if (dEmpty && vEmpty && mediaGo.isEmpty) return
-    val textGo = if (dEmpty) None else appendGuard("appendUnified(text)",
-      docs, "doc_id", channelFrom(s, root, prior, "doc_lens"))
-    val vecGo = if (vEmpty) None else appendGuard("appendUnified(vectors)",
-      vectors, "vec_id", channelFrom(s, root, prior, "cells"))
+    val textGo = guards(1)
+    val vecGo = guards(2)
     require(dEmpty || vEmpty || textGo.isDefined == vecGo.isDefined,
       "appendUnified: one family of the pair is an exact replay and the " +
         "other is new — atomic unified commits make a half-folded pair " +
@@ -2992,11 +3074,15 @@ object IndexStore {
       "appendUnifiedGated: this unified store carries no mix_census " +
         "channel — the drift gate has no stored anchor distribution to " +
         "hold against; bootstrap with writeUnified(..., governed = true)")
+    // the two orphan gates, the census explode and the gate's PSI read
+    // below are independent read-only probes — they overlap on the
+    // scheduler (probeConcurrently), with refusal precedence pinned to
+    // this declaration order: vector orphans, payload orphans, census.
     // orphan gate: every batch vector's doc is in-batch (gated with
     // this tick) or already stored (gated when it folded) — one
     // O(batch) anti-join against the batch ids plus one against the
     // pruned doc_lens id column
-    if (!vEmptyCaller) {
+    val vecOrphanGate: () => Unit = () => if (!vEmptyCaller) {
       val orphans = vectors.select(col("vec_id"))
         .join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"),
           "left_anti")
@@ -3015,7 +3101,8 @@ object IndexStore {
     // the media sibling of the orphan gate: every payload's doc is
     // in-batch (gated with this tick) or already stored (gated when it
     // folded) — payloads carry no source column either
-    payloads.filter(!_.isEmpty).foreach { p =>
+    val payloadOrphanGate: () => Unit = () =>
+      payloads.filter(!_.isEmpty).foreach { p =>
       val orphans = p.select(col("doc_id"))
         .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")
         .join(channelFrom(s, root, prior, "doc_lens")
@@ -3038,25 +3125,34 @@ object IndexStore {
     // consumes bins-minus-held, which equals censusBins(admitted)
     // bit-identically because bins are per-source additive and holds
     // are whole-source (the unified fold does not screen).
-    val batchBins = censusRequired("appendUnifiedGated", docs)
-      .localCheckpoint()
+    var batchBins: DataFrame = null
+    var rep: Seq[(String, Long, Double, Double, Double, Double, Double,
+      Boolean)] = null
+    var ord: Map[String, (Double, Boolean)] = null
     try {
-    val rep = Selection.psiFromBins(
-        channelFrom(s, root, prior, "mix_census")
-          .filter(col("source") === anchor)
-          .unionByName(batchBins.filter(col("source") =!= anchor)),
-        anchor)
-      .select(col("source"), col("n_docs"), col("psi_nchars"),
-        col("psi_ntokens"), col("psi_nonalpha"), col("psi_tokhash"),
-        col("psi_max"), (col("psi_max") > maxPsi).as("held"))
-      .as[(String, Long, Double, Double, Double, Double, Double, Boolean)]
-      .collect().toSeq
-    // the order screen's verdict folds into the SAME held set (opt-in;
-    // the screenAndFoldGated scaladoc's rationale) — it reads the
-    // batch's token-position frame, which the aggregated census bins
-    // above cannot supply, so the opted-in tick pays two extra narrow
-    // batch token passes and the default tick pays nothing
-    val ord = orderVerdict(s, docs, anchor, orderGate, maxOrderPsi)
+    probeConcurrently[Unit](
+      vecOrphanGate,
+      payloadOrphanGate,
+      () => {
+        batchBins = censusRequired("appendUnifiedGated", docs)
+          .localCheckpoint()
+        rep = Selection.psiFromBins(
+            channelFrom(s, root, prior, "mix_census")
+              .filter(col("source") === anchor)
+              .unionByName(batchBins.filter(col("source") =!= anchor)),
+            anchor)
+          .select(col("source"), col("n_docs"), col("psi_nchars"),
+            col("psi_ntokens"), col("psi_nonalpha"), col("psi_tokhash"),
+            col("psi_max"), (col("psi_max") > maxPsi).as("held"))
+          .as[(String, Long, Double, Double, Double, Double, Double, Boolean)]
+          .collect().toSeq
+      },
+      // the order screen's verdict folds into the SAME held set (opt-in;
+      // the screenAndFoldGated scaladoc's rationale) — it reads the
+      // batch's token-position frame, which the aggregated census bins
+      // above cannot supply, so the opted-in tick pays two extra narrow
+      // batch token passes and the default tick pays nothing
+      () => ord = orderVerdict(s, docs, anchor, orderGate, maxOrderPsi))
     val heldSrcs = (rep.filter(_._8).map(_._1) ++
       ord.collect { case (src, (_, true)) => src }).distinct
     val (admittedDocs, admittedVecs, admittedRaw, admittedPayloads) =
@@ -3087,7 +3183,7 @@ object IndexStore {
     appendUnifiedFrom(s, root, base, prior, admittedDocs, admittedVecs,
       rawEff, admittedPayloads, preTok, preCensus = Some(censusDelta))
     gateReport(s, rep, ord, orderGate)
-    } finally releaseCheckpoint(batchBins)
+    } finally if (batchBins != null) releaseCheckpoint(batchBins)
   }
 
   /** The hybrid read pair from a unified store: ONE manifest

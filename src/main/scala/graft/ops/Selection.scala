@@ -753,10 +753,27 @@ object Selection {
     * r15 measurement chained them in one thread and that chain WAS
     * the group wall (29.8 s ≈ 9.9 + 6.6 + 13.4). */
   def warmStoreParts(s: SparkSession, dir: String)
+      : Seq[() => Seq[(String, Double)]] =
+    warmStorePartsEarly(s, dir) ++ warmStorePartsLate(s, dir)
+
+  /** The fixtures whose inputs are RAW driver tables only (md5 texts,
+    * no memoized frame — governedStore / gatedHoldStore /
+    * reanchorStore read `documents` and nothing else): safe to start
+    * at warm-phase t0, overlapping the sequential memo builds (r16;
+    * guide §2.6 — these builds are commit-latency-bound, so they
+    * back-fill scheduler gaps instead of contending for the memo
+    * phase's CPU). */
+  def warmStorePartsEarly(s: SparkSession, dir: String)
       : Seq[() => Seq[(String, Double)]] = Seq(
     () => Seq(timedBuild("selection.governedStore") { governedStore(s, dir); () }),
     () => Seq(timedBuild("selection.gatedHoldStore") { gatedHoldStore(s, dir); () }),
-    () => Seq(timedBuild("selection.reanchorStore") { reanchorStore(s, dir); () }),
+    () => Seq(timedBuild("selection.reanchorStore") { reanchorStore(s, dir); () }))
+
+  /** The fixture that consumes memoized frames (orderGateStore reads
+    * Similarity.normalized + ivfCentroids) — must run AFTER the
+    * sequential memo phase. */
+  def warmStorePartsLate(s: SparkSession, dir: String)
+      : Seq[() => Seq[(String, Double)]] = Seq(
     () => Seq(timedBuild("selection.orderGateStore") { orderGateStore(s, dir); () }))
 
   /** The gated unified bootstrap, split out of [[warm]] so the bench
