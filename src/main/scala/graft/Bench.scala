@@ -224,28 +224,35 @@ object Bench {
           pool)
       }
       // phase 0, CONCURRENT from t0 (r16; guide §2.6): the store
-      // fixtures whose inputs are RAW driver tables only (md5 texts —
-      // no memoized frame) overlap the sequential memo phase. They are
+      // fixtures whose inputs are RAW driver tables only — the three
+      // md5-text governed fixtures plus dedup.snapshotStore, whose
+      // write/CC run is computed fresh over its slice (no memoized
+      // frame) — overlap the sequential memo phase. They are
       // commit-latency-bound (dozens of small jobs each), so they
       // back-fill the scheduler instead of fighting the memo builds
       // for CPU; fixture content, fold order and every committed
       // timeline are bit-unchanged — only the schedule interleaves.
       val (earlyFuts, earlyPool) = launch(
         ops.Selection.warmStorePartsEarly(spark, sfDir)
-          .map(p => () => safeWarm(p())))
+          .map(p => () => safeWarm(p())) :+
+          (() => safeWarm(ops.Dedup.warmStores(spark, sfDir))))
       // phase 1, SEQUENTIAL: the memoized FRAME builds every store
       // fixture (and half the catalog) shares — tokenization, band
       // keys, norms, centroids. Concurrency here would contend on the
-      // very inputs the later groups need already built.
-      val warmSeq =
-        safeWarm(ops.Dedup.warm(spark, sfDir)) ++
-          safeWarm(ops.Similarity.warm(spark, sfDir)) ++
+      // very inputs the later groups need already built. Ordered so
+      // the LATE group's dependencies come first (Similarity's
+      // norms/centroids, TextOps' bm25Index) and the group launches
+      // before Dedup's memos (band keys, the cluster-labels CC run,
+      // coded sets — consumed by the sweep, not by any store build)
+      // are built on the main thread (r16).
+      val warmSeqA =
+        safeWarm(ops.Similarity.warm(spark, sfDir)) ++
           safeWarm(ops.TextOps.warm(spark, sfDir))
       // phase 2, ONE merged CONCURRENT group (r16; previously two
       // serialized groups — stores, then the unified pair — whose
       // walls ADDED even though every build is an independent root):
       // the memo-dependent store fixtures AND the two unified-store
-      // bootstraps, shared inputs all built by phase 1, each build
+      // bootstraps, shared inputs all built by warmSeqA, each build
       // job-latency-bound. Accounting stays honest the unified-pair
       // way: warm pays the phase's WALL clock (t0 → last build done,
       // the real session cost); the contended per-store durations ride
@@ -253,13 +260,13 @@ object Bench {
       // from per-entry compare and judges the wall lines).
       val lateStart = System.nanoTime()
       val (lateFuts, latePool) = launch(Seq(
-        () => safeWarm(ops.Dedup.warmStores(spark, sfDir)),
         () => safeWarm(ops.Similarity.warmStores(spark, sfDir)),
         () => safeWarm(ops.TextOps.warmStores(spark, sfDir))) ++
         ops.Selection.warmStorePartsLate(spark, sfDir)
           .map(p => () => safeWarm(p())) ++ Seq(
         () => safeWarm(ops.Similarity.warmUnified(spark, sfDir)),
         () => safeWarm(ops.Selection.warmUnified(spark, sfDir))))
+      val warmSeq = warmSeqA ++ safeWarm(ops.Dedup.warm(spark, sfDir))
       val early = earlyFuts.map(Await.result(_, Duration.Inf))
       earlyPool.shutdown()
       val late = lateFuts.map(Await.result(_, Duration.Inf))

@@ -1751,27 +1751,36 @@ object IndexStore {
       .select(col("doc_id"), dlCol.as("dl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      postings.join(docLens, Seq("doc_id"))
-        .repartitionByRange(col("term"), col("doc_id"))
-        .sortWithinPartitions(col("term"), col("doc_id"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$root/$snap/postings")
-      maybeCrash("postings")
-      docLens.write.mode(SaveMode.Overwrite).parquet(s"$root/$snap/doc_lens")
-      maybeCrash("doc_lens")
-      // stats channel: exact long merge (prior + batch) — the 1-row
-      // collect is the whole cross-channel coupling. Only INDEXED docs
-      // (dl > 0) enter the census: the id-complete dl=0 rows exist for
-      // the membership guard, not for BM25's N/avgdl
-      val b = docLens.filter(col("dl") > 0)
-        .agg(count(lit(1)).as("n"), sum(col("dl")).as("sd")).head()
-      val (bn, bsd) = (b.getLong(0), if (b.isNullAt(1)) 0L else b.getLong(1))
-      val (n, sd) = priorStats match {
-        case Some((pn, psd)) => (pn + bn, psd + bsd)
-        case None => (bn, bsd)
-      }
-      import s.implicits._
-      Seq((n, sd)).toDF("n_docs", "sum_dl")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/$snap/stats")
+      // the heavy range-sorted postings write overlaps the small
+      // doc_lens + stats chain (both branches read only the two
+      // persisted frames above; guide §2.6 — the r16 staging
+      // discipline). The commit stays with the caller, after both.
+      stageConcurrently(
+        () => {
+          postings.join(docLens, Seq("doc_id"))
+            .repartitionByRange(col("term"), col("doc_id"))
+            .sortWithinPartitions(col("term"), col("doc_id"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$root/$snap/postings")
+          maybeCrash("postings")
+        },
+        () => {
+          docLens.write.mode(SaveMode.Overwrite).parquet(s"$root/$snap/doc_lens")
+          maybeCrash("doc_lens")
+          // stats channel: exact long merge (prior + batch) — the 1-row
+          // collect is the whole cross-channel coupling. Only INDEXED docs
+          // (dl > 0) enter the census: the id-complete dl=0 rows exist for
+          // the membership guard, not for BM25's N/avgdl
+          val b = docLens.filter(col("dl") > 0)
+            .agg(count(lit(1)).as("n"), sum(col("dl")).as("sd")).head()
+          val (bn, bsd) = (b.getLong(0), if (b.isNullAt(1)) 0L else b.getLong(1))
+          val (n, sd) = priorStats match {
+            case Some((pn, psd)) => (pn + bn, psd + bsd)
+            case None => (bn, bsd)
+          }
+          import s.implicits._
+          Seq((n, sd)).toDF("n_docs", "sum_dl")
+            .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$root/$snap/stats")
+        })
       Map(
         "postings" -> Channel(Seq(s"$snap/postings"), "", "term,doc_id"),
         "doc_lens" -> Channel(Seq(s"$snap/doc_lens"), "", ""),
@@ -1919,17 +1928,27 @@ object IndexStore {
         "non-empty model")
     val (base, prior) = baseForWrite(out)
     val snap = beginSnap(out)
-    centroids.write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/centroids")
-    maybeCrash("centroids")
-    stageCells(assignCells(vectors, centroids), s"$out/$snap/cells")
-    maybeCrash("cells")
+    // the three independent pieces (tiny centroids table, the heavy
+    // cid-partitioned cells staging, the counts feeding the 1-row
+    // census) overlap on the scheduler (r16 staging discipline)
+    var statsChs: Map[String, Channel] = null
+    stageConcurrently(
+      () => {
+        centroids.write.mode(SaveMode.Overwrite).parquet(s"$out/$snap/centroids")
+        maybeCrash("centroids")
+      },
+      () => {
+        stageCells(assignCells(vectors, centroids), s"$out/$snap/cells")
+        maybeCrash("cells")
+      },
+      () => {
+        val n = vectors.count()
+        statsChs = writeVecStats(s, out, snap, n, centroids.count(), n)
+      })
     commitSnap(out, snap, prior -- Seq("centroids", "cells", "vec_stats") ++ (Map(
       "centroids" -> Channel(relIfData(out, s"$snap/centroids"), "", ""),
       "cells" -> Channel(relIfData(out, s"$snap/cells"), "cid", ""))
-      .filter(_._2.paths.nonEmpty)) ++ locally {
-        val n = vectors.count()
-        writeVecStats(s, out, snap, n, centroids.count(), n)
-      }, base)
+      .filter(_._2.paths.nonEmpty)) ++ statsChs, base)
   }
 
   /** Stage the vector family's 1-row census (`vec_stats`: n_vecs, k,
@@ -1991,23 +2010,33 @@ object IndexStore {
         channelFrom(s, indexDir, prior, "cells")).foreach { batchN =>
       val cents = channelFrom(s, indexDir, prior, "centroids")
       val snap = beginSnap(indexDir)
-      stageCells(assignCells(batch, cents), s"$indexDir/$snap/cells")
-      maybeCrash("cells")
-      // vec_stats merge: exact long arithmetic over the guard's count
-      // (a pre-vec_stats store backfills its census once, from the
-      // channels this transaction already resolved)
-      val (pn, pk, pt) = prior.get("vec_stats") match {
-        case Some(_) =>
-          val st = channelFrom(s, indexDir, prior, "vec_stats").head()
-          (st.getAs[Long]("n_vecs"), st.getAs[Long]("k"),
-            st.getAs[Long]("n_at_train"))
-        case None =>
-          val n0 = channelFrom(s, indexDir, prior, "cells").count()
-          (n0, channelFrom(s, indexDir, prior, "centroids").count(), n0)
-      }
-      val projChs = raw.map(r =>
-        appendProjectionsInto(s, indexDir, "appendVectors", prior, snap,
-          batch, r))
+      // cells delta, projected deltas and the 1-row census read are
+      // independent (each reads only the caller-held `prior` capture
+      // and writes only its own staging subdirectory) — overlap them
+      // (r16 staging discipline); the commit stays single and last
+      var statsTriple: (Long, Long, Long) = null
+      var projChs: Option[Map[String, Channel]] = None
+      stageConcurrently(
+        () => {
+          stageCells(assignCells(batch, cents), s"$indexDir/$snap/cells")
+          maybeCrash("cells")
+        },
+        // vec_stats merge: exact long arithmetic over the guard's count
+        // (a pre-vec_stats store backfills its census once, from the
+        // channels this transaction already resolved)
+        () => statsTriple = prior.get("vec_stats") match {
+          case Some(_) =>
+            val st = channelFrom(s, indexDir, prior, "vec_stats").head()
+            (st.getAs[Long]("n_vecs"), st.getAs[Long]("k"),
+              st.getAs[Long]("n_at_train"))
+          case None =>
+            val n0 = channelFrom(s, indexDir, prior, "cells").count()
+            (n0, channelFrom(s, indexDir, prior, "centroids").count(), n0)
+        },
+        () => projChs = raw.map(r =>
+          appendProjectionsInto(s, indexDir, "appendVectors", prior, snap,
+            batch, r)))
+      val (pn, pk, pt) = statsTriple
       commitSnap(indexDir, snap, prior + ("cells" ->
         prior("cells").copy(paths =
           prior("cells").paths ++ relIfData(indexDir, s"$snap/cells"))) ++
